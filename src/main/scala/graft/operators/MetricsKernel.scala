@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The core aggregation kernel of the metrics engine — the Spark rebuild of
+  * the reference's composite aggregation + date histogram + pivot +
+  * zero-fill post-processing (SURVEY.md §2.4: A1–A3, A7, A12–A14).
+  *
+  * In the reference each of these steps is a separate system: ES composite
+  * aggregations server-side (`metricsreader.py:229-294`), then three
+  * near-identical 220-line Python pivot/zero-fill routines client-side
+  * (`metricsreader.py:1596-2262`). Here the whole pipeline is one declarative
+  * plan: Catalyst fuses filter→project→partial-agg into a single
+  * whole-stage-codegen'd scan stage, and the only shuffle is the final
+  * group-by exchange. Distinct counts are the one genuinely expensive step
+  * (they force a per-(group,key) expansion); the reference uses ES
+  * `cardinality` (HLL) — we expose both exact `countDistinct` (for the
+  * oracle) and `approx_count_distinct` (HLL++, the 100 TB path).
+  */
+object MetricsKernel {
+
+  /** A1/A3: composite group-by over a time bucket + dimensions, counting
+    * distinct `idCol` per bucket. `unit` ∈ month|day|year — mirrors the
+    * reference's groupBy dispatch (`metricsreader.py:711-721`).
+    */
+  def compositeAgg(df: DataFrame, ts: Column, unit: String, dims: Seq[Column],
+                   idCol: Column, approx: Boolean = false): DataFrame = {
+    val period = periodOf(ts, unit).as("period")
+    val cnt = if (approx) approx_count_distinct(idCol) else countDistinct(idCol)
+    df.groupBy(period +: dims: _*)
+      .agg(cnt.as("unique_count"), count(lit(1)).as("total_count"))
+  }
+
+  /** Time bucket formatted as a sortable string — the engine's canonical
+    * period key (the reference returns epoch-millis bucket keys and
+    * reformats client-side, `metricsreader.py:334,1051`).
+    */
+  def periodOf(ts: Column, unit: String): Column = unit match {
+    case "month" => date_format(ts, "yyyy-MM")
+    case "day"   => date_format(ts, "yyyy-MM-dd")
+    case "year"  => date_format(ts, "yyyy")
+    case u => throw new IllegalArgumentException(s"unknown unit: $u")
+  }
+
+  /** A12: date-spine densification. Generates every period between
+    * `start`/`end` (inclusive, ISO dates) and left-joins the aggregate,
+    * zero-filling missing buckets — replacing the reference's per-month
+    * Python loops (`metricsreader.py:1023-1033,1743-1753`, including their
+    * skipped-partial-month bug, which we correct; SURVEY.md §7.4.6).
+    * The spine is tiny (#periods rows) so the join broadcasts.
+    */
+  def zeroFillSpine(agg: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                    start: String, end: String, unit: String,
+                    countCols: Seq[String]): DataFrame = {
+    val step = unit match {
+      case "month" => "interval 1 month"
+      case "day"   => "interval 1 day"
+      case "year"  => "interval 1 year"
+    }
+    val spine = spark.range(1).select(explode(expr(
+      s"sequence(to_date('$start'), to_date('$end'), $step)")).as("d"))
+      .select(periodOf(col("d"), unit).as("period"))
+    val joined = spine.join(agg, Seq("period"), "left")
+    countCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0L)))
+    }
+  }
+
+  /** A13: pivot a type column into per-type count columns (the reference's
+    * DATA→downloads / METADATA→views dispatch, `metricsreader.py:333-343`).
+    * `typeMap` gives (type value → output column); explicit values keep the
+    * plan a single pass (no extra distinct-values job) and the schema stable.
+    */
+  def pivotCounts(df: DataFrame, groupCols: Seq[Column], typeCol: Column,
+                  typeMap: Seq[(String, String)], valueExpr: Column): DataFrame = {
+    val aggs = typeMap.map { case (tv, out) =>
+      sum(when(typeCol === tv, valueExpr).otherwise(lit(0L))).as(out)
+    }
+    df.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A7: COUNTER unique/total investigations & requests over sessionized
+    * events (`metricsreporter.py:141-308`). `requests` covers the DATA-like
+    * types; every event counts toward investigations.
+    */
+  def counterMetrics(sessionized: DataFrame, period: Column, sessionKey: Column,
+                     typeCol: Column, requestTypes: Seq[String]): DataFrame = {
+    val isReq = typeCol.isin(requestTypes: _*)
+    sessionized.groupBy(period.as("period"))
+      .agg(
+        countDistinct(sessionKey).as("unique_investigations"),
+        count(lit(1)).as("total_investigations"),
+        countDistinct(when(isReq, sessionKey)).as("unique_requests"),
+        sum(when(isReq, 1L).otherwise(0L)).as("total_requests"))
+  }
+
+  /** A14: country-null normalization (`metricsreader.py:1684-1686`). */
+  def normalizeCountry(c: Column, default: String = "US"): Column =
+    coalesce(c, lit(default))
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{MetricsKernel, Sessionize}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's aggregation surface (SURVEY.md §2.4–§2.6) mapped onto the
+  * synthetic `events` stream table: user_id ↔ ipAddress, ts ↔ dateLogged,
+  * event_type ↔ formatType, event_id ↔ eventId (see FIXTURES.md §1).
+  *
+  * Timestamps are emitted as epoch-microsecond BIGINTs and periods as
+  * formatted strings so the DuckDB comparison is precision-exact.
+  */
+object EventMetricsQueries {
+  private val GapSeconds = 3600L // reference SESSION_TTL_MINUTES=60
+
+  val entries: Seq[GraftQuery] = Seq(
+
+    // A1+A3: composite group-by (period × type) with exact distinct counts —
+    // the reference's ES composite aggregation (`metricsreader.py:229-294`).
+    GraftQuery("a1_composite_agg",
+      (s, dir) => MetricsKernel.compositeAgg(
+        Tables.events(s, dir), col("ts"), "month", Seq(col("event_type")),
+        col("event_id")),
+      Some("""SELECT strftime(date_trunc('month', ts), '%Y-%m') AS period,
+             |       event_type,
+             |       CAST(count(DISTINCT event_id) AS BIGINT) AS unique_count,
+             |       count(*) AS total_count
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // A3 day-unit histogram (`metricsreader.py:286-294` day dispatch).
+    GraftQuery("a3_histogram_day",
+      (s, dir) => MetricsKernel.compositeAgg(
+        Tables.events(s, dir), col("ts"), "day", Nil, col("event_id")),
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS period,
+             |       CAST(count(DISTINCT event_id) AS BIGINT) AS unique_count,
+             |       count(*) AS total_count
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // §2.5 sessionization + A4 session roll-up: 60-min-gap sessions per user.
+    GraftQuery("a4_session_rollup",
+      (s, dir) => Sessionize.sessionStats(
+        Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"),
+        GapSeconds)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          unix_micros(col("session_start")).as("session_start"),
+          unix_micros(col("session_end")).as("session_end")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM events
+             |), s AS (
+             |  SELECT user_id, ts,
+             |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM g
+             |)
+             |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             |       count(*) AS n_events,
+             |       epoch_us(min(ts)) AS session_start,
+             |       epoch_us(max(ts)) AS session_end
+             |FROM s GROUP BY 1, 2""".stripMargin)),
+
+    // A6: top-hits per group — latest event per user
+    // (`metricselasticsearch.py:681-751`).
+    GraftQuery("a6_top_per_key",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id
+             |                           ORDER BY ts DESC, event_id DESC) = 1
+             |""".stripMargin)),
+
+    // A7: COUNTER unique/total investigations & requests over sessionized
+    // events (`metricsreporter.py:141-308`); purchase/click play DATA.
+    GraftQuery("a7_counter_report",
+      (s, dir) => {
+        val sess = Sessionize.withSessionSeq(
+          Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"),
+          GapSeconds)
+          .withColumn("session_key",
+            concat(col("user_id"), lit("#"), col("session_seq")))
+        MetricsKernel.counterMetrics(sess,
+          MetricsKernel.periodOf(col("ts"), "month"), col("session_key"),
+          col("event_type"), Seq("purchase", "click"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM events
+             |), s AS (
+             |  SELECT user_id, ts, event_type,
+             |         user_id || '#' || sum(is_new) OVER
+             |           (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS session_key
+             |  FROM g
+             |)
+             |SELECT strftime(date_trunc('month', ts), '%Y-%m') AS period,
+             |       CAST(count(DISTINCT session_key) AS BIGINT) AS unique_investigations,
+             |       count(*) AS total_investigations,
+             |       CAST(count(DISTINCT CASE WHEN event_type IN ('purchase','click')
+             |                           THEN session_key END) AS BIGINT) AS unique_requests,
+             |       CAST(sum(CASE WHEN event_type IN ('purchase','click')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS total_requests
+             |FROM s GROUP BY 1""".stripMargin)),
+
+    // A12: date-spine zero-fill over months with no data
+    // (`metricsreader.py:1023-1033,1743-1753`).
+    GraftQuery("a12_zero_fill",
+      (s, dir) => {
+        val agg = MetricsKernel.compositeAgg(
+          Tables.events(s, dir).filter(col("event_type") === "purchase"),
+          col("ts"), "month", Nil, col("event_id"))
+        MetricsKernel.zeroFillSpine(agg, s, "2024-01-01", "2024-06-01",
+          "month", Seq("unique_count", "total_count"))
+      },
+      Some("""WITH spine AS (
+             |  SELECT strftime(unnest(generate_series(DATE '2024-01-01',
+             |           DATE '2024-06-01', INTERVAL 1 MONTH)), '%Y-%m') AS period
+             |), agg AS (
+             |  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS period,
+             |         CAST(count(DISTINCT event_id) AS BIGINT) AS unique_count,
+             |         count(*) AS total_count
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+             |)
+             |SELECT s.period,
+             |       coalesce(unique_count, 0) AS unique_count,
+             |       coalesce(total_count, 0) AS total_count
+             |FROM spine s LEFT JOIN agg USING (period)""".stripMargin)),
+
+    // A13: pivot event types into per-type count columns — the reference's
+    // DATA→downloads / METADATA→views dispatch (`metricsreader.py:333-343`).
+    GraftQuery("a13_pivot_counts",
+      (s, dir) => MetricsKernel.pivotCounts(
+        Tables.events(s, dir),
+        Seq(MetricsKernel.periodOf(col("ts"), "month").as("period")),
+        col("event_type"),
+        Seq("view" -> "views", "purchase" -> "downloads", "click" -> "clicks",
+          "signup" -> "signups", "error" -> "errors"),
+        lit(1L)),
+      Some("""SELECT strftime(date_trunc('month', ts), '%Y-%m') AS period,
+             |       CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+             |       CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS downloads,
+             |       CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             |       CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+             |       CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // A5: global min/max/count — session-id allocation & unprocessed-mark
+    // scans (`metricselasticsearch.py:554-678`).
+    GraftQuery("a5_global_extrema",
+      (s, dir) => Tables.events(s, dir).agg(
+        unix_micros(min(col("ts"))).as("min_ts"),
+        unix_micros(max(col("ts"))).as("max_ts"),
+        count(lit(1)).as("n_events"),
+        max(col("event_id")).as("max_event_id")),
+      Some("""SELECT epoch_us(min(ts)) AS min_ts, epoch_us(max(ts)) AS max_ts,
+             |       count(*) AS n_events, max(event_id) AS max_event_id
+             |FROM events""".stripMargin)),
+  )
+}

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+
+Reads <outDir>/oracle_sql.json (written by graft.Verify), registers every
+parquet table in <sfDir> as a DuckDB view, runs each oracle SQL, and compares
+against the Spark result parquet at <outDir>/<name>/ — column names (sorted),
+row count, and a hash over row-sorted, column-name-sorted values.
+"""
+import json, sys, hashlib, math, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.round(6)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        else:
+            df[c] = s
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def h(df: pd.DataFrame) -> str:
+    m = hashlib.md5()
+    for row in df.itertuples(index=False):
+        m.update(("|".join(str(v) for v in row)).encode())
+    return m.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    names = sorted(os.listdir(out_dir))
+    ok = fail = 0
+    for name in names:
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        spark_df = pq.read_table(d).to_pandas()
+        if name not in oracles:
+            print(f"  {name}: NO-ORACLE rows={len(spark_df)} "
+                  f"{'ok' if len(spark_df) > 0 else 'EMPTY!'}")
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"✗ {name}: oracle SQL failed: {e}")
+            fail += 1
+            continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"✗ {name}: columns {list(a.columns)} != {list(b.columns)}")
+            fail += 1
+            continue
+        if len(a) != len(b):
+            print(f"✗ {name}: rows {len(a)} != {len(b)}")
+            fail += 1
+            continue
+        if h(a) != h(b):
+            print(f"✗ {name}: value hash mismatch")
+            merged = a.compare(b) if a.shape == b.shape else None
+            if merged is not None and not merged.empty:
+                print(merged.head(10))
+            fail += 1
+            continue
+        print(f"✓ {name}: {len(a)} rows")
+        ok += 1
+    print(f"\n{ok} ok, {fail} failed")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
