@@ -14,7 +14,11 @@ object SparkEntry {
   /** All registered queries, grouped by the SURVEY.md §2 area they cover. */
   def allQueries: Seq[GraftQuery] =
     TpchQueries.entries ++
-      EventMetricsQueries.entries
+      EventMetricsQueries.entries ++
+      JoinQueries.entries ++
+      SetOpQueries.entries ++
+      EnrichQueries.entries ++
+      ScalarQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the landing-page metrics slice — filter → sessionize → COUNTER

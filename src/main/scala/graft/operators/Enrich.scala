@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Ingest-time enrichment column ops — the Spark rebuild of the reference's
+  * logstash filter chain + Python taggers (SURVEY.md §2.2 F8–F16).
+  *
+  * Everything here is a pure `Column` expression: the whole enrichment chain
+  * fuses into the scan's whole-stage-codegen pass — no UDFs, no extra stage,
+  * no shuffle. The regex/CIDR dictionaries are constant-folded into the plan
+  * exactly like the reference's pre-joined mega-regex
+  * (`elastic_notes.rst:160-172`).
+  */
+object Enrich {
+
+  /** Dotted-quad IPv4 → long, as a codegen'd higher-order function. */
+  def ipToLong(ip: Column): Column =
+    aggregate(transform(split(ip, "\\."), x => x.cast("long")),
+      lit(0L), (acc, x) => acc * 256 + x)
+
+  /** F9: CIDR membership (`search.conf:286-302` dataone/robot IP lists).
+    * The CIDR list is parsed driver-side into (base, prefixLen) and folded
+    * into one boolean expression — the broadcast-dimension degenerate case.
+    * For huge lists (>1k ranges) switch to a broadcast range-join instead.
+    */
+  def ipInCidrs(ip: Column, cidrs: Seq[String]): Column = {
+    val ipl = ipToLong(ip)
+    cidrs.map { c =>
+      val Array(base, plen) = c.split("/")
+      val baseLong = base.split("\\.").foldLeft(0L)((a, o) => a * 256 + o.toLong)
+      val shiftBits = 32 - plen.toInt
+      shiftrightunsigned(ipl, shiftBits) === lit(baseLong >>> shiftBits)
+    }.reduce(_ || _)
+  }
+
+  /** F10: robot / machine user-agent tagging — OR-joined regex dictionaries
+    * (COUNTER list, `search.conf:305-327`, `conf/dict/counter_ua.yml`). */
+  val RobotUaPattern = "(?i)bot|crawl|spider|slurp|archiver"
+  val MachineUaPattern = "(?i)curl|wget|python-requests|libwww|java/"
+
+  /** Build the `tags[]` column from tag→predicate pairs, dropping non-firing
+    * tags (reference accumulates tags via logstash add_tag). */
+  def tags(tagPredicates: Seq[(String, Column)]): Column =
+    filter(
+      array(tagPredicates.map { case (t, p) => when(p, lit(t)) }: _*),
+      x => x.isNotNull)
+
+  /** F13: ingest-time derived session key `md5(ip + ua) | yyyyMMddHH`
+    * (`search.conf:335-352`). */
+  def sessionKey(ip: Column, ua: Column, ts: Column): Column =
+    concat(md5(concat_ws(" ", ip, ua)), lit("|"),
+      date_format(ts, "yyyyMMddHH"))
+
+  /** F16: search-event flag — request-path prefix test
+    * (`metricselasticsearch.py:1008-1010`). */
+  def searchEvent(request: Column, prefix: String): Column =
+    request.startsWith(prefix)
+
+  /** DOI canonicalization per node — the reference's per-repository ID
+    * rewrite rules (`es_sysmeta_sync.py:403-438`), as a when/otherwise chain.
+    * `rules` maps a source-predicate to the canonical-id expression; first
+    * match wins, `fallback` otherwise.
+    */
+  def canonicalId(rules: Seq[(Column, Column)], fallback: Column): Column =
+    rules.foldRight(fallback) { case ((pred, value), acc) =>
+      when(pred, value).otherwise(acc)
+    }
+}

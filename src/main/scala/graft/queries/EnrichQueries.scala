@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Enrich
+import org.apache.spark.sql.functions._
+
+/** Ingest-enrichment pipeline queries (SURVEY.md §2.2 F9/F10/F13/F16 + DOI
+  * canonicalization). The events table carries no ip/ua/request columns, so
+  * they are derived deterministically from existing columns first — the
+  * enrichment operators themselves then run exactly as they would on real
+  * log fields, and the oracle re-derives the same inputs.
+  */
+object EnrichQueries {
+
+  private val Cidrs = Seq("10.5.0.0/16", "10.17.0.0/16", "10.33.0.0/16")
+
+  private def derived(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .withColumn("ip", concat_ws(".", lit(10), col("user_id") % 64,
+        col("event_id") % 200, col("event_id") % 7))
+      .withColumn("ua",
+        when(col("event_type") === "view", "Mozilla/5.0 (X11; Linux x86_64)")
+          .when(col("event_type") === "click", "Googlebot/2.1 (+http://www.google.com/bot.html)")
+          .when(col("event_type") === "purchase", "curl/7.88.1")
+          .when(col("event_type") === "signup", "python-requests/2.28")
+          .otherwise("WebCrawler-Spider/1.0"))
+      .withColumn("request",
+        when(col("event_type") === "view",
+          concat(lit("/cn/v2/query/solr/?q="), col("event_id")))
+          .otherwise(concat(lit("/cn/v2/object/"), col("event_id"))))
+
+  private val derivedSql =
+    """SELECT event_id, ts, event_type,
+      |       '10.' || (user_id % 64) || '.' || (event_id % 200) || '.' ||
+      |         (event_id % 7) AS ip,
+      |       CASE event_type
+      |         WHEN 'view' THEN 'Mozilla/5.0 (X11; Linux x86_64)'
+      |         WHEN 'click' THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)'
+      |         WHEN 'purchase' THEN 'curl/7.88.1'
+      |         WHEN 'signup' THEN 'python-requests/2.28'
+      |         ELSE 'WebCrawler-Spider/1.0' END AS ua,
+      |       CASE WHEN event_type = 'view'
+      |            THEN '/cn/v2/query/solr/?q=' || event_id
+      |            ELSE '/cn/v2/object/' || event_id END AS request
+      |FROM events""".stripMargin
+
+  val entries: Seq[GraftQuery] = Seq(
+
+    // F9+F10+F13+F16 fused: CIDR tagging, UA regex tagging, derived session
+    // key, search flag — one codegen'd projection, then a rollup by tag set.
+    GraftQuery("f_enrich_tags",
+      (s, dir) => {
+        val e = derived(s, dir)
+          .withColumn("tags", Enrich.tags(Seq(
+            "robot_ua" -> col("ua").rlike(Enrich.RobotUaPattern),
+            "machine_ua" -> col("ua").rlike(Enrich.MachineUaPattern),
+            "robot_ip" -> Enrich.ipInCidrs(col("ip"), Cidrs))))
+          .withColumn("session_key",
+            Enrich.sessionKey(col("ip"), col("ua"), col("ts")))
+          .withColumn("searchevent",
+            Enrich.searchEvent(col("request"), "/cn/v2/query/solr/"))
+        e.groupBy(concat_ws(",", col("tags")).as("tags_str"), col("searchevent"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("session_key")).as("n_sessions"))
+      },
+      Some(s"""WITH e AS ($derivedSql),
+              |t AS (
+              |  SELECT *,
+              |    list_reduce(list_transform(string_split(ip, '.'),
+              |                x -> x::BIGINT), (a, b) -> a * 256 + b) AS ipl
+              |  FROM e
+              |), g AS (
+              |  SELECT event_id, searchevent, session_key,
+              |    concat_ws(',',
+              |      CASE WHEN regexp_matches(ua, '(?i)bot|crawl|spider|slurp|archiver')
+              |           THEN 'robot_ua' END,
+              |      CASE WHEN regexp_matches(ua, '(?i)curl|wget|python-requests|libwww|java/')
+              |           THEN 'machine_ua' END,
+              |      CASE WHEN (ipl >> 16) IN (2565, 2577, 2593)
+              |           THEN 'robot_ip' END) AS tags_str
+              |  FROM (SELECT *,
+              |          md5(ip || ' ' || ua) || '|' || strftime(ts, '%Y%m%d%H') AS session_key,
+              |          starts_with(request, '/cn/v2/query/solr/') AS searchevent
+              |        FROM t)
+              |)
+              |SELECT tags_str, searchevent, count(*) AS n_events,
+              |       CAST(count(DISTINCT session_key) AS BIGINT) AS n_sessions
+              |FROM g GROUP BY 1, 2""".stripMargin)),
+
+    // DOI canonicalization: per-source rewrite rules, first match wins
+    // (`es_sysmeta_sync.py:403-438`).
+    GraftQuery("f_canonical_id",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), Enrich.canonicalId(Seq(
+          col("source").isin("src0", "src1", "src2", "src3", "src4") ->
+            concat(lit("doi:10.5063/"), lpad(col("doc_id").cast("string"), 6, "0")),
+          contains(col("source"), lit("1")) ->
+            lower(concat(lit("DOI:10.6073/PKG"), col("doc_id")))),
+          fallback = concat(lit("urn:uuid:"), md5(col("doc_id").cast("string"))))
+          .as("canonical")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN source IN ('src0','src1','src2','src3','src4')
+             |       THEN 'doi:10.5063/' || lpad(doc_id::VARCHAR, 6, '0')
+             |       WHEN contains(source, '1')
+             |       THEN lower('DOI:10.6073/PKG' || doc_id)
+             |       ELSE 'urn:uuid:' || md5(doc_id::VARCHAR) END AS canonical
+             |FROM documents""".stripMargin)),
+  )
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Joins
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 join repertoire mapped onto the synthetic star schema.
+  * The orders-per-customer chain (each order "obsoletes" the previous one)
+  * stands in for the reference's obsolescence/identifier graph.
+  */
+object JoinQueries {
+
+  /** (child, parent) edge list: every order points at the customer's
+    * previous order — the obsolescence chain shape (`pid_resolution.py:207-282`). */
+  private def orderEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    Tables.orders(s, dir).select(
+      col("o_orderkey").as("child"),
+      lag(col("o_orderkey"), 1).over(w).as("parent"))
+  }
+
+  val entries: Seq[GraftQuery] = Seq(
+
+    // J4/J6: broadcast dimension lookup join — PID→family / nodeId→name
+    // lookups (`metricsreader.py:1259-1343`, `metricsreporter.py:678-703`).
+    GraftQuery("j4_broadcast_lookup",
+      (s, dir) => Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("total_acctbal")),
+      Some("""SELECT n_name, r_name, count(*) AS n_customers,
+             |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // J1: substring-containment theta join (`metricsreader.py:440-462`) —
+    // broadcast-nested-loop; small probe side, exactly like citations/request.
+    GraftQuery("j1_theta_contains",
+      (s, dir) => {
+        val probes = Tables.supplier(s, dir).filter(col("s_suppkey") < 10)
+          .select(col("s_suppkey").cast("string").as("target"))
+        Joins.thetaContainsJoin(Tables.supplier(s, dir), probes,
+          col("s_name"), col("target"))
+          .groupBy(col("target")).agg(count(lit(1)).as("n_matches"))
+      },
+      Some("""SELECT CAST(t.s_suppkey AS VARCHAR) AS target, count(*) AS n_matches
+             |FROM supplier s,
+             |     (SELECT s_suppkey FROM supplier WHERE s_suppkey < 10) t
+             |WHERE contains(lower(s.s_name), CAST(t.s_suppkey AS VARCHAR))
+             |GROUP BY 1""".stripMargin)),
+
+    // J2: obsolescence-chain rollup — resolve every order to its chain head
+    // by pointer jumping, then sum over the chain with "last wins" for the
+    // terminal value (`metricsreader.py:633-670`).
+    GraftQuery("j2_chain_rollup",
+      (s, dir) => {
+        val roots = Joins.resolveRoots(orderEdges(s, dir))
+        Tables.orders(s, dir)
+          .join(roots, col("o_orderkey") === col("node"))
+          .groupBy(col("root"))
+          .agg(count(lit(1)).as("n_chain"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_value"),
+            max_by(col("o_totalprice"), col("o_orderkey")).as("last_value"))
+      },
+      Some("""SELECT min(o_orderkey) AS root, count(*) AS n_chain,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             |       arg_max(o_totalprice, o_orderkey) AS last_value
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    // J3: bounded transitive closure — identifier-family expansion
+    // (`pid_resolution.py:285-416`), depth-capped like the reference (≤20;
+    // 3 here keeps the oracle tractable).
+    GraftQuery("j3_closure_pairs",
+      (s, dir) => Joins.closurePairs(orderEdges(s, dir), maxDepth = 3),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT o_orderkey AS child,
+             |         lag(o_orderkey) OVER (PARTITION BY o_custkey
+             |                               ORDER BY o_orderkey) AS parent
+             |  FROM orders
+             |), walk AS (
+             |  SELECT child AS node, parent AS ancestor, 1 AS depth
+             |  FROM e WHERE parent IS NOT NULL
+             |  UNION ALL
+             |  SELECT w.node, e2.parent, w.depth + 1
+             |  FROM walk w JOIN e e2 ON w.ancestor = e2.child
+             |  WHERE e2.parent IS NOT NULL AND w.depth < 3
+             |)
+             |SELECT node, ancestor, depth FROM walk""".stripMargin)),
+
+    // J5: array-containment membership (`metricsreader.py:827-830` ANY()).
+    GraftQuery("j5_array_membership",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(collect_set(col("o_orderpriority")).as("prios"))
+        .select(array_contains(col("prios"), "1-URGENT").as("has_urgent"))
+        .groupBy(col("has_urgent")).agg(count(lit(1)).as("n_customers")),
+      Some("""WITH c AS (
+             |  SELECT o_custkey, list(DISTINCT o_orderpriority) AS prios
+             |  FROM orders GROUP BY 1
+             |)
+             |SELECT list_contains(prios, '1-URGENT') AS has_urgent,
+             |       count(*) AS n_customers
+             |FROM c GROUP BY 1""".stripMargin)),
+
+    // J9: anti join — "skip already present" dedup (`metricsdatabase.py:1264-1319`).
+    GraftQuery("j9_anti_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // Semi join — filter-by-set membership (reference filters events by
+    // request PID sets, `metricsreader.py:205-228`).
+    GraftQuery("j_semi_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey")),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey
+             |                AND o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // J10: set difference — portal-pid expunge (`es_eventlog_sync.py:350-352`).
+    GraftQuery("j10_except_diff",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey")).distinct()
+        .except(Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))),
+      Some("""SELECT DISTINCT o_custkey AS custkey FROM orders
+             |EXCEPT
+             |SELECT c_custkey AS custkey FROM customer
+             |WHERE c_mktsegment = 'BUILDING'""".stripMargin)),
+
+    // J7: left-join enrichment with null-preserving dimension columns
+    // (`metricsreporter.py:334-453` per-DOI metadata).
+    GraftQuery("j7_enrich_left",
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price")),
+      Some("""SELECT coalesce(c_mktsegment, 'unknown') AS segment,
+             |       count(*) AS n_orders,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1""".stripMargin)),
+
+    // Bench headline: five-way star join + aggregate (TPC-H Q5 shape) —
+    // the scale test for join strategy (broadcast dims, shuffle facts).
+    GraftQuery("q5_star_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        ).cast("double").as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT n_name,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |       count(*) AS n_items
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY 1""".stripMargin)),
+  )
+}

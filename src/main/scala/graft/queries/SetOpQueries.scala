@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Set operations + remaining aggregation shapes (SURVEY.md §2.7, A2/A9/A14). */
+object SetOpQueries {
+
+  val entries: Seq[GraftQuery] = Seq(
+
+    // §2.7: union + dedup of two scans into one key set
+    // (`metricsreporter.py:706-790` doi_dict merge).
+    GraftQuery("s27_union_dedup",
+      (s, dir) => Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("key"))
+        .unionByName(Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("key")))
+        .dropDuplicates("key"),
+      Some("""SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+             |UNION
+             |SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin)),
+
+    // §2.7: intersection of two key sets (citation pids ∩ portal pids,
+    // `es_eventlog_sync.py:402-407`).
+    GraftQuery("s27_intersect",
+      (s, dir) => Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("key"))
+        .intersect(Tables.customer(s, dir)
+          .filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("key"))),
+      Some("""SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT
+             |SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000""".stripMargin)),
+
+    // A2: per-entity keyed aggregation via collect + explode — the per-PID
+    // filters agg (`metricsreader.py:184-203`): collect each customer's
+    // distinct priorities, explode back, count customers per priority.
+    GraftQuery("a2_explode_group",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(collect_set(col("o_orderpriority")).as("prios"))
+        .select(col("o_custkey"), explode(col("prios")).as("prio"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_customers")),
+      Some("""SELECT o_orderpriority AS prio,
+             |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // A9: facet counts — value→count per field (`solrclient.py:72-104`).
+    GraftQuery("a9_facet_counts",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs")),
+      Some("SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2")),
+
+    // A14: null-key normalization (`metricsreader.py:1684-1686` country
+    // NULL→"US"): synthesize nulls via nullif, then coalesce-normalize.
+    GraftQuery("a14_normalize_null",
+      (s, dir) => Tables.documents(s, dir)
+        .select(coalesce(nullif(col("lang"), lit("en")), lit("n/a")).as("lang_norm"))
+        .groupBy(col("lang_norm"))
+        .agg(count(lit(1)).as("n_docs")),
+      Some("""SELECT coalesce(nullif(lang, 'en'), 'n/a') AS lang_norm,
+             |       count(*) AS n_docs
+             |FROM documents GROUP BY 1""".stripMargin)),
+  )
+}
