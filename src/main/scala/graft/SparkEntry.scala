@@ -18,7 +18,10 @@ object SparkEntry {
       JoinQueries.entries ++
       SetOpQueries.entries ++
       EnrichQueries.entries ++
-      ScalarQueries.entries
+      ScalarQueries.entries ++
+      DedupQueries.entries ++
+      VectorQueries.entries ++
+      TextQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the landing-page metrics slice — filter → sessionize → COUNTER

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector similarity operators: brute-force cosine top-k (exact
+  * baseline) and random-hyperplane LSH bucketing (the scale path). Extends
+  * the reference (which has no vector ops) for training-data pipelines.
+  *
+  * Scale: brute-force is O(n·q·d) with the query side broadcast — right
+  * whenever q (queries per request) is small, which is the metrics-service
+  * access pattern. The LSH path buckets the corpus once (pure projection,
+  * no shuffle), then restricts candidate pairs to same-bucket co-residents:
+  * the self-join shuffles on bucket id instead of exploding n².
+  */
+object Vectors {
+
+  /** Elementwise dot product of two float-array columns, accumulated in
+    * double, strictly left-to-right — bit-identical to the same loop in any
+    * engine that also folds float32 values into an IEEE double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Exact top-k nearest neighbours by cosine for each probe vector.
+    * `probes` must be small (broadcast); ties broken by neighbour id. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"))
+      .join(broadcast(probes.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim), in
+    * [-1, 1): md5-derived so an ANSI-SQL oracle reproduces it exactly. */
+  def planeWeight(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane:$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 59) - 1.0
+  }
+
+  /** Random-hyperplane LSH bucket id (0 until 2^numPlanes) for an embedding
+    * column of dimension `dim`. The planes are constant-folded into the plan
+    * as literal arrays — zero per-row hashing cost beyond `numPlanes` dot
+    * products, all inside whole-stage codegen. */
+  def lshBucket(emb: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+      when(dot(emb, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Same-bucket near-dup candidate pairs with exact cosine verification. */
+  def lshNearDupPairs(df: DataFrame, dim: Int, numPlanes: Int,
+                      threshold: Double): DataFrame = {
+    val b = df.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, numPlanes).as("bucket"))
+    b.as("a").join(b.as("b"),
+      col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

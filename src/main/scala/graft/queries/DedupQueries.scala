@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication suite over the `documents` corpus: exact,
+  * MinHash+LSH, SimHash, and bounded pairwise n-gram Jaccard — each verified
+  * value-exact against a DuckDB oracle that reproduces the same md5-derived
+  * hash family.
+  */
+object DedupQueries {
+
+  /** Shared oracle CTE: tokenized docs + distinct 3-gram shingles. */
+  private val ShingleCte =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN length(w) >= 3
+      |             THEN list_distinct(list_transform(generate_series(1, length(w) - 2),
+      |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |             ELSE [] END AS sh
+      |      FROM d)""".stripMargin
+
+  val entries: Seq[GraftQuery] = Seq(
+
+    // Exact dedup: content-hash group, min-id survivor. One shuffle on the
+    // hash; at 100 TB this is the cheapest and first dedup pass.
+    GraftQuery("d_exact_dedup",
+      (s, dir) => Dedup.exactDedup(Tables.documents(s, dir),
+        col("doc_id"), col("text")),
+      Some("""SELECT md5(text) AS content_hash, count(*) AS n_copies,
+             |       min(doc_id) AS keep_id
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // MinHash(8) + LSH(4 bands × 2 rows) near-dup pairs, Jaccard-verified
+    // at 0.5 — candidates come only from band-key collisions, so the
+    // self-join never materializes n² pairs.
+    GraftQuery("d_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir),
+        col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5),
+      Some(s"""WITH $ShingleCte,
+              |m AS (SELECT doc_id, sh,
+              |        list_transform(generate_series(0, 7), j ->
+              |          list_min(list_transform(sh,
+              |            x -> ('0x' || substring(md5(x || '|' || j), 1, 15))::BIGINT))) AS mh
+              |      FROM s),
+              |bk AS (SELECT doc_id,
+              |         unnest(list_transform(generate_series(0, 3),
+              |           k -> k || ':' || mh[2*k+1] || ':' || mh[2*k+2])) AS band_key
+              |       FROM m),
+              |c AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              |      FROM bk a JOIN bk b ON a.band_key = b.band_key
+              |                         AND a.doc_id < b.doc_id),
+              |v AS (SELECT i, j,
+              |        length(list_intersect(si.sh, sj.sh))::DOUBLE /
+              |          length(list_distinct(si.sh || sj.sh)) AS jac
+              |      FROM c JOIN s si ON si.doc_id = c.i
+              |             JOIN s sj ON sj.doc_id = c.j)
+              |SELECT i, j, jac FROM v WHERE jac >= 0.5""".stripMargin)),
+
+    // SimHash: one 60-bit signature per doc (no shuffle at all) — hamming
+    // clustering then finds near-dups without any pairwise text compare.
+    GraftQuery("d_simhash",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), Dedup.simhashExpr("toks").as("simhash")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |h AS (SELECT doc_id,
+             |        list_transform(toks,
+             |          t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+             |      FROM d)
+             |SELECT doc_id,
+             |  list_reduce(list_transform(generate_series(0, 59), j ->
+             |    CASE WHEN list_reduce(list_transform(hs,
+             |                h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END),
+             |              (a, b) -> a + b) > 0
+             |         THEN (1::BIGINT << j) ELSE 0::BIGINT END),
+             |    (a, b) -> a + b) AS simhash
+             |FROM h""".stripMargin)),
+
+    // Bounded pairwise n-gram Jaccard — the exact (quadratic) baseline the
+    // LSH pipeline approximates; bounded probe set like the reference's
+    // per-request citation loops.
+    GraftQuery("d_ngram_jaccard",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        base.as("a").join(base.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("jac", Dedup.jaccard(col("a.sh"), col("b.sh")))
+          .filter(col("jac") >= 0.3)
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("jac"))
+      },
+      Some(s"""WITH $ShingleCte,
+              |f AS (SELECT doc_id, sh FROM s WHERE doc_id < 200),
+              |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+              |        length(list_intersect(a.sh, b.sh))::DOUBLE /
+              |          length(list_distinct(a.sh || b.sh)) AS jac
+              |      FROM f a JOIN f b ON a.doc_id < b.doc_id)
+              |SELECT i, j, jac FROM p WHERE jac >= 0.3""".stripMargin)),
+  )
+}
