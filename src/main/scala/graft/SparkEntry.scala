@@ -21,7 +21,8 @@ object SparkEntry {
       ScalarQueries.entries ++
       DedupQueries.entries ++
       VectorQueries.entries ++
-      TextQueries.entries
+      TextQueries.entries ++
+      ApiQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the landing-page metrics slice — filter → sessionize → COUNTER

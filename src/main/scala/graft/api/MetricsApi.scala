@@ -1,0 +1,98 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+import graft.Tables
+import graft.operators.MetricsKernel
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `MetricsRequest` filter clause (`metricsreader.py:108-161`):
+  * interpretAs ∈ list | range. */
+case class MetricsFilter(filterType: String, values: Seq[String],
+                         interpretAs: String)
+
+/** The reference's request model (`LandingPageQueryRequest.json:1-20`). */
+case class MetricsRequest(metrics: Seq[String], filterBy: Seq[MetricsFilter],
+                          groupBy: Seq[String])
+
+/** The query-language surface of the engine: a JSON `MetricsRequest` is
+  * interpreted into one declarative DataFrame plan (SURVEY.md §3.1-3.2).
+  * The reference hand-builds ES DSL per (filterType, interpretAs) pair and
+  * post-processes in three near-identical 220-line Python routines
+  * (`metricsreader.py:1596-2262`); here the dispatch produces a single
+  * parameterized plan — filter → pivot-agg → zero-fill — and Catalyst
+  * handles the rest.
+  */
+object MetricsApi {
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  def parse(json: String): MetricsRequest =
+    mapper.readValue(json, classOf[MetricsRequest])
+
+  /** Metric name → event_type value (the reference's DATA→downloads /
+    * METADATA→views dispatch, `metricsreader.py:333-343`). */
+  private val MetricTypes = Map(
+    "views" -> "view", "downloads" -> "purchase", "clicks" -> "click",
+    "signups" -> "signup", "errors" -> "error")
+
+  private val Units = Set("month", "day", "year")
+
+  /** Interpret a request into a long-format result over the events table:
+    * one row per period (zero-filled across the requested range) with one
+    * column per requested metric. */
+  def interpret(spark: SparkSession, dir: String, req: MetricsRequest): DataFrame = {
+    val events = Tables.events(spark, dir)
+
+    val filtered = req.filterBy.foldLeft(events) { (df, f) =>
+      (f.filterType, f.interpretAs) match {
+        case ("user", "list") =>
+          df.filter(col("user_id").cast("string").isin(f.values: _*))
+        case ("eventType", "list") =>
+          df.filter(col("event_type").isin(f.values: _*))
+        case ("time", "range") =>
+          val Seq(a, b) = f.values.take(2)
+          df.filter(col("ts") >= to_date(lit(a)) &&
+            col("ts") < date_add(to_date(lit(b)), 1))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported filter: $other")
+      }
+    }
+
+    val unit = req.groupBy.find(Units.contains).getOrElse("month")
+    val dims = req.groupBy.filterNot(Units.contains).map {
+      case "eventType" => col("event_type")
+      case "user" => col("user_id")
+      case g => throw new IllegalArgumentException(s"unsupported groupBy: $g")
+    }
+
+    val typeMap = req.metrics.flatMap(m => MetricTypes.get(m).map(_ -> m))
+    val agg = MetricsKernel.pivotCounts(filtered,
+      MetricsKernel.periodOf(col("ts"), unit).as("period") +: dims,
+      col("event_type"), typeMap, lit(1L))
+
+    // zero-fill over the requested range (only for the plain time series —
+    // extra dims would need a spine × dim-domain cross join)
+    req.filterBy.find(f => f.filterType == "time" && f.interpretAs == "range") match {
+      case Some(f) if dims.isEmpty =>
+        MetricsKernel.zeroFillSpine(agg, spark, f.values.head, f.values(1),
+          unit, req.metrics)
+      case _ => agg
+    }
+  }
+
+  def interpretJson(spark: SparkSession, dir: String, json: String): DataFrame =
+    interpret(spark, dir, parse(json))
+
+  /** The reference's column-oriented response shape: one row of parallel
+    * arrays ordered by period (`metricsreader.py:315-323,1609-1615`). */
+  def columnarResponse(longDf: DataFrame, metrics: Seq[String]): DataFrame = {
+    val ordered = sort_array(collect_list(struct(
+      col("period") +: metrics.map(col): _*)))
+    val arrays = col("r.period").as("periods") +:
+      metrics.map(m => col(s"r.$m").as(m))
+    longDf.agg(ordered.as("r")).select(arrays: _*)
+  }
+}

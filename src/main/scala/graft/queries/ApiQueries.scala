@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import graft.api.MetricsApi
+import graft.operators.Multimodal
+
+/** End-to-end request-interpreter queries (SURVEY.md §3.1): a JSON
+  * `MetricsRequest` — the engine's external query language — interpreted
+  * into a plan and verified against the oracle, plus the multimodal
+  * feature-extraction path.
+  */
+object ApiQueries {
+
+  private val userList = (0 until 50).map(u => s""""$u"""").mkString(", ")
+  private val userInList = (0 until 50).mkString(", ")
+
+  /** The landing-page request fixture: 50 users, January 2024 by day,
+    * views+downloads (mirrors `LandingPageQueryRequest.json`). */
+  val landingPageRequest: String =
+    s"""{
+       |  "metrics": ["views", "downloads"],
+       |  "filterBy": [
+       |    {"filterType": "user", "values": [$userList], "interpretAs": "list"},
+       |    {"filterType": "time", "values": ["2024-01-01", "2024-02-04"],
+       |     "interpretAs": "range"}
+       |  ],
+       |  "groupBy": ["day"]
+       |}""".stripMargin
+
+  val entries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("api_landing_page",
+      (s, dir) => MetricsApi.interpretJson(s, dir, landingPageRequest),
+      Some(s"""WITH spine AS (
+              |  SELECT strftime(unnest(generate_series(DATE '2024-01-01',
+              |           DATE '2024-02-04', INTERVAL 1 DAY)), '%Y-%m-%d') AS period
+              |), agg AS (
+              |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS period,
+              |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+              |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS downloads
+              |  FROM events
+              |  WHERE user_id IN ($userInList)
+              |    AND ts >= TIMESTAMP '2024-01-01'
+              |    AND ts < TIMESTAMP '2024-02-05'
+              |  GROUP BY 1
+              |)
+              |SELECT s.period, coalesce(views, 0) AS views,
+              |       coalesce(downloads, 0) AS downloads
+              |FROM spine s LEFT JOIN agg USING (period)""".stripMargin)),
+
+    // Grouped variant: month unit × eventType dimension (repo/portal chart
+    // shape, `metricsreader.py:786-796`).
+    GraftQuery("api_grouped_by_type",
+      (s, dir) => MetricsApi.interpretJson(s, dir,
+        """{"metrics": ["views", "downloads", "clicks"],
+          |"filterBy": [{"filterType": "eventType",
+          |  "values": ["view", "purchase", "click"], "interpretAs": "list"}],
+          |"groupBy": ["month", "eventType"]}""".stripMargin),
+      Some("""SELECT strftime(date_trunc('month', ts), '%Y-%m') AS period,
+             |       event_type,
+             |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+             |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS downloads,
+             |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+             |FROM events WHERE event_type IN ('view', 'purchase', 'click')
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Multimodal feature extraction: typed binary media records through the
+    // mapPartitions decode(stub) pass, rolled up by mime. The oracle
+    // recomputes the deterministic stub features in SQL (ascii corpus:
+    // histogram bin 7 = bytes 0x70-0x7f).
+    GraftQuery("m_media_features",
+      (s, dir) => Multimodal.featureSummary(s, Tables.documents(s, dir)),
+      Some("""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+             |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+             |            ELSE 'video/mp4' END AS mime,
+             |       count(*) AS n_media,
+             |       CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+             |       CAST(sum(CASE WHEN doc_id % 3 = 2
+             |                THEN greatest((n_chars * 100) // 1000, 1)
+             |                ELSE 1 END) AS BIGINT) AS total_frames,
+             |       CAST(sum(length(regexp_extract_all(text, '[\x70-\x7f]'))) AS BIGINT) AS hist_bin7_sum
+             |FROM documents GROUP BY 1""".stripMargin)),
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One input event for the stateful sessionizer. */
+case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
+
+/** Per-key state carried across micro-batches — the exact analogue of the
+  * reference's `live_sessions` dict (`metricselasticsearch.py:754-787`). */
+case class SessionState(lastTsMicros: Long, sessionSeq: Long)
+
+/** One sessionized output row. */
+case class SessionizedEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                            session_seq: Long)
+
+/** Streaming sessionization (SURVEY.md §2.5/§2.9) — two Spark-native
+  * replacements for the reference's batch repair loop
+  * (`metricselasticsearch.py:1015-1072`):
+  *
+  *  1. [[sessionWindowStats]] — built-in `session_window` with watermark:
+  *     late events within the watermark merge into their session natively,
+  *     replacing the reference's `removeStaleSessionIds` repair
+  *     (`:887-931`). Preferred: state store managed by Spark, AQE-friendly.
+  *  2. [[statefulSessionize]] — `flatMapGroupsWithState` carrying
+  *     {lastTs, sessionSeq}: exact parity with the reference's incremental
+  *     id assignment, for when per-event session tags must be emitted
+  *     in-flight rather than per closed session.
+  *
+  * Scale: state is partitioned by user key across executors; watermark
+  * bounds state size (old sessions evicted), so state is O(active keys),
+  * not O(history).
+  */
+object StreamingSessionize {
+
+  /** Closed-session aggregates via the native session window. Works on both
+    * streaming and batch DataFrames (batch: no watermark needed). */
+  def sessionWindowStats(events: DataFrame, gapSeconds: Long,
+                         watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("n_events"),
+        col("session_start"), col("session_end"))
+  }
+
+  /** Incremental per-event session tagging with explicit state — the
+    * streaming twin of `Sessionize.withSessionSeq`. Events inside one batch
+    * are sorted per key before state application (the reference sorts new
+    * events by dateLogged, `:820-826`); cross-batch ordering relies on the
+    * upstream source's per-key ordering, as the reference's mark/live-session
+    * carry-over does. */
+  def statefulSessionize(events: Dataset[SessionEvent],
+                         gapSeconds: Long): Dataset[SessionizedEvent] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionizedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val tsMicros = micros(e.ts)
+            val newSession = st.sessionSeq == 0L ||
+              tsMicros - st.lastTsMicros > gapMicros
+            st = SessionState(tsMicros,
+              if (newSession) st.sessionSeq + 1 else st.sessionSeq)
+            SessionizedEvent(user, e.ts, e.event_id, st.sessionSeq)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.api.{MetricsApi, MetricsFilter, MetricsRequest}
+import graft.operators.MetricsKernel
+import org.apache.spark.sql.functions._
+
+class ApiSpec extends SparkSpec {
+
+  test("parse round-trips the reference request shape") {
+    val req = MetricsApi.parse(
+      """{"metrics": ["views"],
+        |"filterBy": [{"filterType": "user", "values": ["1"],
+        |              "interpretAs": "list"}],
+        |"groupBy": ["month"]}""".stripMargin)
+    assert(req == MetricsRequest(Seq("views"),
+      Seq(MetricsFilter("user", Seq("1"), "list")), Seq("month")))
+  }
+
+  test("interpret zero-fills the requested range") {
+    val req = MetricsRequest(Seq("views", "downloads"),
+      Seq(MetricsFilter("time", Seq("2024-01-01", "2024-03-31"), "range")),
+      Seq("month"))
+    val rows = MetricsApi.interpret(spark, testDataDir, req)
+      .orderBy("period").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("2024-01", "2024-02", "2024-03"))
+    val jan = rows(0)
+    assert(jan.getLong(1) > 0) // events exist in January
+    assert(rows(1).getLong(1) == 0 && rows(2).getLong(2) == 0) // zero-filled
+  }
+
+  test("columnarResponse emits parallel arrays ordered by period") {
+    val req = MetricsRequest(Seq("views"),
+      Seq(MetricsFilter("time", Seq("2024-01-01", "2024-02-29"), "range")),
+      Seq("month"))
+    val long = MetricsApi.interpret(spark, testDataDir, req)
+    val row = MetricsApi.columnarResponse(long, Seq("views")).head()
+    assert(row.getSeq[String](0) == Seq("2024-01", "2024-02"))
+    assert(row.getSeq[Long](1).length == 2)
+    assert(row.getSeq[Long](1)(1) == 0L)
+  }
+
+  test("unsupported dispatch fails loudly, like the reference's 400s") {
+    intercept[IllegalArgumentException] {
+      MetricsApi.interpret(spark, testDataDir, MetricsRequest(Seq("views"),
+        Seq(MetricsFilter("nope", Seq(), "list")), Seq("month")))
+    }
+  }
+
+  test("zeroFillSpine covers partial trailing periods (reference bug fixed)") {
+    // the reference's day-step loop drops the final partial month
+    // (`metricsreader.py:1029-1030`); ours must include it
+    import spark.implicits._
+    val agg = Seq(("2024-01", 5L)).toDF("period", "n")
+    val res = MetricsKernel.zeroFillSpine(agg, spark,
+      "2024-01-15", "2024-03-20", "month", Seq("n"))
+      .orderBy("period").collect()
+    assert(res.map(_.getString(0)).toSeq == Seq("2024-01", "2024-02", "2024-03"))
+  }
+}

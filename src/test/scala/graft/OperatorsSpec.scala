@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.{Row, types => T}
+
+  private def edgeDf(edges: Seq[(Long, Option[Long])]) =
+    spark.createDataFrame(
+      edges.map { case (c, p) => Row(c, p.map(Long.box).orNull) }.asJava,
+      T.StructType(Seq(T.StructField("child", T.LongType),
+        T.StructField("parent", T.LongType))))
+
+  test("resolveRoots follows chains to the head") {
+    // 1 <- 2 <- 3 <- 4  and isolated 10 <- 11
+    val roots = Joins.resolveRoots(edgeDf(Seq(
+      2L -> Some(1L), 3L -> Some(2L), 4L -> Some(3L),
+      1L -> None, 11L -> Some(10L), 10L -> None)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("resolveRoots handles deep chains within the depth budget") {
+    val chain = (2L to 20L).map(i => i -> Some(i - 1)) :+ (1L -> None)
+    val roots = Joins.resolveRoots(edgeDf(chain), maxDepth = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 20L).forall(roots(_) == 1L))
+  }
+
+  test("closurePairs respects the depth cap") {
+    val pairs = Joins.closurePairs(edgeDf(Seq(
+      2L -> Some(1L), 3L -> Some(2L), 4L -> Some(3L), 5L -> Some(4L),
+      1L -> None)), maxDepth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((2L, 1L, 1), (3L, 2L, 1), (4L, 3L, 1), (5L, 4L, 1),
+      (3L, 1L, 2), (4L, 2L, 2), (5L, 3L, 2)))
+  }
+
+  test("jaccard of arrays") {
+    import spark.implicits._
+    val r = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(r - 0.5) < 1e-12)
+  }
+
+  test("shingles builds distinct word n-grams and guards short docs") {
+    import spark.implicits._
+    val res = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(res(0) == Seq("a b c", "b c d"))
+    assert(res(1).isEmpty)
+  }
+
+  test("simhash: identical docs equal, disjoint docs differ") {
+    import spark.implicits._
+    val res = Seq("spark scala engine spark", "spark scala engine spark",
+      "entirely different words here")
+      .toDF("text").withColumn("toks", split(col("text"), " "))
+      .select(Dedup.simhashExpr("toks")).as[Long].collect()
+    assert(res(0) == res(1))
+    assert(res(0) != res(2))
+  }
+
+  test("cosine is 1 for identical vectors, bounded otherwise") {
+    import spark.implicits._
+    val v = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(Vectors.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(v(0) - 1.0) < 1e-12)
+    assert(math.abs(v(1)) < 1e-12)
+  }
+
+  test("lshBucket is deterministic and within range") {
+    import spark.implicits._
+    val df = Seq(Seq.fill(64)(0.5f), Seq.fill(64)(-0.5f)).toDF("embedding")
+    val b1 = df.select(Vectors.lshBucket(col("embedding"), 64, 8)).as[Long].collect()
+    val b2 = df.select(Vectors.lshBucket(col("embedding"), 64, 8)).as[Long].collect()
+    assert(b1.sameElements(b2))
+    assert(b1.forall(b => b >= 0 && b < 256))
+    assert(b1(0) + b1(1) == 255) // mirrored vectors land in complementary buckets
+  }
+
+  test("ipInCidrs matches inside and outside ranges") {
+    import spark.implicits._
+    val res = Seq("10.5.1.2", "10.6.1.2", "192.168.0.1").toDF("ip")
+      .select(Enrich.ipInCidrs(col("ip"), Seq("10.5.0.0/16", "192.168.0.0/24")))
+      .as[Boolean].collect()
+    assert(res.toSeq == Seq(true, false, true))
+  }
+
+  test("multimodal feature extraction preserves counts and bytes") {
+    val docs = Tables.documents(spark, testDataDir)
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, docs))
+    assert(feats.count() == docs.count())
+    val f = feats.head()
+    assert(f.byte_histogram.length == 16)
+    assert(f.byte_histogram.sum == f.n_bytes) // histogram covers every byte
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Sessionize
+import graft.streaming.{SessionEvent, StreamingSessionize}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private def ev(user: Long, sec: Long, id: Long) =
+    SessionEvent(user, Timestamp.from(java.time.Instant.ofEpochSecond(sec)), id)
+
+  private val base = 1700000000L
+  private val fixture = Seq(
+    ev(1, base, 1), ev(1, base + 100, 2), ev(1, base + 5000, 3),
+    ev(2, base + 50, 4), ev(2, base + 4000, 5), ev(2, base + 4100, 6),
+    ev(3, base + 10, 7))
+
+  test("statefulSessionize matches the batch window sessionizer") {
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent](spark)
+    // two micro-batches split mid-stream: state must carry across
+    val (b1, b2) = fixture.splitAt(4)
+    val out = StreamingSessionize.statefulSessionize(
+      input.toDS(), gapSeconds = 3600L)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions")
+      .select("user_id", "event_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val batch = Sessionize.withSessionSeq(
+      fixture.toDF(), col("user_id"), col("ts"), col("event_id"), 3600L)
+      .select("user_id", "event_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    assert(streamed == batch)
+  }
+
+  test("sessionWindowStats (batch mode) matches gap-based sessionStats") {
+    import spark.implicits._
+    val df = fixture.toDF()
+    val viaWindow = StreamingSessionize.sessionWindowStats(df, 3600L)
+      .select("user_id", "n_events", "session_start", "session_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    val viaGaps = Sessionize.sessionStats(df, col("user_id"), col("ts"),
+      col("event_id"), 3600L)
+      .select("user_id", "n_events", "session_start", "session_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(viaWindow == viaGaps)
+  }
+
+  test("statefulSessionize in a single batch matches batch semantics on events table") {
+    import spark.implicits._
+    val events = Tables.events(spark, testDataDir).limit(2000)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[SessionEvent]
+    val input = MemoryStream[SessionEvent](spark)
+    val out = StreamingSessionize.statefulSessionize(input.toDS(), 3600L)
+    val q = out.writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+    input.addData(events.collect().toSeq); q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sessions2")
+      .select("user_id", "event_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sessionize.withSessionSeq(
+      Tables.events(spark, testDataDir).limit(2000),
+      col("user_id"), col("ts"), col("event_id"), 3600L)
+      .select("user_id", "event_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+}
