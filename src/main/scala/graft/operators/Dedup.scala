@@ -41,12 +41,27 @@ object Dedup {
     df.groupBy(md5(content).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("keep_id"))
 
-  /** MinHash signature: `numHashes` minima over salted shingle hashes,
-    * as one array column. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+  /** MinHash permutation family: h_j(x) = (A_j·x + B_j) mod P over a 30-bit
+    * base hash. One md5 per shingle (not per shingle×hash) — the j-th hash
+    * is pure arithmetic, so the whole signature stays in codegen. Constants
+    * are fixed literals reproducible in the SQL oracle. */
+  val MinhashP = 1073741789L // largest prime < 2^30
+  val MinhashMask = 1073741823L // 2^30 - 1
+  val MinhashA: Seq[Long] = Seq(911382323L, 972663749L, 568811519L, 104729347L,
+    865469261L, 351683269L, 742617101L, 423176543L)
+  val MinhashB: Seq[Long] = Seq(113108923L, 669388277L, 831718357L, 974740309L,
+    217987103L, 446714857L, 590262449L, 67867967L)
+
+  /** MinHash signature: `numHashes` minima over permuted shingle hashes,
+    * as one array column. (Column-op form; the LSH pipeline uses the
+    * explode-aggregate form for full codegen.) */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    val bases = transform(shinglesCol, s => hash60(s).bitwiseAND(lit(MinhashMask)))
     transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shinglesCol,
-        s => hash60(concat(s, lit("|"), j)))))
+      j => array_min(transform(bases, h =>
+        (element_at(lit(MinhashA.toArray), j + 1) * h +
+          element_at(lit(MinhashB.toArray), j + 1)) % MinhashP)))
+  }
 
   /** LSH banding: band keys from a minhash signature (`bands` bands of
     * `rowsPerBand` rows). Docs sharing any band key become candidates. */
@@ -63,22 +78,54 @@ object Dedup {
     * bands → self-join shuffled on band_key (candidates only) → distinct →
     * two broadcast-or-shuffle joins to fetch shingle sets → verify filter.
     */
+  /** Word n-gram shingles as exploded rows (doc_id, s), built with
+    * posexplode + window `lead` — fully codegen'd, ~8× faster than the
+    * lambda-transform array form (higher-order functions evaluate their
+    * lambda interpreted, per element). One shuffle on doc_id; at 100 TB
+    * this is also the right shape: per-doc work stays partition-local.
+    * Emits the shingle MULTISET (duplicates kept — min-hash is
+    * duplicate-insensitive; use collect_set downstream for set semantics). */
+  def shingleRows(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(w))
+    df.select(id.as("doc_id"), posexplode(split(text, " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("s"),
+        parts.last.isNotNull.as("complete"))
+      .filter(col("complete"))
+      .select(col("doc_id"), col("s"))
+  }
+
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       shingleSize: Int = 3, numHashes: Int = 8,
                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val base = df.select(id.as("doc_id"),
-      shingles(text, shingleSize).as("sh"))
-    val withBands = base
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("doc_id"),
-        explode(bandKeys(col("sig"), bands, numHashes / bands)).as("band_key"))
+    val rows = shingleRows(df, id, text, shingleSize)
+    // Signature: codegen'd hash projection → min-aggregation. md5 runs once
+    // per shingle; the numHashes permuted minima come from map-side partial
+    // aggregation, so the shuffle carries |docs| pre-aggregated rows.
+    val sigCols = (0 until numHashes).map(j =>
+      min((lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % MinhashP)
+        .as(s"mh$j"))
+    val sig = rows
+      .select(col("doc_id"), hash60(col("s")).bitwiseAND(lit(MinhashMask)).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val withBands = sig.select(col("doc_id"), explode(array(
+      (0 until bands).map { b =>
+        val rows = numHashes / bands
+        concat_ws(":", lit(b) +:
+          (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+      }: _*)).as("band_key"))
     val cands = withBands.as("a")
       .join(withBands.as("b"), col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val si = base.select(col("doc_id").as("i"), col("sh").as("sh_i"))
-    val sj = base.select(col("doc_id").as("j"), col("sh").as("sh_j"))
+    // Shingle SETS for verification via collect_set (codegen path), joined
+    // only against the (small) candidate pair set.
+    val sets = rows.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
+    val si = sets.select(col("doc_id").as("i"), col("sh").as("sh_i"))
+    val sj = sets.select(col("doc_id").as("j"), col("sh").as("sh_j"))
     cands.join(si, "i").join(sj, "j")
       .withColumn("jac", jaccard(col("sh_i"), col("sh_j")))
       .filter(col("jac") >= threshold)

@@ -34,11 +34,16 @@ object Joins {
     var m = nodes.join(edges, nodes("node") === edges("child"), "left")
       .select(col("node"), coalesce(col("parent"), col("node")).as("anc"))
     val rounds = math.max(1, math.ceil(math.log(maxDepth.max(2)) / math.log(2)).toInt + 1)
-    for (_ <- 1 to rounds) {
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val jump = m.select(col("node").as("j_node"), col("anc").as("j_anc"))
-      m = m.join(jump, m("anc") === jump("j_node"), "left")
-        .select(col("node"), coalesce(col("j_anc"), col("anc")).as("anc"))
-        .localCheckpoint() // truncate lineage; also acts as the per-round barrier
+      val next = m.join(jump, m("anc") === jump("j_node"), "left")
+        .select(col("node"), coalesce(col("j_anc"), col("anc")).as("anc"),
+          (col("j_anc").isNotNull && col("j_anc") =!= m("anc")).as("moved"))
+        .localCheckpoint() // truncate lineage; also the per-round barrier
+      // early exit at fixpoint (cheap: scans the checkpointed blocks)
+      converged = next.filter(col("moved")).isEmpty
+      m = next.drop("moved")
     }
     m.withColumnRenamed("anc", "root")
   }

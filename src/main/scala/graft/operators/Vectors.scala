@@ -27,14 +27,19 @@ object Vectors {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
   /** Exact top-k nearest neighbours by cosine for each probe vector.
-    * `probes` must be small (broadcast); ties broken by neighbour id. */
+    * `probes` must be small (broadcast); ties broken by neighbour id.
+    * Norms are computed once per vector before the pair join — at n·q pairs
+    * that's 3× fewer dot products than a naive cosine per pair. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val joined = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("n_emb"))
+      col("embedding").as("n_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("n_nrm"))
       .join(broadcast(probes.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"))),
+        col("embedding").as("q_emb"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("q_nrm"))),
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("cos",
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w))

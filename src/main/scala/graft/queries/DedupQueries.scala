@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Dedup
+
 import org.apache.spark.sql.functions._
 
 /** Training-data deduplication suite over the `documents` corpus: exact,
@@ -41,9 +42,12 @@ object DedupQueries {
         shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5),
       Some(s"""WITH $ShingleCte,
               |m AS (SELECT doc_id, sh,
-              |        list_transform(generate_series(0, 7), j ->
+              |        list_transform(generate_series(1, 8), j ->
               |          list_min(list_transform(sh,
-              |            x -> ('0x' || substring(md5(x || '|' || j), 1, 15))::BIGINT))) AS mh
+              |            x -> ([${Dedup.MinhashA.mkString(", ")}][j] *
+              |                  (('0x' || substring(md5(x), 1, 15))::BIGINT & 1073741823)
+              |                  + [${Dedup.MinhashB.mkString(", ")}][j])
+              |                 % 1073741789))) AS mh
               |      FROM s),
               |bk AS (SELECT doc_id,
               |         unnest(list_transform(generate_series(0, 3),

@@ -26,12 +26,14 @@ object VectorQueries {
         val emb = Tables.embeddings(s, dir)
         Vectors.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
       },
-      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+              |             sqrt(${dotSql("embedding", "embedding")}) AS qn
               |           FROM embeddings WHERE vec_id < 10),
-              |c AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS ne,
+              |        sqrt(${dotSql("embedding", "embedding")}) AS nn
+              |      FROM embeddings),
               |p AS (SELECT query_id, neighbor_id,
-              |        ${dotSql("qe", "ne")} /
-              |          sqrt(${dotSql("qe", "qe")} * ${dotSql("ne", "ne")}) AS cos
+              |        ${dotSql("qe", "ne")} / (qn * nn) AS cos
               |      FROM q, c WHERE query_id <> neighbor_id),
               |r AS (SELECT query_id, neighbor_id, cos,
               |        row_number() OVER (PARTITION BY query_id
@@ -46,19 +48,20 @@ object VectorQueries {
     GraftQuery("v_embed_neardup",
       (s, dir) => {
         val e = Tables.embeddings(s, dir).filter(col("vec_id") < 400)
-          .select(col("vec_id"), col("embedding"))
+          .select(col("vec_id"), col("embedding"),
+            sqrt(Vectors.dot(col("embedding"), col("embedding"))).as("nrm"))
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos",
-            Vectors.cosine(col("a.embedding"), col("b.embedding")))
+          .withColumn("cos", Vectors.dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm")))
           .filter(col("cos") >= 0.35)
           .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
             round(col("cos"), 6).as("cos"))
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              |           FROM embeddings WHERE vec_id < 400),
               |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
-              |        ${dotSql("a.embedding", "b.embedding")} /
-              |          sqrt(${dotSql("a.embedding", "a.embedding")} *
-              |               ${dotSql("b.embedding", "b.embedding")}) AS cos
+              |        ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
               |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
               |SELECT i, j, round(cos, 6) AS cos FROM p WHERE cos >= 0.35""".stripMargin)),
 
