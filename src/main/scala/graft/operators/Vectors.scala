@@ -18,10 +18,18 @@ object Vectors {
 
   /** Elementwise dot product of two float-array columns, accumulated in
     * double, strictly left-to-right — bit-identical to the same loop in any
-    * engine that also folds float32 values into an IEEE double. */
+    * engine that also folds float32 values into an IEEE double.
+    * Higher-order-function form: portable, but the lambda evaluates
+    * interpreted per element — use [[dotNative]] on hot paths. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Same semantics via the native codegen'd [[graft.plans.VecDot]]
+    * expression (requires [[graft.plans.GraftFunctions.register]] or
+    * `spark.sql.extensions=graft.plans.GraftExtensions`). */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
@@ -31,15 +39,16 @@ object Vectors {
     * Norms are computed once per vector before the pair join — at n·q pairs
     * that's 3× fewer dot products than a naive cosine per pair. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val joined = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("n_emb"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("n_nrm"))
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("n_nrm"))
       .join(broadcast(probes.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("q_nrm"))),
+        sqrt(dotNative(col("embedding"), col("embedding"))).as("q_nrm"))),
         col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
-        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+        dotNative(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w))
@@ -70,12 +79,15 @@ object Vectors {
   /** Same-bucket near-dup candidate pairs with exact cosine verification. */
   def lshNearDupPairs(df: DataFrame, dim: Int, numPlanes: Int,
                       threshold: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val b = df.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), dim, numPlanes).as("bucket"))
+      lshBucket(col("embedding"), dim, numPlanes).as("bucket"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("nrm"))
     b.as("a").join(b.as("b"),
       col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("cos", dotNative(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         round(col("cos"), 6).as("cos"))

@@ -47,11 +47,12 @@ object VectorQueries {
     // baseline for embedding-space dedup.
     GraftQuery("v_embed_neardup",
       (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
         val e = Tables.embeddings(s, dir).filter(col("vec_id") < 400)
           .select(col("vec_id"), col("embedding"),
-            sqrt(Vectors.dot(col("embedding"), col("embedding"))).as("nrm"))
+            sqrt(Vectors.dotNative(col("embedding"), col("embedding"))).as("nrm"))
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos", Vectors.dot(col("a.embedding"), col("b.embedding"))
+          .withColumn("cos", Vectors.dotNative(col("a.embedding"), col("b.embedding"))
             / (col("a.nrm") * col("b.nrm")))
           .filter(col("cos") >= 0.35)
           .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
