@@ -22,7 +22,8 @@ object SparkEntry {
       DedupQueries.entries ++
       VectorQueries.entries ++
       TextQueries.entries ++
-      ApiQueries.entries
+      ApiQueries.entries ++
+      ReportQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the landing-page metrics slice — filter → sessionize → COUNTER

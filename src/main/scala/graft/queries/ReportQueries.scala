@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.Tables
+import graft.reports.{CounterReport, GoldTables}
+
+/** COUNTER/SUSHI report and gold-table queries (SURVEY.md §3.3, A7, A8). */
+object ReportQueries {
+
+  private val GapSeconds = 3600L
+
+  private val nodeListSql =
+    CounterReport.NodeNames.map(n => s"'$n'").mkString("[", ", ", "]")
+  private val countryListSql =
+    CounterReport.Countries.map(c => s"'$c'").mkString("[", ", ", "]")
+
+  val entries: Seq[GraftQuery] = Seq(
+
+    // §3.3 flat COUNTER metrics: node × month × country unique/total
+    // investigations/requests over sessionized events.
+    GraftQuery("r_counter_flat",
+      (s, dir) => CounterReport.flatMetrics(Tables.events(s, dir), GapSeconds,
+        requestTypes = Seq("purchase", "click")),
+      Some(s"""WITH g AS (
+              |  SELECT user_id, ts, event_id, event_type,
+              |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+              |                (PARTITION BY user_id ORDER BY ts, event_id))
+              |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+              |  FROM events
+              |), s AS (
+              |  SELECT user_id, ts, event_type,
+              |         user_id || '#' || sum(is_new) OVER
+              |           (PARTITION BY user_id ORDER BY ts, event_id
+              |            ROWS UNBOUNDED PRECEDING) AS session_key
+              |  FROM g
+              |)
+              |SELECT ($nodeListSql)[(user_id % 5 + 1)::INT] AS node_id,
+              |       strftime(date_trunc('month', ts), '%Y-%m') AS period,
+              |       ($countryListSql)[(user_id % 10 + 1)::INT] AS country,
+              |       CAST(count(DISTINCT session_key) AS BIGINT) AS unique_investigations,
+              |       count(*) AS total_investigations,
+              |       CAST(count(DISTINCT CASE WHEN event_type IN ('purchase', 'click')
+              |                           THEN session_key END) AS BIGINT) AS unique_requests,
+              |       CAST(sum(CASE WHEN event_type IN ('purchase', 'click')
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS total_requests
+              |FROM s GROUP BY 1, 2, 3""".stripMargin)),
+
+    // SUSHI JSON assembly — structural check only (JSON column, no SQL
+    // oracle); content is spec-tested in ReportSpec.
+    GraftQuery("r_sushi_reports",
+      (s, dir) => CounterReport.sushiReports(
+        CounterReport.flatMetrics(Tables.events(s, dir), GapSeconds,
+          Seq("purchase", "click")), created = "2026-01-01"),
+      None),
+
+    // A8 on the events table: the gold rollup view with subtotal rows.
+    GraftQuery("g_rollup_view",
+      (s, dir) => GoldTables.rollupView(Tables.events(s, dir)),
+      Some("""SELECT year(ts) AS y, month(ts) AS m, event_type,
+             |       count(*) AS n_events,
+             |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+             |FROM events GROUP BY ROLLUP(1, 2, 3)""".stripMargin)),
+  )
+}

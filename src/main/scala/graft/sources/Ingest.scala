@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Bronze-layer ingest (SURVEY.md §2.1 S2/S3): the Spark rebuild of the
+  * reference's rotating-JSONL sink + restart/recovery scan
+  * (`eventprocessor.py:217-240,244-367`).
+  *
+  * Layout: parquet partitioned by `event_date`. At 100 TB the mandatory
+  * date-range predicate of every metrics query (reference
+  * `metricselasticsearch.py:1115-1123`) then prunes partitions at planning
+  * time — the Spark analogue of the reference's time-sharded `eventlog-*`
+  * indexes. Dedup-by-id replaces the tail-trimming recovery logic: writes
+  * are idempotent, so at-least-once upstream delivery is safe.
+  */
+object Ingest {
+
+  /** Batch bronze write: dedup by id, stamp the partition column, write
+    * partitioned. `dropDuplicates` is the one shuffle; everything else is
+    * per-partition. */
+  def writeBronze(events: DataFrame, outPath: String): Unit =
+    events.dropDuplicates("event_id")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(outPath)
+
+  def readBronze(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Streaming ingest: JSONL directory → bronze parquet, checkpointed —
+    * the reference's filebeat→logstash→ES leg as one Structured Streaming
+    * job. Restart recovery (reference `getLastLinesFromFile`/`trimLogEntries`)
+    * is the checkpoint: re-running resumes from committed offsets, and
+    * `dropDuplicatesWithinWatermark` absorbs the overlap the reference had
+    * to trim by hand (second-precision timestamp overlap, S3).
+    */
+  def streamJsonlToBronze(spark: SparkSession, srcDir: String,
+                          schemaSource: DataFrame, outPath: String,
+                          checkpoint: String): Unit = {
+    val stream = spark.readStream
+      .schema(schemaSource.schema)
+      .json(srcDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .withColumn("event_date", to_date(col("ts")))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("event_date")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

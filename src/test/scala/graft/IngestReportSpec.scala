@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.reports.{CounterReport, GoldTables}
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+
+class IngestReportSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_test").toString
+
+  test("bronze write dedups by id and partitions by event_date") {
+    val out = tmpDir() + "/bronze"
+    val events = Tables.events(spark, testDataDir)
+    val doubled = events.union(events) // simulate at-least-once delivery
+    Ingest.writeBronze(doubled, out)
+    val back = Ingest.readBronze(spark, out)
+    assert(back.count() == events.count())
+    // partition dirs exist per day
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("event_date="))
+    assert(dirs.length > 1)
+  }
+
+  test("date filter on bronze prunes partitions at planning time") {
+    val out = tmpDir() + "/bronze"
+    Ingest.writeBronze(Tables.events(spark, testDataDir), out)
+    val plan = Ingest.readBronze(spark, out)
+      .filter(col("event_date") === "2024-01-05")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"))
+    // pruned scan reads one partition's files only
+    val scanned = Ingest.readBronze(spark, out)
+      .filter(col("event_date") === "2024-01-05").count()
+    val total = Ingest.readBronze(spark, out).count()
+    assert(scanned > 0 && scanned < total)
+  }
+
+  test("streaming JSONL ingest is resumable and exactly-once") {
+    val base = tmpDir()
+    val src = s"$base/src"; val out = s"$base/out"; val cp = s"$base/cp"
+    new java.io.File(src).mkdirs()
+    val events = Tables.events(spark, testDataDir).limit(500)
+    events.coalesce(1).write.json(s"$src/batch1")
+    // move jsonl files into the watched dir
+    new java.io.File(s"$src/batch1").listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .foreach(f => f.renameTo(new java.io.File(src, f.getName)))
+    val schemaSrc = Tables.events(spark, testDataDir)
+    Ingest.streamJsonlToBronze(spark, src, schemaSrc, out, cp)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == 500)
+    // re-run with no new data: checkpoint resume, no duplicates
+    Ingest.streamJsonlToBronze(spark, src, schemaSrc, out, cp)
+    assert(spark.read.parquet(out).count() == n1)
+  }
+
+  test("sushi reports are valid JSON with header and performance") {
+    val flat = CounterReport.flatMetrics(
+      Tables.events(spark, testDataDir), 3600L, Seq("purchase", "click"))
+    val reports = CounterReport.sushiReports(flat, created = "2026-01-01")
+    val row = reports.head()
+    val json = row.getString(2)
+    val parsed = spark.range(1).select(
+      from_json(lit(json), schema_of_json(lit(json))).as("r"))
+      .select("r.report_header.report_id", "r.total_investigations").head()
+    assert(parsed.getString(0) == "DSR")
+    assert(parsed.getLong(1) > 0)
+    // one report per node × month
+    assert(reports.select("node_id").distinct().count() == 5)
+  }
+
+  test("gold incremental build skips unchanged groups on rebuild") {
+    val base = tmpDir()
+    val events = Tables.events(spark, testDataDir)
+      .withColumn("node_id", CounterReport.nodeOf(col("user_id")))
+    val (b1, s1) = GoldTables.incrementalBuild(spark, events, "node_id",
+      s"$base/gold", s"$base/state")
+    assert(b1 == 5 && s1 == 0) // first run builds all 5 node groups
+    val (b2, s2) = GoldTables.incrementalBuild(spark, events, "node_id",
+      s"$base/gold", s"$base/state")
+    assert(b2 == 0 && s2 == 5) // unchanged input: everything skipped
+    val gold = spark.read.parquet(s"$base/gold")
+    assert(gold.count() > 0)
+    assert(gold.columns.contains("n_unique"))
+  }
+}
