@@ -87,6 +87,40 @@ object EnrichQueries {
               |       CAST(count(DISTINCT session_key) AS BIGINT) AS n_sessions
               |FROM g GROUP BY 1, 2""".stripMargin)),
 
+    // F1+F2: the base event-predicate template every metrics query starts
+    // from (`metricselasticsearch.py:209-265`): robot/machine tags excluded
+    // via arrays_overlap, event-type term filter, date range.
+    GraftQuery("f1_base_filter",
+      (s, dir) => {
+        val e = derived(s, dir)
+          .withColumn("tags", Enrich.tags(Seq(
+            "robot_ua" -> col("ua").rlike(Enrich.RobotUaPattern),
+            "machine_ua" -> col("ua").rlike(Enrich.MachineUaPattern),
+            "robot_ip" -> Enrich.ipInCidrs(col("ip"), Cidrs))))
+        e.filter(!arrays_overlap(col("tags"),
+            lit(Array("robot_ua", "machine_ua", "robot_ip"))) &&
+            col("event_type").isin("view", "purchase") &&
+            col("ts") >= to_date(lit("2024-01-05")) &&
+            col("ts") < to_date(lit("2024-01-20")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+      },
+      Some(s"""WITH e AS ($derivedSql),
+              |t AS (
+              |  SELECT *,
+              |    list_reduce(list_transform(string_split(ip, '.'),
+              |                x -> x::BIGINT), (a, b) -> a * 256 + b) AS ipl
+              |  FROM e
+              |)
+              |SELECT event_type, count(*) AS n_events
+              |FROM t
+              |WHERE NOT (regexp_matches(ua, '(?i)bot|crawl|spider|slurp|archiver')
+              |           OR regexp_matches(ua, '(?i)curl|wget|python-requests|libwww|java/')
+              |           OR (ipl >> 16) IN (2565, 2577, 2593))
+              |  AND event_type IN ('view', 'purchase')
+              |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+              |GROUP BY 1""".stripMargin)),
+
     // DOI canonicalization: per-source rewrite rules, first match wins
     // (`es_sysmeta_sync.py:403-438`).
     GraftQuery("f_canonical_id",

@@ -56,6 +56,40 @@ object SetOpQueries {
         .agg(count(lit(1)).as("n_docs")),
       Some("SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2")),
 
+    // A15: catalog per-entry summaries — per catalog entity, usage metric
+    // pivot plus a side-count merged positionally (`metricsreader.py:471-630`,
+    // the A2+J1 composition). Catalog = customers whose key lands in the
+    // events user-id space.
+    GraftQuery("a15_catalog_summary",
+      (s, dir) => {
+        val usage = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            countDistinct(when(col("event_type") === "view",
+              col("event_id"))).as("views"),
+            countDistinct(when(col("event_type") === "purchase",
+              col("event_id"))).as("downloads"))
+        val citations = Tables.orders(s, dir)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("citations"))
+        Tables.customer(s, dir).filter(col("c_custkey") < 150)
+          .join(usage, col("c_custkey") === col("user_id"), "left")
+          .join(citations, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("views"), lit(0L)).as("views"),
+            coalesce(col("downloads"), lit(0L)).as("downloads"),
+            coalesce(col("citations"), lit(0L)).as("citations"))
+      },
+      Some("""SELECT c_custkey,
+             |       coalesce((SELECT CAST(count(DISTINCT event_id) AS BIGINT)
+             |                 FROM events
+             |                 WHERE user_id = c_custkey AND event_type = 'view'), 0) AS views,
+             |       coalesce((SELECT CAST(count(DISTINCT event_id) AS BIGINT)
+             |                 FROM events
+             |                 WHERE user_id = c_custkey AND event_type = 'purchase'), 0) AS downloads,
+             |       coalesce((SELECT count(*) FROM orders
+             |                 WHERE o_custkey = c_custkey), 0) AS citations
+             |FROM customer WHERE c_custkey < 150""".stripMargin)),
+
     // A14: null-key normalization (`metricsreader.py:1684-1686` country
     // NULL→"US"): synthesize nulls via nullif, then coalesce-normalize.
     GraftQuery("a14_normalize_null",

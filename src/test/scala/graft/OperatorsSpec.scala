@@ -92,6 +92,23 @@ class OperatorsSpec extends SparkSpec {
     assert(res.toSeq == Seq(true, false, true))
   }
 
+  test("map ops: str_to_map round-trip and map_filter (querystring kv split)") {
+    // reference: kv querystring split + country-counts dicts
+    // (`search.conf:80-87`, `metricsreporter.py:216-307`)
+    import spark.implicits._
+    val r = Seq("q=spark&rows=25&facet=true").toDF("qs")
+      .select(expr("str_to_map(qs, '&', '=')").as("m"))
+      .select(
+        element_at(col("m"), "rows").as("rows"),
+        expr("map_keys(map_filter(m, (k, v) -> v = 'true'))").as("flags"),
+        expr("map_from_entries(array(struct('US', 3), struct('DE', 1)))")
+          .as("counts"))
+      .head()
+    assert(r.getString(0) == "25")
+    assert(r.getSeq[String](1) == Seq("facet"))
+    assert(r.getMap[String, Int](2)("US") == 3)
+  }
+
   test("multimodal feature extraction preserves counts and bytes") {
     val docs = Tables.documents(spark, testDataDir)
     val feats = Multimodal.extractFeatures(
