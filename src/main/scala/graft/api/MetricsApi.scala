@@ -49,7 +49,12 @@ object MetricsApi {
     val filtered = req.filterBy.foldLeft(events) { (df, f) =>
       (f.filterType, f.interpretAs) match {
         case ("user", "list") =>
-          df.filter(col("user_id").cast("string").isin(f.values: _*))
+          // numeric ids filter natively (In-filter reaches the parquet
+          // scan); a string-side cast on the column would block pushdown
+          val numeric = f.values.flatMap(v => scala.util.Try(v.toLong).toOption)
+          if (numeric.length == f.values.length)
+            df.filter(col("user_id").isin(numeric: _*))
+          else df.filter(col("user_id").cast("string").isin(f.values: _*))
         case ("eventType", "list") =>
           df.filter(col("event_type").isin(f.values: _*))
         case ("time", "range") =>

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resistant aggregation (SURVEY.md §7.2 step 10: "salting for skew").
+  *
+  * A plain `groupBy(key).agg(countDistinct(v))` expands to a two-shuffle
+  * plan keyed by (key, v) then (key) — correct, but a single hot key still
+  * lands every one of its distinct values' partial rows on one reducer in
+  * phase 2's expand. Salting by `hash(v) % buckets` splits a hot key's work
+  * across `buckets` reducers and stays EXACT: distinct values partition
+  * cleanly by their own hash, so per-bucket distinct counts sum to the true
+  * distinct count.
+  *
+  * AQE's skew-join handling (on by default) covers joins; this covers the
+  * aggregation side, where AQE cannot split a group.
+  */
+object Skew {
+
+  /** Exact count-distinct + count per key, salted across `buckets`.
+    * Output: (key columns..., unique_count, total_count). */
+  def saltedDistinctAgg(df: DataFrame, keys: Seq[Column], valueCol: Column,
+                        buckets: Int): DataFrame = {
+    val salted = df.groupBy(keys :+ pmod(hash(valueCol), lit(buckets)).as("_salt"): _*)
+      .agg(countDistinct(valueCol).as("_pu"), count(lit(1)).as("_pc"))
+    val keyNames = salted.columns.dropRight(3) // keys keep their output names
+    salted.groupBy(keyNames.map(col): _*)
+      .agg(sum(col("_pu")).as("unique_count"),
+        sum(col("_pc")).as("total_count"))
+  }
+}
