@@ -57,6 +57,13 @@ object MetricsApi {
           else df.filter(col("user_id").cast("string").isin(f.values: _*))
         case ("eventType", "list") =>
           df.filter(col("event_type").isin(f.values: _*))
+        case ("repository", "list") =>
+          // F3: node filter, skipped for the CN aggregate node
+          // (`metricsreader.py:745-751`)
+          val nodes = f.values.filterNot(_ == "urn:node:CN")
+          if (nodes.isEmpty) df
+          else df.filter(
+            graft.reports.CounterReport.nodeOf(col("user_id")).isin(nodes: _*))
         case ("time", "range") =>
           val Seq(a, b) = f.values.take(2)
           df.filter(col("ts") >= to_date(lit(a)) &&

@@ -76,6 +76,85 @@ object Vectors {
       when(dot(emb, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN index: `numClusters` centroids — seeded from
+    * the lowest-id vectors, refined by one Lloyd iteration — partition the
+    * corpus into cluster lists; a probe only scans its `nprobe` nearest
+    * lists. The scale path when probes are many: cuts the scanned fraction
+    * to ~nprobe/numClusters of the corpus, trading recall.
+    *
+    * Centroids are tiny (k × dim floats) and deliberately driver-side: they
+    * constant-fold into the assignment expression, so cluster assignment is
+    * a pure codegen'd projection — the same pattern as [[lshBucket]].
+    */
+  def ivfCentroids(corpus: DataFrame, numClusters: Int, dim: Int): Array[Array[Float]] = {
+    val seeds = corpus.filter(col("vec_id") < numClusters)
+      .orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    // one Lloyd iteration: assign to seeds, recompute means
+    val assigned = corpus.withColumn("cluster",
+      assignCluster(col("embedding"), seeds))
+    val means = assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos")).agg(avg(col("v")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val out = seeds.map(_.clone()) // empty clusters keep their seed
+    means.groupBy(_._1).foreach { case (c, vs) =>
+      val arr = new Array[Float](dim)
+      vs.foreach { case (_, pos, m) => arr(pos) = m.toFloat }
+      out(c.toInt) = arr
+    }
+    out
+  }
+
+  /** Nearest-centroid id (argmax of norm-scaled dot) as a codegen'd
+    * expression over constant-folded centroid literals. */
+  def assignCluster(emb: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val lits = array(c.map(lit): _*)
+      val invNorm = 1.0 / math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      struct((dotNative(emb, lits) * invNorm).as("s"), lit(i.toLong).as("i"))
+    }
+    array_max(array(scored: _*)).getField("i")
+  }
+
+  /** Probe's `nprobe` nearest cluster ids, best first. */
+  def nearestClusters(emb: Column, centroids: Array[Array[Float]],
+                      nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val lits = array(c.map(lit): _*)
+      val invNorm = 1.0 / math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      struct((-dotNative(emb, lits) * invNorm).as("negs"), lit(i.toLong).as("i"))
+    }
+    transform(slice(sort_array(array(scored: _*)), 1, nprobe),
+      x => x.getField("i"))
+  }
+
+  /** Approximate top-k: per probe, scan only the nprobe nearest cluster
+    * lists. Same output shape as [[bruteForceTopK]]. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              numClusters: Int, nprobe: Int, dim: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val cents = ivfCentroids(corpus, numClusters, dim)
+    val assigned = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("n_nrm"),
+      assignCluster(col("embedding"), cents).as("cluster"))
+    val probeSide = probes.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("q_nrm"),
+      explode(nearestClusters(col("embedding"), cents, nprobe)).as("cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(probeSide), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dotNative(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Same-bucket near-dup candidate pairs with exact cosine verification. */
   def lshNearDupPairs(df: DataFrame, dim: Int, numPlanes: Int,
                       threshold: Double): DataFrame = {

@@ -64,6 +64,34 @@ object ApiQueries {
              |FROM events WHERE event_type IN ('view', 'purchase', 'click')
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Repository-profile path (§3.2): node filter (skip-CN dispatch, F3) +
+    // month histogram.
+    GraftQuery("api_repository_profile",
+      (s, dir) => MetricsApi.interpretJson(s, dir,
+        """{"metrics": ["views", "downloads"],
+          |"filterBy": [
+          |  {"filterType": "repository", "values": ["urn:node:B"],
+          |   "interpretAs": "list"},
+          |  {"filterType": "time", "values": ["2024-01-01", "2024-03-31"],
+          |   "interpretAs": "range"}],
+          |"groupBy": ["month"]}""".stripMargin),
+      Some("""WITH spine AS (
+             |  SELECT strftime(unnest(generate_series(DATE '2024-01-01',
+             |           DATE '2024-03-31', INTERVAL 1 MONTH)), '%Y-%m') AS period
+             |), agg AS (
+             |  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS period,
+             |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS downloads
+             |  FROM events
+             |  WHERE (['urn:node:A','urn:node:B','urn:node:C','urn:node:D','urn:node:E'])
+             |          [(user_id % 5 + 1)::INT] = 'urn:node:B'
+             |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-04-01'
+             |  GROUP BY 1
+             |)
+             |SELECT s.period, coalesce(views, 0) AS views,
+             |       coalesce(downloads, 0) AS downloads
+             |FROM spine s LEFT JOIN agg USING (period)""".stripMargin)),
+
     // Multimodal feature extraction: typed binary media records through the
     // mapPartitions decode(stub) pass, rolled up by mime. The oracle
     // recomputes the deterministic stub features in SQL (ascii corpus:

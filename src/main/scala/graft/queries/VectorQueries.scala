@@ -66,6 +66,25 @@ object VectorQueries {
               |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
               |SELECT i, j, round(cos, 6) AS cos FROM p WHERE cos >= 0.35""".stripMargin)),
 
+    // IVF approximate top-k (rows-only: the centroid refinement isn't
+    // ANSI-SQL-expressible; recall vs brute force is spec-tested).
+    GraftQuery("v_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Vectors.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          numClusters = 16, nprobe = 4, dim = 64)
+      },
+      None),
+
+    // Approximate distinct counting — the ES `cardinality` (HLL) parity
+    // path (`metricsreader.py:196-201`). Rows-only: HLL++ sketch values are
+    // implementation-defined; the relative-error bound is spec-tested.
+    GraftQuery("a1_composite_agg_approx",
+      (s, dir) => graft.operators.MetricsKernel.compositeAgg(
+        Tables.events(s, dir), col("ts"), "month", Seq(col("event_type")),
+        col("event_id"), approx = true),
+      None),
+
     // Random-hyperplane LSH bucketing — the scale path: bucket assignment is
     // a pure codegen'd projection (planes constant-folded as literals), so
     // the only shuffle in an LSH near-dup job is on the bucket id.

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{MetricsKernel, Vectors}
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet
+      }
+
+  test("IVF top-k recall vs brute force") {
+    val emb = Tables.embeddings(spark, testDataDir)
+    val probes = emb.filter(col("vec_id") < 20)
+    val exact = topkSet(Vectors.bruteForceTopK(emb, probes, k = 5))
+    val approx = topkSet(Vectors.ivfTopK(emb, probes, k = 5,
+      numClusters = 16, nprobe = 6, dim = 64))
+    val recalls = exact.map { case (q, ex) =>
+      approx.get(q).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // random-ish corpus at nprobe=6/16: expect moderate recall, never zero
+    assert(meanRecall > 0.3, s"mean recall $meanRecall")
+    assert(approx.size == exact.size) // every probe answered
+  }
+
+  test("IVF scans a bounded fraction of the corpus per probe") {
+    val emb = Tables.embeddings(spark, testDataDir)
+    val cents = Vectors.ivfCentroids(emb, numClusters = 16, dim = 64)
+    val sizes = emb.select(
+      Vectors.assignCluster(col("embedding"), cents).as("c"))
+      .groupBy("c").count().collect().map(_.getLong(1))
+    assert(sizes.length > 1) // corpus actually partitions into lists
+    assert(sizes.sum == emb.count())
+  }
+
+  test("approx_count_distinct stays within HLL++ error bounds") {
+    val exact = MetricsKernel.compositeAgg(Tables.events(spark, testDataDir),
+      col("ts"), "month", Seq(col("event_type")), col("event_id"))
+      .select("event_type", "unique_count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = MetricsKernel.compositeAgg(Tables.events(spark, testDataDir),
+      col("ts"), "month", Seq(col("event_type")), col("event_id"),
+      approx = true)
+      .select("event_type", "unique_count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.1,
+        s"$k: exact=$ex approx=$ap")
+    }
+  }
+}
