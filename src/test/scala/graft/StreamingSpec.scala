@@ -58,6 +58,28 @@ class StreamingSpec extends SparkSpec {
     assert(viaWindow == viaGaps)
   }
 
+  test("streaming tumbling-window counts match the batch date histogram") {
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent](spark)
+    val agg = input.toDS()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day"), col("user_id"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("daily")
+      .outputMode("complete").start()
+    input.addData(fixture); q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("daily").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = fixture.toDF()
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day"), col("user_id"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("statefulSessionize in a single batch matches batch semantics on events table") {
     import spark.implicits._
     val events = Tables.events(spark, testDataDir).limit(2000)
