@@ -40,15 +40,32 @@ object MetricsApi {
 
   private val Units = Set("month", "day", "year")
 
+  /** Dataset identifier family: all ids that are versions/members of the
+    * same dataset (the reference expands via the `identifiers-2` dimension,
+    * J4; the synthetic tables encode family as congruence mod 50). */
+  private def familyKey(id: Column): Column = id % 50
+
   /** Interpret a request into a long-format result over the events table:
     * one row per period (zero-filled across the requested range) with one
-    * column per requested metric. */
+    * column per requested metric. The catalog/package path returns the
+    * per-entity summary shape instead (`getSummaryMetricsPerCatalog`,
+    * `metricsreader.py:134-137`). */
   def interpret(spark: SparkSession, dir: String, req: MetricsRequest): DataFrame = {
     val events = Tables.events(spark, dir)
 
+    req.filterBy.find(f => Set("catalog", "package")(f.filterType)) match {
+      case Some(f) => return catalogSummary(events, f.values, req.metrics)
+      case None =>
+    }
+
     val filtered = req.filterBy.foldLeft(events) { (df, f) =>
       (f.filterType, f.interpretAs) match {
-        case ("user", "list") =>
+        case ("dataset", "list") =>
+          // J4: expand requested ids to their identifier families, then
+          // filter events to any family member (`metricsreader.py:1259-1343`)
+          df.filter(familyKey(col("user_id"))
+            .isin(f.values.map(_.toLong % 50): _*))
+        case ("user" | "group", "list") => // group = list of user subjects
           // numeric ids filter natively (In-filter reaches the parquet
           // scan); a string-side cast on the column would block pushdown
           val numeric = f.values.flatMap(v => scala.util.Try(v.toLong).toOption)
@@ -93,6 +110,18 @@ object MetricsApi {
           unit, req.metrics)
       case _ => agg
     }
+  }
+
+  /** A15 response shape: one row per catalog entity with distinct-event
+    * usage counts per requested metric. */
+  private def catalogSummary(events: DataFrame, ids: Seq[String],
+                             metrics: Seq[String]): DataFrame = {
+    val aggs = metrics.flatMap(m => MetricTypes.get(m).map { t =>
+      countDistinct(when(col("event_type") === t, col("event_id"))).as(m)
+    })
+    events.filter(col("user_id").isin(ids.map(_.toLong): _*))
+      .groupBy(col("user_id").as("entity"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   def interpretJson(spark: SparkSession, dir: String, json: String): DataFrame =

@@ -64,6 +64,48 @@ object ApiQueries {
              |FROM events WHERE event_type IN ('view', 'purchase', 'click')
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Dataset landing-page path (§3.1): request ids expand to identifier
+    // families (J4) before filtering, then the month series.
+    GraftQuery("api_dataset_family",
+      (s, dir) => MetricsApi.interpretJson(s, dir,
+        """{"metrics": ["views", "downloads"],
+          |"filterBy": [
+          |  {"filterType": "dataset", "values": ["3", "57"],
+          |   "interpretAs": "list"},
+          |  {"filterType": "time", "values": ["2024-01-01", "2024-02-29"],
+          |   "interpretAs": "range"}],
+          |"groupBy": ["month"]}""".stripMargin),
+      Some("""WITH spine AS (
+             |  SELECT strftime(unnest(generate_series(DATE '2024-01-01',
+             |           DATE '2024-02-29', INTERVAL 1 MONTH)), '%Y-%m') AS period
+             |), agg AS (
+             |  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS period,
+             |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS downloads
+             |  FROM events
+             |  WHERE (user_id % 50) IN (3, 7)
+             |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'
+             |  GROUP BY 1
+             |)
+             |SELECT s.period, coalesce(views, 0) AS views,
+             |       coalesce(downloads, 0) AS downloads
+             |FROM spine s LEFT JOIN agg USING (period)""".stripMargin)),
+
+    // Catalog path (§3.1): per-entity summary shape (A15), not a series.
+    GraftQuery("api_catalog_summary",
+      (s, dir) => MetricsApi.interpretJson(s, dir,
+        """{"metrics": ["views", "downloads"],
+          |"filterBy": [{"filterType": "catalog",
+          |  "values": ["1", "2", "3", "4", "5"], "interpretAs": "list"}],
+          |"groupBy": []}""".stripMargin),
+      Some("""SELECT user_id AS entity,
+             |       CAST(count(DISTINCT CASE WHEN event_type = 'view'
+             |                           THEN event_id END) AS BIGINT) AS views,
+             |       CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+             |                           THEN event_id END) AS BIGINT) AS downloads
+             |FROM events WHERE user_id IN (1, 2, 3, 4, 5)
+             |GROUP BY 1""".stripMargin)),
+
     // Repository-profile path (§3.2): node filter (skip-CN dispatch, F3) +
     // month histogram.
     GraftQuery("api_repository_profile",

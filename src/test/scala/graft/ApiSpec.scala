@@ -39,6 +39,14 @@ class ApiSpec extends SparkSpec {
     assert(row.getSeq[Long](1)(1) == 0L)
   }
 
+  test("group filter is an alias of the user-list path") {
+    def run(ft: String) = MetricsApi.interpret(spark, testDataDir,
+      MetricsRequest(Seq("views"),
+        Seq(MetricsFilter(ft, Seq("1", "2", "3"), "list")), Seq("month")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run("group") == run("user"))
+  }
+
   test("unsupported dispatch fails loudly, like the reference's 400s") {
     intercept[IllegalArgumentException] {
       MetricsApi.interpret(spark, testDataDir, MetricsRequest(Seq("views"),
