@@ -85,6 +85,15 @@ object MetricsApi {
           val Seq(a, b) = f.values.take(2)
           df.filter(col("ts") >= to_date(lit(a)) &&
             col("ts") < date_add(to_date(lit(b)), 1))
+        case ("portal", "list") =>
+          // F4: portal membership (synthetic: portal p = users ≡ p mod 7;
+          // production joins the portalIdentifier[] array, `metricsreader.py:1449-1453`)
+          df.filter((col("user_id") % 7)
+            .isin(f.values.map(_.stripPrefix("portal-").toLong % 7): _*))
+        case ("query", "query") =>
+          // interpretAs=query: the portal collection-query filter
+          // (`metricsreader.py:151-156`) — a field:value boolean expression
+          df.filter(QueryStringFilter.compile(f.values.head))
         case other =>
           throw new IllegalArgumentException(s"unsupported filter: $other")
       }

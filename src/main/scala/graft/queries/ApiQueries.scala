@@ -134,6 +134,28 @@ object ApiQueries {
              |       coalesce(downloads, 0) AS downloads
              |FROM spine s LEFT JOIN agg USING (period)""".stripMargin)),
 
+    // Portal path with a collection-query filter (interpretAs=query):
+    // portal membership + `field:value` boolean expression compiled to one
+    // Catalyst predicate (`metricsreader.py:151-156,1449-1453`).
+    GraftQuery("api_portal_query",
+      (s, dir) => MetricsApi.interpretJson(s, dir,
+        """{"metrics": ["views", "clicks"],
+          |"filterBy": [
+          |  {"filterType": "portal", "values": ["portal-2"],
+          |   "interpretAs": "list"},
+          |  {"filterType": "query",
+          |   "values": ["event_type:view OR event_type:click AND props:{\"k\": 1*"],
+          |   "interpretAs": "query"}],
+          |"groupBy": ["month"]}""".stripMargin),
+      Some("""SELECT strftime(date_trunc('month', ts), '%Y-%m') AS period,
+             |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+             |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+             |FROM events
+             |WHERE (user_id % 7) = 2
+             |  AND (event_type = 'view'
+             |       OR (event_type = 'click' AND starts_with(props, '{"k": 1')))
+             |GROUP BY 1""".stripMargin)),
+
     // Multimodal feature extraction: typed binary media records through the
     // mapPartitions decode(stub) pass, rolled up by mime. The oracle
     // recomputes the deterministic stub features in SQL (ascii corpus:

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{Joins, Sessionize}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck properties with independent Scala-side oracles (SURVEY §5:
+  * "property tests: session-count invariants under event permutation,
+  * family-closure idempotence"). Spark answers are compared against a
+  * straightforward single-threaded reimplementation. */
+class PropertySpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.{Row, types => T}
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  // random parent-pointer forest: node i attaches to a parent < i, or is a root
+  private val forestGen: Gen[Seq[(Long, Option[Long])]] =
+    Gen.choose(2, 25).flatMap { n =>
+      Gen.sequence[Seq[Option[Int]], Option[Int]]((1 until n).map { i =>
+        Gen.option(Gen.choose(0, i - 1))
+      }).map { parents =>
+        (0L, None) +: parents.zipWithIndex.map { case (p, i) =>
+          ((i + 1).toLong, p.map(_.toLong))
+        }
+      }
+    }
+
+  private def edgeDf(edges: Seq[(Long, Option[Long])]) =
+    spark.createDataFrame(
+      edges.map { case (c, p) => Row(c, p.map(Long.box).orNull) }.asJava,
+      T.StructType(Seq(T.StructField("child", T.LongType),
+        T.StructField("parent", T.LongType))))
+
+  test("property: resolveRoots matches a sequential chase and is idempotent") {
+    check(Prop.forAll(forestGen) { edges =>
+      val parent = edges.collect { case (c, Some(p)) => c -> p }.toMap
+      @annotation.tailrec
+      def chase(n: Long): Long = parent.get(n) match {
+        case Some(p) => chase(p)
+        case None => n
+      }
+      val expected = edges.map(_._1).map(n => n -> chase(n)).toMap
+      val got = Joins.resolveRoots(edgeDf(edges))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // idempotence: feeding (node → root) back in must be a fixpoint
+      val again = Joins.resolveRoots(edgeDf(
+        got.toSeq.map { case (n, r) =>
+          n -> (if (n == r) None else Some(r))
+        })).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected && again == expected
+    })
+  }
+
+  test("property: closurePairs emits exactly the bounded ancestor paths") {
+    check(Prop.forAll(forestGen, Gen.choose(1, 4)) { (edges, depth) =>
+      val parent = edges.collect { case (c, Some(p)) => c -> p }.toMap
+      def ancestors(n: Long): Seq[(Long, Long, Int)] = {
+        val out = Seq.newBuilder[(Long, Long, Int)]
+        var cur = parent.get(n); var d = 1
+        while (cur.isDefined && d <= depth) {
+          out += ((n, cur.get, d)); cur = parent.get(cur.get); d += 1
+        }
+        out.result()
+      }
+      val expected = edges.map(_._1).flatMap(ancestors).toSet
+      val got = Joins.closurePairs(edgeDf(edges), depth)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      got == expected
+    })
+  }
+
+  private val eventsGen: Gen[Seq[(String, Long, Long)]] =
+    Gen.choose(1, 30).flatMap { n =>
+      Gen.listOfN(n, for {
+        key <- Gen.oneOf("u1", "u2", "u3")
+        off <- Gen.choose(0L, 30000L)
+      } yield (key, 1700000000L + off)).map(_.zipWithIndex.map {
+        case ((k, t), i) => (k, t, i.toLong)
+      })
+    }
+
+  test("property: sessionization matches a sequential fold, any input order") {
+    val schema = T.StructType(Seq(
+      T.StructField("user", T.StringType),
+      T.StructField("ts", T.TimestampType),
+      T.StructField("id", T.LongType)))
+    check(Prop.forAll(eventsGen) { rows =>
+      // sequential oracle: sort per key, count >gap jumps
+      val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        var seq = 0L; var last = Long.MinValue
+        sorted.map { case (_, t, id) =>
+          if (seq == 0L || t - last > 3600L) seq += 1
+          last = t
+          id -> seq
+        }
+      }
+      val df = spark.createDataFrame(rows.map { case (u, s, i) =>
+        Row(u, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)), i)
+      }.asJava, schema)
+      val got = Sessionize.withSessionSeq(df, col("user"), col("ts"),
+        col("id"), 3600L)
+        .select("id", "session_seq")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    })
+  }
+}
