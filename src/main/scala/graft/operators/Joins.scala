@@ -27,11 +27,15 @@ object Joins {
     * @return (node, root) for every node incl. roots themselves.
     */
   def resolveRoots(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
-    val nodes = edges.select(col("child").as("node"))
-      .union(edges.select(col("parent").as("node")))
+    // edges is consumed three times below (two node scans + the seed join);
+    // materialize once so an expensive upstream (e.g. a window over the
+    // fact table) doesn't run per consumer
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("child").as("node"))
+      .union(e.select(col("parent").as("node")))
       .filter(col("node").isNotNull).distinct()
     // anc = current known ancestor (root once fixpoint is reached)
-    var m = nodes.join(edges, nodes("node") === edges("child"), "left")
+    var m = nodes.join(e, nodes("node") === e("child"), "left")
       .select(col("node"), coalesce(col("parent"), col("node")).as("anc"))
     val rounds = math.max(1, math.ceil(math.log(maxDepth.max(2)) / math.log(2)).toInt + 1)
     var converged = false
@@ -56,12 +60,13 @@ object Joins {
     * on the join key; output size is bounded by maxDepth × |edges|.
     */
   def closurePairs(edges: DataFrame, maxDepth: Int): DataFrame = {
-    var level = edges.select(col("child").as("node"),
+    val edgesM = edges.localCheckpoint() // consumed once per level
+    var level = edgesM.select(col("child").as("node"),
       col("parent").as("ancestor"), lit(1).as("depth"))
       .filter(col("ancestor").isNotNull)
     var acc = level
     for (d <- 2 to maxDepth) {
-      val e = edges.select(col("child").as("e_child"), col("parent").as("e_parent"))
+      val e = edgesM.select(col("child").as("e_child"), col("parent").as("e_parent"))
       level = level.join(e, level("ancestor") === e("e_child"), "inner")
         .filter(col("e_parent").isNotNull)
         .select(col("node"), col("e_parent").as("ancestor"), lit(d).as("depth"))
