@@ -159,6 +159,27 @@ object EventMetricsQueries {
              |       CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // Numeric aggregate battery over the measure column: exact-decimal sum
+    // and mean, min/max, exact interpolated median (the reference's
+    // `metrics_value` aggregations, `02-metrics-materialized-views.sql`).
+    GraftQuery("a_value_stats",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          (sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          expr("percentile(value, 0.5D)").as("median_value")),
+      Some("""SELECT event_type,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+             |       min(value) AS min_value,
+             |       max(value) AS max_value,
+             |       quantile_cont(value, 0.5) AS median_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // A5: global min/max/count — session-id allocation & unprocessed-mark
     // scans (`metricselasticsearch.py:554-678`).
     GraftQuery("a5_global_extrema",

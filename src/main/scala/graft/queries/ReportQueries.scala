@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.reports.{CounterReport, GoldTables}
+import org.apache.spark.sql.functions._
 
 /** COUNTER/SUSHI report and gold-table queries (SURVEY.md §3.3, A7, A8). */
 object ReportQueries {
@@ -51,6 +52,35 @@ object ReportQueries {
         CounterReport.flatMetrics(Tables.events(s, dir), GapSeconds,
           Seq("purchase", "click")), created = "2026-01-01"),
       None),
+
+    // Citation registration flow (§2.1 S8 + J9 + A10): JSON citation
+    // reports parsed with an explicit from_json schema, deduped against
+    // already-registered pairs by anti-join, counted per month — the
+    // `metricsdatabase.insertCitationObjects` path as one plan.
+    GraftQuery("c_citation_register",
+      (s, dir) => {
+        val reports = Tables.orders(s, dir).select(
+          to_json(struct(
+            col("o_orderkey").as("target_id"),
+            col("o_custkey").as("source_id"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd")
+              .as("link_publication_date"))).as("report"),
+          col("o_orderstatus"))
+        val parsed = reports.select(
+          from_json(col("report"), lit(
+            "target_id BIGINT, source_id BIGINT, link_publication_date STRING"))
+            .as("c"), col("o_orderstatus"))
+          .select(col("c.*"), col("o_orderstatus"))
+        val existing = parsed.filter(col("o_orderstatus") === "F")
+          .select(col("target_id"), col("source_id"))
+        parsed.join(existing, Seq("target_id", "source_id"), "left_anti")
+          .groupBy(substring(col("link_publication_date"), 1, 7).as("month"))
+          .agg(count(lit(1)).as("n_new"))
+      },
+      Some("""SELECT substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 7) AS month,
+             |       count(*) AS n_new
+             |FROM orders WHERE o_orderstatus <> 'F'
+             |GROUP BY 1""".stripMargin)),
 
     // A8 on the events table: the gold rollup view with subtotal rows.
     GraftQuery("g_rollup_view",
