@@ -81,8 +81,10 @@ object MetricsApi {
           if (nodes.isEmpty) df
           else df.filter(
             graft.reports.CounterReport.nodeOf(col("user_id")).isin(nodes: _*))
-        case ("time", "range") =>
-          val Seq(a, b) = f.values.take(2)
+        case ("time" | "month" | "day" | "year", "range") =>
+          // the reference names the range filter after the period unit and
+          // sends %m/%d/%Y dates (`metricsreader.py:702-709`); accept both
+          val Seq(a, b) = f.values.take(2).map(isoDate)
           df.filter(col("ts") >= to_date(lit(a)) &&
             col("ts") < date_add(to_date(lit(b)), 1))
         case ("portal", "list") =>
@@ -99,10 +101,13 @@ object MetricsApi {
       }
     }
 
-    val unit = req.groupBy.find(Units.contains).getOrElse("month")
-    val dims = req.groupBy.filterNot(Units.contains).map {
+    val unit = req.groupBy.map(_.stripSuffix("s")).find(Units.contains)
+      .getOrElse("month")
+    val dims = req.groupBy.filterNot(g => Units.contains(g.stripSuffix("s"))).map {
       case "eventType" => col("event_type")
       case "user" => col("user_id")
+      case "country" => // geo dimension (`metricsreader.py:786-796`)
+        graft.reports.CounterReport.countryOf(col("user_id")).as("country")
       case g => throw new IllegalArgumentException(s"unsupported groupBy: $g")
     }
 
@@ -113,13 +118,21 @@ object MetricsApi {
 
     // zero-fill over the requested range (only for the plain time series —
     // extra dims would need a spine × dim-domain cross join)
-    req.filterBy.find(f => f.filterType == "time" && f.interpretAs == "range") match {
+    req.filterBy.find(f => f.interpretAs == "range" &&
+      Set("time", "month", "day", "year")(f.filterType)) match {
       case Some(f) if dims.isEmpty =>
-        MetricsKernel.zeroFillSpine(agg, spark, f.values.head, f.values(1),
-          unit, req.metrics)
+        MetricsKernel.zeroFillSpine(agg, spark, isoDate(f.values.head),
+          isoDate(f.values(1)), unit, req.metrics)
       case _ => agg
     }
   }
+
+  /** Accepts ISO (yyyy-MM-dd) or the reference's %m/%d/%Y. */
+  private def isoDate(v: String): String =
+    if (v.contains("/")) {
+      val Array(m, d, y) = v.split("/")
+      f"$y-${m.toInt}%02d-${d.toInt}%02d"
+    } else v
 
   /** A15 response shape: one row per catalog entity with distinct-event
     * usage counts per requested metric. */
@@ -137,12 +150,15 @@ object MetricsApi {
     interpret(spark, dir, parse(json))
 
   /** The reference's column-oriented response shape: one row of parallel
-    * arrays ordered by period (`metricsreader.py:315-323,1609-1615`). */
+    * arrays ordered by period, plus the `resultDetails` totals
+    * (`metricsreader.py:315-323,1609-1615,1810-1814`). */
   def columnarResponse(longDf: DataFrame, metrics: Seq[String]): DataFrame = {
     val ordered = sort_array(collect_list(struct(
-      col("period") +: metrics.map(col): _*)))
+      col("period") +: metrics.map(col): _*))).as("r")
+    val totals = metrics.map(m => sum(col(m)).as(s"total_$m"))
     val arrays = col("r.period").as("periods") +:
-      metrics.map(m => col(s"r.$m").as(m))
-    longDf.agg(ordered.as("r")).select(arrays: _*)
+      (metrics.map(m => col(s"r.$m").as(m)) ++
+        metrics.map(m => col(s"total_$m")))
+    longDf.agg(ordered, totals: _*).select(arrays: _*)
   }
 }

@@ -134,6 +134,28 @@ object ApiQueries {
              |       coalesce(downloads, 0) AS downloads
              |FROM spine s LEFT JOIN agg USING (period)""".stripMargin)),
 
+    // User-charts path (FIXTURES §5.2): %m/%d/%Y range dates, range filter
+    // named after the unit, plural groupBy, country dimension.
+    GraftQuery("api_user_charts",
+      (s, dir) => MetricsApi.interpretJson(s, dir,
+        """{"metrics": ["views", "downloads"],
+          |"filterBy": [
+          |  {"filterType": "user",
+          |   "values": ["10", "11", "12", "13", "14", "15"],
+          |   "interpretAs": "list"},
+          |  {"filterType": "month", "values": ["01/05/2024", "01/25/2024"],
+          |   "interpretAs": "range"}],
+          |"groupBy": ["months", "country"]}""".stripMargin),
+      Some("""SELECT strftime(date_trunc('month', ts), '%Y-%m') AS period,
+             |       (['US','DE','FR','BR','JP','IN','GB','CA','AU','NL'])
+             |         [(user_id % 10 + 1)::INT] AS country,
+             |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+             |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS downloads
+             |FROM events
+             |WHERE user_id IN (10, 11, 12, 13, 14, 15)
+             |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-26'
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Portal path with a collection-query filter (interpretAs=query):
     // portal membership + `field:value` boolean expression compiled to one
     // Catalyst predicate (`metricsreader.py:151-156,1449-1453`).

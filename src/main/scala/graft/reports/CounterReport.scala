@@ -44,6 +44,9 @@ object CounterReport {
     sess
       .withColumn("node_id", nodeOf(col("user_id")))
       .withColumn("country", countryOf(col("user_id")))
+      // unresolvable-geo rows are dropped from reports
+      // (`metricsreporter.py:442-444` pops the "n/a" key)
+      .filter(col("country") =!= "n/a")
       .groupBy(col("node_id"), date_format(col("ts"), "yyyy-MM").as("period"),
         col("country"))
       .agg(

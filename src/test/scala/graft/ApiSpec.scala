@@ -28,7 +28,7 @@ class ApiSpec extends SparkSpec {
     assert(rows(1).getLong(1) == 0 && rows(2).getLong(2) == 0) // zero-filled
   }
 
-  test("columnarResponse emits parallel arrays ordered by period") {
+  test("columnarResponse emits parallel arrays ordered by period plus totals") {
     val req = MetricsRequest(Seq("views"),
       Seq(MetricsFilter("time", Seq("2024-01-01", "2024-02-29"), "range")),
       Seq("month"))
@@ -37,6 +37,19 @@ class ApiSpec extends SparkSpec {
     assert(row.getSeq[String](0) == Seq("2024-01", "2024-02"))
     assert(row.getSeq[Long](1).length == 2)
     assert(row.getSeq[Long](1)(1) == 0L)
+    assert(row.getLong(2) == row.getSeq[Long](1).sum) // resultDetails total
+  }
+
+  test("range filters accept the reference's MM/DD/YYYY format") {
+    val iso = MetricsApi.interpret(spark, testDataDir, MetricsRequest(
+      Seq("views"),
+      Seq(MetricsFilter("time", Seq("2024-01-05", "2024-01-10"), "range")),
+      Seq("day"))).collect().map(_.toString).sorted
+    val usFmt = MetricsApi.interpret(spark, testDataDir, MetricsRequest(
+      Seq("views"),
+      Seq(MetricsFilter("month", Seq("01/05/2024", "01/10/2024"), "range")),
+      Seq("days"))).collect().map(_.toString).sorted
+    assert(iso.sameElements(usFmt))
   }
 
   test("group filter is an alias of the user-list path") {
