@@ -84,6 +84,20 @@ class OperatorsSpec extends SparkSpec {
     assert(b1(0) + b1(1) == 255) // mirrored vectors land in complementary buckets
   }
 
+  test("UA tagging handles anchored and escaped dictionary patterns") {
+    // FIXTURES §6: the COUNTER dictionaries contain anchored (`^ruby$`) and
+    // escaped (`aria2\/\d`) regexes — the tagger must keep their semantics
+    import spark.implicits._
+    val pattern = "^ruby$|aria2/\\d|(?i)bot"
+    val res = Seq("ruby", "ruby 3.2", "aria2/1.35", "aria2/x", "GoogleBot")
+      .toDF("ua")
+      .select(col("ua"), Enrich.tags(Seq(
+        "robot_ua" -> col("ua").rlike(pattern))))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).nonEmpty).toMap
+    assert(res == Map("ruby" -> true, "ruby 3.2" -> false,
+      "aria2/1.35" -> true, "aria2/x" -> false, "GoogleBot" -> true))
+  }
+
   test("ipInCidrs matches inside and outside ranges") {
     import spark.implicits._
     val res = Seq("10.5.1.2", "10.6.1.2", "192.168.0.1").toDF("ip")
