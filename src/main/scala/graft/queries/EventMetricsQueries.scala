@@ -38,6 +38,20 @@ object EventMetricsQueries {
              |       count(*) AS total_count
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // A3 nested two-level histogram: month buckets with day sub-buckets —
+    // the reference's documented nested aggregation (`elastic_notes.rst:443-480`).
+    GraftQuery("a3_nested_histogram",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(MetricsKernel.periodOf(col("ts"), "month").as("month"),
+          MetricsKernel.periodOf(col("ts"), "day").as("day"))
+        .agg(countDistinct(col("event_id")).as("unique_count"),
+          count(lit(1)).as("total_count")),
+      Some("""SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+             |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |       CAST(count(DISTINCT event_id) AS BIGINT) AS unique_count,
+             |       count(*) AS total_count
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // §2.5 sessionization + A4 session roll-up: 60-min-gap sessions per user.
     GraftQuery("a4_session_rollup",
       (s, dir) => Sessionize.sessionStats(
