@@ -57,6 +57,34 @@ object Enrich {
   def searchEvent(request: Column, prefix: String): Column =
     request.startsWith(prefix)
 
+  /** Geohash encoding — the reference's `geohash_1..9` event fields and the
+    * `geohash4` rollup dimension (`elastic_notes.rst:236-238`,
+    * `00-metrics-tables.sql:26`). Standard interleaved-bit base32, built
+    * from pure column arithmetic (no UDF): bit i of the interleaved stream
+    * comes from halving either the lon (even i) or lat (odd i) interval.
+    */
+  def geohash(lat: Column, lon: Column, precision: Int): Column = {
+    val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val nBits = precision * 5
+    // normalized fractions in [0, 1)
+    val latF = (lat + 90.0) / 180.0
+    val lonF = (lon + 180.0) / 360.0
+    // bit i (0-based) of value: floor(f * 2^(k+1)) % 2 where k = index among
+    // that coordinate's bits
+    def bit(f: Column, k: Int): Column =
+      floor(f * math.pow(2, k + 1)).cast("long") % 2
+    val bits = (0 until nBits).map { i =>
+      if (i % 2 == 0) bit(lonF, i / 2) else bit(latF, i / 2)
+    }
+    val chars = bits.grouped(5).map { g =>
+      val idx = g.zipWithIndex.map { case (b, j) => b * (16 >> j) }
+        .reduce(_ + _).cast("int")
+      // element_at is 1-based
+      element_at(lit(base32.toCharArray.map(_.toString)), idx + 1)
+    }
+    concat(chars.toSeq: _*)
+  }
+
   /** DOI canonicalization per node — the reference's per-repository ID
     * rewrite rules (`es_sysmeta_sync.py:403-438`), as a when/otherwise chain.
     * `rules` maps a source-predicate to the canonical-id expression; first

@@ -106,6 +106,21 @@ class OperatorsSpec extends SparkSpec {
     assert(res.toSeq == Seq(true, false, true))
   }
 
+  test("geohash encodes known reference points") {
+    import spark.implicits._
+    val res = Seq(
+      (57.64911, 10.40744),   // geohash.org canonical example
+      (42.6, -5.6),           // ezs42
+      (37.7749, -122.4194))   // San Francisco
+      .toDF("lat", "lon")
+      .select(Enrich.geohash(col("lat"), col("lon"), 9).as("gh9"),
+        Enrich.geohash(col("lat"), col("lon"), 4).as("gh4"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(res(0)._1 == "u4pruydqq" && res(0)._2 == "u4pr")
+    assert(res(1)._1.startsWith("ezs42"))
+    assert(res(2)._1.startsWith("9q8yy"))
+  }
+
   test("map ops: str_to_map round-trip and map_filter (querystring kv split)") {
     // reference: kv querystring split + country-counts dicts
     // (`search.conf:80-87`, `metricsreporter.py:216-307`)

@@ -58,6 +58,36 @@ class StreamingSpec extends SparkSpec {
     assert(viaWindow == viaGaps)
   }
 
+  test("late event within watermark merges two sessions (native out-of-order repair)") {
+    // the reference repairs out-of-order arrivals by stripping session ids
+    // and reprocessing (`metricselasticsearch.py:887-931`); session_window
+    // + watermark does the merge natively: two sessions 2h apart become ONE
+    // when a late bridging event lands between them
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent](spark)
+    val out = StreamingSessionize.sessionWindowStats(
+      input.toDS().toDF(), gapSeconds = 3600L, watermark = Some("4 hours"))
+    val q = out.writeStream.format("memory").queryName("merged")
+      .outputMode("append").start()
+    // batch 1: two separate sessions for user 9 (gap 100min > TTL)
+    input.addData(Seq(ev(9, base, 1), ev(9, base + 6000, 2)))
+    q.processAllAvailable()
+    // batch 2: LATE bridging event at +50min (within TTL of both
+    // neighbors), then a far-future event that pushes the watermark past
+    // everything so final sessions emit
+    input.addData(Seq(ev(9, base + 3000, 3), ev(9, base + 900000, 4)))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("merged")
+      .filter(col("session_start") < java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(base + 800000)))
+      .collect().map(r => (r.getLong(1),
+        r.getTimestamp(2).toInstant.getEpochSecond,
+        r.getTimestamp(3).toInstant.getEpochSecond))
+    // ONE merged session covering all three events — no repair protocol
+    assert(sessions.toSeq == Seq((3L, base, base + 6000)))
+  }
+
   test("streaming tumbling-window counts match the batch date histogram") {
     import spark.implicits._
     val input = MemoryStream[SessionEvent](spark)
