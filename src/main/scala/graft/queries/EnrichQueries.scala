@@ -121,6 +121,38 @@ object EnrichQueries {
               |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
               |GROUP BY 1""".stripMargin)),
 
+    // Geohash dimension rollup (`00-metrics-tables.sql:26` geohash4;
+    // `elastic_notes.rst:236-238`): coordinates derived deterministically,
+    // encoded with Enrich.geohash, grouped. The oracle reproduces the same
+    // interleaved-bit arithmetic, generated from one formula.
+    GraftQuery("f_geohash_rollup",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("lat", (col("user_id") % 170).cast("double") - 85.0 + 0.37)
+        .withColumn("lon", (col("event_id") % 350).cast("double") - 175.0 + 0.29)
+        .groupBy(Enrich.geohash(col("lat"), col("lon"), 4).as("geohash4"))
+        .agg(count(lit(1)).as("n_events")),
+      Some {
+        val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        def bitSql(i: Int): String = {
+          val (f, k) =
+            if (i % 2 == 0) ("((lon + 180.0) / 360.0)", i / 2)
+            else (("((lat + 90.0) / 180.0)"), i / 2)
+          s"(CAST(floor($f * ${math.pow(2, k + 1).toLong}) AS BIGINT) % 2)"
+        }
+        val chars = (0 until 4).map { c =>
+          val idx = (0 until 5).map(j => s"${bitSql(c * 5 + j)} * ${16 >> j}")
+            .mkString(" + ")
+          s"substring('$base32', CAST($idx AS INT) + 1, 1)"
+        }.mkString(" || ")
+        s"""WITH e AS (
+           |  SELECT (user_id % 170)::DOUBLE - 85.0 + 0.37 AS lat,
+           |         (event_id % 350)::DOUBLE - 175.0 + 0.29 AS lon
+           |  FROM events
+           |)
+           |SELECT $chars AS geohash4, count(*) AS n_events
+           |FROM e GROUP BY 1""".stripMargin
+      }),
+
     // DOI canonicalization: per-source rewrite rules, first match wins
     // (`es_sysmeta_sync.py:403-438`).
     GraftQuery("f_canonical_id",
