@@ -54,6 +54,28 @@ class OperatorsSpec extends SparkSpec {
     assert(res(1).isEmpty)
   }
 
+  test("minhashSignature (column form) agrees with the LSH pipeline's hashes") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, testDataDir).filter(col("doc_id") < 20)
+    val viaColumn = docs
+      .select(col("doc_id"), Dedup.minhashSignature(
+        Dedup.shingles(col("text"), 3), 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val aggCols = Dedup.MinhashA.indices.map(j =>
+      min((lit(Dedup.MinhashA(j)) * col("h") + lit(Dedup.MinhashB(j)))
+        % Dedup.MinhashP).as(s"mh$j"))
+    val viaExplode = Dedup.shingleRows(docs, col("doc_id"), col("text"), 3)
+      .select(col("doc_id"),
+        Dedup.hash60(col("s")).bitwiseAND(lit(Dedup.MinhashMask)).as("h"))
+      .groupBy("doc_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(viaColumn.keySet == viaExplode.keySet)
+    viaColumn.foreach { case (id, sig) =>
+      assert(sig == viaExplode(id), s"doc $id")
+    }
+  }
+
   test("simhash: identical docs equal, disjoint docs differ") {
     import spark.implicits._
     val res = Seq("spark scala engine spark", "spark scala engine spark",
