@@ -20,7 +20,9 @@ case class MediaFeatures(
     mime: String,
     n_bytes: Long,
     byte_histogram: Array[Long],
-    frames_sampled: Int)
+    frames_sampled: Int,
+    out_width: Int,
+    out_height: Int)
 
 /** Multimodal-column plumbing: images/audio/video as opaque binary columns
   * with typed metadata, and a distributed feature-extraction pass.
@@ -44,10 +46,20 @@ object Multimodal {
     hist
   }
 
+  /** Aspect-preserving fit of (w, h) into a target box — the resize
+    * geometry is real; only the pixel resampling would be the codec's job. */
+  def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    val scale = math.min(maxW.toDouble / w, maxH.toDouble / h).min(1.0)
+    (math.max(1, math.round(w * scale).toInt),
+      math.max(1, math.round(h * scale).toInt))
+  }
+
   /** Feature extraction over a typed media dataset. `mapPartitions` so a
     * real implementation amortizes decoder initialization per partition;
-    * rows stream through without materializing the partition. */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    * rows stream through without materializing the partition. Covers the
+    * decode(stub) / feature / resize-geometry / frame-sample steps. */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      maxW: Int = 224, maxH: Int = 224): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real impl: val decoder = Codec.open(...) — once per partition
@@ -56,7 +68,9 @@ object Multimodal {
         val frames =
           if (m.mime.startsWith("video/")) (m.duration_ms / 1000L).toInt.max(1)
           else 1
-        MediaFeatures(m.media_id, m.mime, m.bytes.length.toLong, hist, frames)
+        val (ow, oh) = fitBox(m.width, m.height, maxW, maxH)
+        MediaFeatures(m.media_id, m.mime, m.bytes.length.toLong, hist, frames,
+          ow, oh)
       }
     }
   }
@@ -78,7 +92,7 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Rows-only query entry: features rolled up by mime type. */
+  /** Query entry (oracle-checked): features rolled up by mime type. */
   def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
     val feats = extractFeatures(mediaFromDocuments(spark, docs))
     feats.groupBy(col("mime"))

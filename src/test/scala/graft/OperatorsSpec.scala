@@ -168,5 +168,34 @@ class OperatorsSpec extends SparkSpec {
     val f = feats.head()
     assert(f.byte_histogram.length == 16)
     assert(f.byte_histogram.sum == f.n_bytes) // histogram covers every byte
+    assert(f.out_width <= 224 && f.out_height <= 224)
+  }
+
+  test("resize geometry preserves aspect ratio and never upscales") {
+    assert(Multimodal.fitBox(448, 224, 224, 224) == (224, 112))
+    assert(Multimodal.fitBox(100, 100, 224, 224) == (100, 100)) // no upscale
+    assert(Multimodal.fitBox(1000, 10, 224, 224) == (224, 2))
+    assert(Multimodal.fitBox(10, 1000, 224, 224) == (2, 224))
+  }
+
+  test("embedding LSH near-dup pairs are a verified subset of brute force") {
+    val emb = Tables.embeddings(spark, testDataDir)
+    val lsh = Vectors.lshNearDupPairs(emb, dim = 64, numPlanes = 4,
+      threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = {
+      val e = emb.select(col("vec_id"), col("embedding"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", Vectors.cosine(col("a.embedding"), col("b.embedding")))
+        .filter(col("cos") >= 0.3)
+        .select(col("a.vec_id"), col("b.vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(lsh.subsetOf(brute)) // exact-cosine verification ⇒ precision 1
+    // determinism: same planes, same buckets, same pairs
+    val again = Vectors.lshNearDupPairs(emb, dim = 64, numPlanes = 4,
+      threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == again)
   }
 }
