@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   * written partitioned by `year/month(ts)` so the mandatory date-range
   * filter (reference `metricselasticsearch.py:1115-1123`) prunes partitions.
   */
+/** Typed event record — the ingest-validation edge (SURVEY §1.4/§7.1:
+  * `Dataset[ReadEvent]` at the edge; `DataFrame` for aggregation plans). */
+case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    props: String)
+
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -41,5 +51,13 @@ object Tables {
       // integer division — `/` would round-trip through double and lose
       // sub-µs precision on 1.7e18-scale nanos
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Typed edge: schema-validated events. `.as[Event]` fails analysis on
+    * any column/type drift — the schema-on-write guarantee the reference
+    * gets from its ES index template (`elastic_notes.rst:216-250`). */
+  def eventsTyped(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[Event] = {
+    import spark.implicits._
+    events(spark, dir).as[Event]
   }
 }

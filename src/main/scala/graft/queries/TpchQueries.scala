@@ -53,6 +53,51 @@ object TpchQueries {
              |       count(*) AS n_orders
              |FROM orders GROUP BY ROLLUP(1, 2)""".stripMargin)),
 
+    // Window-function battery: rank family + offsets + running aggregates
+    // within partitions (§2.5/§2.6 window-shaped ops as one surface).
+    GraftQuery("w_window_battery",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir).filter(col("o_orderkey") < 3000)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            row_number().over(w).as("rn"),
+            ntile(4).over(w).as("quartile"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(run)
+              .cast("double").as("running_total"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  CAST(rank() OVER w AS INT) AS rnk,
+             |  CAST(dense_rank() OVER w AS INT) AS drnk,
+             |  CAST(row_number() OVER w AS INT) AS rn,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  lag(o_orderkey, 1) OVER w AS prev_key,
+             |  lead(o_orderkey, 1) OVER w AS next_key,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             |    (PARTITION BY o_orderpriority
+             |     ORDER BY o_totalprice DESC, o_orderkey
+             |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+             |FROM orders WHERE o_orderkey < 3000
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)),
+
+    // CUBE + grouping flags: all grouping-set combinations with subtotal
+    // provenance (the ROLLUP sibling; A8 family).
+    GraftQuery("a8_cube_grouping",
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          grouping_id().cast("int").as("gid")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+             |FROM orders GROUP BY CUBE(1, 2)""".stripMargin)),
+
     // A10: month counting with NULL-date coercion — citation counting by
     // link_publication_date prefix (`metricsreader.py:346-350,1654-1672`).
     GraftQuery("a10_month_counts",

@@ -128,6 +128,19 @@ class OperatorsSpec extends SparkSpec {
     assert(res.toSeq == Seq(true, false, true))
   }
 
+  test("typed events edge validates schema and round-trips values") {
+    val ds = Tables.eventsTyped(spark, testDataDir)
+    val first = ds.orderBy("event_id").head()
+    assert(first.event_id == 0L)
+    assert(Set("view", "click", "purchase", "signup", "error")(first.event_type))
+    // type drift fails analysis, not silently at runtime
+    intercept[org.apache.spark.sql.AnalysisException] {
+      import spark.implicits._
+      Tables.events(spark, testDataDir)
+        .drop("props").as[Event].head()
+    }
+  }
+
   test("geohash encodes known reference points") {
     import spark.implicits._
     val res = Seq(
