@@ -51,6 +51,17 @@ object MetricsApi {
     * per-entity summary shape instead (`getSummaryMetricsPerCatalog`,
     * `metricsreader.py:134-137`). */
   def interpret(spark: SparkSession, dir: String, req: MetricsRequest): DataFrame = {
+    // validate up front (mirrors the unsupported-filter/groupBy branches):
+    // an unknown metric would otherwise be silently dropped from the pivot
+    // but still zero-fill-coalesced -> AnalysisException deep in the plan
+    val unknown = req.metrics.filterNot(MetricTypes.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unsupported metrics: ${unknown.mkString(", ")} " +
+          s"(supported: ${MetricTypes.keys.toSeq.sorted.mkString(", ")})")
+    if (req.metrics.isEmpty)
+      throw new IllegalArgumentException("metrics must be non-empty")
+
     val events = Tables.events(spark, dir)
 
     req.filterBy.find(f => Set("catalog", "package")(f.filterType)) match {

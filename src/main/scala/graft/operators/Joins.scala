@@ -23,6 +23,13 @@ object Joins {
     * equi-join, AQE handles skew; `localCheckpoint` truncates the exploding
     * lineage each round.
     *
+    * `maxDepth` is a LOWER BOUND on resolvable chain depth, not a cap: the
+    * round count covers depth 2^ceil(log2 maxDepth)·2 (e.g. 64 for the
+    * reference's 20, `pid_resolution.py:236`). If the fixpoint is still not
+    * reached after the final round — a chain deeper than that bound — the
+    * method THROWS rather than silently resolving nodes to a mid-chain
+    * ancestor.
+    *
     * @param edges (child, parent) pairs; roots appear only as parents.
     * @return (node, root) for every node incl. roots themselves.
     */
@@ -51,6 +58,18 @@ object Joins {
     }
     // (measured: composing twice per barrier — distance ×4 — is net slower
     // here; the extra exchanges cost more than the saved checkpoints)
+    if (!converged) {
+      // the final round still moved pointers; verify whether it happened to
+      // finish the job (cheap: one join over the checkpointed mapping), and
+      // refuse to return mid-chain ancestors as roots otherwise
+      val jump = m.select(col("node").as("j_node"), col("anc").as("j_anc"))
+      val stillMoving = m.join(jump, m("anc") === jump("j_node"), "left")
+        .filter(col("j_anc").isNotNull && col("j_anc") =!= m("anc"))
+      if (!stillMoving.isEmpty)
+        throw new IllegalStateException(
+          s"resolveRoots did not converge: chain deeper than covered bound " +
+            s"for maxDepth=$maxDepth (rounds=$rounds); raise maxDepth")
+    }
     m.withColumnRenamed("anc", "root")
   }
 

@@ -69,11 +69,13 @@ object Vectors {
   /** Random-hyperplane LSH bucket id (0 until 2^numPlanes) for an embedding
     * column of dimension `dim`. The planes are constant-folded into the plan
     * as literal arrays — zero per-row hashing cost beyond `numPlanes` dot
-    * products, all inside whole-stage codegen. */
+    * products, all inside whole-stage codegen via [[dotNative]] (callers
+    * must have [[graft.plans.GraftFunctions.register]] applied; the
+    * interpreted HOF [[dot]] measures ~20× slower per element). */
   def lshBucket(emb: Column, dim: Int, numPlanes: Int): Column =
     (0 until numPlanes).map { p =>
       val plane = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
-      when(dot(emb, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotNative(emb, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** IVF (inverted-file) ANN index: `numClusters` centroids — seeded from

@@ -89,10 +89,13 @@ object VectorQueries {
     // a pure codegen'd projection (planes constant-folded as literals), so
     // the only shuffle in an LSH near-dup job is on the bucket id.
     GraftQuery("v_lsh_buckets",
-      (s, dir) => Tables.embeddings(s, dir)
-        .select(Vectors.lshBucket(col("embedding"), dim = 64, numPlanes = 8)
-          .as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs")),
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Tables.embeddings(s, dir)
+          .select(Vectors.lshBucket(col("embedding"), dim = 64, numPlanes = 8)
+            .as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+      },
       Some("""WITH b AS (
              |  SELECT vec_id,
              |    list_reduce(list_transform(generate_series(0, 7), p ->

@@ -42,12 +42,16 @@ object GoldTables {
 
   /** Incremental gold build: recompute only groups whose fingerprint
     * changed since the last run; dynamic partition overwrite replaces just
-    * those groups' partitions. Fingerprint state lives beside the gold
-    * table, like `portal_metadata` (`00-metrics-tables.sql:70-75`).
-    * Returns (rebuilt, skipped) group counts. */
+    * those groups' partitions, and partitions of groups that VANISHED from
+    * the input (present in prior state, absent now) are deleted — dynamic
+    * overwrite alone would leave them stale forever. Fingerprint state
+    * lives beside the gold table, like `portal_metadata`
+    * (`00-metrics-tables.sql:70-75`). Vanished keys are collected to the
+    * driver — safe because the group domain (nodes/portals) is small even
+    * at 100 TB of events. Returns (rebuilt, skipped, removed) group counts. */
   def incrementalBuild(spark: SparkSession, events: DataFrame,
                        groupCol: String, goldPath: String,
-                       statePath: String): (Long, Long) = {
+                       statePath: String): (Long, Long, Long) = {
     val fresh = fingerprints(events, groupCol)
     val prior =
       try spark.read.parquet(statePath)
@@ -56,20 +60,35 @@ object GoldTables {
         fresh.select(col(groupCol)).limit(0)
           .withColumn("prior_fp", lit(null).cast("string"))
       }
-    val joined = fresh.join(prior, Seq(groupCol), "left").cache()
-    val changed = joined.filter(col("prior_fp").isNull ||
-      col("prior_fp") =!= col("fingerprint")).select(col(groupCol))
+    // full outer: fresh-only = new, both-differ = changed, prior-only = vanished
+    val joined = fresh.join(prior, Seq(groupCol), "full").cache()
+    val changed = joined.filter(col("fingerprint").isNotNull &&
+      (col("prior_fp").isNull || col("prior_fp") =!= col("fingerprint")))
+      .select(col(groupCol))
+    val vanishedKeys = joined.filter(col("fingerprint").isNull)
+      .select(col(groupCol)).collect().map(_.get(0))
     val nChanged = changed.count()
-    val nSkipped = joined.count() - nChanged
+    val nSkipped = joined.count() - nChanged - vanishedKeys.length
     if (nChanged > 0) {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       goldAgg(events.join(changed, Seq(groupCol), "left_semi"), groupCol)
         .write.mode("overwrite")
         .partitionBy(groupCol)
         .parquet(goldPath)
-      fresh.write.mode("overwrite").parquet(statePath)
     }
+    if (vanishedKeys.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(goldPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      vanishedKeys.foreach { k =>
+        // escape exactly as the parquet writer does (e.g. ':' -> '%3A')
+        val leaf = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(groupCol, String.valueOf(k))
+        fs.delete(new org.apache.hadoop.fs.Path(root, leaf), true)
+      }
+    }
+    if (nChanged > 0 || vanishedKeys.nonEmpty)
+      fresh.write.mode("overwrite").parquet(statePath)
     joined.unpersist()
-    (nChanged, nSkipped)
+    (nChanged, nSkipped, vanishedKeys.length)
   }
 }

@@ -30,9 +30,16 @@ case class SessionizedEvent(user_id: Long, ts: Timestamp, event_id: Long,
   *     id assignment, for when per-event session tags must be emitted
   *     in-flight rather than per closed session.
   *
-  * Scale: state is partitioned by user key across executors; watermark
-  * bounds state size (old sessions evicted), so state is O(active keys),
-  * not O(history).
+  * Scale: state is partitioned by user key across executors. For
+  * [[sessionWindowStats]] the watermark bounds state size natively. For
+  * [[statefulSessionize]], pass a `watermark` to arm `EventTimeTimeout`
+  * eviction: a key's state is removed once the watermark passes its last
+  * event + gap (no on-time event can extend that session), keeping state
+  * O(active keys). Without a watermark (batch/testing), state is
+  * O(all keys ever seen) — do not run that mode on an unbounded stream.
+  * After eviction a returning key restarts `session_seq` at 1, so
+  * downstream must key sessions by (user_id, session start), not by seq
+  * alone.
   */
 object StreamingSessionize {
 
@@ -56,27 +63,44 @@ object StreamingSessionize {
     * upstream source's per-key ordering, as the reference's mark/live-session
     * carry-over does. */
   def statefulSessionize(events: Dataset[SessionEvent],
-                         gapSeconds: Long): Dataset[SessionizedEvent] = {
+                         gapSeconds: Long,
+                         watermark: Option[String] = None): Dataset[SessionizedEvent] = {
     import events.sparkSession.implicits._
     val gapMicros = gapSeconds * 1000000L
-    events.groupByKey(_.user_id)
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    val timeoutConf =
+      if (watermark.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionizedEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          def micros(t: Timestamp): Long =
-            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-          val out = sorted.map { e =>
-            val tsMicros = micros(e.ts)
-            val newSession = st.sessionSeq == 0L ||
-              tsMicros - st.lastTsMicros > gapMicros
-            st = SessionState(tsMicros,
-              if (newSession) st.sessionSeq + 1 else st.sessionSeq)
-            SessionizedEvent(user, e.ts, e.event_id, st.sessionSeq)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: the session can no longer be
+            // extended by an on-time event — evict (state stays O(active keys))
+            state.remove()
+            Iterator.empty
+          } else {
+            def micros(t: Timestamp): Long =
+              t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+            val out = sorted.map { e =>
+              val tsMicros = micros(e.ts)
+              val newSession = st.sessionSeq == 0L ||
+                tsMicros - st.lastTsMicros > gapMicros
+              st = SessionState(tsMicros,
+                if (newSession) st.sessionSeq + 1 else st.sessionSeq)
+              SessionizedEvent(user, e.ts, e.event_id, st.sessionSeq)
+            }
+            state.update(st)
+            if (watermark.isDefined)
+              // must exceed the current watermark or Spark rejects the timer
+              state.setTimeoutTimestamp(math.max(
+                st.lastTsMicros / 1000L + gapSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

@@ -67,6 +67,26 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("unknown or empty metrics fail up front, not mid-plan") {
+    val e = intercept[IllegalArgumentException] {
+      MetricsApi.interpret(spark, testDataDir,
+        MetricsRequest(Seq("views", "citations"),
+          Seq(MetricsFilter("month", Seq("2024-01-01", "2024-03-31"), "range")),
+          Seq("month")))
+    }
+    assert(e.getMessage.contains("citations"))
+    intercept[IllegalArgumentException] {
+      MetricsApi.interpret(spark, testDataDir,
+        MetricsRequest(Seq(), Seq(), Seq("month")))
+    }
+    // the catalog path validates too (aggs.head would otherwise throw)
+    intercept[IllegalArgumentException] {
+      MetricsApi.interpret(spark, testDataDir,
+        MetricsRequest(Seq("nope"),
+          Seq(MetricsFilter("catalog", Seq("1", "2"), "list")), Seq()))
+    }
+  }
+
   test("zeroFillSpine covers partial trailing periods (reference bug fixed)") {
     // the reference's day-step loop drops the final partial month
     // (`metricsreader.py:1029-1030`); ours must include it

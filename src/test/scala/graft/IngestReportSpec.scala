@@ -76,14 +76,35 @@ class IngestReportSpec extends SparkSpec {
     val base = tmpDir()
     val events = Tables.events(spark, testDataDir)
       .withColumn("node_id", CounterReport.nodeOf(col("user_id")))
-    val (b1, s1) = GoldTables.incrementalBuild(spark, events, "node_id",
+    val (b1, s1, r1) = GoldTables.incrementalBuild(spark, events, "node_id",
       s"$base/gold", s"$base/state")
-    assert(b1 == 5 && s1 == 0) // first run builds all 5 node groups
-    val (b2, s2) = GoldTables.incrementalBuild(spark, events, "node_id",
+    assert(b1 == 5 && s1 == 0 && r1 == 0) // first run builds all 5 node groups
+    val (b2, s2, r2) = GoldTables.incrementalBuild(spark, events, "node_id",
       s"$base/gold", s"$base/state")
-    assert(b2 == 0 && s2 == 5) // unchanged input: everything skipped
+    assert(b2 == 0 && s2 == 5 && r2 == 0) // unchanged input: everything skipped
     val gold = spark.read.parquet(s"$base/gold")
     assert(gold.count() > 0)
     assert(gold.columns.contains("n_unique"))
+  }
+
+  test("gold incremental build deletes partitions of vanished groups") {
+    val base = tmpDir()
+    val events = Tables.events(spark, testDataDir)
+      .withColumn("node_id", CounterReport.nodeOf(col("user_id")))
+    GoldTables.incrementalBuild(spark, events, "node_id",
+      s"$base/gold", s"$base/state")
+    val keep = events.select("node_id").distinct()
+      .orderBy("node_id").limit(1).head().getString(0)
+    // one group disappears from the input entirely
+    val shrunk = events.filter(col("node_id") === keep)
+    val (b, s, r) = GoldTables.incrementalBuild(spark, shrunk, "node_id",
+      s"$base/gold", s"$base/state")
+    assert(b == 0 && s == 1 && r == 4) // survivor unchanged, 4 groups removed
+    val gold = spark.read.parquet(s"$base/gold")
+    assert(gold.select("node_id").distinct().collect().map(_.getString(0)).toSeq
+      == Seq(keep)) // stale partitions gone, not silently served
+    // state reflects the shrunk domain: a third identical run is a no-op
+    assert(GoldTables.incrementalBuild(spark, shrunk, "node_id",
+      s"$base/gold", s"$base/state") == ((0L, 1L, 0L)))
   }
 }

@@ -98,6 +98,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("lshBucket is deterministic and within range") {
     import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
     val df = Seq(Seq.fill(64)(0.5f), Seq.fill(64)(-0.5f)).toDF("embedding")
     val b1 = df.select(Vectors.lshBucket(col("embedding"), 64, 8)).as[Long].collect()
     val b2 = df.select(Vectors.lshBucket(col("embedding"), 64, 8)).as[Long].collect()

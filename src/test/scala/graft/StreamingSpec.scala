@@ -110,6 +110,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("statefulSessionize with watermark evicts idle state (EventTimeTimeout)") {
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent](spark)
+    val out = StreamingSessionize.statefulSessionize(
+      input.toDS(), gapSeconds = 3600L, watermark = Some("1 hour"))
+    val q = out.writeStream.format("memory").queryName("evicted")
+      .outputMode("append").start()
+    // batch 1: user 1 opens session 1
+    input.addData(Seq(ev(1, base, 1))); q.processAllAvailable()
+    // batch 2: another key far in the future pushes the watermark well past
+    // user 1's (lastTs + gap) -> user 1's state times out and is removed
+    input.addData(Seq(ev(2, base + 500000, 2))); q.processAllAvailable()
+    // batch 3: user 1 returns after eviction — session_seq restarts at 1
+    // (the documented post-eviction contract: without the timeout this
+    // would be seq 2, and state would grow with every key ever seen)
+    input.addData(Seq(ev(1, base + 600000, 3))); q.processAllAvailable()
+    q.stop()
+    val seqs = spark.table("evicted")
+      .select("event_id", "session_seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seqs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("statefulSessionize in a single batch matches batch semantics on events table") {
     import spark.implicits._
     val events = Tables.events(spark, testDataDir).limit(2000)
