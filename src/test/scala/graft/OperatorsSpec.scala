@@ -30,6 +30,28 @@ class OperatorsSpec extends SparkSpec {
     assert((1L to 20L).forall(roots(_) == 1L))
   }
 
+  test("resolveRoots fast path and jump factors agree with the general path") {
+    val chain = (2L to 20L).map(i => i -> Some(i - 1)) :+ (1L -> None)
+    val expect = Joins.resolveRoots(edgeDf(chain))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (s <- Seq(1, 2, 4)) {
+      val got = Joins.resolveRoots(edgeDf(chain), edgesCoverAllNodes = true,
+        jumpsPerRound = s)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"jumpsPerRound=$s")
+    }
+  }
+
+  test("resolveRoots throws instead of returning mid-chain ancestors") {
+    // depth 69 chain but a budget that only covers ~7: must refuse loudly
+    val chain = (2L to 70L).map(i => i -> Some(i - 1)) :+ (1L -> None)
+    val e = intercept[IllegalStateException] {
+      Joins.resolveRoots(edgeDf(chain), maxDepth = 2, jumpsPerRound = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("closurePairs respects the depth cap") {
     val pairs = Joins.closurePairs(edgeDf(Seq(
       2L -> Some(1L), 3L -> Some(2L), 4L -> Some(3L), 5L -> Some(4L),
