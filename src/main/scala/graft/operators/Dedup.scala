@@ -100,17 +100,22 @@ object Dedup {
                       shingleSize: Int = 3, numHashes: Int = 8,
                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val rows = shingleRows(df, id, text, shingleSize)
-    // Signature: codegen'd hash projection → min-aggregation. md5 runs once
-    // per shingle; the numHashes permuted minima come from map-side partial
-    // aggregation, so the shuffle carries |docs| pre-aggregated rows.
+    // ONE aggregation pass computes both the minhash signature (md5 runs
+    // once per shingle; permuted minima come from map-side partial
+    // aggregation) and the exact shingle set used for verification — the
+    // shingle pipeline would otherwise run three times (signature + two
+    // set fetches). Materialized once: consumed by the band explode and by
+    // both sides of the verification join.
     val sigCols = (0 until numHashes).map(j =>
       min((lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % MinhashP)
         .as(s"mh$j"))
-    val sig = rows
-      .select(col("doc_id"), hash60(col("s")).bitwiseAND(lit(MinhashMask)).as("h"))
+    val perDoc = rows
+      .select(col("doc_id"), col("s"),
+        hash60(col("s")).bitwiseAND(lit(MinhashMask)).as("h"))
       .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-    val withBands = sig.select(col("doc_id"), explode(array(
+      .agg(sigCols.head, sigCols.tail :+ collect_set(col("s")).as("sh"): _*)
+      .localCheckpoint()
+    val withBands = perDoc.select(col("doc_id"), explode(array(
       (0 until bands).map { b =>
         val rows = numHashes / bands
         concat_ws(":", lit(b) +:
@@ -121,11 +126,8 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    // Shingle SETS for verification via collect_set (codegen path), joined
-    // only against the (small) candidate pair set.
-    val sets = rows.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
-    val si = sets.select(col("doc_id").as("i"), col("sh").as("sh_i"))
-    val sj = sets.select(col("doc_id").as("j"), col("sh").as("sh_j"))
+    val si = perDoc.select(col("doc_id").as("i"), col("sh").as("sh_i"))
+    val sj = perDoc.select(col("doc_id").as("j"), col("sh").as("sh_j"))
     cands.join(si, "i").join(sj, "j")
       .withColumn("jac", jaccard(col("sh_i"), col("sh_j")))
       .filter(col("jac") >= threshold)
