@@ -134,6 +134,52 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** Connected components over an undirected candidate-pair list — turns
+    * near-dup PAIRS into dedup GROUPS: every node ends labelled with the
+    * minimum doc id reachable from it (the group's canonical survivor).
+    *
+    * Hash-Min label propagation: each round every node takes the min of its
+    * own label and its neighbours' labels, so labels flood one hop per
+    * round and the loop exits at fixpoint after `diameter` rounds. Near-dup
+    * clusters are shallow (pairs come from shared LSH buckets), so the
+    * diameter is small; for adversarially long path graphs prefer
+    * [[Joins.resolveRoots]]-style doubling. Each round is one join + one
+    * min-aggregation, both shuffled on node id — at 100 TB the pair list is
+    * candidate-sized (LSH output), orders of magnitude smaller than the
+    * corpus. THROWS if `maxRounds` is reached before the fixpoint.
+    *
+    * @param pairs (i, j) undirected candidate edges.
+    * @return (node, component) for every node that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val und = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint()
+    var labels = und.groupBy(col("a"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("a").as("node"), least(col("a"), col("nmin")).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbr = und.join(labels, und("b") === labels("node"))
+        .groupBy(und("a").as("nbr_node")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbr, labels("node") === col("nbr_node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("moved"))
+        .localCheckpoint()
+      converged = next.filter(col("moved")).isEmpty
+      labels = next.drop("moved")
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          s"(component diameter exceeds the budget); raise maxRounds")
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** Exact Jaccard similarity of two set-valued (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling for training-data pipelines. (The
+  * reference has no sampling; its nearest analogue is the first-100 DOI
+  * truncation per report, `metricsreporter.py:632`.)
+  *
+  * Decisions are hash-gated, not `rand()`-gated: whether a row is kept is a
+  * pure function of its id, so samples are reproducible across runs,
+  * stable under retries/speculative tasks, and consistent between pipeline
+  * stages that sample independently — properties `df.sample` cannot give.
+  * Everything here is a pure projection-filter: no shuffle, no state; at
+  * 100 TB the gate runs inside the scan's whole-stage-codegen.
+  */
+object Sampling {
+
+  /** Uniform-ish value in [0, 1) derived from the id via md5 (60-bit) —
+    * reproducible in ANSI SQL for the oracle; swap for xxhash64-based in
+    * production (same plan shape, ~10× cheaper). */
+  def hashUnit(id: Column): Column =
+    Dedup.hash60(id.cast("string")) / lit(1152921504606846976.0) // 2^60
+
+  /** Keep ~`fraction` of rows, deterministically by id. */
+  def deterministicSample(df: DataFrame, id: Column, fraction: Double): DataFrame =
+    df.filter(hashUnit(id) < fraction)
+
+  /** Per-stratum sampling rates with a default — e.g. downsample dominant
+    * languages, keep the tail at full rate. The (small) rate map
+    * constant-folds into one when/otherwise chain: no join, no shuffle. */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(stratum === lit(k), lit(r)).otherwise(acc)
+    }
+    df.filter(hashUnit(id) < rate)
+  }
+}

@@ -94,6 +94,64 @@ object TextQueries {
              |       length(text) AS n_chars_computed
              |FROM documents""".stripMargin)),
 
+    // C4-style cleaning pipeline: one projection computes every quality
+    // gate and emits kept + machine-readable drop reasons — the composed
+    // filter pass a corpus cleaning job runs before tokenization.
+    GraftQuery("t_clean_pipeline",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nToks = size(toks)
+        val stopRatio = size(filter(toks, t => t.isin(StopEn: _*)))
+          .cast("double") / nToks.cast("double")
+        val avgLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+          .cast("double") / nToks.cast("double")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), nToks.as("n_tokens"),
+            avgLen.as("avg_tok_len"), stopRatio.as("stop_ratio"))
+          .withColumn("reasons", array_join(filter(array(
+            when(col("n_tokens") < 5, "too_short"),
+            when(col("n_tokens") > 5000, "too_long"),
+            when(col("avg_tok_len") < 2 || col("avg_tok_len") > 12,
+              "weird_tokens"),
+            when(col("stop_ratio") < 0.01, "no_stopwords")),
+            x => x.isNotNull), ","))
+          .withColumn("kept", col("reasons") === "")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+              |           FROM documents),
+              |q AS (SELECT doc_id,
+              |        length(toks) AS n_tokens,
+              |        list_reduce(list_transform(toks, t -> length(t)::BIGINT),
+              |          (a, b) -> a + b)::DOUBLE / length(toks) AS avg_tok_len,
+              |        length(list_filter(toks, t -> t IN (${sqlList(StopEn)})))::DOUBLE
+              |          / length(toks) AS stop_ratio
+              |      FROM d)
+              |SELECT doc_id, n_tokens, avg_tok_len, stop_ratio, reasons,
+              |       reasons = '' AS kept
+              |FROM (SELECT *,
+              |        coalesce(array_to_string(list_filter([
+              |          CASE WHEN n_tokens < 5 THEN 'too_short' END,
+              |          CASE WHEN n_tokens > 5000 THEN 'too_long' END,
+              |          CASE WHEN avg_tok_len < 2 OR avg_tok_len > 12 THEN 'weird_tokens' END,
+              |          CASE WHEN stop_ratio < 0.01 THEN 'no_stopwords' END],
+              |          x -> x IS NOT NULL), ','), '') AS reasons
+              |      FROM q)""".stripMargin)),
+
+    // Stratified deterministic sampling: hash-gated per-language rates —
+    // downsample the dominant language, keep the tail. Reproducible across
+    // runs (pure function of doc_id); no shuffle, no rand().
+    GraftQuery("t_stratified_sample",
+      (s, dir) => graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "es" -> 0.25), defaultRate = 0.1),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+             |        / 1152921504606846976.0
+             |      < CASE WHEN lang = 'en' THEN 0.5
+             |             WHEN lang = 'es' THEN 0.25
+             |             ELSE 0.1 END""".stripMargin)),
+
     // Rolling-hash fingerprint: min over 8-char shingle hashes (winnowing
     // min-fingerprint) — O(len) per doc, no shuffle.
     GraftQuery("t_fingerprint",

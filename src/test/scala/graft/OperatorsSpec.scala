@@ -61,6 +61,42 @@ class OperatorsSpec extends SparkSpec {
       (3L, 1L, 2), (4L, 2L, 2), (5L, 3L, 2)))
   }
 
+  test("connectedComponents labels every node with its group minimum") {
+    import spark.implicits._
+    // two components {1,2,3,7} (path 7-3-2-1) and {10,11}; singleton pairs
+    val pairs = Seq((2L, 1L), (3L, 2L), (7L, 3L), (10L, 11L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents throws when diameter exceeds the round budget") {
+    import spark.implicits._
+    val longPath = (1L until 12L).map(i => (i + 1, i)).toDF("i", "j")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(longPath, maxRounds = 2).collect()
+    }
+    // and converges fine with budget
+    val ok = Dedup.connectedComponents(longPath, maxRounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(ok(_) == 1L))
+  }
+
+  test("deterministic sampling is reproducible and rate-monotone") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val a = Sampling.deterministicSample(df, col("id"), 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(df, col("id"), 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // pure function of id: identical across runs
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05) // near the nominal rate
+    val wider = Sampling.deterministicSample(df, col("id"), 0.6)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider)) // nested samples: raising the rate only adds
+  }
+
   test("jaccard of arrays") {
     import spark.implicits._
     val r = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
