@@ -50,6 +50,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("In(user_id"))
   }
 
+  test("sampling and cleaning passes are shuffle-free single stages") {
+    // both must survive 100 TB as pure scan→project→filter pipelines:
+    // any Exchange here would mean the corpus moves for a per-row decision
+    val sample = plan("t_stratified_sample")
+    assert(!sample.contains("Exchange"))
+    val clean = plan("t_clean_pipeline")
+    assert(!clean.contains("Exchange"))
+    assert(clean.contains("*(")) // fused codegen stage(s) over the scan
+  }
+
+  test("dedup groups resolve to a projection over materialized rounds") {
+    // the iterative component labels are checkpointed per round; the final
+    // frame must be a cheap projection over those blocks, not a replay of
+    // the shingle pipeline (which would re-run the corpus scan per consumer)
+    val p = plan("d_dedup_groups")
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("Scan parquet")) // no corpus re-scan at consumption
+  }
+
   test("salted distinct agg is exact vs plain countDistinct") {
     val direct = Tables.events(spark, testDataDir)
       .groupBy(col("event_type"))
