@@ -152,6 +152,32 @@ object TextQueries {
              |             WHEN lang = 'es' THEN 0.25
              |             ELSE 0.1 END""".stripMargin)),
 
+    // Sequence packing: shard-local concat-then-split token bins — the
+    // cleaned-corpus → fixed-length-training-examples step. One window per
+    // shard; no global sort.
+    GraftQuery("t_pack_sequences",
+      (s, dir) => graft.operators.Packing.packSequences(
+        Tables.documents(s, dir), col("doc_id"),
+        size(split(col("text"), " ")).cast("long"),
+        shards = 16, capacity = 2048L),
+      Some("""SELECT doc_id,
+             |       length(string_split(text, ' '))::BIGINT AS n_tokens,
+             |       (doc_id % 16)::INT AS shard,
+             |       (sum(length(string_split(text, ' '))::BIGINT)
+             |          OVER (PARTITION BY doc_id % 16 ORDER BY doc_id))::BIGINT
+             |         AS cum_tokens,
+             |       ((sum(length(string_split(text, ' '))::BIGINT)
+             |           OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+             |         - length(string_split(text, ' '))) // 2048)::BIGINT AS bin,
+             |       (sum(length(string_split(text, ' '))::BIGINT)
+             |          OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+             |        - length(string_split(text, ' '))
+             |        - ((sum(length(string_split(text, ' '))::BIGINT)
+             |              OVER (PARTITION BY doc_id % 16 ORDER BY doc_id)
+             |            - length(string_split(text, ' '))) // 2048) * 2048)::BIGINT
+             |         AS bin_offset
+             |FROM documents""".stripMargin)),
+
     // Rolling-hash fingerprint: min over 8-char shingle hashes (winnowing
     // min-fingerprint) — O(len) per doc, no shuffle.
     GraftQuery("t_fingerprint",

@@ -97,6 +97,28 @@ class OperatorsSpec extends SparkSpec {
     assert(a.subsetOf(wider)) // nested samples: raising the rate only adds
   }
 
+  test("packSequences bins respect capacity boundaries and determinism") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"w ${"x " * (i % 60).toInt}".trim))
+      .toDF("doc_id", "text")
+    val packed = Packing.packSequences(docs, col("doc_id"),
+      size(split(col("text"), " ")).cast("long"), shards = 4, capacity = 100L)
+      .collect()
+    // a doc's start offset always lies inside its bin
+    assert(packed.forall(r => r.getAs[Long]("bin_offset") >= 0 &&
+      r.getAs[Long]("bin_offset") < 100L))
+    // bins are monotone in id within a shard (greedy order is stable)
+    packed.groupBy(_.getAs[Int]("shard")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("bin"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+    // deterministic: a second run produces identical assignments
+    val again = Packing.packSequences(docs, col("doc_id"),
+      size(split(col("text"), " ")).cast("long"), shards = 4, capacity = 100L)
+      .collect()
+    assert(packed.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("jaccard of arrays") {
     import spark.implicits._
     val r = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
