@@ -157,6 +157,103 @@ object Vectors {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Product-quantization codebook: split dim-D vectors into `m` subspaces
+    * and learn `k` sub-centroids per subspace — seeded from the lowest-id
+    * vectors (deterministic) and refined by one Lloyd iteration, the same
+    * discipline as [[ivfCentroids]]. Returns [m][k][dim/m] centroids.
+    *
+    * PQ compresses D floats to m small codes (e.g. 64×4B → 8×1B), letting a
+    * 100 TB embedding corpus keep its ANN index in a fraction of the
+    * footprint; distances are then computed against codes, not vectors. */
+  def pqCentroids(corpus: DataFrame, m: Int, k: Int, dim: Int): Array[Array[Array[Float]]] = {
+    val sub = dim / m
+    val seeds = corpus.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val init = Array.tabulate(m, k)((mi, ki) =>
+      seeds(ki).slice(mi * sub, (mi + 1) * sub))
+    // one Lloyd iteration per subspace: assign to nearest seed, recompute
+    // means (all m assignments in a single distributed pass)
+    val assignCols = (0 until m).map(mi =>
+      pqAssign(col("embedding"), init(mi), mi, sub).as(s"c$mi"))
+    val assigned = corpus.select(
+      col("embedding") +: assignCols: _*)
+    val means = assigned
+      .select(explode(array((0 until m).map(mi =>
+        struct(lit(mi).as("mi"), col(s"c$mi").as("ki"),
+          slice(col("embedding"), mi * sub + 1, sub).as("sv"))): _*)).as("a"))
+      .select(col("a.mi"), col("a.ki"), posexplode(col("a.sv")).as(Seq("pos", "v")))
+      .groupBy(col("mi"), col("ki"), col("pos")).agg(avg(col("v")).as("mean"))
+      .collect()
+    val out = init.map(_.map(_.clone()))
+    means.foreach { r =>
+      out(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3).toFloat
+    }
+    out
+  }
+
+  /** Nearest sub-centroid id for subspace `mi` — argmin of L2² over
+    * constant-folded centroid literals, as a codegen'd expression
+    * (|c|² − 2⟨x,c⟩ suffices: |x|² is constant across candidates). */
+  private def pqAssign(emb: Column, cents: Array[Array[Float]],
+                       mi: Int, sub: Int): Column = {
+    val sv = slice(emb, mi * sub + 1, sub)
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val lits = array(c.map(lit): _*)
+      val normSq = c.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(normSq) - lit(2.0) * dotNative(sv, lits)).as("s"),
+        lit(i.toLong).as("i"))
+    }
+    array_min(array(scored: _*)).getField("i")
+  }
+
+  /** PQ codes: one `array<bigint>` of m sub-centroid ids per vector — a
+    * pure projection (no shuffle); the 4-byte-per-sub-code column is what
+    * the ANN index stores instead of the raw embedding. */
+  def pqCodes(corpus: DataFrame, cents: Array[Array[Array[Float]]],
+              dim: Int): DataFrame = {
+    val m = cents.length
+    val sub = dim / m
+    corpus.select(col("vec_id"),
+      array((0 until m).map(mi => pqAssign(col("embedding"), cents(mi), mi, sub)): _*)
+        .as("codes"))
+  }
+
+  /** Approximate top-k via asymmetric distance computation (ADC): each
+    * probe precomputes its L2² distance to every sub-centroid (an m×k
+    * table, built once per probe), then a corpus vector's distance is m
+    * array lookups over its codes — no float math per corpus element. The
+    * probe side (with tables) broadcasts; the corpus side streams codes. */
+  def pqAdcTopK(corpusCodes: DataFrame, probes: DataFrame,
+                cents: Array[Array[Array[Float]]], k: Int,
+                dim: Int): DataFrame = {
+    val m = cents.length
+    val sub = dim / m
+    val tables = array((0 until m).map { mi =>
+      array(cents(mi).map { c =>
+        val lits = array(c.map(lit): _*)
+        val sv = slice(col("embedding"), mi * sub + 1, sub)
+        lit(c.map(x => x.toDouble * x.toDouble).sum) -
+          lit(2.0) * dotNative(sv, lits) + dotNative(sv, sv)
+      }: _*)
+    }: _*)
+    val probeSide = probes.select(col("vec_id").as("query_id"),
+      tables.as("tables"))
+    val dist = aggregate(
+      zip_with(col("codes"), col("tables"),
+        (c, t) => element_at(t, c.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    corpusCodes.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(probeSide), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
   /** Same-bucket near-dup candidate pairs with exact cosine verification. */
   def lshNearDupPairs(df: DataFrame, dim: Int, numPlanes: Int,
                       threshold: Double): DataFrame = {

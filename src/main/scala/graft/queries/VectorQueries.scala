@@ -85,6 +85,20 @@ object VectorQueries {
         col("event_id"), approx = true),
       None),
 
+    // Product-quantization ADC top-k (rows-only: the Lloyd-refined codebook
+    // isn't ANSI-SQL-expressible; recall vs brute force is spec-tested).
+    // Codes compress 64 floats → 8 ids; probe-side distance tables make the
+    // corpus pass lookup-only.
+    GraftQuery("v_pq_topk",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val cents = Vectors.pqCentroids(emb, m = 8, k = 16, dim = 64)
+        Vectors.pqAdcTopK(Vectors.pqCodes(emb, cents, dim = 64),
+          emb.filter(col("vec_id") < 10), cents, k = 5, dim = 64)
+      },
+      None),
+
     // Random-hyperplane LSH bucketing — the scale path: bucket assignment is
     // a pure codegen'd projection (planes constant-folded as literals), so
     // the only shuffle in an LSH near-dup job is on the bucket id.

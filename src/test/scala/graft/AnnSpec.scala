@@ -26,6 +26,27 @@ class AnnSpec extends SparkSpec {
     assert(approx.size == exact.size) // every probe answered
   }
 
+  test("PQ-ADC top-k recall vs brute force, and codes stay in range") {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, testDataDir)
+    val probes = emb.filter(col("vec_id") < 20)
+    val cents = Vectors.pqCentroids(emb, m = 8, k = 16, dim = 64)
+    val codes = Vectors.pqCodes(emb, cents, dim = 64)
+    // every code is a valid sub-centroid id, 8 per vector
+    val flat = codes.select(explode(col("codes")).as("c")).collect().map(_.getLong(0))
+    assert(flat.forall(c => c >= 0 && c < 16))
+    assert(codes.head().getSeq[Long](1).size == 8)
+    val exact = topkSet(Vectors.bruteForceTopK(emb, probes, k = 5))
+    val approx = topkSet(Vectors.pqAdcTopK(codes, probes, cents, k = 5, dim = 64))
+    val recalls = exact.map { case (q, ex) =>
+      approx.get(q).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // 8×16 codebook on a random-ish 64-dim corpus: coarse but never useless
+    assert(meanRecall > 0.2, s"mean recall $meanRecall")
+    assert(approx.size == exact.size)
+  }
+
   test("IVF scans a bounded fraction of the corpus per probe") {
     val emb = Tables.embeddings(spark, testDataDir)
     val cents = Vectors.ivfCentroids(emb, numClusters = 16, dim = 64)
