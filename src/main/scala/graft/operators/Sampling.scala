@@ -37,4 +37,31 @@ object Sampling {
     }
     df.filter(hashUnit(id) < rate)
   }
+
+  /** Resample a multi-source corpus to target mixture proportions (the
+    * data-mixing step of a training pipeline): the achievable corpus size
+    * is set by the most UNDER-represented source (budget = min over
+    * sources of count/target), then every source is hash-downsampled to
+    * its share of that budget — no source is oversampled, no duplication.
+    * Sources absent from `targets` are dropped.
+    *
+    * The per-source counts are one small aggregation collected to the
+    * driver — the source domain (languages, datasets, crawls) is tiny even
+    * at 100 TB; the rates then constant-fold into the same shuffle-free
+    * gate as [[stratifiedSample]]. Returns (sampled df, rates used). */
+  def mixToProportions(df: DataFrame, id: Column, source: Column,
+                       targets: Map[String, Double]): (DataFrame, Map[String, Double]) = {
+    val counts = df.groupBy(source.as("src")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targets.filter { case (k, _) => counts.contains(k) }
+    require(present.nonEmpty, "no target source present in the data")
+    val budget = present.map { case (k, t) => counts(k).toDouble / t }.min
+    val rates = present.map { case (k, t) =>
+      k -> t * budget / counts(k).toDouble
+    }
+    val sampled = stratifiedSample(
+      df.filter(source.isin(present.keys.toSeq: _*)), id, source,
+      rates, defaultRate = 0.0)
+    (sampled, rates)
+  }
 }

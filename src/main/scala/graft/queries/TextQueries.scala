@@ -152,6 +152,32 @@ object TextQueries {
              |             WHEN lang = 'es' THEN 0.25
              |             ELSE 0.1 END""".stripMargin)),
 
+    // Mixture reweighting: resample the multi-language corpus to target
+    // proportions — budget set by the most under-represented source, each
+    // source hash-downsampled to its share; no oversampling/duplication.
+    GraftQuery("t_mixture_sample",
+      (s, dir) => {
+        val (sampled, _) = graft.operators.Sampling.mixToProportions(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2))
+        sampled
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents
+             |           WHERE lang IN ('en', 'es', 'de') GROUP BY 1),
+             |b AS (SELECT min(n::DOUBLE / (CASE lang WHEN 'en' THEN 0.5
+             |                                        WHEN 'es' THEN 0.3
+             |                                        WHEN 'de' THEN 0.2 END)::DOUBLE)
+             |        AS t FROM c),
+             |r AS (SELECT lang,
+             |        (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3
+             |                   WHEN 'de' THEN 0.2 END)::DOUBLE * t / n::DOUBLE
+             |          AS rate
+             |      FROM c, b)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+             |WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+             |        / 1152921504606846976.0 < rate""".stripMargin)),
+
     // Sequence packing: shard-local concat-then-split token bins — the
     // cleaned-corpus → fixed-length-training-examples step. One window per
     // shard; no global sort.

@@ -97,6 +97,25 @@ class OperatorsSpec extends SparkSpec {
     assert(a.subsetOf(wider)) // nested samples: raising the rate only adds
   }
 
+  test("mixToProportions downsamples to the binding source's budget") {
+    val docs = Tables.documents(spark, testDataDir)
+      .select(col("doc_id"), col("lang"))
+    val targets = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2)
+    val (sampled, rates) = Sampling.mixToProportions(
+      docs, col("doc_id"), col("lang"), targets)
+    // rates are valid probabilities and the binding source keeps rate 1.0
+    assert(rates.values.forall(r => r > 0 && r <= 1.0 + 1e-9))
+    assert(rates.values.exists(r => math.abs(r - 1.0) < 1e-9))
+    val got = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet.subsetOf(targets.keySet)) // untargeted sources dropped
+    // realized mixture tracks the targets within hash noise
+    val total = got.values.sum.toDouble
+    targets.foreach { case (k, t) =>
+      assert(math.abs(got.getOrElse(k, 0L) / total - t) < 0.2, s"$k")
+    }
+  }
+
   test("packSequences bins respect capacity boundaries and determinism") {
     import spark.implicits._
     val docs = (1L to 500L).map(i => (i, s"w ${"x " * (i % 60).toInt}".trim))

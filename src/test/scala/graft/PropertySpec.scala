@@ -111,4 +111,39 @@ class PropertySpec extends SparkSpec {
       got == expected
     })
   }
+
+  // random undirected pair list over a small id space (dense enough to
+  // form multi-node components, sparse enough to leave several)
+  private val pairsGen: Gen[Seq[(Long, Long)]] =
+    Gen.choose(1, 30).flatMap { n =>
+      Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    }
+
+  test("property: connectedComponents matches a union-find oracle") {
+    check(Prop.forAll(pairsGen) { pairs =>
+      pairs.isEmpty || {
+        // sequential union-find oracle
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val expected = nodes.map(n => n -> find(n)).toMap
+        val df = spark.createDataFrame(
+          pairs.map { case (a, b) => Row(a, b) }.asJava,
+          T.StructType(Seq(T.StructField("i", T.LongType),
+            T.StructField("j", T.LongType))))
+        val got = graft.operators.Dedup.connectedComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    })
+  }
 }
