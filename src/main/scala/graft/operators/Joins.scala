@@ -52,10 +52,11 @@ object Joins {
   def resolveRoots(edges: DataFrame, maxDepth: Int = 20,
                    edgesCoverAllNodes: Boolean = false,
                    jumpsPerRound: Int = 2): DataFrame = {
-    // edges may be consumed several times below; materialize once so an
-    // expensive upstream (e.g. a window over the fact table) doesn't run
-    // per consumer
-    val e = edges.localCheckpoint()
+    // general path consumes edges three times (two node scans + seed join):
+    // materialize once so an expensive upstream (e.g. a window over the
+    // fact table) doesn't run per consumer. The fast path reads edges
+    // exactly once, straight into the checkpointed init — no extra copy.
+    val e = if (edgesCoverAllNodes) edges else edges.localCheckpoint()
     // anc = current known ancestor; settled ⇒ anc is a root
     val init =
       if (edgesCoverAllNodes)
