@@ -90,6 +90,39 @@ object Enrich {
     * `rules` maps a source-predicate to the canonical-id expression; first
     * match wins, `fallback` otherwise.
     */
+  /** DataCite inverse-relation normalization from the citation POST path
+    * (`citationsmanager.py:36-54,213-223`): inbound relation types map to
+    * their canonical outbound form; already-canonical values pass through;
+    * anything else is null (the reference rejects with a 500). */
+  val RelationTypeMap: Map[String, String] = Map(
+    "iscitedby" -> "cites", "issupplementto" -> "issupplementedby",
+    "iscontinuedby" -> "continues", "isdescribedby" -> "describes",
+    "hasmetadata" -> "ismetadatafor", "hasversion" -> "isversionof",
+    "isnewversionof" -> "isversionof", "ispartof" -> "haspart",
+    "isreferencedby" -> "references", "isdocumentedby" -> "documents",
+    "iscompiledby" -> "compiles", "isvariantformof" -> "isoriginalformof",
+    "isidenticalto" -> "*", "isreviewedby" -> "reviews",
+    "isderivedfrom" -> "issourceof", "requires" -> "isrequiredby",
+    "isobsoletedby" -> "obsoletes")
+
+  def normalizeRelationType(rel: Column): Column = {
+    val lowered = lower(rel)
+    val mapped = RelationTypeMap.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) => when(lowered === k, v).otherwise(acc)
+    }
+    when(mapped.isNotNull, mapped)
+      .when(lowered.isin(RelationTypeMap.values.toSeq.distinct: _*), lowered)
+      .otherwise(lit(null))
+  }
+
+  /** The reference's DOI acceptance pattern (`citationsmanager.py:230`),
+    * anchored: optional scheme/resolver/"doi:" prefixes, then
+    * `10.<4+ digits>/suffix`. */
+  val DoiPattern: String =
+    "^\\s*(http://|https://)?(doi.org/|dx.doi.org/)?(doi: ?|DOI: ?)?(10\\.\\d{4,}(\\.\\d)*)/(\\w+).*$"
+
+  def isDoiLike(id: Column): Column = id.rlike(DoiPattern)
+
   def canonicalId(rules: Seq[(Column, Column)], fallback: Column): Column =
     rules.foldRight(fallback) { case ((pred, value), acc) =>
       when(pred, value).otherwise(acc)

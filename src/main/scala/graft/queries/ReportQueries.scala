@@ -82,6 +82,60 @@ object ReportQueries {
              |FROM orders WHERE o_orderstatus <> 'F'
              |GROUP BY 1""".stripMargin)),
 
+    // Citation POST validation (`citationsmanager.py:213-243`): DataCite
+    // inverse-relation normalization (17-entry map; unknown types rejected)
+    // + anchored DOI-pattern acceptance, aggregated per canonical relation.
+    GraftQuery("c_relation_normalize",
+      (s, dir) => {
+        val rels = Seq("IsCitedBy", "cites", "IsPartOf", "references",
+          "bogus-type", "IsObsoletedBy", "HasVersion", "compiles")
+        val rel = element_at(array(rels.map(lit): _*),
+          (col("o_orderkey") % 8 + 1).cast("int"))
+        val doi = when(col("o_custkey") % 5 === 0,
+          concat(lit("urn:uuid:"), col("o_orderkey").cast("string")))
+          .otherwise(concat(lit("https://doi.org/10."),
+            (col("o_orderkey") % 9000 + 1000).cast("string"),
+            lit("/pkg."), col("o_custkey").cast("string")))
+        Tables.orders(s, dir)
+          .select(graft.operators.Enrich.normalizeRelationType(rel)
+            .as("relation_type"),
+            graft.operators.Enrich.isDoiLike(doi).as("valid_doi"))
+          .groupBy(coalesce(col("relation_type"), lit("REJECTED"))
+            .as("relation_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("valid_doi"), 1L).otherwise(0L)).as("n_valid_doi"))
+      },
+      Some {
+        val caseArms = graft.operators.Enrich.RelationTypeMap
+          .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
+        val canonical = graft.operators.Enrich.RelationTypeMap.values.toSeq
+          .distinct.map(v => s"'$v'").mkString(", ")
+        s"""WITH src AS (
+           |  SELECT lower(list_extract(['IsCitedBy', 'cites', 'IsPartOf',
+           |                'references', 'bogus-type', 'IsObsoletedBy',
+           |                'HasVersion', 'compiles'],
+           |                (o_orderkey % 8 + 1)::INT)) AS rel,
+           |         CASE WHEN o_custkey % 5 = 0
+           |              THEN 'urn:uuid:' || o_orderkey
+           |              ELSE 'https://doi.org/10.' || (o_orderkey % 9000 + 1000)
+           |                   || '/pkg.' || o_custkey END AS doi
+           |  FROM orders),
+           |n AS (SELECT
+           |        CASE WHEN (CASE rel $caseArms END) IS NOT NULL
+           |             THEN (CASE rel $caseArms END)
+           |             WHEN rel IN ($canonical) THEN rel
+           |             END AS relation_type,
+           |        regexp_matches(doi,
+           |          '^\\s*(http://|https://)?(doi.org/|dx.doi.org/)?(doi: ?|DOI: ?)?(10\\.\\d{4,}(\\.\\d)*)/(\\w+).*$$')
+           |          AS valid_doi
+           |      FROM src)
+           |SELECT coalesce(relation_type, 'REJECTED') AS relation_type,
+           |       count(*) AS n,
+           |       sum(CASE WHEN valid_doi THEN 1 ELSE 0 END)::BIGINT
+           |         AS n_valid_doi
+           |FROM n GROUP BY 1""".stripMargin
+      }),
+
     // A8 on the events table: the gold rollup view with subtotal rows.
     GraftQuery("g_rollup_view",
       (s, dir) => GoldTables.rollupView(Tables.events(s, dir)),

@@ -206,6 +206,20 @@ class OperatorsSpec extends SparkSpec {
     assert(b1(0) + b1(1) == 255) // mirrored vectors land in complementary buckets
   }
 
+  test("relation-type normalization and DOI pattern match the reference") {
+    import spark.implicits._
+    val rels = Seq("IsCitedBy", "cites", "HasVersion", "isnewversionof",
+      "bogus", "obsoletes").toDF("r")
+      .select(Enrich.normalizeRelationType(col("r"))).as[String].collect()
+    assert(rels.toSeq == Seq("cites", "cites", "isversionof", "isversionof",
+      null, "obsoletes"))
+    val dois = Seq("10.5063/F1Z899CZ", "https://doi.org/10.5063/F1",
+      "doi: 10.12345/abc", "10.123/tooShortPrefix", "urn:uuid:42",
+      "  10.5063/ok").toDF("d")
+      .select(Enrich.isDoiLike(col("d"))).as[Boolean].collect()
+    assert(dois.toSeq == Seq(true, true, true, false, false, true))
+  }
+
   test("UA tagging handles anchored and escaped dictionary patterns") {
     // FIXTURES §6: the COUNTER dictionaries contain anchored (`^ruby$`) and
     // escaped (`aria2\/\d`) regexes — the tagger must keep their semantics
