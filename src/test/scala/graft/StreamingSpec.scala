@@ -133,6 +133,40 @@ class StreamingSpec extends SparkSpec {
     assert(seqs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("end-to-end lifecycle: stream ingest -> enrich -> sessionize -> agg matches batch") {
+    // the reference's full pipeline (§3.4): events land incrementally, get
+    // enriched, sessionized, and aggregated — here the same four stages run
+    // once through Structured Streaming and once as a batch plan over
+    // identical rows, and must agree exactly
+    import spark.implicits._
+    val events = Tables.events(spark, testDataDir).limit(3000)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[SessionEvent].collect().toSeq
+
+    def enrichThenCount(sessions: org.apache.spark.sql.DataFrame) = sessions
+      .withColumn("suspect", col("user_id") % 97 === 0) // enrich: tag column
+      .groupBy(col("suspect"), col("session_seq"))
+      .agg(count(lit(1)).as("n"))
+
+    val input = MemoryStream[SessionEvent](spark)
+    val streamed = StreamingSessionize.statefulSessionize(input.toDS(), 3600L)
+      .toDF()
+    val q = enrichThenCount(streamed)
+      .writeStream.format("memory").queryName("lifecycle")
+      .outputMode("complete").start()
+    val (b1, b2) = events.splitAt(events.size / 2)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    val viaStream = spark.table("lifecycle").collect()
+      .map(r => (r.getBoolean(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaBatch = enrichThenCount(Sessionize.withSessionSeq(
+      events.toDF(), col("user_id"), col("ts"), col("event_id"), 3600L))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaStream == viaBatch)
+  }
+
   test("statefulSessionize in a single batch matches batch semantics on events table") {
     import spark.implicits._
     val events = Tables.events(spark, testDataDir).limit(2000)
