@@ -29,4 +29,24 @@ object Skew {
       .agg(sum(col("_pu")).as("unique_count"),
         sum(col("_pc")).as("total_count"))
   }
+
+  /** Exact skew-resistant equi-join: the large side gets a random-free
+    * DETERMINISTIC salt (hash of a high-cardinality discriminator column),
+    * the small side is replicated `buckets` times, and the join key becomes
+    * (key, salt) — a hot key's rows spread across `buckets` reducers
+    * instead of one. Use when AQE's runtime skew split can't apply (e.g.
+    * the skewed side feeds a co-partitioned downstream op, or the join is
+    * inside a checkpointed iteration AQE can't replan).
+    *
+    * @param discriminator high-cardinality column on `large` that decides
+    *   the salt — deterministic, so retries/speculation stay consistent.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 discriminator: Column, buckets: Int): DataFrame = {
+    val saltedLarge = large.withColumn("_salt",
+      pmod(hash(discriminator), lit(buckets)))
+    val saltedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedLarge.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
 }

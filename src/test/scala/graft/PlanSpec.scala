@@ -69,6 +69,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Scan parquet")) // no corpus re-scan at consumption
   }
 
+  test("salted join is exact vs plain join and spreads the hot key") {
+    import spark.implicits._
+    // skewed large side: 90% of rows share key 1
+    val large = (1L to 2000L).map(i =>
+      (if (i % 10 == 0) i % 5 else 1L, i)).toDF("k", "payload")
+    val small = Seq((1L, "a"), (2L, "b"), (3L, "c"), (0L, "z")).toDF("k", "v")
+    val plain = large.join(small, "k")
+      .select("k", "payload", "v").collect().map(_.toString).sorted
+    val salted = Skew.saltedJoin(large, small, "k", col("payload"), buckets = 8)
+      .select("k", "payload", "v").collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+    // the salted large side really does split the hot key across buckets
+    val spread = large.withColumn("_salt",
+      pmod(hash(col("payload")), lit(8)))
+      .filter(col("k") === 1).select("_salt").distinct().count()
+    assert(spread > 4)
+  }
+
   test("salted distinct agg is exact vs plain countDistinct") {
     val direct = Tables.events(spark, testDataDir)
       .groupBy(col("event_type"))
