@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   * per-partition sort — the same cost profile as any windowed aggregation.
   * No driver-side state, no collect. Skewed keys (one IP with millions of
   * events) are bounded by the reference's own data shape (events per IP per
-  * hour); if a hot key emerges, pre-split by day before sessionizing —
-  * sessions never span a 60-min gap, so day boundaries with 1h overlap are
-  * safe split points.
+  * hour); if a hot key emerges, [[withSessionSeqSplit]] bounds the per-task
+  * span by time-bucketing each key and exactly merging sessions across
+  * bucket boundaries.
   */
 object Sessionize {
 
@@ -61,4 +61,59 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(ts).as("session_start"),
         max(ts).as("session_end"))
+
+  /** [[withSessionSeq]] with a BOUNDED per-task key span — the hot-key
+    * variant for when one key's full history is too big to sort in a
+    * single window partition (the 100 TB escape hatch promised in
+    * SCALE.md).
+    *
+    * Two exact phases:
+    *  1. sessionize per (key, time-bucket of `splitSeconds`) — each task
+    *     sorts at most one bucket of one key;
+    *  2. merge across bucket boundaries on the per-(key, bucket) SUMMARY
+    *     (one row each — tiny): bucket b's first session continues the
+    *     previous bucket's last session iff the boundary gap ≤ TTL, and a
+    *     running offset renumbers local seqs globally.
+    *
+    * Exactness needs `gapSeconds <= splitSeconds`: then an empty bucket
+    * between two occupied ones implies a gap > TTL, so only ADJACENT
+    * occupied buckets can merge — which the lag over occupied buckets
+    * handles. Produces the identical `session_seq` as [[withSessionSeq]]
+    * (property-tested).
+    */
+  def withSessionSeqSplit(df: DataFrame, key: Column, ts: Column,
+                          tieBreak: Column, gapSeconds: Long,
+                          splitSeconds: Long = 86400L): DataFrame = {
+    require(gapSeconds <= splitSeconds,
+      s"split window ($splitSeconds s) must be >= session gap ($gapSeconds s)")
+    val gapMicros = gapSeconds * 1000000L
+    val splitMicros = splitSeconds * 1000000L
+    val bucketed = df.withColumn("_bucket",
+      floor(unix_micros(ts) / splitMicros))
+    val wLocal = Window.partitionBy(key, col("_bucket")).orderBy(ts, tieBreak)
+    val isNew = when(
+      unix_micros(ts) - unix_micros(lag(ts, 1).over(wLocal)) <= gapMicros, 0L
+    ).otherwise(1L)
+    val local = bucketed.withColumn("_local_seq",
+      sum(isNew).over(wLocal.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val summary = local.groupBy(key.as("_k"), col("_bucket").as("_b"))
+      .agg(max(col("_local_seq")).as("_n"),
+        min(ts).as("_first"), max(ts).as("_last"))
+    val wKey = Window.partitionBy(col("_k")).orderBy(col("_b"))
+    val offsets = summary
+      .withColumn("_merged", when(
+        unix_micros(col("_first")) -
+          unix_micros(lag(col("_last"), 1).over(wKey)) <= gapMicros, 1L
+      ).otherwise(0L))
+      .withColumn("_offset", coalesce(
+        sum(col("_n") - col("_merged"))
+          .over(wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    local.join(offsets,
+      key === col("_k") && col("_bucket") === col("_b"))
+      .withColumn("session_seq",
+        col("_local_seq") + col("_offset") - col("_merged"))
+      .drop("_bucket", "_local_seq", "_k", "_b", "_n", "_first", "_last",
+        "_merged", "_offset")
+  }
 }

@@ -63,6 +63,28 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("split-window sessionization matches the single-window result exactly") {
+    // split = gap (tightest legal split → maximum boundary merges): the
+    // hot-key variant must renumber to the identical global session_seq
+    val events = Tables.events(spark, testDataDir).limit(5000)
+    val plain = Sessionize.withSessionSeq(events,
+      col("user_id"), col("ts"), col("event_id"), 3600L)
+      .select("event_id", "session_seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (split <- Seq(3600L, 7200L, 86400L)) {
+      val viaSplit = Sessionize.withSessionSeqSplit(events,
+        col("user_id"), col("ts"), col("event_id"), 3600L,
+        splitSeconds = split)
+        .select("event_id", "session_seq")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaSplit == plain, s"splitSeconds=$split")
+    }
+    intercept[IllegalArgumentException] { // split below the gap is unsound
+      Sessionize.withSessionSeqSplit(events, col("user_id"), col("ts"),
+        col("event_id"), 3600L, splitSeconds = 60L)
+    }
+  }
+
   test("session ids are collision-stable under recomputation") {
     val base = 1700000000L
     val rows = Seq(("u", base, 1L), ("v", base, 2L), ("u", base + 9000, 3L))
