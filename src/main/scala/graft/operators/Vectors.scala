@@ -157,6 +157,53 @@ object Vectors {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Materialize the IVF index on disk, partitioned by cluster id — the
+    * parquet layout IS the inverted file: a probe's `nprobe` cluster
+    * filter becomes partition pruning, so only nprobe/numClusters of the
+    * corpus bytes are ever read (PlanSpec asserts the PartitionFilters).
+    * Returns the centroids to query with. */
+  def ivfWriteIndex(corpus: DataFrame, path: String, numClusters: Int,
+                    dim: Int): Array[Array[Float]] = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val cents = ivfCentroids(corpus, numClusters, dim)
+    corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("nrm"),
+      assignCluster(col("embedding"), cents).as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    cents
+  }
+
+  /** [[ivfTopK]] against a materialized index: the `cluster.isin(...)`
+    * filter prunes parquet partitions at planning time — the scan never
+    * touches the other clusters' files. Probe set must be small enough to
+    * union its nprobe lists (one isin filter over the union of requested
+    * clusters; per-probe candidate restriction happens in the join). */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       probes: DataFrame, cents: Array[Array[Float]],
+                       k: Int, nprobe: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val probeSide = probes.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("q_nrm"),
+      explode(nearestClusters(col("embedding"), cents, nprobe)).as("cluster"))
+    val wanted = probeSide.select("cluster").distinct()
+      .collect().map(_.getLong(0)) // tiny: ≤ probes × nprobe ids
+    val index = spark.read.parquet(path)
+      .filter(col("cluster").isin(wanted: _*)) // partition pruning
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    index.join(broadcast(probeSide), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dotNative(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Product-quantization codebook: split dim-D vectors into `m` subspaces
     * and learn `k` sub-centroids per subspace — seeded from the lowest-id
     * vectors (deterministic) and refined by one Lloyd iteration, the same

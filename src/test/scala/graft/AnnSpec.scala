@@ -57,6 +57,27 @@ class AnnSpec extends SparkSpec {
     assert(sizes.sum == emb.count())
   }
 
+  test("materialized IVF index prunes partitions and matches in-memory IVF") {
+    val emb = Tables.embeddings(spark, testDataDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString + "/index"
+    val cents = Vectors.ivfWriteIndex(emb, path, numClusters = 16, dim = 64)
+    val fromIndex = Vectors.ivfTopKFromIndex(spark, path, probes, cents,
+      k = 5, nprobe = 4)
+    // the cluster filter reaches the scan as a partition filter — only
+    // nprobe lists' files are read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"))
+    // same centroids, same nprobe → identical result set as in-memory IVF
+    val inMem = Vectors.ivfTopK(emb, probes, k = 5,
+      numClusters = 16, nprobe = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val onDisk = fromIndex
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(onDisk == inMem)
+  }
+
   test("approx_count_distinct stays within HLL++ error bounds") {
     val exact = MetricsKernel.compositeAgg(Tables.events(spark, testDataDir),
       col("ts"), "month", Seq(col("event_type")), col("event_id"))
