@@ -159,6 +159,24 @@ object ApiQueries {
     // Portal path with a collection-query filter (interpretAs=query):
     // portal membership + `field:value` boolean expression compiled to one
     // Catalyst predicate (`metricsreader.py:151-156,1449-1453`).
+    // The reference's STORED collection-query shape (`es_eventlog_sync.py:239`):
+    // leading negated clause, parenthesized disjunction, quoted phrase.
+    GraftQuery("api_collection_query",
+      (s, dir) => MetricsApi.interpretJson(s, dir,
+        """{"metrics": ["views", "downloads"],
+          |"filterBy": [
+          |  {"filterType": "query",
+          |   "values": ["-event_type:err* AND (event_type:view OR event_type:\"purchase\")"],
+          |   "interpretAs": "query"}],
+          |"groupBy": ["month"]}""".stripMargin),
+      Some("""SELECT strftime(date_trunc('month', ts), '%Y-%m') AS period,
+             |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+             |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS downloads
+             |FROM events
+             |WHERE NOT coalesce(starts_with(event_type, 'err'), FALSE)
+             |  AND (event_type = 'view' OR event_type = 'purchase')
+             |GROUP BY 1""".stripMargin)),
+
     GraftQuery("api_portal_query",
       (s, dir) => MetricsApi.interpretJson(s, dir,
         """{"metrics": ["views", "clicks"],
@@ -166,7 +184,7 @@ object ApiQueries {
           |  {"filterType": "portal", "values": ["portal-2"],
           |   "interpretAs": "list"},
           |  {"filterType": "query",
-          |   "values": ["event_type:view OR event_type:click AND props:{\"k\": 1*"],
+          |   "values": ["event_type:view OR event_type:click AND props:{\"k\":\\ 1*"],
           |   "interpretAs": "query"}],
           |"groupBy": ["month"]}""".stripMargin),
       Some("""SELECT strftime(date_trunc('month', ts), '%Y-%m') AS period,
