@@ -134,6 +134,36 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** SimHash near-dup PAIRS: band the 60-bit signature into `bands`
+    * equal bit-slices — two docs within Hamming distance < bands must
+    * share at least one identical band (pigeonhole), so band-key equality
+    * generates a complete candidate set for `maxHamming <= bands - 1`;
+    * `bit_count(xor)` then verifies exactly. Same shuffle discipline as
+    * MinHash LSH: the self-join moves only (doc, band-slice) pairs.
+    *
+    * @param sigs (doc_id, simhash) — e.g. [[simhashExpr]] output.
+    */
+  def simhashPairs(sigs: DataFrame, bands: Int, bitsPerBand: Int,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"banding is only complete for maxHamming < bands ($maxHamming >= $bands)")
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bitsPerBand)
+            .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("slice"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.slice").as("slice"))
+    banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over an undirected candidate-pair list — turns
     * near-dup PAIRS into dedup GROUPS: every node ends labelled with the
     * minimum doc id reachable from it (the group's canonical survivor).

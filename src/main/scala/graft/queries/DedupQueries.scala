@@ -83,6 +83,37 @@ object DedupQueries {
              |    (a, b) -> a + b) AS simhash
              |FROM h""".stripMargin)),
 
+    // SimHash near-dup pairs: 4 bands × 15 bits — pigeonhole-complete for
+    // hamming ≤ 3; bit_count(xor) verifies exactly. Completes the simhash
+    // pipeline (signature → candidates → verified pairs).
+    GraftQuery("d_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(
+        Tables.documents(s, dir)
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), Dedup.simhashExpr("toks").as("simhash")),
+        bands = 4, bitsPerBand = 15, maxHamming = 3),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |h AS (SELECT doc_id,
+             |        list_transform(toks,
+             |          t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+             |      FROM d),
+             |sg AS (SELECT doc_id,
+             |  list_reduce(list_transform(generate_series(0, 59), j ->
+             |    CASE WHEN list_reduce(list_transform(hs,
+             |                x -> CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END),
+             |              (a, b) -> a + b) > 0
+             |         THEN (1::BIGINT << j) ELSE 0::BIGINT END),
+             |    (a, b) -> a + b) AS simhash
+             |FROM h),
+             |bd AS (SELECT doc_id, simhash, b.band,
+             |         (simhash >> (b.band * 15)) & 32767 AS slice
+             |       FROM sg, (SELECT unnest(generate_series(0, 3)) AS band) b),
+             |p AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+             |        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+             |      FROM bd a JOIN bd b ON a.band = b.band AND a.slice = b.slice
+             |                         AND a.doc_id < b.doc_id)
+             |SELECT i, j, hamming FROM p WHERE hamming <= 3""".stripMargin)),
+
     // Near-dup GROUPS: connected components over the verified LSH pairs —
     // every clustered doc labelled with its group's canonical (min) id.
     // The oracle closes the same pair set with a recursive CTE.

@@ -175,6 +175,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs banding is pigeonhole-complete vs brute-force hamming") {
+    import spark.implicits._
+    val sigs = Tables.documents(spark, testDataDir).limit(200)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), Dedup.simhashExpr("toks").as("simhash"))
+      .localCheckpoint()
+    val viaBands = Dedup.simhashPairs(sigs, bands = 4, bitsPerBand = 15,
+      maxHamming = 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val brute = sigs.as("a").join(sigs.as("b"),
+      col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(viaBands == brute) // complete, not just a subset
+    intercept[IllegalArgumentException] { // incomplete banding refused
+      Dedup.simhashPairs(sigs, bands = 4, bitsPerBand = 15, maxHamming = 4)
+    }
+  }
+
   test("simhash: identical docs equal, disjoint docs differ") {
     import spark.implicits._
     val res = Seq("spark scala engine spark", "spark scala engine spark",
