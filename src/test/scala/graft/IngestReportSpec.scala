@@ -2,7 +2,8 @@ package graft
 
 import java.nio.file.Files
 
-import graft.reports.{CounterReport, GoldTables}
+import graft.operators.Sessionize
+import graft.reports.{CounterReport, GoldTables, SessionGold}
 import graft.sources.Ingest
 import org.apache.spark.sql.functions._
 
@@ -85,6 +86,35 @@ class IngestReportSpec extends SparkSpec {
     val gold = spark.read.parquet(s"$base/gold")
     assert(gold.count() > 0)
     assert(gold.columns.contains("n_unique"))
+  }
+
+  test("incremental session gold: late day rebuilds one partition, matches full recompute") {
+    val base = tmpDir()
+    val events = Tables.events(spark, testDataDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val days = events.select(to_date(col("ts")).as("d")).distinct().count()
+    // initial build: every day materializes
+    val (b1, s1) = SessionGold.build(spark, events, 3600L,
+      s"$base/local", s"$base/state")
+    assert(b1 == days && s1 == 0)
+    // a late event lands on the LAST day only
+    val lastTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val late = spark.sql(
+      s"SELECT 999999999L AS event_id, 1L AS user_id, " +
+        s"timestamp'$lastTs' - INTERVAL 1 MINUTE AS ts")
+    val updated = events.unionByName(late)
+    val (b2, s2) = SessionGold.build(spark, updated, 3600L,
+      s"$base/local", s"$base/state")
+    assert(b2 == 1 && s2 == days - 1) // only the touched day rebuilt
+    // the served assignments equal a from-scratch single-window recompute
+    val served = SessionGold.read(spark, s"$base/local", 3600L)
+      .select("event_id", "session_seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Sessionize.withSessionSeq(updated,
+      col("user_id"), col("ts"), col("event_id"), 3600L)
+      .select("event_id", "session_seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == full)
   }
 
   test("gold incremental build deletes partitions of vanished groups") {
