@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ingest-time enrichment column ops — the Spark rebuild of the reference's
@@ -90,6 +90,29 @@ object Enrich {
     * `rules` maps a source-predicate to the canonical-id expression; first
     * match wins, `fallback` otherwise.
     */
+  /** Range-dimension lookup (the GeoIP range-table shape, F15): each fact
+    * ip matches the dimension row whose [range_start, range_end] contains
+    * it. A raw BETWEEN theta join degenerates to a nested loop; instead
+    * both sides key on coarse buckets (`ip >> bucketBits`) — a range
+    * explodes into every bucket it overlaps — turning the lookup into an
+    * EQUI-join plus a residual range filter. At 100 TB the dimension
+    * (GeoIP: ~millions of rows) broadcasts or shuffles on the bucket key;
+    * the fact side never cross-products. Bucket width tunes duplication:
+    * a range spanning B buckets appears B times on the build side.
+    *
+    * @param ranges (range_start, range_end, payload...) — non-overlapping.
+    */
+  def rangeLookup(facts: DataFrame, ipCol: Column, ranges: DataFrame,
+                  bucketBits: Int): DataFrame = {
+    val rb = ranges.withColumn("_bucket",
+      explode(sequence(shiftright(col("range_start"), bucketBits),
+        shiftright(col("range_end"), bucketBits))))
+    facts.withColumn("_bucket", shiftright(ipCol, bucketBits))
+      .join(rb, Seq("_bucket"))
+      .filter(ipCol >= col("range_start") && ipCol <= col("range_end"))
+      .drop("_bucket")
+  }
+
   /** DataCite inverse-relation normalization from the citation POST path
     * (`citationsmanager.py:36-54,213-223`): inbound relation types map to
     * their canonical outbound form; already-canonical values pass through;

@@ -153,6 +153,35 @@ object EnrichQueries {
            |FROM e GROUP BY 1""".stripMargin
       }),
 
+    // GeoIP range lookup (F15 scale path): fact ips bucket-equi-join a
+    // 512-row range dimension, residual BETWEEN filter — never a nested
+    // loop. The oracle runs the plain theta join (equivalent on
+    // non-overlapping ranges).
+    GraftQuery("f_geoip_range",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{shiftleft => shl}
+        val ranges = s.range(512).select(
+          shl(col("id"), 23).as("range_start"),
+          (shl(col("id") + 1, 23) - 1).as("range_end"),
+          element_at(array(Seq("US", "DE", "FR", "JP", "BR").map(lit): _*),
+            (col("id") % 5 + 1).cast("int")).as("country"))
+        val facts = Tables.events(s, dir).select(col("event_id"),
+          pmod(col("user_id") * 2654435761L, lit(4294967296L)).as("ip"))
+        Enrich.rangeLookup(facts, col("ip"), ranges, bucketBits = 23)
+          .groupBy(col("country")).agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH r AS (
+             |  SELECT (i::BIGINT << 23) AS range_start,
+             |         ((i::BIGINT + 1) << 23) - 1 AS range_end,
+             |         list_extract(['US', 'DE', 'FR', 'JP', 'BR'],
+             |                      (i % 5 + 1)::INT) AS country
+             |  FROM (SELECT unnest(generate_series(0, 511)) AS i)),
+             |e AS (SELECT event_id,
+             |        (user_id * 2654435761) % 4294967296 AS ip FROM events)
+             |SELECT country, count(*) AS n
+             |FROM e JOIN r ON e.ip BETWEEN r.range_start AND r.range_end
+             |GROUP BY 1""".stripMargin)),
+
     // DOI canonicalization: per-source rewrite rules, first match wins
     // (`es_sysmeta_sync.py:403-438`).
     GraftQuery("f_canonical_id",

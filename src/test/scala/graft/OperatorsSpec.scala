@@ -253,6 +253,21 @@ class OperatorsSpec extends SparkSpec {
       "aria2/1.35" -> true, "aria2/x" -> false, "GoogleBot" -> true))
   }
 
+  test("rangeLookup handles ranges spanning multiple buckets") {
+    import spark.implicits._
+    // ranges deliberately cross bucket boundaries at bucketBits = 4 (16s)
+    val ranges = Seq((0L, 40L, "low"), (41L, 45L, "mid"), (100L, 260L, "high"))
+      .toDF("range_start", "range_end", "payload")
+    val facts = Seq(0L, 15L, 40L, 41L, 45L, 46L, 99L, 100L, 255L, 260L, 261L)
+      .toDF("ip")
+    val got = Enrich.rangeLookup(facts, col("ip"), ranges, bucketBits = 4)
+      .select("ip", "payload").as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "low", 15L -> "low", 40L -> "low",
+      41L -> "mid", 45L -> "mid",
+      100L -> "high", 255L -> "high", 260L -> "high"))
+    // 46, 99, 261 fall in gaps: no match
+  }
+
   test("ipInCidrs matches inside and outside ranges") {
     import spark.implicits._
     val res = Seq("10.5.1.2", "10.6.1.2", "192.168.0.1").toDF("ip")

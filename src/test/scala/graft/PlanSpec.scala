@@ -69,6 +69,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Scan parquet")) // no corpus re-scan at consumption
   }
 
+  test("geoip range lookup runs as an equi-join, not a nested loop") {
+    val p = plan("f_geoip_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("salted join is exact vs plain join and spreads the hot key") {
     import spark.implicits._
     // skewed large side: 90% of rows share key 1
