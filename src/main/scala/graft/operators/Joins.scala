@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join-shaped operators from SURVEY.md §2.3 that go beyond a single Spark
@@ -127,6 +128,49 @@ object Joins {
       acc = acc.union(level)
     }
     acc
+  }
+
+  /** As-of join: each left row picks the most recent right row (same key)
+    * with `right.ts <= left.ts` — the temporal-enrichment operator Spark
+    * has no built-in for (and the reference never needed, but any
+    * event×dimension-history workload does).
+    *
+    * Implemented as union + window rather than join + re-aggregate: both
+    * sides union on (key, ts), one window per key carries the last
+    * non-null right payload forward, then left rows filter back out. ONE
+    * shuffle on the key total — a join-based plan would shuffle twice and
+    * explode on hot keys before re-aggregating. Right rows order before
+    * left rows at equal ts, so `<=` matches (DuckDB ASOF semantics).
+    * Right (key, ts) pairs must be unique — pre-aggregate duplicates.
+    *
+    * @param valueCols right-side payload column names to carry.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valueCols: Seq[String]): DataFrame = {
+    val unionCols = (left.columns :+ "_side") ++ valueCols.map("_r_" + _)
+    val lFull = valueCols.foldLeft(left.withColumn("_side", lit(1))) {
+      (df, c) => df.withColumn(s"_r_$c",
+        lit(null).cast(right.schema(c).dataType))
+    }
+    val rBase = right.select((Seq(key, ts) ++ valueCols).map(col): _*)
+      .withColumn("_side", lit(0))
+    val rWithLeft = left.columns.filterNot(c => c == key || c == ts)
+      .foldLeft(rBase) { (df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val rFull = valueCols.foldLeft(rWithLeft) { (df, c) =>
+      df.withColumnRenamed(c, s"_r_$c")
+    }
+    val unioned = lFull.select(unionCols.map(col): _*)
+      .unionByName(rFull.select(unionCols.map(col): _*))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col(s"asof_$c")): _*)
   }
 
   /** J1: substring-containment theta join (`metricsreader.py:423-468`): each

@@ -167,6 +167,41 @@ object JoinQueries {
              |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1""".stripMargin)),
 
+    // As-of temporal enrichment: every view/click event picks the user's
+    // most recent signup value at-or-before its timestamp. Spark has no
+    // built-in as-of join; this is the union+window form (one shuffle).
+    // DuckDB's native ASOF JOIN is the oracle.
+    GraftQuery("j11_asof_join",
+      (s, dir) => {
+        val events = Tables.events(s, dir)
+        val updates = events.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("signup_value"))
+        val probes = events.filter(col("event_type").isin("view", "click"))
+          .select(col("event_id"), col("user_id"), col("ts"))
+        Joins.asofJoin(probes, updates, "user_id", "ts",
+          Seq("signup_value"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("asof_signup_value").isNull, 1L).otherwise(0L))
+              .as("n_before_signup"),
+            round(sum(coalesce(col("asof_signup_value"), lit(0.0))), 4)
+              .as("sum_asof_value"))
+      },
+      Some("""WITH u AS (SELECT user_id, ts, max(value) AS signup_value
+             |           FROM events WHERE event_type = 'signup'
+             |           GROUP BY 1, 2),
+             |p AS (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type IN ('view', 'click')),
+             |a AS (SELECT p.user_id, u.signup_value
+             |      FROM p ASOF LEFT JOIN u
+             |        ON p.user_id = u.user_id AND p.ts >= u.ts)
+             |SELECT user_id, count(*) AS n_events,
+             |       sum(CASE WHEN signup_value IS NULL THEN 1 ELSE 0 END)::BIGINT
+             |         AS n_before_signup,
+             |       round(sum(coalesce(signup_value, 0.0)), 4) AS sum_asof_value
+             |FROM a GROUP BY 1""".stripMargin)),
+
     // Bench headline: five-way star join + aggregate (TPC-H Q5 shape) —
     // the scale test for join strategy (broadcast dims, shuffle facts).
     GraftQuery("q5_star_join",

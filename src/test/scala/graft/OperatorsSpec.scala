@@ -61,6 +61,24 @@ class OperatorsSpec extends SparkSpec {
       (3L, 1L, 2), (4L, 2L, 2), (5L, 3L, 2)))
   }
 
+  test("asofJoin picks the latest right row at or before each left ts") {
+    import spark.implicits._
+    def t(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + sec))
+    val probes = Seq((1L, t(0), 100L), (1L, t(50), 101L), (1L, t(100), 102L),
+      (2L, t(10), 200L)).toDF("user_id", "ts", "event_id")
+    val updates = Seq((1L, t(10), 1.0), (1L, t(100), 2.0), (3L, t(0), 9.0))
+      .toDF("user_id", "ts", "v")
+    val got = Joins.asofJoin(probes, updates, "user_id", "ts", Seq("v"))
+      .select("event_id", "asof_v")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(
+      100L -> None, // before any update
+      101L -> Some(1.0), // latest at-or-before t=50
+      102L -> Some(2.0), // equal ts matches (<= semantics)
+      200L -> None)) // key with no updates at all
+  }
+
   test("connectedComponents labels every node with its group minimum") {
     import spark.implicits._
     // two components {1,2,3,7} (path 7-3-2-1) and {10,11}; singleton pairs
