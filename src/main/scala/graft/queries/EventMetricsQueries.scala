@@ -194,6 +194,74 @@ object EventMetricsQueries {
              |       quantile_cont(value, 0.5) AS median_value
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // Exact multi-quantile battery (linear interpolation both engines) —
+    // the distribution profile a quality/report dashboard serves.
+    GraftQuery("a_quantile_battery",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25D)"), 6).as("p25"),
+          round(expr("percentile(value, 0.75D)"), 6).as("p75"),
+          round(expr("percentile(value, 0.95D)"), 6).as("p95"),
+          round(expr("percentile(value, 0.99D)"), 6).as("p99")),
+      Some("""SELECT event_type,
+             |       round(quantile_cont(value, 0.25), 6) AS p25,
+             |       round(quantile_cont(value, 0.75), 6) AS p75,
+             |       round(quantile_cont(value, 0.95), 6) AS p95,
+             |       round(quantile_cont(value, 0.99), 6) AS p99
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // RANGE-frame window: per-user 3-day trailing sum/count over event
+    // time — value-based frames (not row counts), the shape of any
+    // trailing-window usage metric.
+    GraftQuery("w_range_frames",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("sec"))
+          .rangeBetween(-3L * 86400L, 0L)
+        Tables.events(s, dir)
+          .filter(col("user_id") < 50)
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) / 1000000L).as("sec"),
+            col("value"))
+          .withColumn("trailing_n", count(lit(1)).over(w))
+          .withColumn("trailing_sum",
+            round(sum(col("value")).over(w), 4))
+          .select("event_id", "user_id", "trailing_n", "trailing_sum")
+      },
+      Some("""SELECT event_id, user_id,
+             |       count(*) OVER w AS trailing_n,
+             |       round(sum(value) OVER w, 4) AS trailing_sum
+             |FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+             |             value
+             |      FROM events WHERE user_id < 50)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             |             RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // GROUPING SETS beyond rollup/cube: the exact subtotal combinations a
+    // dashboard asks for, in one pass.
+    GraftQuery("a_grouping_sets",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("ev_gs")
+        s.sql("""SELECT event_type,
+                |       date_format(ts, 'yyyy-MM') AS month,
+                |       count(*) AS n,
+                |       grouping_id() AS gid
+                |FROM ev_gs
+                |GROUP BY GROUPING SETS ((event_type),
+                |                        (event_type, date_format(ts, 'yyyy-MM')),
+                |                        ())""".stripMargin)
+      },
+      Some("""SELECT event_type, strftime(date_trunc('month', ts), '%Y-%m') AS month,
+             |       count(*) AS n,
+             |       CAST(grouping(event_type) * 2
+             |            + grouping(strftime(date_trunc('month', ts), '%Y-%m'))
+             |         AS BIGINT) AS gid
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type),
+             |                        (event_type, strftime(date_trunc('month', ts), '%Y-%m')),
+             |                        ())""".stripMargin)),
+
     // A5: global min/max/count — session-id allocation & unprocessed-mark
     // scans (`metricselasticsearch.py:554-678`).
     GraftQuery("a5_global_extrema",
