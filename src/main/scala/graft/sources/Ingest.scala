@@ -30,6 +30,31 @@ object Ingest {
   def readBronze(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSONL read with a dead-letter split — the reference's
+    * `_jsonparsefailure` quarantine (`metricselasticsearch.py:964-976`
+    * stamps failed docs sessionId=-1 instead of dropping them). PERMISSIVE
+    * parsing routes malformed lines to a corrupt-record column; returns
+    * (good rows, quarantined raw lines). The quarantine side keeps the
+    * verbatim input line for replay after a parser fix — nothing is
+    * silently lost, and the good-path schema stays clean.
+    */
+  def readJsonlWithQuarantine(spark: SparkSession, srcDir: String,
+                              schemaSource: DataFrame): (DataFrame, DataFrame) = {
+    val schema = schemaSource.schema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val raw = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(srcDir)
+      .cache() // PERMISSIVE corrupt-column reads require a materialized scan
+    val good = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantined = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, quarantined)
+  }
+
   /** Streaming ingest: JSONL directory → bronze parquet, checkpointed —
     * the reference's filebeat→logstash→ES leg as one Structured Streaming
     * job. Restart recovery (reference `getLastLinesFromFile`/`trimLogEntries`)

@@ -88,6 +88,24 @@ class IngestReportSpec extends SparkSpec {
     assert(gold.columns.contains("n_unique"))
   }
 
+  test("malformed JSONL lines quarantine instead of corrupting the batch") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/events.jsonl"),
+      """{"event_id": 1, "user_id": 10, "ts": "2024-01-01T00:00:00", "event_type": "view", "value": 1.5, "props": "{}"}
+        |this line is not json at all
+        |{"event_id": 2, "user_id": 11, "ts": "2024-01-01T00:01:00", "event_type": "click", "value": 2.0, "props": "{}"}
+        |{"event_id": 3, "bad json": truncated
+        |""".stripMargin)
+    val (good, quarantined) = Ingest.readJsonlWithQuarantine(spark, dir,
+      Tables.events(spark, testDataDir))
+    assert(good.select("event_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L))
+    val bad = quarantined.collect().map(_.getString(0))
+    assert(bad.length == 2) // nothing silently lost
+    assert(bad.exists(_.contains("not json")))
+    assert(bad.exists(_.contains("truncated"))) // raw line kept for replay
+  }
+
   test("incremental session gold: late day rebuilds one partition, matches full recompute") {
     val base = tmpDir()
     val events = Tables.events(spark, testDataDir)
