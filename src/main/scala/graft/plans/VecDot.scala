@@ -91,7 +91,10 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+      (children: Seq[Expression]) => VecDot(children.head, children(1))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash60(children.head)))
 
   def register(spark: SparkSession): Unit = all.foreach {
     case (ident, info, builder) =>

@@ -66,9 +66,13 @@ object DedupQueries {
     // SimHash: one 60-bit signature per doc (no shuffle at all) — hamming
     // clustering then finds near-dups without any pairwise text compare.
     GraftQuery("d_simhash",
-      (s, dir) => Tables.documents(s, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), Dedup.simhashExpr("toks").as("simhash")),
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s) // native one-pass kernel
+        Tables.documents(s, dir)
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            call_function("graft_simhash", col("toks")).as("simhash"))
+      },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
              |h AS (SELECT doc_id,
              |        list_transform(toks,
@@ -87,11 +91,15 @@ object DedupQueries {
     // hamming ≤ 3; bit_count(xor) verifies exactly. Completes the simhash
     // pipeline (signature → candidates → verified pairs).
     GraftQuery("d_simhash_pairs",
-      (s, dir) => Dedup.simhashPairs(
-        Tables.documents(s, dir)
-          .withColumn("toks", split(col("text"), " "))
-          .select(col("doc_id"), Dedup.simhashExpr("toks").as("simhash")),
-        bands = 4, bitsPerBand = 15, maxHamming = 3),
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Dedup.simhashPairs(
+          Tables.documents(s, dir)
+            .withColumn("toks", split(col("text"), " "))
+            .select(col("doc_id"),
+              call_function("graft_simhash", col("toks")).as("simhash")),
+          bands = 4, bitsPerBand = 15, maxHamming = 3)
+      },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
              |h AS (SELECT doc_id,
              |        list_transform(toks,

@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 
 class VecDotSpec extends SparkSpec {
 
+  test("graft_simhash is bit-identical to the HOF form on the corpus") {
+    graft.plans.GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, testDataDir).limit(300)
+      .withColumn("toks", split(col("text"), " "))
+    val native = toks.select(col("doc_id"),
+      call_function("graft_simhash", col("toks")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = toks.select(col("doc_id"),
+      graft.operators.Dedup.simhashExpr("toks").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof)
+    // type check fails loudly on wrong input
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(call_function("graft_simhash", col("id"))).collect()
+    }
+  }
+
   test("vec_dot resolves via spark.sql.extensions injection") {
     // SparkSpec's session sets spark.sql.extensions=graft.plans.GraftExtensions
     val r = spark.sql("SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F))")
