@@ -30,6 +30,33 @@ object Ingest {
   def readBronze(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a bronze table's small files — the operational follow-up to
+    * incremental/streaming ingest, which accretes one file per micro-batch
+    * per partition (the reference's analogue is its 1 GB log rotation,
+    * `eventprocessor.py:14-17`). Rewrites each date partition into
+    * ~`targetRecordsPerFile`-row files via dynamic partition overwrite;
+    * optionally only partitions matching `predicate` (e.g. yesterday) so a
+    * scheduled compactor never rewrites the whole table. Rows are
+    * sorted within files by (user_id, ts) so row-group min/max stats can
+    * skip on the hot filter columns. */
+  def compactBronze(spark: SparkSession, path: String,
+                    targetRecordsPerFile: Long,
+                    predicate: Option[org.apache.spark.sql.Column] = None): Unit = {
+    val all = spark.read.parquet(path)
+    val slice = predicate.fold(all)(all.filter)
+      // materialize before overwriting the path being read (write-temp-and-
+      // swap in production; the slice is one day's partitions, bounded)
+      .localCheckpoint()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    slice
+      .repartition(col("event_date"))
+      .sortWithinPartitions(col("event_date"), col("user_id"), col("ts"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .partitionBy("event_date")
+      .parquet(path)
+  }
+
   /** JSONL read with a dead-letter split — the reference's
     * `_jsonparsefailure` quarantine (`metricselasticsearch.py:964-976`
     * stamps failed docs sessionId=-1 instead of dropping them). PERMISSIVE

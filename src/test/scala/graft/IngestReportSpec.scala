@@ -88,6 +88,25 @@ class IngestReportSpec extends SparkSpec {
     assert(gold.columns.contains("n_unique"))
   }
 
+  test("bronze compaction merges small files without changing rows") {
+    val base = tmpDir()
+    val events = Tables.events(spark, testDataDir)
+    // simulate micro-batch accretion: many tiny files per partition
+    events.repartition(24).withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").parquet(s"$base/bronze")
+    def files() = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/bronze"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = files()
+    val rowsBefore = spark.read.parquet(s"$base/bronze").count()
+    Ingest.compactBronze(spark, s"$base/bronze", targetRecordsPerFile = 100000L)
+    assert(files() < before / 4) // one file per partition now
+    val after = spark.read.parquet(s"$base/bronze")
+    assert(after.count() == rowsBefore)
+    // identical content, not just counts
+    assert(after.select("event_id").except(
+      events.select("event_id")).isEmpty)
+  }
+
   test("malformed JSONL lines quarantine instead of corrupting the batch") {
     val dir = tmpDir()
     Files.writeString(java.nio.file.Paths.get(s"$dir/events.jsonl"),
