@@ -110,22 +110,39 @@ object Joins {
     * (`pid_resolution.py:285-416`): emit (node, ancestor, depth) for every
     * ancestor reachable in 1..maxDepth parent steps.
     *
-    * BFS by levels: level k+1 = level k ⋈ edges. Each level is one shuffle
-    * on the join key; output size is bounded by maxDepth × |edges|.
+    * Path doubling instead of level-at-a-time BFS: each round joins the
+    * EXACT-2^k-step pairs against everything accumulated so far, covering
+    * depth 2^(k+1) — ceil(log2 maxDepth) barrier rounds instead of
+    * maxDepth−1 (5 vs 19 at the reference's depth-20 cap). Decomposing a
+    * depth-d path as (exact 2^k prefix, ≤2^k continuation) is UNIQUE in a
+    * parent-pointer forest, so no duplicate pairs arise and no distinct()
+    * is needed. Output size is bounded by maxDepth × |edges| either way.
     */
   def closurePairs(edges: DataFrame, maxDepth: Int): DataFrame = {
-    val edgesM = edges.localCheckpoint() // consumed once per level
-    var level = edgesM.select(col("child").as("node"),
-      col("parent").as("ancestor"), lit(1).as("depth"))
-      .filter(col("ancestor").isNotNull)
-    var acc = level
-    for (d <- 2 to maxDepth) {
-      val e = edgesM.select(col("child").as("e_child"), col("parent").as("e_parent"))
-      level = level.join(e, level("ancestor") === e("e_child"), "inner")
-        .filter(col("e_parent").isNotNull)
-        .select(col("node"), col("e_parent").as("ancestor"), lit(d).as("depth"))
+    val e1 = edges.filter(col("parent").isNotNull)
+      .select(col("child").as("node"), col("parent").as("ancestor"),
+        lit(1).as("depth"))
+      .localCheckpoint()
+    var acc = e1 // all pairs of depth ≤ span
+    var exact = e1 // pairs of depth exactly span
+    var span = 1
+    while (span < maxDepth) {
+      val ext = exact.select(col("node"), col("ancestor").as("_mid"),
+        col("depth").as("_d1"))
+        .join(acc.select(col("node").as("_anode"),
+          col("ancestor").as("_aanc"), col("depth").as("_d2")),
+          col("_mid") === col("_anode"))
+        .select(col("node"), col("_aanc").as("ancestor"),
+          (col("_d1") + col("_d2")).as("depth"))
+        .filter(col("depth") <= maxDepth)
         .localCheckpoint()
-      acc = acc.union(level)
+      acc = acc.union(ext)
+      // the doubled exact-span pairs are ext's deepest slice
+      exact = ext.filter(col("depth") === 2 * span)
+      span *= 2
+      // no exact-span path ⇒ no longer path can exist either (it would
+      // contain one as a prefix) — the closure is already complete
+      if (span < maxDepth && exact.isEmpty) span = maxDepth
     }
     acc
   }
