@@ -113,6 +113,29 @@ object Enrich {
       .drop("_bucket")
   }
 
+  /** Interval-overlap join — two tables of [start, end] intervals matched
+    * where they overlap (`a.start <= b.end && b.start <= a.end`): media
+    * segments × annotation spans, sessions × incident windows. Same
+    * bucket discipline as [[rangeLookup]]: both sides explode into the
+    * coarse buckets their interval covers, equi-join on bucket, residual
+    * overlap filter, and a dedup on the pair key because an overlapping
+    * pair can co-occur in several buckets. Bucket width should be on the
+    * order of typical interval length: too fine multiplies the explode,
+    * too coarse multiplies the residual comparisons. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lStart: String, lEnd: String,
+                   rStart: String, rEnd: String,
+                   bucketBits: Int): DataFrame = {
+    val lB = left.withColumn("_bucket", explode(sequence(
+      shiftright(col(lStart), bucketBits), shiftright(col(lEnd), bucketBits))))
+    val rB = right.withColumn("_bucket", explode(sequence(
+      shiftright(col(rStart), bucketBits), shiftright(col(rEnd), bucketBits))))
+    lB.join(rB, Seq("_bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("_bucket")
+      .dropDuplicates(left.columns.toIndexedSeq ++ right.columns)
+  }
+
   /** DataCite inverse-relation normalization from the citation POST path
     * (`citationsmanager.py:36-54,213-223`): inbound relation types map to
     * their canonical outbound form; already-canonical values pass through;

@@ -202,6 +202,49 @@ object JoinQueries {
              |       round(sum(coalesce(signup_value, 0.0)), 4) AS sum_asof_value
              |FROM a GROUP BY 1""".stripMargin)),
 
+    // Interval-overlap join: user sessions × maintenance windows — how
+    // many sessions touched each 6-hour window. Bucketed equi-join +
+    // residual overlap, never a cross product.
+    GraftQuery("j12_interval_join",
+      (s, dir) => {
+        val sess = graft.operators.Sessionize.sessionStats(
+          Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"),
+          3600L)
+          .select(col("user_id"), col("session_seq"),
+            (unix_micros(col("session_start")) / 1000000L).as("s_start"),
+            (unix_micros(col("session_end")) / 1000000L).as("s_end"))
+        val windows = s.range(90).select(col("id").as("w_id"),
+          (lit(1704067200L) + col("id") * 86400L).as("w_start"),
+          (lit(1704067200L) + col("id") * 86400L + 21600L).as("w_end"))
+        graft.operators.Enrich.intervalJoin(sess, windows,
+          "s_start", "s_end", "w_start", "w_end", bucketBits = 15)
+          .groupBy(col("w_id")).agg(count(lit(1)).as("n_sessions"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM events
+             |), s AS (
+             |  SELECT user_id, ts,
+             |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM g
+             |), sess AS (
+             |  SELECT user_id, session_seq,
+             |         epoch_us(min(ts)) // 1000000 AS s_start,
+             |         epoch_us(max(ts)) // 1000000 AS s_end
+             |  FROM s GROUP BY 1, 2
+             |), w AS (
+             |  SELECT i::BIGINT AS w_id,
+             |         1704067200 + i * 86400 AS w_start,
+             |         1704067200 + i * 86400 + 21600 AS w_end
+             |  FROM (SELECT unnest(generate_series(0, 89)) AS i))
+             |SELECT w_id, count(*) AS n_sessions
+             |FROM sess JOIN w ON s_start <= w_end AND w_start <= s_end
+             |GROUP BY 1""".stripMargin)),
+
     // Bench headline: five-way star join + aggregate (TPC-H Q5 shape) —
     // the scale test for join strategy (broadcast dims, shuffle facts).
     GraftQuery("q5_star_join",

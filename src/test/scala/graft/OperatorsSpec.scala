@@ -286,6 +286,19 @@ class OperatorsSpec extends SparkSpec {
     // 46, 99, 261 fall in gaps: no match
   }
 
+  test("intervalJoin: touching endpoints overlap, multi-bucket pairs dedupe") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 100L), (2L, 200L, 210L)).toDF("a_id", "s", "e")
+    val b = Seq((10L, 100L, 150L), (11L, 211L, 220L), (12L, 0L, 300L))
+      .toDF("b_id", "bs", "be")
+    val got = Enrich.intervalJoin(a, b, "s", "e", "bs", "be", bucketBits = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    // (1,12) spans many shared buckets — must appear exactly once
+    assert(got.length == got.distinct.length)
+    assert(got.toSet == Set((1L, 10L), // endpoint touch (e=100=bs) overlaps
+      (1L, 12L), (2L, 12L))) // (2,11) gap of 1: no overlap
+  }
+
   test("ipInCidrs matches inside and outside ranges") {
     import spark.implicits._
     val res = Seq("10.5.1.2", "10.6.1.2", "192.168.0.1").toDF("ip")
