@@ -48,6 +48,47 @@ object ApiQueries {
               |       coalesce(downloads, 0) AS downloads
               |FROM spine s LEFT JOIN agg USING (period)""".stripMargin)),
 
+    // The reference's COLUMN-ORIENTED response shape (§1.1: parallel
+    // arrays months[]/views[]/downloads[] plus resultDetails totals,
+    // `metricsreader.py:315-323,1609-1615`) — arrays joined to strings so
+    // the oracle hash-compares them exactly.
+    GraftQuery("api_columnar_response",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val long = MetricsApi.interpretJson(s, dir, landingPageRequest)
+        MetricsApi.columnarResponse(long, Seq("views", "downloads"))
+          .select(
+            array_join(col("periods"), ",").as("periods"),
+            array_join(transform(col("views"), _.cast("string")), ",")
+              .as("views"),
+            array_join(transform(col("downloads"), _.cast("string")), ",")
+              .as("downloads"),
+            col("total_views"), col("total_downloads"))
+      },
+      Some(s"""WITH spine AS (
+              |  SELECT strftime(unnest(generate_series(DATE '2024-01-01',
+              |           DATE '2024-02-04', INTERVAL 1 DAY)), '%Y-%m-%d') AS period
+              |), agg AS (
+              |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS period,
+              |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+              |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS downloads
+              |  FROM events
+              |  WHERE user_id IN ($userInList)
+              |    AND ts >= TIMESTAMP '2024-01-01'
+              |    AND ts < TIMESTAMP '2024-02-05'
+              |  GROUP BY 1
+              |), lng AS (
+              |  SELECT s.period, coalesce(views, 0) AS views,
+              |         coalesce(downloads, 0) AS downloads
+              |  FROM spine s LEFT JOIN agg USING (period)
+              |)
+              |SELECT array_to_string(list(period ORDER BY period), ',') AS periods,
+              |       array_to_string(list(views ORDER BY period), ',') AS views,
+              |       array_to_string(list(downloads ORDER BY period), ',') AS downloads,
+              |       sum(views)::BIGINT AS total_views,
+              |       sum(downloads)::BIGINT AS total_downloads
+              |FROM lng""".stripMargin)),
+
     // Grouped variant: month unit × eventType dimension (repo/portal chart
     // shape, `metricsreader.py:786-796`).
     GraftQuery("api_grouped_by_type",
