@@ -41,7 +41,10 @@ object QueryStringFilter {
     var escaped = false
     def flush(): Unit = if (sb.nonEmpty) { out += sb.toString; sb.clear() }
     s.foreach {
-      case ch if escaped => sb.append(ch); escaped = false
+      // keep the backslash IN the token: clause() must still see which
+      // characters were escaped (a literal '*' vs the wildcard, a literal
+      // '"' vs phrase syntax) and unescapes after deciding semantics
+      case ch if escaped => sb.append('\\').append(ch); escaped = false
       case '\\' => escaped = true
       case ch if inQuote => sb.append(ch); if (ch == '"') inQuote = false
       case '"' => sb.append('"'); inQuote = true
@@ -88,12 +91,19 @@ object QueryStringFilter {
   /** Lucene-style negation: missing (null) fields MATCH a negated clause. */
   private def negate(c: Column): Column = !coalesce(c, lit(false))
 
+  /** Strip escape backslashes (after wildcard/phrase decisions). */
+  private def unescape(s: String): String =
+    s.replaceAll("\\\\(.)", "$1")
+
   private def clause(body: String): Column = {
     val Array(field, value) = body.split(":", 2)
+    val endsWithWildcard = // a '*' that was NOT written as '\*'
+      value.endsWith("*") && !value.endsWith("\\*")
     if (value == "*") col(field).isNotNull // existence test
     else if (value.startsWith("\"") && value.endsWith("\"") && value.length >= 2)
-      col(field) === value.substring(1, value.length - 1)
-    else if (value.endsWith("*")) col(field).startsWith(value.dropRight(1))
-    else col(field) === value
+      col(field) === unescape(value.substring(1, value.length - 1))
+    else if (endsWithWildcard)
+      col(field).startsWith(unescape(value.dropRight(1)))
+    else col(field) === unescape(value)
   }
 }

@@ -117,11 +117,13 @@ object Enrich {
     * where they overlap (`a.start <= b.end && b.start <= a.end`): media
     * segments × annotation spans, sessions × incident windows. Same
     * bucket discipline as [[rangeLookup]]: both sides explode into the
-    * coarse buckets their interval covers, equi-join on bucket, residual
-    * overlap filter, and a dedup on the pair key because an overlapping
-    * pair can co-occur in several buckets. Bucket width should be on the
-    * order of typical interval length: too fine multiplies the explode,
-    * too coarse multiplies the residual comparisons. */
+    * coarse buckets their interval covers and equi-join on bucket with a
+    * residual overlap filter. An overlapping pair co-occurs in every
+    * shared bucket, so each pair is EMITTED only in its canonical bucket
+    * (the first shared one = max of the two start buckets) — exact,
+    * duplicate-row-preserving (no distinct pass), no extra shuffle.
+    * Bucket width should be on the order of typical interval length: too
+    * fine multiplies the explode, too coarse the residual comparisons. */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    lStart: String, lEnd: String,
                    rStart: String, rEnd: String,
@@ -131,9 +133,10 @@ object Enrich {
     val rB = right.withColumn("_bucket", explode(sequence(
       shiftright(col(rStart), bucketBits), shiftright(col(rEnd), bucketBits))))
     lB.join(rB, Seq("_bucket"))
-      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("_bucket") === greatest(shiftright(col(lStart), bucketBits),
+          shiftright(col(rStart), bucketBits)))
       .drop("_bucket")
-      .dropDuplicates(left.columns.toIndexedSeq ++ right.columns)
   }
 
   /** DataCite inverse-relation normalization from the citation POST path

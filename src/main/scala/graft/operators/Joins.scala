@@ -153,41 +153,47 @@ object Joins {
     * event×dimension-history workload does).
     *
     * Implemented as union + window rather than join + re-aggregate: both
-    * sides union on (key, ts), one window per key carries the last
-    * non-null right payload forward, then left rows filter back out. ONE
-    * shuffle on the key total — a join-based plan would shuffle twice and
-    * explode on hot keys before re-aggregating. Right rows order before
-    * left rows at equal ts, so `<=` matches (DuckDB ASOF semantics).
-    * Right (key, ts) pairs must be unique — pre-aggregate duplicates.
+    * sides union on (key, ts), one window per key carries the last right
+    * ROW (as a struct — so null payload fields come from the matched row,
+    * never mixed across rows) forward, then left rows filter back out.
+    * ONE shuffle on the key total — a join-based plan would shuffle twice
+    * and explode on hot keys before re-aggregating. Right rows order
+    * before left rows at equal ts, so `<=` matches (DuckDB ASOF
+    * semantics). Right (key, ts) pairs must be unique — pre-aggregate
+    * duplicates. Left may share payload column names with `valueCols`
+    * (the carried values come out as `asof_<name>`).
     *
     * @param valueCols right-side payload column names to carry.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCols: Seq[String]): DataFrame = {
-    val unionCols = (left.columns :+ "_side") ++ valueCols.map("_r_" + _)
-    val lFull = valueCols.foldLeft(left.withColumn("_side", lit(1))) {
-      (df, c) => df.withColumn(s"_r_$c",
-        lit(null).cast(right.schema(c).dataType))
-    }
-    val rBase = right.select((Seq(key, ts) ++ valueCols).map(col): _*)
+    require(!left.columns.exists(c => c == "_side" || c == "_r"),
+      "left must not contain reserved columns _side/_r")
+    // carry the matched right row as ONE struct: a null field in the
+    // matched row stays null (DuckDB ASOF returns the row it matched),
+    // and fields can never mix across different right rows
+    val rStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy(name = c)))
+    val lFull = left.withColumn("_side", lit(1))
+      .withColumn("_r", lit(null).cast(rStructType))
+    val rFull = right
+      .select(col(key), col(ts),
+        struct(valueCols.map(col): _*).as("_r"))
       .withColumn("_side", lit(0))
     val rWithLeft = left.columns.filterNot(c => c == key || c == ts)
-      .foldLeft(rBase) { (df, c) =>
+      .foldLeft(rFull) { (df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
-    val rFull = valueCols.foldLeft(rWithLeft) { (df, c) =>
-      df.withColumnRenamed(c, s"_r_$c")
-    }
+    val unionCols = left.columns.toIndexedSeq :+ "_side" :+ "_r"
     val unioned = lFull.select(unionCols.map(col): _*)
-      .unionByName(rFull.select(unionCols.map(col): _*))
+      .unionByName(rWithLeft.select(unionCols.map(col): _*))
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
+    unioned
+      .withColumn("_carried", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
       .select(left.columns.map(col) ++
-        valueCols.map(c => col(s"asof_$c")): _*)
+        valueCols.map(c => col("_carried").getField(c).as(s"asof_$c")): _*)
   }
 
   /** J1: substring-containment theta join (`metricsreader.py:423-468`): each

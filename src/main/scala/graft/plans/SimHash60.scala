@@ -41,9 +41,14 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 }
 
 object SimHash60 {
+  // one digest per thread: getInstance does a synchronized JCA provider
+  // lookup + allocation — per-ROW that cost would rival the hashing
+  private val localMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   /** Static kernel shared by eval and codegen. */
   def compute(toks: ArrayData): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     val counters = new Array[Int](60)
     var i = 0
     val n = toks.numElements()

@@ -41,18 +41,28 @@ object GoldTables {
         sort_array(collect_list(col("event_id"))))).as("fingerprint"))
 
   /** Incremental gold build: recompute only groups whose fingerprint
-    * changed since the last run; dynamic partition overwrite replaces just
-    * those groups' partitions, and partitions of groups that VANISHED from
-    * the input (present in prior state, absent now) are deleted — dynamic
-    * overwrite alone would leave them stale forever. Fingerprint state
-    * lives beside the gold table, like `portal_metadata`
-    * (`00-metrics-tables.sql:70-75`). Vanished keys are collected to the
-    * driver — safe because the group domain (nodes/portals) is small even
-    * at 100 TB of events. Returns (rebuilt, skipped, removed) group counts. */
+    * changed since the last run. Returns (rebuilt, skipped, removed). */
   def incrementalBuild(spark: SparkSession, events: DataFrame,
                        groupCol: String, goldPath: String,
-                       statePath: String): (Long, Long, Long) = {
-    val fresh = fingerprints(events, groupCol)
+                       statePath: String): (Long, Long, Long) =
+    incrementalOverwrite(spark, events, groupCol, goldPath, statePath,
+      changed => goldAgg(
+        events.join(changed, Seq(groupCol), "left_semi"), groupCol))
+
+  /** The shared incremental-partition protocol (used by gold aggregates
+    * here and by [[SessionGold]]): diff per-group fingerprints of `source`
+    * against the prior state, dynamic-partition-overwrite ONLY the changed
+    * groups with `writeRows(changedKeys)`, DELETE partitions of groups
+    * that vanished from the input (dynamic overwrite alone would serve
+    * them stale forever), and refresh the state on any change. Vanished
+    * keys are collected to the driver — safe because the group domain
+    * (nodes/portals/days) is small even at 100 TB of events. Null/empty
+    * group keys map to the writer's default partition directory. Returns
+    * (rebuilt, skipped, removed) group counts. */
+  def incrementalOverwrite(spark: SparkSession, source: DataFrame,
+                           groupCol: String, path: String, statePath: String,
+                           writeRows: DataFrame => DataFrame): (Long, Long, Long) = {
+    val fresh = fingerprints(source, groupCol)
     val prior =
       try spark.read.parquet(statePath)
         .withColumnRenamed("fingerprint", "prior_fp")
@@ -71,18 +81,21 @@ object GoldTables {
     val nSkipped = joined.count() - nChanged - vanishedKeys.length
     if (nChanged > 0) {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      goldAgg(events.join(changed, Seq(groupCol), "left_semi"), groupCol)
+      writeRows(changed)
         .write.mode("overwrite")
         .partitionBy(groupCol)
-        .parquet(goldPath)
+        .parquet(path)
     }
     if (vanishedKeys.nonEmpty) {
-      val root = new org.apache.hadoop.fs.Path(goldPath)
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       vanishedKeys.foreach { k =>
-        // escape exactly as the parquet writer does (e.g. ':' -> '%3A')
-        val leaf = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(groupCol, String.valueOf(k))
+        // escape exactly as the parquet writer does (':' -> '%3A'); null
+        // and empty keys land in the default partition directory
+        val v = Option(k).map(String.valueOf).filter(_.nonEmpty)
+          .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+        val leaf = ExternalCatalogUtils.getPartitionPathString(groupCol, v)
         fs.delete(new org.apache.hadoop.fs.Path(root, leaf), true)
       }
     }

@@ -29,10 +29,12 @@ object SessionGold {
   private def withDay(events: DataFrame): DataFrame =
     events.withColumn("event_day", to_date(col("ts")))
 
-  /** Rebuild changed day-partitions of the local-session table and refresh
-    * the (tiny) summary. Returns (rebuilt, skipped) day counts. */
+  /** Rebuild changed day-partitions of the local-session table, delete
+    * vanished days, refresh the (tiny) state — all via the shared
+    * [[GoldTables.incrementalOverwrite]] protocol. Returns
+    * (rebuilt, skipped, removed) day counts. */
   def build(spark: SparkSession, events: DataFrame, gapSeconds: Long,
-            localPath: String, statePath: String): (Long, Long) = {
+            localPath: String, statePath: String): (Long, Long, Long) = {
     require(gapSeconds <= 86400L, "split-by-day needs gap <= 1 day")
     val byDay = withDay(events)
     val gapMicros = gapSeconds * 1000000L
@@ -44,34 +46,9 @@ object SessionGold {
     val local = byDay.withColumn("local_seq",
       sum(isNew).over(wLocal.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)))
-    // GoldTables' fingerprint machinery decides which days changed and
-    // rewrites ONLY those partitions (and deletes vanished days)
-    val (rebuilt, skipped, _) = {
-      val fp = GoldTables.fingerprints(byDay, "event_day")
-      val prior =
-        try spark.read.parquet(s"$statePath/days")
-          .withColumnRenamed("fingerprint", "prior_fp")
-        catch { case _: Exception =>
-          fp.select(col("event_day")).limit(0)
-            .withColumn("prior_fp", lit(null).cast("string"))
-        }
-      val joined = fp.join(prior, Seq("event_day"), "full").cache()
-      val changed = joined.filter(col("fingerprint").isNotNull &&
-        (col("prior_fp").isNull || col("prior_fp") =!= col("fingerprint")))
-        .select(col("event_day"))
-      val nChanged = changed.count()
-      val nSkipped = joined.count() - nChanged
-      if (nChanged > 0) {
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        local.join(changed, Seq("event_day"), "left_semi")
-          .write.mode("overwrite").partitionBy("event_day")
-          .parquet(localPath)
-        fp.write.mode("overwrite").parquet(s"$statePath/days")
-      }
-      joined.unpersist()
-      (nChanged, nSkipped, 0L)
-    }
-    (rebuilt, skipped)
+    GoldTables.incrementalOverwrite(spark, byDay, "event_day",
+      localPath, s"$statePath/days",
+      changed => local.join(changed, Seq("event_day"), "left_semi"))
   }
 
   /** Globally-numbered sessions from the materialized local table: the

@@ -75,10 +75,15 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(srcDir)
       .cache() // PERMISSIVE corrupt-column reads require a materialized scan
+    // materialize both splits, then release the cached full scan — the
+    // returned frames own their data and don't pin the input in storage
     val good = raw.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
+      .localCheckpoint()
     val quarantined = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
+      .localCheckpoint()
+    raw.unpersist()
     (good, quarantined)
   }
 

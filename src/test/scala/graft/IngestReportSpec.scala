@@ -131,18 +131,18 @@ class IngestReportSpec extends SparkSpec {
       .select(col("event_id"), col("user_id"), col("ts"))
     val days = events.select(to_date(col("ts")).as("d")).distinct().count()
     // initial build: every day materializes
-    val (b1, s1) = SessionGold.build(spark, events, 3600L,
+    val (b1, s1, r1) = SessionGold.build(spark, events, 3600L,
       s"$base/local", s"$base/state")
-    assert(b1 == days && s1 == 0)
+    assert(b1 == days && s1 == 0 && r1 == 0)
     // a late event lands on the LAST day only
     val lastTs = events.agg(max(col("ts"))).head().getTimestamp(0)
     val late = spark.sql(
       s"SELECT 999999999L AS event_id, 1L AS user_id, " +
         s"timestamp'$lastTs' - INTERVAL 1 MINUTE AS ts")
     val updated = events.unionByName(late)
-    val (b2, s2) = SessionGold.build(spark, updated, 3600L,
+    val (b2, s2, r2) = SessionGold.build(spark, updated, 3600L,
       s"$base/local", s"$base/state")
-    assert(b2 == 1 && s2 == days - 1) // only the touched day rebuilt
+    assert(b2 == 1 && s2 == days - 1 && r2 == 0) // only the touched day rebuilt
     // the served assignments equal a from-scratch single-window recompute
     val served = SessionGold.read(spark, s"$base/local", 3600L)
       .select("event_id", "session_seq")
@@ -152,6 +152,22 @@ class IngestReportSpec extends SparkSpec {
       .select("event_id", "session_seq")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(served == full)
+    // a whole day of events disappears (bad-data backfill): its partition
+    // must be deleted, not served as ghost sessions that skew offsets
+    val firstDay = events.select(to_date(col("ts")).as("d"))
+      .agg(min(col("d"))).head().getDate(0)
+    val shrunk = updated.filter(to_date(col("ts")) =!= lit(firstDay))
+    val (b3, s3, r3) = SessionGold.build(spark, shrunk, 3600L,
+      s"$base/local", s"$base/state")
+    assert(b3 == 0 && s3 == days - 1 && r3 == 1)
+    val servedShrunk = SessionGold.read(spark, s"$base/local", 3600L)
+      .select("event_id", "session_seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullShrunk = Sessionize.withSessionSeq(shrunk,
+      col("user_id"), col("ts"), col("event_id"), 3600L)
+      .select("event_id", "session_seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(servedShrunk == fullShrunk)
   }
 
   test("gold incremental build deletes partitions of vanished groups") {

@@ -79,6 +79,23 @@ class OperatorsSpec extends SparkSpec {
       200L -> None)) // key with no updates at all
   }
 
+  test("asofJoin returns the matched ROW's values, even if null, and tolerates name collisions") {
+    import spark.implicits._
+    def t(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + sec))
+    // matched row at t=50 has v=null: DuckDB ASOF returns that row's null,
+    // NOT the older non-null from t=10; w comes from the same matched row
+    val probes = Seq((1L, t(60), 7.7)).toDF("user_id", "ts", "v")
+    val updates = Seq((1L, t(10), Some(1.0), Some(10.0)),
+      (1L, t(50), None, Some(50.0)))
+      .toDF("user_id", "ts", "v", "w")
+    val r = Joins.asofJoin(probes, updates, "user_id", "ts", Seq("v", "w"))
+      .select("v", "asof_v", "asof_w").head()
+    assert(r.getDouble(0) == 7.7) // left's own v column untouched
+    assert(r.isNullAt(1)) // matched row's null, not 1.0 carried over
+    assert(r.getDouble(2) == 50.0) // no cross-row mixing
+  }
+
   test("connectedComponents labels every node with its group minimum") {
     import spark.implicits._
     // two components {1,2,3,7} (path 7-3-2-1) and {10,11}; singleton pairs
@@ -297,6 +314,11 @@ class OperatorsSpec extends SparkSpec {
     assert(got.length == got.distinct.length)
     assert(got.toSet == Set((1L, 10L), // endpoint touch (e=100=bs) overlaps
       (1L, 12L), (2L, 12L))) // (2,11) gap of 1: no overlap
+    // multiset semantics: a genuinely duplicate input row joins TWICE
+    val dup = a.union(a.limit(1))
+    val withDup = Enrich.intervalJoin(dup, b, "s", "e", "bs", "be",
+      bucketBits = 4).select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(withDup.count(_ == (1L, 12L)) == 2)
   }
 
   test("ipInCidrs matches inside and outside ranges") {

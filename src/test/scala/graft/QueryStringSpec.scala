@@ -45,6 +45,17 @@ class QueryStringSpec extends SparkSpec {
     assert(q("-event_type:view") == Set(Some("x2"), None)) // null matches -f:v
   }
 
+  test("escaped metacharacters stay literal: \\* is not a wildcard") {
+    val vals = Seq(("10*", "m1"), ("105", "m2"), ("\"x\"", "m3"), ("x", "m4"))
+      .toDF("f", "tag")
+    def q(s: String) = vals.filter(QueryStringFilter.compile(s))
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(q("""f:10\*""") == Set("m1")) // literal star, not prefix
+    assert(q("f:10*") == Set("m1", "m2")) // unescaped star: prefix
+    assert(q("""f:\"x\"""") == Set("m3")) // literal quotes, not phrase
+    assert(q("f:\"x\"") == Set("m4")) // phrase: quotes stripped
+  }
+
   test("backslash escapes spaces inside values (Lucene form)") {
     val js = Seq(("""{"k": 12}""", "j1"), ("""{"k": 7}""", "j2"))
       .toDF("props", "tag")
