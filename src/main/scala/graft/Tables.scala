@@ -44,6 +44,14 @@ object Tables {
     * (legacy long mode) and rebuild a microsecond TimestampType column —
     * identical to what DuckDB 1.x yields when it coerces TIMESTAMP_NS to
     * its microsecond TIMESTAMP, so oracle comparisons line up exactly.
+    *
+    * KNOWN SIDE EFFECT: `nanosAsLong` is a session-wide conf consulted at
+    * both schema resolution and scan execution, so it cannot be scoped to
+    * this one (lazy) read — after the first `events` call, any OTHER
+    * TIMESTAMP_NS parquet source in the session would also surface as
+    * long. No such source exists in this engine (every table loads through
+    * this object and only `events` carries nanos); production ingest lands
+    * through the bronze writer, which stores microseconds.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -64,18 +64,19 @@ object MetricsApi {
 
     val events = Tables.events(spark, dir)
 
-    req.filterBy.find(f => Set("catalog", "package")(f.filterType)) match {
-      case Some(f) => return catalogSummary(events, f.values, req.metrics)
-      case None =>
-    }
+    // catalog/package selects the per-entity response SHAPE; every other
+    // filter still applies — silently ignoring a time range would serve
+    // inflated all-time counts
+    val (catalogFilters, otherFilters) =
+      req.filterBy.partition(f => Set("catalog", "package")(f.filterType))
 
-    val filtered = req.filterBy.foldLeft(events) { (df, f) =>
+    val filtered = otherFilters.foldLeft(events) { (df, f) =>
       (f.filterType, f.interpretAs) match {
         case ("dataset", "list") =>
           // J4: expand requested ids to their identifier families, then
           // filter events to any family member (`metricsreader.py:1259-1343`)
           df.filter(familyKey(col("user_id"))
-            .isin(f.values.map(_.toLong % 50): _*))
+            .isin(f.values.map(parseLong("dataset", _) % 50): _*))
         case ("user" | "group", "list") => // group = list of user subjects
           // numeric ids filter natively (In-filter reaches the parquet
           // scan); a string-side cast on the column would block pushdown
@@ -95,6 +96,10 @@ object MetricsApi {
         case ("time" | "month" | "day" | "year", "range") =>
           // the reference names the range filter after the period unit and
           // sends %m/%d/%Y dates (`metricsreader.py:702-709`); accept both
+          if (f.values.length < 2)
+            throw new IllegalArgumentException(
+              s"${f.filterType} range filter needs [start, end], " +
+                s"got ${f.values.length} value(s)")
           val Seq(a, b) = f.values.take(2).map(isoDate)
           df.filter(col("ts") >= to_date(lit(a)) &&
             col("ts") < date_add(to_date(lit(b)), 1))
@@ -102,7 +107,8 @@ object MetricsApi {
           // F4: portal membership (synthetic: portal p = users ≡ p mod 7;
           // production joins the portalIdentifier[] array, `metricsreader.py:1449-1453`)
           df.filter((col("user_id") % 7)
-            .isin(f.values.map(_.stripPrefix("portal-").toLong % 7): _*))
+            .isin(f.values.map(v =>
+              parseLong("portal", v.stripPrefix("portal-")) % 7): _*))
         case ("query", "query") =>
           // interpretAs=query: the portal collection-query filter
           // (`metricsreader.py:151-156`) — a field:value boolean expression
@@ -110,6 +116,13 @@ object MetricsApi {
         case other =>
           throw new IllegalArgumentException(s"unsupported filter: $other")
       }
+    }
+
+    catalogFilters match {
+      case Seq(f) => return catalogSummary(filtered, f.values, req.metrics)
+      case Seq() =>
+      case _ => throw new IllegalArgumentException(
+        "at most one catalog/package filter is supported")
     }
 
     val unit = req.groupBy.map(_.stripSuffix("s")).find(Units.contains)
@@ -138,6 +151,14 @@ object MetricsApi {
     }
   }
 
+  /** Numeric id parse with a request-level error instead of a raw
+    * NumberFormatException from deep inside the plan builder. */
+  private def parseLong(filterType: String, v: String): Long =
+    try v.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$filterType filter value '$v' is not a numeric id")
+    }
+
   /** Accepts ISO (yyyy-MM-dd) or the reference's %m/%d/%Y. */
   private def isoDate(v: String): String =
     if (v.contains("/")) {
@@ -152,7 +173,7 @@ object MetricsApi {
     val aggs = metrics.flatMap(m => MetricTypes.get(m).map { t =>
       countDistinct(when(col("event_type") === t, col("event_id"))).as(m)
     })
-    events.filter(col("user_id").isin(ids.map(_.toLong): _*))
+    events.filter(col("user_id").isin(ids.map(parseLong("catalog", _)): _*))
       .groupBy(col("user_id").as("entity"))
       .agg(aggs.head, aggs.tail: _*)
   }

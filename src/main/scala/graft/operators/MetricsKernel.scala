@@ -57,9 +57,16 @@ object MetricsKernel {
       case "month" => "interval 1 month"
       case "day"   => "interval 1 day"
       case "year"  => "interval 1 year"
+      case u => throw new IllegalArgumentException(s"unknown unit: $u")
     }
-    val spine = spark.range(1).select(explode(expr(
-      s"sequence(to_date('$start'), to_date('$end'), $step)")).as("d"))
+    // start is truncated to its unit boundary: stepping from a mid-unit
+    // start (e.g. Jan 20 monthly) would miss the final period whenever
+    // end's day-of-unit is earlier than start's, silently dropping its
+    // aggregates in the left join. Typed columns (never string
+    // interpolation): start/end come from user-controlled request JSON.
+    val spine = spark.range(1).select(explode(sequence(
+      date_trunc(unit, to_date(lit(start))).cast("date"),
+      to_date(lit(end)), expr(step))).as("d"))
       .select(periodOf(col("d"), unit).as("period"))
     val joined = spine.join(agg, Seq("period"), "left")
     countCols.foldLeft(joined) { (d, c) =>
@@ -82,12 +89,15 @@ object MetricsKernel {
 
   /** A7: COUNTER unique/total investigations & requests over sessionized
     * events (`metricsreporter.py:141-308`). `requests` covers the DATA-like
-    * types; every event counts toward investigations.
+    * types; every event counts toward investigations. `dims` adds report
+    * dimensions (node, country) — the single definition of the COUNTER
+    * aggregate, shared with the report job so semantics cannot drift.
     */
   def counterMetrics(sessionized: DataFrame, period: Column, sessionKey: Column,
-                     typeCol: Column, requestTypes: Seq[String]): DataFrame = {
+                     typeCol: Column, requestTypes: Seq[String],
+                     dims: Seq[Column] = Nil): DataFrame = {
     val isReq = typeCol.isin(requestTypes: _*)
-    sessionized.groupBy(period.as("period"))
+    sessionized.groupBy(period.as("period") +: dims: _*)
       .agg(
         countDistinct(sessionKey).as("unique_investigations"),
         count(lit(1)).as("total_investigations"),

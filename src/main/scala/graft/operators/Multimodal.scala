@@ -64,12 +64,15 @@ object Multimodal {
     media.mapPartitions { it =>
       // real impl: val decoder = Codec.open(...) — once per partition
       it.map { m =>
-        val hist = decodeStub(m.bytes)
+        // null payload (e.g. null source text cast to binary) is an empty
+        // media object, not an executor-killing NPE
+        val bytes = if (m.bytes == null) Array.emptyByteArray else m.bytes
+        val hist = decodeStub(bytes)
         val frames =
           if (m.mime.startsWith("video/")) (m.duration_ms / 1000L).toInt.max(1)
           else 1
         val (ow, oh) = fitBox(m.width, m.height, maxW, maxH)
-        MediaFeatures(m.media_id, m.mime, m.bytes.length.toLong, hist, frames,
+        MediaFeatures(m.media_id, m.mime, bytes.length.toLong, hist, frames,
           ow, oh)
       }
     }

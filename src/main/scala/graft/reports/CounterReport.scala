@@ -25,11 +25,14 @@ object CounterReport {
   val Countries: Seq[String] = Seq("US", "DE", "FR", "BR", "JP", "IN", "GB",
     "CA", "AU", "NL")
 
+  // pmod, not %: Spark % keeps the dividend's sign, so a negative id
+  // would hit element_at index 0 (throws) or a negative index (silently
+  // wraps from the array end — wrong attribution)
   def nodeOf(userId: Column): Column =
-    element_at(lit(NodeNames.toArray), (userId % 5 + 1).cast("int"))
+    element_at(lit(NodeNames.toArray), (pmod(userId, lit(5)) + 1).cast("int"))
 
   def countryOf(userId: Column): Column =
-    element_at(lit(Countries.toArray), (userId % 10 + 1).cast("int"))
+    element_at(lit(Countries.toArray), (pmod(userId, lit(10)) + 1).cast("int"))
 
   /** Flat per-(node, period, country) COUNTER metrics over sessionized
     * events. `requestTypes` mirrors the DATA formatType
@@ -40,20 +43,20 @@ object CounterReport {
       col("event_id"), gapSeconds)
       .withColumn("session_key",
         concat(col("user_id"), lit("#"), col("session_seq")))
-    val isReq = col("event_type").isin(requestTypes: _*)
-    sess
+    val enriched = sess
       .withColumn("node_id", nodeOf(col("user_id")))
       .withColumn("country", countryOf(col("user_id")))
       // unresolvable-geo rows are dropped from reports
       // (`metricsreporter.py:442-444` pops the "n/a" key)
       .filter(col("country") =!= "n/a")
-      .groupBy(col("node_id"), date_format(col("ts"), "yyyy-MM").as("period"),
-        col("country"))
-      .agg(
-        countDistinct(col("session_key")).as("unique_investigations"),
-        count(lit(1)).as("total_investigations"),
-        countDistinct(when(isReq, col("session_key"))).as("unique_requests"),
-        sum(when(isReq, 1L).otherwise(0L)).as("total_requests"))
+    // ONE definition of the COUNTER aggregate (MetricsKernel.counterMetrics)
+    graft.operators.MetricsKernel.counterMetrics(enriched,
+      date_format(col("ts"), "yyyy-MM"), col("session_key"),
+      col("event_type"), requestTypes,
+      dims = Seq(col("node_id"), col("country")))
+      .select(col("node_id"), col("period"), col("country"),
+        col("unique_investigations"), col("total_investigations"),
+        col("unique_requests"), col("total_requests"))
   }
 
   /** One JSON report document per node×month: header + per-country
@@ -85,9 +88,15 @@ object CounterReport {
     * (reference gzips >2000 datasets, `metricsreporter.py:82-84`). */
   def writeReports(reports: DataFrame, outPath: String,
                    gzipThreshold: Long = 2000L): Unit = {
-    val w = reports.select(col("report_json")).write.mode("overwrite")
-    if (reports.count() > gzipThreshold)
-      w.option("compression", "gzip").text(outPath)
-    else w.text(outPath)
+    // the report set is small (nodes × months) but its upstream is the
+    // full sessionize+aggregate pipeline — persist so the codec-choosing
+    // count() doesn't execute that pipeline twice
+    val materialized = reports.select(col("report_json")).persist()
+    try {
+      val w = materialized.write.mode("overwrite")
+      if (materialized.count() > gzipThreshold)
+        w.option("compression", "gzip").text(outPath)
+      else w.text(outPath)
+    } finally materialized.unpersist()
   }
 }

@@ -97,4 +97,51 @@ class ApiSpec extends SparkSpec {
       .orderBy("period").collect()
     assert(res.map(_.getString(0)).toSeq == Seq("2024-01", "2024-02", "2024-03"))
   }
+
+  test("zeroFillSpine keeps the final period when end's day precedes start's") {
+    // stepping from Jan 20 would land Feb 20 then overshoot Mar 10,
+    // silently dropping March's aggregates — start must truncate to the
+    // unit boundary
+    import spark.implicits._
+    val agg = Seq(("2024-03", 7L)).toDF("period", "n")
+    val res = MetricsKernel.zeroFillSpine(agg, spark,
+      "2024-01-20", "2024-03-10", "month", Seq("n"))
+      .orderBy("period").collect()
+    assert(res.map(_.getString(0)).toSeq == Seq("2024-01", "2024-02", "2024-03"))
+    assert(res.last.getLong(1) == 7L) // March data survives, not zero-filled
+    intercept[IllegalArgumentException] {
+      MetricsKernel.zeroFillSpine(agg, spark, "2024-01-01", "2024-02-01",
+        "week", Seq("n"))
+    }
+  }
+
+  test("catalog summaries honor the other filters in the request") {
+    def counts(filters: Seq[MetricsFilter]) =
+      MetricsApi.interpret(spark, testDataDir,
+        MetricsRequest(Seq("views"), filters, Seq()))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allTime = counts(Seq(MetricsFilter("catalog", Seq("1", "2"), "list")))
+    val windowed = counts(Seq(
+      MetricsFilter("catalog", Seq("1", "2"), "list"),
+      MetricsFilter("time", Seq("2024-01-01", "2024-01-07"), "range")))
+    // the range filter must constrain the summary, not be silently dropped
+    assert(windowed.forall { case (k, v) => v <= allTime(k) })
+    assert(windowed != allTime)
+  }
+
+  test("malformed filter values fail as request errors, not internal exceptions") {
+    intercept[IllegalArgumentException] { // range with one bound
+      MetricsApi.interpret(spark, testDataDir, MetricsRequest(Seq("views"),
+        Seq(MetricsFilter("time", Seq("2024-01-01"), "range")), Seq("month")))
+    }
+    intercept[IllegalArgumentException] { // non-numeric synthetic id
+      MetricsApi.interpret(spark, testDataDir, MetricsRequest(Seq("views"),
+        Seq(MetricsFilter("dataset", Seq("doi:10.5/abc"), "list")),
+        Seq("month")))
+    }
+    intercept[IllegalArgumentException] { // non-numeric catalog id
+      MetricsApi.interpret(spark, testDataDir, MetricsRequest(Seq("views"),
+        Seq(MetricsFilter("catalog", Seq("not-an-id"), "list")), Seq()))
+    }
+  }
 }
