@@ -99,6 +99,11 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       shingleSize: Int = 3, numHashes: Int = 8,
                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
+        s"trailing hashes would be silently ignored")
+    require(numHashes <= MinhashA.length,
+      s"at most ${MinhashA.length} hash functions are defined")
     val rows = shingleRows(df, id, text, shingleSize)
     // ONE aggregation pass computes both the minhash signature (md5 runs
     // once per shingle; permuted minima come from map-side partial
@@ -147,6 +152,8 @@ object Dedup {
                    maxHamming: Int): DataFrame = {
     require(maxHamming < bands,
       s"banding is only complete for maxHamming < bands ($maxHamming >= $bands)")
+    require(bands * bitsPerBand <= 60,
+      s"bands × bitsPerBand (${bands * bitsPerBand}) exceeds the 60-bit signature")
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),

@@ -26,12 +26,15 @@ object Enrich {
     */
   def ipInCidrs(ip: Column, cidrs: Seq[String]): Column = {
     val ipl = ipToLong(ip)
-    cidrs.map { c =>
+    // foldLeft, not reduce: an empty list (tenant with no ranges) is
+    // simply "never matches", not a plan-build crash
+    cidrs.foldLeft(lit(false)) { (acc, c) =>
+      require(c.contains("/"), s"malformed CIDR (missing /prefix): $c")
       val Array(base, plen) = c.split("/")
       val baseLong = base.split("\\.").foldLeft(0L)((a, o) => a * 256 + o.toLong)
       val shiftBits = 32 - plen.toInt
-      shiftrightunsigned(ipl, shiftBits) === lit(baseLong >>> shiftBits)
-    }.reduce(_ || _)
+      acc || (shiftrightunsigned(ipl, shiftBits) === lit(baseLong >>> shiftBits))
+    }
   }
 
   /** F10: robot / machine user-agent tagging — OR-joined regex dictionaries
@@ -66,9 +69,11 @@ object Enrich {
   def geohash(lat: Column, lon: Column, precision: Int): Column = {
     val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
     val nBits = precision * 5
-    // normalized fractions in [0, 1)
-    val latF = (lat + 90.0) / 180.0
-    val lonF = (lon + 180.0) / 360.0
+    // normalized fractions clamped to [0, 1): the boundary inputs lat=90 /
+    // lon=180 would otherwise yield fraction 1.0, whose bits are all zero
+    // — encoding the north pole as the SOUTH pole's cell
+    val latF = least((lat + 90.0) / 180.0, lit(0.9999999999999999))
+    val lonF = least((lon + 180.0) / 360.0, lit(0.9999999999999999))
     // bit i (0-based) of value: floor(f * 2^(k+1)) % 2 where k = index among
     // that coordinate's bits
     def bit(f: Column, k: Int): Column =
@@ -166,9 +171,14 @@ object Enrich {
 
   /** The reference's DOI acceptance pattern (`citationsmanager.py:230`),
     * anchored: optional scheme/resolver/"doi:" prefixes, then
-    * `10.<4+ digits>/suffix`. */
+    * `10.<4+ digits>/suffix`. Two defects of the reference's regex are
+    * CORRECTED here (conformance delta, same policy as the zero-fill
+    * partial-month fix): sub-element prefixes accept multi-digit parts
+    * (`(\.\d+)*`, the reference's `(\.\d)*` rejects the DOI handbook's own
+    * `10.1000.10/123` example), and the resolver-host dots are escaped
+    * (the reference's `doi.org/` also matched `doiXorg/`). */
   val DoiPattern: String =
-    "^\\s*(http://|https://)?(doi.org/|dx.doi.org/)?(doi: ?|DOI: ?)?(10\\.\\d{4,}(\\.\\d)*)/(\\w+).*$"
+    "^\\s*(http://|https://)?(doi\\.org/|dx\\.doi\\.org/)?(doi: ?|DOI: ?)?(10\\.\\d{4,}(\\.\\d+)*)/(\\w+).*$"
 
   def isDoiLike(id: Column): Column = id.rlike(DoiPattern)
 

@@ -34,6 +34,25 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** Shared top-k epilogue: rank per probe by score (ties broken by
+    * neighbour id), keep k, round the score — ONE definition for all four
+    * ANN variants so tie-breaking/output shape cannot drift. */
+  private def topKPerQuery(scored: DataFrame, scoreName: String,
+                           ascending: Boolean, k: Int): DataFrame = {
+    val ord = if (ascending) col(scoreName).asc else col(scoreName).desc
+    val w = Window.partitionBy(col("query_id")).orderBy(ord, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col(scoreName), 6).as(scoreName))
+  }
+
+  /** Probe-side projection shared by the cosine ANN variants. */
+  private def probeSide(probes: DataFrame): DataFrame =
+    probes.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("q_nrm"))
+
   /** Exact top-k nearest neighbours by cosine for each probe vector.
     * `probes` must be small (broadcast); ties broken by neighbour id.
     * Norms are computed once per vector before the pair join — at n·q pairs
@@ -43,18 +62,11 @@ object Vectors {
     val joined = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("n_emb"),
       sqrt(dotNative(col("embedding"), col("embedding"))).as("n_nrm"))
-      .join(broadcast(probes.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"),
-        sqrt(dotNative(col("embedding"), col("embedding"))).as("q_nrm"))),
+      .join(broadcast(probeSide(probes)),
         col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dotNative(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    topKPerQuery(joined, "cos", ascending = false, k)
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim), in
@@ -89,9 +101,14 @@ object Vectors {
     * a pure codegen'd projection — the same pattern as [[lshBucket]].
     */
   def ivfCentroids(corpus: DataFrame, numClusters: Int, dim: Int): Array[Array[Float]] = {
-    val seeds = corpus.filter(col("vec_id") < numClusters)
-      .orderBy("vec_id").select("embedding")
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    // lowest-id vectors as documented — NOT filter(vec_id < k), which
+    // under-seeds (or empties) on sparse/offset id spaces
+    val seeds = corpus.orderBy("vec_id").limit(numClusters)
+      .select("embedding")
       .collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.length == numClusters,
+      s"corpus has only ${seeds.length} vectors for $numClusters clusters")
     // one Lloyd iteration: assign to seeds, recompute means
     val assigned = corpus.withColumn("cluster",
       assignCluster(col("embedding"), seeds))
@@ -141,20 +158,13 @@ object Vectors {
       col("embedding").as("n_emb"),
       sqrt(dotNative(col("embedding"), col("embedding"))).as("n_nrm"),
       assignCluster(col("embedding"), cents).as("cluster"))
-    val probeSide = probes.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"),
-      sqrt(dotNative(col("embedding"), col("embedding"))).as("q_nrm"),
-      explode(nearestClusters(col("embedding"), cents, nprobe)).as("cluster"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    assigned.join(broadcast(probeSide), Seq("cluster"))
+    val probesClustered = probeSide(probes).withColumn("cluster",
+      explode(nearestClusters(col("q_emb"), cents, nprobe)))
+    val joined = assigned.join(broadcast(probesClustered), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dotNative(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    topKPerQuery(joined, "cos", ascending = false, k)
   }
 
   /** Materialize the IVF index on disk, partitioned by cluster id — the
@@ -182,26 +192,19 @@ object Vectors {
                        probes: DataFrame, cents: Array[Array[Float]],
                        k: Int, nprobe: Int): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val probeSide = probes.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"),
-      sqrt(dotNative(col("embedding"), col("embedding"))).as("q_nrm"),
-      explode(nearestClusters(col("embedding"), cents, nprobe)).as("cluster"))
-    val wanted = probeSide.select("cluster").distinct()
+    val probesClustered = probeSide(probes).withColumn("cluster",
+      explode(nearestClusters(col("q_emb"), cents, nprobe)))
+    val wanted = probesClustered.select("cluster").distinct()
       .collect().map(_.getLong(0)) // tiny: ≤ probes × nprobe ids
     val index = spark.read.parquet(path)
       .filter(col("cluster").isin(wanted: _*)) // partition pruning
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"), col("cluster"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    index.join(broadcast(probeSide), Seq("cluster"))
+    val joined = index.join(broadcast(probesClustered), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dotNative(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    topKPerQuery(joined, "cos", ascending = false, k)
   }
 
   /** Product-quantization codebook: split dim-D vectors into `m` subspaces
@@ -213,10 +216,13 @@ object Vectors {
     * 100 TB embedding corpus keep its ANN index in a fraction of the
     * footprint; distances are then computed against codes, not vectors. */
   def pqCentroids(corpus: DataFrame, m: Int, k: Int, dim: Int): Array[Array[Array[Float]]] = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val sub = dim / m
-    val seeds = corpus.filter(col("vec_id") < k)
-      .orderBy("vec_id").select("embedding")
+    val seeds = corpus.orderBy("vec_id").limit(k)
+      .select("embedding")
       .collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.length == k,
+      s"corpus has only ${seeds.length} vectors for $k sub-centroids")
     val init = Array.tabulate(m, k)((mi, ki) =>
       seeds(ki).slice(mi * sub, (mi + 1) * sub))
     // one Lloyd iteration per subspace: assign to nearest seed, recompute
@@ -259,6 +265,7 @@ object Vectors {
     * the ANN index stores instead of the raw embedding. */
   def pqCodes(corpus: DataFrame, cents: Array[Array[Array[Float]]],
               dim: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val m = cents.length
     val sub = dim / m
     corpus.select(col("vec_id"),
@@ -274,6 +281,7 @@ object Vectors {
   def pqAdcTopK(corpusCodes: DataFrame, probes: DataFrame,
                 cents: Array[Array[Array[Float]]], k: Int,
                 dim: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(probes.sparkSession)
     val m = cents.length
     val sub = dim / m
     val tables = array((0 until m).map { mi =>
@@ -284,21 +292,16 @@ object Vectors {
           lit(2.0) * dotNative(sv, lits) + dotNative(sv, sv)
       }: _*)
     }: _*)
-    val probeSide = probes.select(col("vec_id").as("query_id"),
+    val probeTables = probes.select(col("vec_id").as("query_id"),
       tables.as("tables"))
     val dist = aggregate(
       zip_with(col("codes"), col("tables"),
         (c, t) => element_at(t, c.cast("int") + 1)),
       lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("neighbor_id"))
-    corpusCodes.select(col("vec_id").as("neighbor_id"), col("codes"))
-      .join(broadcast(probeSide), col("query_id") =!= col("neighbor_id"))
+    val joined = corpusCodes.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(probeTables), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", dist)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("adc_dist"), 6).as("adc_dist"))
+    topKPerQuery(joined, "adc_dist", ascending = true, k)
   }
 
   /** Same-bucket near-dup candidate pairs with exact cosine verification. */

@@ -134,9 +134,10 @@ object EnrichQueries {
       Some {
         val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
         def bitSql(i: Int): String = {
+          // least(...) mirrors the engine's boundary clamp (lat=90/lon=180)
           val (f, k) =
-            if (i % 2 == 0) ("((lon + 180.0) / 360.0)", i / 2)
-            else (("((lat + 90.0) / 180.0)"), i / 2)
+            if (i % 2 == 0) ("least((lon + 180.0) / 360.0, 0.9999999999999999)", i / 2)
+            else ("least((lat + 90.0) / 180.0, 0.9999999999999999)", i / 2)
           s"(CAST(floor($f * ${math.pow(2, k + 1).toLong}) AS BIGINT) % 2)"
         }
         val chars = (0 until 4).map { c =>

@@ -126,7 +126,7 @@ object ReportQueries {
            |             WHEN rel IN ($canonical) THEN rel
            |             END AS relation_type,
            |        regexp_matches(doi,
-           |          '^\\s*(http://|https://)?(doi.org/|dx.doi.org/)?(doi: ?|DOI: ?)?(10\\.\\d{4,}(\\.\\d)*)/(\\w+).*$$')
+           |          '${graft.operators.Enrich.DoiPattern}')
            |          AS valid_doi
            |      FROM src)
            |SELECT coalesce(relation_type, 'REJECTED') AS relation_type,

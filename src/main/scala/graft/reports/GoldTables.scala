@@ -80,9 +80,11 @@ object GoldTables {
     val nChanged = changed.count()
     val nSkipped = joined.count() - nChanged - vanishedKeys.length
     if (nChanged > 0) {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       writeRows(changed)
         .write.mode("overwrite")
+        // per-write option — a session-conf mutation would silently change
+        // every later overwrite in the session to dynamic semantics
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(groupCol)
         .parquet(path)
     }

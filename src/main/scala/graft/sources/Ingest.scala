@@ -41,17 +41,35 @@ object Ingest {
     * skip on the hot filter columns. */
   def compactBronze(spark: SparkSession, path: String,
                     targetRecordsPerFile: Long,
-                    predicate: Option[org.apache.spark.sql.Column] = None): Unit = {
+                    predicate: Option[org.apache.spark.sql.Column] = None,
+                    resetStreamingSinkLog: Boolean = false): Unit = {
+    // a file-sink-managed table lists its files in _spark_metadata;
+    // rewriting files underneath that log corrupts every later read
+    // (missing compacted files, dangling deleted ones). Refuse unless the
+    // caller opts into resetting the log — after which batch listings are
+    // authoritative and a resumed stream starts a fresh sink log (its
+    // SOURCE offsets live in the query checkpoint and are unaffected).
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sinkLog = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
+    if (fs.exists(sinkLog)) {
+      require(resetStreamingSinkLog,
+        s"$path is managed by a streaming file sink (_spark_metadata); " +
+          "stop the stream and pass resetStreamingSinkLog=true to compact")
+      fs.delete(sinkLog, true)
+    }
     val all = spark.read.parquet(path)
     val slice = predicate.fold(all)(all.filter)
       // materialize before overwriting the path being read (write-temp-and-
       // swap in production; the slice is one day's partitions, bounded)
       .localCheckpoint()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     slice
       .repartition(col("event_date"))
       .sortWithinPartitions(col("event_date"), col("user_id"), col("ts"))
       .write.mode("overwrite")
+      // per-write option — mutating the session conf would silently turn
+      // every later overwrite in the session into a dynamic one
+      .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .partitionBy("event_date")
       .parquet(path)
@@ -93,12 +111,19 @@ object Ingest {
     * is the checkpoint: re-running resumes from committed offsets, and
     * `dropDuplicatesWithinWatermark` absorbs the overlap the reference had
     * to trim by hand (second-precision timestamp overlap, S3).
+    *
+    * Malformed lines are DROPPED at parse (`DROPMALFORMED`) — under the
+    * default PERMISSIVE mode they would become all-null rows whose null
+    * ids collapse in the dedup and land in the null date partition. Use
+    * [[streamJsonlToBronzeWithQuarantine]] when the raw lines must be
+    * kept for replay.
     */
   def streamJsonlToBronze(spark: SparkSession, srcDir: String,
                           schemaSource: DataFrame, outPath: String,
                           checkpoint: String): Unit = {
     val stream = spark.readStream
       .schema(schemaSource.schema)
+      .option("mode", "DROPMALFORMED")
       .json(srcDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -108,6 +133,45 @@ object Ingest {
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
       .partitionBy("event_date")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming ingest with a dead-letter side: per micro-batch, parsed
+    * rows (deduped within the batch) append to bronze and malformed raw
+    * lines append to `quarantinePath` — the streaming twin of
+    * [[readJsonlWithQuarantine]]. `foreachBatch` writes are at-least-once
+    * on task retry (no file-sink manifest); bronze consumers that need
+    * exactly-once dedup by `event_id` downstream, as `writeBronze` does.
+    */
+  def streamJsonlToBronzeWithQuarantine(spark: SparkSession, srcDir: String,
+                                        schemaSource: DataFrame,
+                                        outPath: String, quarantinePath: String,
+                                        checkpoint: String): Unit = {
+    val schema = schemaSource.schema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.cache() // corrupt-column split needs a materialized scan
+        b.filter(col("_corrupt_record").isNull)
+          .drop("_corrupt_record")
+          .dropDuplicates("event_id")
+          .withColumn("event_date", to_date(col("ts")))
+          .write.mode("append").partitionBy("event_date").parquet(outPath)
+        val bad = b.filter(col("_corrupt_record").isNotNull)
+          .select(col("_corrupt_record").as("raw_line"))
+        if (!bad.isEmpty)
+          bad.write.mode("append").text(quarantinePath)
+        b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -125,6 +125,25 @@ class IngestReportSpec extends SparkSpec {
     assert(bad.exists(_.contains("truncated"))) // raw line kept for replay
   }
 
+  test("streaming quarantine ingest splits malformed lines from bronze") {
+    val dir = tmpDir()
+    val out = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/events.jsonl"),
+      """{"event_id": 5, "user_id": 10, "ts": "2024-01-01T00:00:00", "event_type": "view", "value": 1.0, "props": "{}"}
+        |garbage line
+        |{"event_id": 6, "user_id": 11, "ts": "2024-01-02T00:00:00", "event_type": "click", "value": 2.0, "props": "{}"}
+        |""".stripMargin)
+    Ingest.streamJsonlToBronzeWithQuarantine(spark, dir,
+      Tables.events(spark, testDataDir),
+      s"$out/bronze", s"$out/quarantine", s"$out/ckpt")
+    val bronze = spark.read.parquet(s"$out/bronze")
+    assert(bronze.select("event_id").collect().map(_.getLong(0)).toSet
+      == Set(5L, 6L))
+    assert(bronze.columns.contains("event_date")) // partitioned layout kept
+    val bad = spark.read.text(s"$out/quarantine").collect().map(_.getString(0))
+    assert(bad.toSeq == Seq("garbage line")) // raw line preserved for replay
+  }
+
   test("incremental session gold: late day rebuilds one partition, matches full recompute") {
     val base = tmpDir()
     val events = Tables.events(spark, testDataDir)

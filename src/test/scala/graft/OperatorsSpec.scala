@@ -269,9 +269,13 @@ class OperatorsSpec extends SparkSpec {
       null, "obsoletes"))
     val dois = Seq("10.5063/F1Z899CZ", "https://doi.org/10.5063/F1",
       "doi: 10.12345/abc", "10.123/tooShortPrefix", "urn:uuid:42",
-      "  10.5063/ok").toDF("d")
+      "  10.5063/ok",
+      "10.1000.10/123", // DOI handbook example (reference's regex rejects it)
+      "doiXorg/10.1234/x") // unescaped-dot hole in the reference's regex
+      .toDF("d")
       .select(Enrich.isDoiLike(col("d"))).as[Boolean].collect()
-    assert(dois.toSeq == Seq(true, true, true, false, false, true))
+    assert(dois.toSeq == Seq(true, true, true, false, false, true,
+      true, false))
   }
 
   test("UA tagging handles anchored and escaped dictionary patterns") {
