@@ -152,6 +152,43 @@ object TextQueries {
              |             WHEN lang = 'es' THEN 0.25
              |             ELSE 0.1 END""".stripMargin)),
 
+    // TF-IDF relevance scoring over the corpus vocabulary: one explode +
+    // two aggregations (term rows shuffle once on term for document
+    // frequency, once on (doc, term) for term frequency). The probe terms
+    // keep the oracle small; the plan is the full-vocabulary shape.
+    GraftQuery("t_tfidf",
+      (s, dir) => {
+        val probeTerms = Seq("the", "data", "el", "und", "le")
+        val docs = Tables.documents(s, dir)
+        val n = docs.count() // corpus size: one tiny job, both engines agree
+        val terms = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+          .filter(col("term").isin(probeTerms: _*))
+        val dfreq = terms.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .join(dfreq, "term")
+          .select(col("doc_id"), col("term"), col("tf"),
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+              .as("tfidf"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents
+             |), p AS (
+             |  SELECT doc_id, term FROM t
+             |  WHERE term IN ('the', 'data', 'el', 'und', 'le')
+             |), dfreq AS (
+             |  SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1
+             |), tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2
+             |)
+             |SELECT doc_id, tf.term, tf,
+             |       round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 6)
+             |         AS tfidf
+             |FROM tf JOIN dfreq ON tf.term = dfreq.term""".stripMargin)),
+
     // Mixture reweighting: resample the multi-language corpus to target
     // proportions — budget set by the most under-represented source, each
     // source hash-downsampled to its share; no oversampling/duplication.
