@@ -12,18 +12,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All registered queries, grouped by the SURVEY.md §2 area they cover. */
-  def allQueries: Seq[GraftQuery] =
-    TpchQueries.entries ++
-      EventMetricsQueries.entries ++
-      JoinQueries.entries ++
-      SetOpQueries.entries ++
-      EnrichQueries.entries ++
-      ScalarQueries.entries ++
-      DedupQueries.entries ++
-      VectorQueries.entries ++
-      TextQueries.entries ++
-      ApiQueries.entries ++
-      ReportQueries.entries
+  def allQueries: Seq[GraftQuery] = {
+    val qs =
+      TpchQueries.entries ++
+        EventMetricsQueries.entries ++
+        JoinQueries.entries ++
+        SetOpQueries.entries ++
+        EnrichQueries.entries ++
+        ScalarQueries.entries ++
+        DedupQueries.entries ++
+        VectorQueries.entries ++
+        TextQueries.entries ++
+        ApiQueries.entries ++
+        ReportQueries.entries
+    // a duplicate name would silently vanish in the toMap below — the
+    // driver would see "fewer queries", not a failure
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the landing-page metrics slice — filter → sessionize → COUNTER

@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wipe any previous dump first: a query that fails this run must not
+    // leave a stale (passing) result from an earlier run in its place
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(outPath, true)
     new java.io.File(outDir).mkdirs()
     val failed = SparkEntry.queries.flatMap { case (name, fn) =>
       try {

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * turns a cleaned corpus into uniform-length training examples.
   *
   * Packing is deterministic and shard-local: docs are routed to a shard by
-  * id hash, ordered within the shard, and binned by running token count —
+  * id MODULO (cheap and uniform for sequential ids; hash the id upstream
+  * first if the id space is structured — e.g. snowflake ids with low flag
+  * bits would skew raw modulo), ordered within the shard, and binned by
+  * running token count —
   * one window per shard, so the corpus never needs a global sort. At
   * 100 TB the shard count bounds per-task state and the window's shuffle
   * is the only data movement; real packers (concat-and-chunk) use exactly

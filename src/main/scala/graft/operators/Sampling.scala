@@ -51,8 +51,11 @@ object Sampling {
     * gate as [[stratifiedSample]]. Returns (sampled df, rates used). */
   def mixToProportions(df: DataFrame, id: Column, source: Column,
                        targets: Map[String, Double]): (DataFrame, Map[String, Double]) = {
+    // String.valueOf: the source column may be any type (matched against
+    // the string target keys); null sources can never match a target and
+    // are therefore dropped, like any other untargeted source
     val counts = df.groupBy(source.as("src")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     val present = targets.filter { case (k, _) => counts.contains(k) }
     require(present.nonEmpty, "no target source present in the data")
     val budget = present.map { case (k, t) => counts(k).toDouble / t }.min

@@ -222,7 +222,10 @@ object EventMetricsQueries {
         Tables.events(s, dir)
           .filter(col("user_id") < 50)
           .select(col("event_id"), col("user_id"),
-            (unix_micros(col("ts")) / 1000000L).as("sec"),
+            // whole seconds (truncated), matching the oracle's integer `//`
+            // — fractional seconds would shift RANGE-frame membership for
+            // events within 1s of the trailing boundary
+            (unix_micros(col("ts")) / 1000000L).cast("long").as("sec"),
             col("value"))
           .withColumn("trailing_n", count(lit(1)).over(w))
           .withColumn("trailing_sum",

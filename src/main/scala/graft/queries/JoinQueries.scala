@@ -211,8 +211,13 @@ object JoinQueries {
           Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"),
           3600L)
           .select(col("user_id"), col("session_seq"),
-            (unix_micros(col("session_start")) / 1000000L).as("s_start"),
-            (unix_micros(col("session_end")) / 1000000L).as("s_end"))
+            // cast AFTER dividing truncates to whole seconds — matching
+            // the oracle's integer `//` exactly; bare double division
+            // would keep fractional seconds and flip boundary overlaps
+            (unix_micros(col("session_start")) / 1000000L).cast("long")
+              .as("s_start"),
+            (unix_micros(col("session_end")) / 1000000L).cast("long")
+              .as("s_end"))
         val windows = s.range(90).select(col("id").as("w_id"),
           (lit(1704067200L) + col("id") * 86400L).as("w_start"),
           (lit(1704067200L) + col("id") * 86400L + 21600L).as("w_end"))
