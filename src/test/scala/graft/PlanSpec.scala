@@ -69,6 +69,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Scan parquet")) // no corpus re-scan at consumption
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // at 100 TB a selective dim filter should reach the fact scan as a
+    // runtime bloom filter, skipping rows before the shuffle; thresholds
+    // are lowered here because the test tables are far below the
+    // production defaults (10 MB creation / 10 GB application sides)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join shape
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val dim = Tables.orders(spark, testDataDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = Tables.lineitem(spark, testDataDir)
+      val plan = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+        .queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("geoip range lookup runs as an equi-join, not a nested loop") {
     val p = plan("f_geoip_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"))
