@@ -22,6 +22,38 @@ object DedupQueries {
       |             ELSE [] END AS sh
       |      FROM d)""".stripMargin
 
+  /** Shared oracle fragment: minhash pairs closed into components (ends
+    * with the recursive `reach` CTE) — composed by the group and corpus
+    * queries so the pair pipeline is defined once. */
+  private lazy val MinhashComponentsCte: String =
+    s"""$ShingleCte,
+       |m AS (SELECT doc_id, sh,
+       |        list_transform(generate_series(1, 8), j ->
+       |          list_min(list_transform(sh,
+       |            x -> ([${Dedup.MinhashA.mkString(", ")}][j] *
+       |                  (('0x' || substring(md5(x), 1, 15))::BIGINT & 1073741823)
+       |                  + [${Dedup.MinhashB.mkString(", ")}][j])
+       |                 % 1073741789))) AS mh
+       |      FROM s),
+       |bk AS (SELECT doc_id,
+       |         unnest(list_transform(generate_series(0, 3),
+       |           k -> k || ':' || mh[2*k+1] || ':' || mh[2*k+2])) AS band_key
+       |       FROM m),
+       |c AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |      FROM bk a JOIN bk b ON a.band_key = b.band_key
+       |                         AND a.doc_id < b.doc_id),
+       |v AS (SELECT i, j,
+       |        length(list_intersect(si.sh, sj.sh))::DOUBLE /
+       |          length(list_distinct(si.sh || sj.sh)) AS jac
+       |      FROM c JOIN s si ON si.doc_id = c.i
+       |             JOIN s sj ON sj.doc_id = c.j),
+       |p AS (SELECT i, j FROM v WHERE jac >= 0.5),
+       |und AS (SELECT i AS a, j AS b FROM p
+       |        UNION SELECT j AS a, i AS b FROM p),
+       |reach AS (SELECT a, b FROM und
+       |          UNION
+       |          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)""".stripMargin
+
   val entries: Seq[GraftQuery] = Seq(
 
     // Exact dedup: content-hash group, min-id survivor. One shuffle on the
@@ -132,35 +164,31 @@ object DedupQueries {
           shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
           .select(col("i"), col("j")))
         .select(col("node").as("doc_id"), col("component")),
-      Some(s"""WITH RECURSIVE $ShingleCte,
-              |m AS (SELECT doc_id, sh,
-              |        list_transform(generate_series(1, 8), j ->
-              |          list_min(list_transform(sh,
-              |            x -> ([${Dedup.MinhashA.mkString(", ")}][j] *
-              |                  (('0x' || substring(md5(x), 1, 15))::BIGINT & 1073741823)
-              |                  + [${Dedup.MinhashB.mkString(", ")}][j])
-              |                 % 1073741789))) AS mh
-              |      FROM s),
-              |bk AS (SELECT doc_id,
-              |         unnest(list_transform(generate_series(0, 3),
-              |           k -> k || ':' || mh[2*k+1] || ':' || mh[2*k+2])) AS band_key
-              |       FROM m),
-              |c AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-              |      FROM bk a JOIN bk b ON a.band_key = b.band_key
-              |                         AND a.doc_id < b.doc_id),
-              |v AS (SELECT i, j,
-              |        length(list_intersect(si.sh, sj.sh))::DOUBLE /
-              |          length(list_distinct(si.sh || sj.sh)) AS jac
-              |      FROM c JOIN s si ON si.doc_id = c.i
-              |             JOIN s sj ON sj.doc_id = c.j),
-              |p AS (SELECT i, j FROM v WHERE jac >= 0.5),
-              |und AS (SELECT i AS a, j AS b FROM p
-              |        UNION SELECT j AS a, i AS b FROM p),
-              |reach AS (SELECT a, b FROM und
-              |          UNION
-              |          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+      Some(s"""WITH RECURSIVE $MinhashComponentsCte
               |SELECT a AS doc_id, least(a, min(b)) AS component
               |FROM reach GROUP BY a""".stripMargin)),
+
+    // The SHIPPED corpus after near-dup dedup: each group's canonical doc
+    // survives, every unpaired doc passes through — the output a training
+    // pipeline actually materializes.
+    GraftQuery("d_dedup_corpus",
+      (s, dir) => {
+        val groups = Dedup.connectedComponents(
+          Dedup.minhashLshPairs(Tables.documents(s, dir),
+            col("doc_id"), col("text"),
+            shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
+            .select(col("i"), col("j")))
+        Tables.documents(s, dir)
+          .join(groups, col("doc_id") === col("node"), "left")
+          .filter(col("component").isNull || col("component") === col("doc_id"))
+          .select(col("doc_id"), col("lang"))
+      },
+      Some(s"""WITH RECURSIVE $MinhashComponentsCte,
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+              |         FROM reach GROUP BY a)
+              |SELECT d.doc_id, d.lang
+              |FROM documents d LEFT JOIN comp c USING (doc_id)
+              |WHERE c.component IS NULL OR c.component = d.doc_id""".stripMargin)),
 
     // Bounded pairwise n-gram Jaccard — the exact (quadratic) baseline the
     // LSH pipeline approximates; bounded probe set like the reference's

@@ -189,6 +189,58 @@ object TextQueries {
              |         AS tfidf
              |FROM tf JOIN dfreq ON tf.term = dfreq.term""".stripMargin)),
 
+    // BM25 relevance (k1=1.2, b=0.75): tf saturation + length
+    // normalization on top of the tf-idf scaffolding — the ranking
+    // function retrieval-based curation actually uses.
+    GraftQuery("t_bm25",
+      (s, dir) => {
+        val probeTerms = Seq("the", "data", "el", "und", "le")
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val lens = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("double").as("dl"))
+        val avgdl = lens.agg(avg(col("dl"))).head().getDouble(0)
+        val terms = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+          .filter(col("term").isin(probeTerms: _*))
+        val dfreq = terms.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val tf = terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val k1 = 1.2; val b = 0.75
+        tf.join(dfreq, "term").join(lens, "doc_id")
+          .select(col("doc_id"), col("term"),
+            round(
+              log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+                (col("tf") * lit(k1 + 1)) /
+                (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)), 6)
+              .as("bm25"))
+      },
+      Some("""WITH lens AS (
+             |  SELECT doc_id, length(string_split(text, ' '))::DOUBLE AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens
+             |), t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents
+             |), p AS (
+             |  SELECT doc_id, term FROM t
+             |  WHERE term IN ('the', 'data', 'el', 'und', 'le')
+             |), dfreq AS (
+             |  SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1
+             |), tf AS (
+             |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM p GROUP BY 1, 2
+             |)
+             |SELECT tf.doc_id, tf.term,
+             |       round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+             |             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+             |         AS bm25
+             |FROM tf
+             |JOIN dfreq ON tf.term = dfreq.term
+             |JOIN lens ON tf.doc_id = lens.doc_id
+             |CROSS JOIN stats""".stripMargin)),
+
     // Mixture reweighting: resample the multi-language corpus to target
     // proportions — budget set by the most under-represented source, each
     // source hash-downsampled to its share; no oversampling/duplication.
