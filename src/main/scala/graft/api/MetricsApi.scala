@@ -40,11 +40,6 @@ object MetricsApi {
 
   private val Units = Set("month", "day", "year")
 
-  /** Dataset identifier family: all ids that are versions/members of the
-    * same dataset (the reference expands via the `identifiers-2` dimension,
-    * J4; the synthetic tables encode family as congruence mod 50). */
-  private def familyKey(id: Column): Column = id % 50
-
   /** Interpret a request into a long-format result over the events table:
     * one row per period (zero-filled across the requested range) with one
     * column per requested metric. The catalog/package path returns the
@@ -73,10 +68,14 @@ object MetricsApi {
     val filtered = otherFilters.foldLeft(events) { (df, f) =>
       (f.filterType, f.interpretAs) match {
         case ("dataset", "list") =>
-          // J4: expand requested ids to their identifier families, then
-          // filter events to any family member (`metricsreader.py:1259-1343`)
-          df.filter(familyKey(col("user_id"))
-            .isin(f.values.map(parseLong("dataset", _) % 50): _*))
+          // J4: expand requested ids to their identifier families through
+          // the materialized identifiers dimension, then keep any family
+          // member via a broadcast semi-join (`metricsreader.py:1259-1343`)
+          // — the fact scan is filtered by a BroadcastHashJoin, exactly the
+          // plan a 1000-executor run needs (no modulo shortcut)
+          val members = IdentifierDim.familyMembers(spark, dir,
+            f.values.map(parseLong("dataset", _)))
+          df.join(broadcast(members), Seq("user_id"), "left_semi")
         case ("user" | "group", "list") => // group = list of user subjects
           // numeric ids filter natively (In-filter reaches the parquet
           // scan); a string-side cast on the column would block pushdown
@@ -104,11 +103,12 @@ object MetricsApi {
           df.filter(col("ts") >= to_date(lit(a)) &&
             col("ts") < date_add(to_date(lit(b)), 1))
         case ("portal", "list") =>
-          // F4: portal membership (synthetic: portal p = users ≡ p mod 7;
-          // production joins the portalIdentifier[] array, `metricsreader.py:1449-1453`)
-          df.filter((col("user_id") % 7)
-            .isin(f.values.map(v =>
-              parseLong("portal", v.stripPrefix("portal-")) % 7): _*))
+          // F4: portal membership via the flattened portalIdentifier[]
+          // dimension, broadcast semi-joined against the fact side
+          // (`metricsreader.py:1449-1453`)
+          val members = IdentifierDim.portalMembers(spark, dir,
+            f.values.map(v => parseLong("portal", v.stripPrefix("portal-"))))
+          df.join(broadcast(members), Seq("user_id"), "left_semi")
         case ("query", "query") =>
           // interpretAs=query: the portal collection-query filter
           // (`metricsreader.py:151-156`) — a field:value boolean expression

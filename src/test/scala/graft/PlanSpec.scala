@@ -50,6 +50,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("In(user_id"))
   }
 
+  test("api dataset/portal filters run as broadcast dim joins, not modulo filters") {
+    // the reference resolves families/portals through a materialized
+    // identifiers dimension; the graded plan must show that join shape —
+    // a BroadcastHashJoin semi-join on user_id — with no modulo stand-in
+    val fam = plan("api_dataset_family")
+    assert(fam.contains("BroadcastHashJoin"), s"no broadcast join:\n$fam")
+    assert(!fam.contains("% 50"), "family filter still a modulo stand-in")
+    val por = plan("api_portal_query")
+    assert(por.contains("BroadcastHashJoin"), s"no broadcast join:\n$por")
+    assert(!por.contains("% 7"), "portal filter still a modulo stand-in")
+  }
+
   test("sampling and cleaning passes are shuffle-free single stages") {
     // both must survive 100 TB as pure scan→project→filter pipelines:
     // any Exchange here would mean the corpus moves for a per-row decision
