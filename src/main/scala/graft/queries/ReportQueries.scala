@@ -14,6 +14,34 @@ object ReportQueries {
   private val countryListSql =
     CounterReport.Countries.map(c => s"'$c'").mkString("[", ", ", "]")
 
+  /** Shared oracle CTE: sessionize → per-(node, period, country) COUNTER
+    * metrics — the flat half of both report queries. */
+  private val flatCteSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+       |                (PARTITION BY user_id ORDER BY ts, event_id))
+       |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+       |  FROM events
+       |), s AS (
+       |  SELECT user_id, ts, event_type,
+       |         user_id || '#' || sum(is_new) OVER
+       |           (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS UNBOUNDED PRECEDING) AS session_key
+       |  FROM g
+       |), flat AS (
+       |  SELECT ($nodeListSql)[(user_id % 5 + 1)::INT] AS node_id,
+       |         strftime(date_trunc('month', ts), '%Y-%m') AS period,
+       |         ($countryListSql)[(user_id % 10 + 1)::INT] AS country,
+       |         CAST(count(DISTINCT session_key) AS BIGINT) AS unique_investigations,
+       |         count(*) AS total_investigations,
+       |         CAST(count(DISTINCT CASE WHEN event_type IN ('purchase', 'click')
+       |                             THEN session_key END) AS BIGINT) AS unique_requests,
+       |         CAST(sum(CASE WHEN event_type IN ('purchase', 'click')
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS total_requests
+       |  FROM s GROUP BY 1, 2, 3
+       |)""".stripMargin
+
   val entries: Seq[GraftQuery] = Seq(
 
     // §3.3 flat COUNTER metrics: node × month × country unique/total
@@ -21,37 +49,38 @@ object ReportQueries {
     GraftQuery("r_counter_flat",
       (s, dir) => CounterReport.flatMetrics(Tables.events(s, dir), GapSeconds,
         requestTypes = Seq("purchase", "click")),
-      Some(s"""WITH g AS (
-              |  SELECT user_id, ts, event_id, event_type,
-              |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
-              |                (PARTITION BY user_id ORDER BY ts, event_id))
-              |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
-              |  FROM events
-              |), s AS (
-              |  SELECT user_id, ts, event_type,
-              |         user_id || '#' || sum(is_new) OVER
-              |           (PARTITION BY user_id ORDER BY ts, event_id
-              |            ROWS UNBOUNDED PRECEDING) AS session_key
-              |  FROM g
-              |)
-              |SELECT ($nodeListSql)[(user_id % 5 + 1)::INT] AS node_id,
-              |       strftime(date_trunc('month', ts), '%Y-%m') AS period,
-              |       ($countryListSql)[(user_id % 10 + 1)::INT] AS country,
-              |       CAST(count(DISTINCT session_key) AS BIGINT) AS unique_investigations,
-              |       count(*) AS total_investigations,
-              |       CAST(count(DISTINCT CASE WHEN event_type IN ('purchase', 'click')
-              |                           THEN session_key END) AS BIGINT) AS unique_requests,
-              |       CAST(sum(CASE WHEN event_type IN ('purchase', 'click')
-              |                THEN 1 ELSE 0 END) AS BIGINT) AS total_requests
-              |FROM s GROUP BY 1, 2, 3""".stripMargin)),
+      Some(s"""$flatCteSql
+              |SELECT node_id, period, country, unique_investigations,
+              |       total_investigations, unique_requests, total_requests
+              |FROM flat""".stripMargin)),
 
-    // SUSHI JSON assembly — structural check only (JSON column, no SQL
-    // oracle); content is spec-tested in ReportSpec.
+    // SUSHI JSON assembly (S11, `metricsreporter.py:69-138`). The oracle
+    // rebuilds the report documents byte-for-byte with DuckDB struct_pack →
+    // to_json (same no-whitespace serialization as Spark's to_json; sums
+    // cast ::BIGINT because DuckDB sum(BIGINT) is HUGEINT which would
+    // render as a float).
     GraftQuery("r_sushi_reports",
       (s, dir) => CounterReport.sushiReports(
         CounterReport.flatMetrics(Tables.events(s, dir), GapSeconds,
           Seq("purchase", "click")), created = "2026-01-01"),
-      None),
+      Some(s"""$flatCteSql
+              |SELECT node_id, period,
+              |  to_json(struct_pack(
+              |    report_header := struct_pack(
+              |      report_id := 'DSR',
+              |      created := '2026-01-01',
+              |      created_by := node_id,
+              |      reporting_period := period),
+              |    total_investigations := sum(total_investigations)::BIGINT,
+              |    total_requests := sum(total_requests)::BIGINT,
+              |    performance := list(struct_pack(
+              |      country := country,
+              |      unique_investigations := unique_investigations,
+              |      investigations := total_investigations,
+              |      unique_requests := unique_requests,
+              |      requests := total_requests) ORDER BY country)
+              |  ))::VARCHAR AS report_json
+              |FROM flat GROUP BY node_id, period""".stripMargin)),
 
     // Citation registration flow (§2.1 S8 + J9 + A10): JSON citation
     // reports parsed with an explicit from_json schema, deduped against

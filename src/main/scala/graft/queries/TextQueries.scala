@@ -160,7 +160,9 @@ object TextQueries {
       (s, dir) => {
         val probeTerms = Seq("the", "data", "el", "und", "le")
         val docs = Tables.documents(s, dir)
-        val n = docs.count() // corpus size: one tiny job, both engines agree
+        // corpus size as a one-row aggregate cross-joined into the plan —
+        // no driver action, the whole query is ONE job
+        val stats = docs.agg(count(lit(1)).cast("double").as("n"))
         val terms = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("term"))
           .filter(col("term").isin(probeTerms: _*))
@@ -169,8 +171,9 @@ object TextQueries {
         terms.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
           .join(dfreq, "term")
+          .crossJoin(broadcast(stats))
           .select(col("doc_id"), col("term"), col("tf"),
-            round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+            round(col("tf") * log(col("n") / col("df")), 6)
               .as("tfidf"))
       },
       Some("""WITH t AS (
@@ -196,10 +199,12 @@ object TextQueries {
       (s, dir) => {
         val probeTerms = Seq("the", "data", "el", "und", "le")
         val docs = Tables.documents(s, dir)
-        val n = docs.count()
         val lens = docs.select(col("doc_id"),
           size(split(col("text"), " ")).cast("double").as("dl"))
-        val avgdl = lens.agg(avg(col("dl"))).head().getDouble(0)
+        // (N, avgdl) as a one-row aggregate cross-joined into the plan —
+        // no docs.count()/head() driver actions, the query is ONE job
+        val stats = lens.agg(count(lit(1)).cast("double").as("n"),
+          avg(col("dl")).as("avgdl"))
         val terms = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("term"))
           .filter(col("term").isin(probeTerms: _*))
@@ -209,11 +214,12 @@ object TextQueries {
           .agg(count(lit(1)).cast("double").as("tf"))
         val k1 = 1.2; val b = 0.75
         tf.join(dfreq, "term").join(lens, "doc_id")
+          .crossJoin(broadcast(stats))
           .select(col("doc_id"), col("term"),
             round(
-              log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
                 (col("tf") * lit(k1 + 1)) /
-                (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)), 6)
+                (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
               .as("bm25"))
       },
       Some("""WITH lens AS (

@@ -17,6 +17,20 @@ object VectorQueries {
     s"list_reduce(list_transform(generate_series(1, 64), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
+  /** Oracle fragment: dot of the 8-wide subspace `mi` slice of `emb`
+    * against an 8-float centroid list `cent` (PQ subspaces). */
+  private def subDotSql(emb: String, mi: String, cent: String): String =
+    s"list_reduce(list_transform(generate_series(1, 8), " +
+      s"p -> $emb[$mi * 8 + p]::DOUBLE * $cent[p]::DOUBLE), (x, y) -> x + y)"
+
+  private def centSqSql(cent: String): String =
+    s"list_reduce(list_transform(generate_series(1, 8), " +
+      s"p -> $cent[p]::DOUBLE * $cent[p]::DOUBLE), (x, y) -> x + y)"
+
+  private def svSqSql(emb: String, mi: String): String =
+    s"list_reduce(list_transform(generate_series(1, 8), " +
+      s"p -> $emb[$mi * 8 + p]::DOUBLE * $emb[$mi * 8 + p]::DOUBLE), (x, y) -> x + y)"
+
   val entries: Seq[GraftQuery] = Seq(
 
     // Brute-force exact cosine top-k: the ANN baseline. Probe side broadcast,
@@ -66,29 +80,102 @@ object VectorQueries {
               |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
               |SELECT i, j, round(cos, 6) AS cos FROM p WHERE cos >= 0.35""".stripMargin)),
 
-    // IVF approximate top-k (rows-only: the centroid refinement isn't
-    // ANSI-SQL-expressible; recall vs brute force is spec-tested).
+    // IVF approximate top-k. The oracle replays the full deterministic index
+    // build — lowest-id seeds, one Lloyd step with FLOAT-cast means (the cast
+    // absorbs double summation-order ulps), argmax assignment with Spark's
+    // struct tie-breaks (array_max -> larger cid; sort_array -> smaller cid).
     GraftQuery("v_ivf_topk",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Vectors.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
           numClusters = 16, nprobe = 4, dim = 64)
       },
-      None),
+      Some(s"""WITH pos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+              |seeds AS (
+              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent
+              |  FROM embeddings ORDER BY vec_id LIMIT 16),
+              |a0 AS (
+              |  SELECT e.vec_id, s.cid,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${dotSql("e.embedding", "s.cent")}
+              |                 * (1.0 / sqrt(${dotSql("s.cent", "s.cent")})) DESC,
+              |               s.cid DESC) AS rn
+              |  FROM embeddings e CROSS JOIN seeds s),
+              |members AS (SELECT vec_id, cid FROM a0 WHERE rn = 1),
+              |msum AS (
+              |  SELECT m.cid, p.pos, CAST(avg(e.embedding[p.pos]) AS FLOAT) AS mv
+              |  FROM members m JOIN embeddings e USING (vec_id) CROSS JOIN pos p
+              |  GROUP BY 1, 2),
+              |cents AS (
+              |  SELECT s.cid, list(coalesce(ms.mv, s.cent[p.pos]) ORDER BY p.pos) AS cent
+              |  FROM seeds s CROSS JOIN pos p
+              |  LEFT JOIN msum ms ON ms.cid = s.cid AND ms.pos = p.pos
+              |  GROUP BY s.cid),
+              |a1 AS (
+              |  SELECT e.vec_id, c.cid,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${dotSql("e.embedding", "c.cent")}
+              |                 * (1.0 / sqrt(${dotSql("c.cent", "c.cent")})) DESC,
+              |               c.cid DESC) AS rn
+              |  FROM embeddings e CROSS JOIN cents c),
+              |corpus AS (
+              |  SELECT a.vec_id AS neighbor_id, e.embedding AS n_emb,
+              |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS n_nrm, a.cid
+              |  FROM a1 a JOIN embeddings e USING (vec_id) WHERE a.rn = 1),
+              |p0 AS (
+              |  SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+              |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS q_nrm, c.cid,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${dotSql("e.embedding", "c.cent")}
+              |                 * (1.0 / sqrt(${dotSql("c.cent", "c.cent")})) DESC,
+              |               c.cid ASC) AS rn
+              |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10),
+              |probes AS (SELECT query_id, q_emb, q_nrm, cid FROM p0 WHERE rn <= 4),
+              |scored AS (
+              |  SELECT p.query_id, c.neighbor_id,
+              |         ${dotSql("p.q_emb", "c.n_emb")} / (p.q_nrm * c.n_nrm) AS cos
+              |  FROM corpus c JOIN probes p USING (cid)
+              |  WHERE p.query_id <> c.neighbor_id),
+              |r AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY cos DESC, neighbor_id) AS rank
+              |  FROM scored)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |       round(cos, 6) AS cos
+              |FROM r WHERE rank <= 5""".stripMargin)),
 
     // Approximate distinct counting — the ES `cardinality` (HLL) parity
-    // path (`metricsreader.py:196-201`). Rows-only: HLL++ sketch values are
-    // implementation-defined; the relative-error bound is spec-tested.
+    // path (`metricsreader.py:196-201`). HLL++ sketch values are
+    // implementation-defined, so the graded row carries the exact counts
+    // plus `approx_ok` = |approx − exact| ≤ 3σ (σ = default rsd 0.05);
+    // the oracle asserts TRUE, so an out-of-bound sketch fails the gate.
     GraftQuery("a1_composite_agg_approx",
-      (s, dir) => graft.operators.MetricsKernel.compositeAgg(
-        Tables.events(s, dir), col("ts"), "month", Seq(col("event_type")),
-        col("event_id"), approx = true),
-      None),
+      (s, dir) => {
+        import graft.operators.MetricsKernel
+        Tables.events(s, dir)
+          .groupBy(MetricsKernel.periodOf(col("ts"), "month").as("period"),
+            col("event_type"))
+          .agg(countDistinct(col("event_id")).as("unique_count"),
+            approx_count_distinct(col("event_id")).as("approx_count"),
+            count(lit(1)).as("total_count"))
+          .select(col("period"), col("event_type"), col("unique_count"),
+            col("total_count"),
+            (abs(col("approx_count") - col("unique_count"))
+              <= col("unique_count") * 0.15).as("approx_ok"))
+      },
+      Some("""SELECT strftime(date_trunc('month', ts), '%Y-%m') AS period,
+             |       event_type,
+             |       CAST(count(DISTINCT event_id) AS BIGINT) AS unique_count,
+             |       count(*) AS total_count,
+             |       TRUE AS approx_ok
+             |FROM events GROUP BY 1, 2""".stripMargin)),
 
-    // Product-quantization ADC top-k (rows-only: the Lloyd-refined codebook
-    // isn't ANSI-SQL-expressible; recall vs brute force is spec-tested).
-    // Codes compress 64 floats → 8 ids; probe-side distance tables make the
-    // corpus pass lookup-only.
+    // Product-quantization ADC top-k. Codes compress 64 floats → 8 ids;
+    // probe-side distance tables make the corpus pass lookup-only. The
+    // oracle replays the deterministic codebook build (lowest-id seeds, one
+    // Lloyd step per subspace, FLOAT-cast means) and sums the 8 ADC terms
+    // in subspace order to reproduce the left-to-right double fold.
     GraftQuery("v_pq_topk",
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
@@ -97,7 +184,62 @@ object VectorQueries {
         Vectors.pqAdcTopK(Vectors.pqCodes(emb, cents, dim = 64),
           emb.filter(col("vec_id") < 10), cents, k = 5, dim = 64)
       },
-      None),
+      Some(s"""WITH pos AS (SELECT unnest(generate_series(1, 8)) AS pos),
+              |sub AS (SELECT unnest(generate_series(0, 7)) AS mi),
+              |seeds AS (
+              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ki, embedding
+              |  FROM embeddings ORDER BY vec_id LIMIT 16),
+              |init AS (
+              |  SELECT s.mi, d.ki,
+              |    list_transform(generate_series(1, 8), p -> d.embedding[s.mi * 8 + p]) AS cent
+              |  FROM sub s CROSS JOIN seeds d),
+              |a0 AS (
+              |  SELECT e.vec_id, i.mi, i.ki,
+              |    row_number() OVER (PARTITION BY e.vec_id, i.mi
+              |      ORDER BY ${centSqSql("i.cent")}
+              |                 - 2.0 * ${subDotSql("e.embedding", "i.mi", "i.cent")} ASC,
+              |               i.ki ASC) AS rn
+              |  FROM embeddings e CROSS JOIN init i),
+              |m0 AS (SELECT vec_id, mi, ki FROM a0 WHERE rn = 1),
+              |msum AS (
+              |  SELECT m.mi, m.ki, p.pos,
+              |         CAST(avg(e.embedding[m.mi * 8 + p.pos]) AS FLOAT) AS mv
+              |  FROM m0 m JOIN embeddings e USING (vec_id) CROSS JOIN pos p
+              |  GROUP BY 1, 2, 3),
+              |cents AS (
+              |  SELECT i.mi, i.ki, list(coalesce(ms.mv, i.cent[p.pos]) ORDER BY p.pos) AS cent
+              |  FROM init i CROSS JOIN pos p
+              |  LEFT JOIN msum ms ON ms.mi = i.mi AND ms.ki = i.ki AND ms.pos = p.pos
+              |  GROUP BY i.mi, i.ki),
+              |c1 AS (
+              |  SELECT e.vec_id, c.mi, c.ki,
+              |    row_number() OVER (PARTITION BY e.vec_id, c.mi
+              |      ORDER BY ${centSqSql("c.cent")}
+              |                 - 2.0 * ${subDotSql("e.embedding", "c.mi", "c.cent")} ASC,
+              |               c.ki ASC) AS rn
+              |  FROM embeddings e CROSS JOIN cents c),
+              |codes AS (SELECT vec_id, mi, ki FROM c1 WHERE rn = 1),
+              |terms AS (
+              |  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, cd.mi,
+              |    ${centSqSql("ct.cent")}
+              |      - 2.0 * ${subDotSql("q.embedding", "ct.mi", "ct.cent")}
+              |      + ${svSqSql("q.embedding", "ct.mi")} AS term
+              |  FROM embeddings q
+              |  CROSS JOIN codes cd
+              |  JOIN cents ct ON ct.mi = cd.mi AND ct.ki = cd.ki
+              |  WHERE q.vec_id < 10 AND q.vec_id <> cd.vec_id),
+              |dists AS (
+              |  SELECT query_id, neighbor_id,
+              |    list_reduce(list(term ORDER BY mi), (x, y) -> x + y) AS adc_dist
+              |  FROM terms GROUP BY 1, 2),
+              |r AS (
+              |  SELECT query_id, neighbor_id, adc_dist,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY adc_dist ASC, neighbor_id) AS rank
+              |  FROM dists)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |       round(adc_dist, 6) AS adc_dist
+              |FROM r WHERE rank <= 5""".stripMargin)),
 
     // Random-hyperplane LSH bucketing — the scale path: bucket assignment is
     // a pure codegen'd projection (planes constant-folded as literals), so

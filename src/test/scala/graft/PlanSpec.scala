@@ -72,6 +72,18 @@ class PlanSpec extends SparkSpec {
     assert(clean.contains("*(")) // fused codegen stage(s) over the scan
   }
 
+  test("bm25/tfidf build with zero driver actions (corpus stats stay in-plan)") {
+    // (N, avgdl) must be a one-row aggregate cross-joined into the plan —
+    // a docs.count()/head() here would mean extra full corpus scans before
+    // the main job at 100 TB
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    SparkEntry.queries("t_bm25")(spark, testDataDir)
+    SparkEntry.queries("t_tfidf")(spark, testDataDir)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"query construction ran ${after - before} job(s)")
+  }
+
   test("dedup groups resolve to a projection over materialized rounds") {
     // the iterative component labels are checkpointed per round; the final
     // frame must be a cheap projection over those blocks, not a replay of
