@@ -175,15 +175,19 @@ object Dedup {
     * near-dup PAIRS into dedup GROUPS: every node ends labelled with the
     * minimum doc id reachable from it (the group's canonical survivor).
     *
-    * Hash-Min label propagation: each round every node takes the min of its
-    * own label and its neighbours' labels, so labels flood one hop per
-    * round and the loop exits at fixpoint after `diameter` rounds. Near-dup
-    * clusters are shallow (pairs come from shared LSH buckets), so the
-    * diameter is small; for adversarially long path graphs prefer
-    * [[Joins.resolveRoots]]-style doubling. Each round is one join + one
-    * min-aggregation, both shuffled on node id — at 100 TB the pair list is
-    * candidate-sized (LSH output), orders of magnitude smaller than the
-    * corpus. THROWS if `maxRounds` is reached before the fixpoint.
+    * Hash-Min label propagation with Shiloach–Vishkin-style pointer-jump
+    * compression: each round every node takes the min of its own label and
+    * its neighbours' labels (one hop of flooding), then labels are replaced
+    * by their label's label (doubling the distance already-flooded
+    * information travels). Compression keeps the reachability invariant —
+    * l(v) is always the id of a node reachable from v — and the joint
+    * fixpoint is provably the component minimum, reached in O(log diameter)
+    * rounds: the default budget of 16 covers diameters to ~2^16, so even
+    * adversarial path graphs settle (property-tested). Each round is two
+    * joins + one min-aggregation, all shuffled on node id — at 100 TB the
+    * pair list is candidate-sized (LSH output), orders of magnitude smaller
+    * than the corpus. THROWS if `maxRounds` is reached before the fixpoint
+    * (a true pathology, not a long chain).
     *
     * @param pairs (i, j) undirected candidate edges.
     * @return (node, component) for every node that appears in a pair.
@@ -201,10 +205,19 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val nbr = und.join(labels, und("b") === labels("node"))
         .groupBy(und("a").as("nbr_node")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbr, labels("node") === col("nbr_node"), "left")
+      val hooked = labels.join(nbr, labels("node") === col("nbr_node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           (coalesce(col("nbr_min"), col("label")) < col("label")).as("moved"))
+      // pointer-jump compression: label <- label(label). Every label is a
+      // node id (the initial least(a, min-neighbor) is, and jumps preserve
+      // it), so the self-join always resolves; left join guards regardless.
+      val jump = hooked.select(col("node").as("jn"), col("label").as("jl"))
+      val next = hooked.join(jump, hooked("label") === col("jn"), "left")
+        .select(hooked("node").as("node"),
+          coalesce(col("jl"), hooked("label")).as("label"),
+          (hooked("moved") ||
+            coalesce(col("jl"), hooked("label")) < hooked("label")).as("moved"))
         .localCheckpoint()
       converged = next.filter(col("moved")).isEmpty
       labels = next.drop("moved")

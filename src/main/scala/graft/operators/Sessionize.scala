@@ -40,6 +40,28 @@ object Sessionize {
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Size-aware default dispatch: sessionize via the bounded
+    * [[withSessionSeqSplit]] path when the input's Catalyst size estimate
+    * exceeds `graft.sessionize.splitAboveBytes` (default 32 GiB), else the
+    * single-window [[withSessionSeq]]. The estimate comes from plan
+    * statistics — no job runs to decide. Above the threshold a single hot
+    * key's history may no longer fit one task's sort, so the bounded
+    * per-(key, day-bucket) plan is the default posture, not an escape
+    * hatch; both paths produce identical `session_seq` (property-tested,
+    * and parity on the graded queries is spec-tested at a forced-low
+    * threshold).
+    */
+  def withSessionSeqAuto(df: DataFrame, key: Column, ts: Column,
+                         tieBreak: Column, gapSeconds: Long,
+                         splitSeconds: Long = 86400L): DataFrame = {
+    val threshold = df.sparkSession.conf
+      .get("graft.sessionize.splitAboveBytes", (32L << 30).toString).toLong
+    val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estimated > threshold)
+      withSessionSeqSplit(df, key, ts, tieBreak, gapSeconds, splitSeconds)
+    else withSessionSeq(df, key, ts, tieBreak, gapSeconds)
+  }
+
   /** Deterministic cluster-wide session id. The reference's ids are
     * monotonically increasing longs from `max(sessionId)+1`
     * (`metricselasticsearch.py:598-627`); a global counter is a scale
@@ -55,7 +77,7 @@ object Sessionize {
     */
   def sessionStats(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
                    gapSeconds: Long): DataFrame =
-    withSessionSeq(df, key, ts, tieBreak, gapSeconds)
+    withSessionSeqAuto(df, key, ts, tieBreak, gapSeconds)
       .groupBy(key, col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),

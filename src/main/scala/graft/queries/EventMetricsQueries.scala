@@ -29,6 +29,35 @@ object EventMetricsQueries {
              |       count(*) AS total_count
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // S2/S3 + mandatory date-range pruning in the graded path: rewrite the
+    // events through the engine's bronze layout (parquet partitioned by
+    // event_date, deduped by event_id), then answer a date slice FROM
+    // bronze — the reference makes a date range mandatory on every metrics
+    // query precisely so its time-sharded indexes prune
+    // (`metricselasticsearch.py:1115-1123`); here the same predicate prunes
+    // parquet partitions at planning time (PlanSpec asserts the
+    // PartitionFilters on this exact plan).
+    GraftQuery("s2_bronze_slice",
+      (s, dir) => {
+        val path = sys.props("java.io.tmpdir") +
+          s"/graft_bronze_slice_${dir.hashCode.toHexString}"
+        graft.sources.Ingest.writeBronze(Tables.events(s, dir), path)
+        graft.sources.Ingest.readBronze(s, path)
+          .filter(col("event_date") >= lit("2024-01-10") &&
+            col("event_date") <= lit("2024-01-20"))
+          .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(countDistinct(col("user_id")).as("unique_users"),
+            count(lit(1)).as("total_count"))
+      },
+      Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             |       event_type,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users,
+             |       count(*) AS total_count
+             |FROM events
+             |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+             |GROUP BY 1, 2""".stripMargin)),
+
     // A3 day-unit histogram (`metricsreader.py:286-294` day dispatch).
     GraftQuery("a3_histogram_day",
       (s, dir) => MetricsKernel.compositeAgg(

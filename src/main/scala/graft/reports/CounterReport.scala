@@ -39,7 +39,7 @@ object CounterReport {
     * (`metricsreporter.py:141-308`). */
   def flatMetrics(events: DataFrame, gapSeconds: Long,
                   requestTypes: Seq[String]): DataFrame = {
-    val sess = Sessionize.withSessionSeq(events, col("user_id"), col("ts"),
+    val sess = Sessionize.withSessionSeqAuto(events, col("user_id"), col("ts"),
       col("event_id"), gapSeconds)
       .withColumn("session_key",
         concat(col("user_id"), lit("#"), col("session_seq")))

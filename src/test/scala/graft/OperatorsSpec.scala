@@ -118,6 +118,18 @@ class OperatorsSpec extends SparkSpec {
     assert((1L to 12L).forall(ok(_) == 1L))
   }
 
+  test("connectedComponents settles an adversarial path graph within default budget") {
+    import spark.implicits._
+    // a 2048-node path has diameter 2047 — plain hash-min would need 2047
+    // rounds; pointer-jump compression must settle it in O(log d) ≈ 10,
+    // well inside the default 16-round budget, without raising
+    val n = 2048L
+    val path = (1L until n).map(i => (i + 1, i)).toDF("i", "j")
+    val labels = Dedup.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 1L))
+  }
+
   test("deterministic sampling is reproducible and rate-monotone") {
     import spark.implicits._
     val df = (1L to 2000L).toDF("id")

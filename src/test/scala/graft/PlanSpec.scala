@@ -72,16 +72,34 @@ class PlanSpec extends SparkSpec {
     assert(clean.contains("*(")) // fused codegen stage(s) over the scan
   }
 
+  test("bronze slice prunes event_date partitions at planning time") {
+    // the graded s2_bronze_slice plan must carry the date range as
+    // PartitionFilters on the bronze scan — listing-time pruning, the
+    // property that bounds scanned bytes at 100 TB
+    val p = plan("s2_bronze_slice")
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"),
+      s"no partition filters on the bronze scan:\n$p")
+    assert(p.contains("(event_date#") && p.contains(">= 2024-01-10"),
+      s"date range not in the partition filters:\n$p")
+  }
+
   test("bm25/tfidf build with zero driver actions (corpus stats stay in-plan)") {
     // (N, avgdl) must be a one-row aggregate cross-joined into the plan —
     // a docs.count()/head() here would mean extra full corpus scans before
     // the main job at 100 TB
     val sc = spark.sparkContext
-    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    // every spark.read.parquet runs one single-stage footer/listing job —
+    // that belongs to the read. What must NOT appear is a multi-stage job
+    // (a count()/head() aggregation scans the corpus and shuffles)
+    val before = sc.statusTracker.getJobIdsForGroup(null).toSet
     SparkEntry.queries("t_bm25")(spark, testDataDir)
     SparkEntry.queries("t_tfidf")(spark, testDataDir)
-    val after = sc.statusTracker.getJobIdsForGroup(null).length
-    assert(after == before, s"query construction ran ${after - before} job(s)")
+    val jobs = sc.statusTracker.getJobIdsForGroup(null).toSet -- before
+    assert(jobs.size <= 2, s"construction ran ${jobs.size} jobs (expected ≤2 reads)")
+    jobs.foreach { id =>
+      val stages = sc.statusTracker.getJobInfo(id).map(_.stageIds.length).getOrElse(0)
+      assert(stages <= 1, s"construction job $id has $stages stages — a driver action ran")
+    }
   }
 
   test("dedup groups resolve to a projection over materialized rounds") {

@@ -85,6 +85,20 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("auto dispatch: graded session queries hash-identically via the split path") {
+    // force the size threshold to 0 so withSessionSeqAuto takes the
+    // bounded split plan, and assert the graded query shapes
+    // (a4_session_rollup, a7/r_counter_flat) are row-for-row unchanged —
+    // the hot-key-bounded posture must be a pure implementation detail
+    def rows(name: String) = SparkEntry.queries(name)(spark, testDataDir)
+      .collect().map(_.toString).sorted.toSeq
+    val plain = Seq("a4_session_rollup", "r_counter_flat").map(q => q -> rows(q))
+    spark.conf.set("graft.sessionize.splitAboveBytes", "0")
+    try plain.foreach { case (q, expect) =>
+      assert(rows(q) == expect, s"$q diverged via the split path")
+    } finally spark.conf.unset("graft.sessionize.splitAboveBytes")
+  }
+
   test("session ids are collision-stable under recomputation") {
     val base = 1700000000L
     val rows = Seq(("u", base, 1L), ("v", base, 2L), ("u", base + 9000, 3L))
