@@ -20,7 +20,13 @@ object Verify {
     outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(outPath, true)
     new java.io.File(outDir).mkdirs()
-    val failed = SparkEntry.queries.flatMap { case (name, fn) =>
+    // dev-only subset filter (comma-separated names); driver runs unfiltered
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val failed = selected.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

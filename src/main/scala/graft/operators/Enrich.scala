@@ -37,10 +37,35 @@ object Enrich {
     }
   }
 
-  /** F10: robot / machine user-agent tagging — OR-joined regex dictionaries
-    * (COUNTER list, `search.conf:305-327`, `conf/dict/counter_ua.yml`). */
-  val RobotUaPattern = "(?i)bot|crawl|spider|slurp|archiver"
-  val MachineUaPattern = "(?i)curl|wget|python-requests|libwww|java/"
+  /** Load a regex dictionary shipped as a classpath resource: one pattern
+    * per line, blank lines and `#` comments dropped, anchors/classes kept
+    * verbatim (the dictionaries contain `^ruby$`, `[^a]fish`, `\d{1,2}`). */
+  private def loadDict(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/graft/dict/$name")
+    require(in != null, s"missing dictionary resource: graft/dict/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+    finally in.close()
+  }
+
+  /** OR-join dictionary patterns into one case-insensitive regex. Each
+    * pattern is wrapped in a non-capturing group so per-pattern anchors and
+    * alternations keep their own scope — `^ruby$` stays anchored instead of
+    * anchoring the whole alternation. This is the reference's pre-joined
+    * mega-regex build (`elastic_notes.rst:160-172`) done at class-load time;
+    * the resulting literal constant-folds into the scan's codegen pass. */
+  def orJoinDict(patterns: Seq[String]): String =
+    patterns.map(p => s"(?:$p)").mkString("(?i)", "|", "")
+
+  /** F10: robot / machine user-agent tagging — the full COUNTER robots list
+    * (279 patterns, ref `conf/dict/counter_ua.yml:1-279`) and machine-agent
+    * list (34 patterns, `machine_ua.yml:1-35`), per `search.conf:305-327`.
+    * Both dictionaries use only constructs valid in java.util.regex AND RE2,
+    * so the same pattern string drives Spark `rlike` and the DuckDB oracle. */
+  val RobotUaDict: Seq[String] = loadDict("counter_ua.txt")
+  val MachineUaDict: Seq[String] = loadDict("machine_ua.txt")
+  val RobotUaPattern: String = orJoinDict(RobotUaDict)
+  val MachineUaPattern: String = orJoinDict(MachineUaDict)
 
   /** Build the `tags[]` column from tag→predicate pairs, dropping non-firing
     * tags (reference accumulates tags via logstash add_tag). */

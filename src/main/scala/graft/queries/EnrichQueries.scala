@@ -14,6 +14,17 @@ object EnrichQueries {
 
   private val Cidrs = Seq("10.5.0.0/16", "10.17.0.0/16", "10.33.0.0/16")
 
+  // The same OR-joined dictionary regexes drive Spark and the oracle (the
+  // dicts contain no quotes, but escape defensively for the SQL literal).
+  private val RobotRe = Enrich.RobotUaPattern.replace("'", "''")
+  private val MachineRe = Enrich.MachineUaPattern.replace("'", "''")
+
+  // UAs for the non-view/click/purchase/signup (= error) slice: exercises
+  // dictionary-only patterns — anchored `^ruby$`, plain `ADmantX`, and the
+  // class `[^a]fish` (sawfish matches, "a fish" before it would not).
+  private val ErrorUas = Seq("WebCrawler-Spider/1.0", "ruby",
+    "ADmantX Platform Semantic Analyzer", "sawfish/1.3")
+
   private def derived(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.events(s, dir)
       .withColumn("ip", concat_ws(".", lit(10), col("user_id") % 64,
@@ -23,14 +34,15 @@ object EnrichQueries {
           .when(col("event_type") === "click", "Googlebot/2.1 (+http://www.google.com/bot.html)")
           .when(col("event_type") === "purchase", "curl/7.88.1")
           .when(col("event_type") === "signup", "python-requests/2.28")
-          .otherwise("WebCrawler-Spider/1.0"))
+          .otherwise(element_at(lit(ErrorUas.toArray),
+            (col("event_id") % 4 + 1).cast("int"))))
       .withColumn("request",
         when(col("event_type") === "view",
           concat(lit("/cn/v2/query/solr/?q="), col("event_id")))
           .otherwise(concat(lit("/cn/v2/object/"), col("event_id"))))
 
   private val derivedSql =
-    """SELECT event_id, ts, event_type,
+    s"""SELECT event_id, ts, event_type,
       |       '10.' || (user_id % 64) || '.' || (event_id % 200) || '.' ||
       |         (event_id % 7) AS ip,
       |       CASE event_type
@@ -38,7 +50,8 @@ object EnrichQueries {
       |         WHEN 'click' THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)'
       |         WHEN 'purchase' THEN 'curl/7.88.1'
       |         WHEN 'signup' THEN 'python-requests/2.28'
-      |         ELSE 'WebCrawler-Spider/1.0' END AS ua,
+      |         ELSE list_extract([${ErrorUas.map(u => s"'$u'").mkString(", ")}],
+      |                           (event_id % 4 + 1)::INT) END AS ua,
       |       CASE WHEN event_type = 'view'
       |            THEN '/cn/v2/query/solr/?q=' || event_id
       |            ELSE '/cn/v2/object/' || event_id END AS request
@@ -72,9 +85,9 @@ object EnrichQueries {
               |), g AS (
               |  SELECT event_id, searchevent, session_key,
               |    concat_ws(',',
-              |      CASE WHEN regexp_matches(ua, '(?i)bot|crawl|spider|slurp|archiver')
+              |      CASE WHEN regexp_matches(ua, '$RobotRe')
               |           THEN 'robot_ua' END,
-              |      CASE WHEN regexp_matches(ua, '(?i)curl|wget|python-requests|libwww|java/')
+              |      CASE WHEN regexp_matches(ua, '$MachineRe')
               |           THEN 'machine_ua' END,
               |      CASE WHEN (ipl >> 16) IN (2565, 2577, 2593)
               |           THEN 'robot_ip' END) AS tags_str
@@ -114,8 +127,8 @@ object EnrichQueries {
               |)
               |SELECT event_type, count(*) AS n_events
               |FROM t
-              |WHERE NOT (regexp_matches(ua, '(?i)bot|crawl|spider|slurp|archiver')
-              |           OR regexp_matches(ua, '(?i)curl|wget|python-requests|libwww|java/')
+              |WHERE NOT (regexp_matches(ua, '$RobotRe')
+              |           OR regexp_matches(ua, '$MachineRe')
               |           OR (ipl >> 16) IN (2565, 2577, 2593))
               |  AND event_type IN ('view', 'purchase')
               |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'

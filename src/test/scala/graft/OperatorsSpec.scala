@@ -304,6 +304,33 @@ class OperatorsSpec extends SparkSpec {
       "aria2/1.35" -> true, "aria2/x" -> false, "GoogleBot" -> true))
   }
 
+  test("full COUNTER UA dictionaries load and dictionary-only patterns fire") {
+    import spark.implicits._
+    // the shipped dicts, not a stand-in: 279 robot + 34 machine patterns
+    assert(Enrich.RobotUaDict.size == 279)
+    assert(Enrich.MachineUaDict.size == 34)
+    val uas = Seq(
+      "ADmantX Platform Semantic Analyzer", // dictionary-only plain pattern
+      "ruby",            // anchored ^ruby$ — in BOTH dicts
+      "Ruby",            // (?i) applies across the OR-join
+      "jruby 9.4",       // anchor must survive the OR-join: no match
+      "sawfish/1.3",     // class pattern [^a]fish
+      "aafish",          // 'a' before "fish" → [^a]fish must NOT fire
+      "PycURL")          // machine dict pattern
+    val got = uas.toDF("ua").select(col("ua"),
+        col("ua").rlike(Enrich.RobotUaPattern).as("robot"),
+        col("ua").rlike(Enrich.MachineUaPattern).as("machine"))
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2))))
+      .toMap
+    assert(got("ADmantX Platform Semantic Analyzer") == ((true, false)))
+    assert(got("ruby") == ((true, true)))
+    assert(got("Ruby") == ((true, true)))
+    assert(got("jruby 9.4") == ((false, false)))
+    assert(got("sawfish/1.3") == ((true, false)))
+    assert(got("aafish") == ((false, false)))
+    assert(got("PycURL")._2)
+  }
+
   test("rangeLookup handles ranges spanning multiple buckets") {
     import spark.implicits._
     // ranges deliberately cross bucket boundaries at bucketBits = 4 (16s)
