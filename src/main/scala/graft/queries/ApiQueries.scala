@@ -238,20 +238,29 @@ object ApiQueries {
              |GROUP BY 1""".stripMargin)),
 
     // Multimodal feature extraction: typed binary media records through the
-    // mapPartitions decode(stub) pass, rolled up by mime. The oracle
-    // recomputes the deterministic stub features in SQL (ascii corpus:
-    // histogram bin 7 = bytes 0x70-0x7f).
+    // mapPartitions pass, rolled up by mime. The payload carries a GENUINE
+    // image header (24-byte PNG sig+IHDR / 12-byte JPEG SOI+SOF0) that the
+    // engine parses back out; the oracle recomputes the decoded-dimension
+    // sums from the generating formula and the header sizes from the spec
+    // constants, so a wrong parse offset or endianness hash-mismatches.
+    // Histogram bin 7 covers the post-header payload (ascii 0x70-0x7f).
     GraftQuery("m_media_features",
       (s, dir) => Multimodal.featureSummary(s, Tables.documents(s, dir)),
-      Some("""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
-             |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      Some("""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+             |            WHEN doc_id % 3 = 1 THEN 'image/jpeg'
              |            ELSE 'video/mp4' END AS mime,
              |       count(*) AS n_media,
-             |       CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+             |       CAST(sum(octet_length(text::BLOB) +
+             |                CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 12
+             |                     ELSE 0 END) AS BIGINT) AS total_bytes,
              |       CAST(sum(CASE WHEN doc_id % 3 = 2
              |                THEN greatest((n_chars * 100) // 1000, 1)
              |                ELSE 1 END) AS BIGINT) AS total_frames,
-             |       CAST(sum(length(regexp_extract_all(text, '[\x70-\x7f]'))) AS BIGINT) AS hist_bin7_sum
+             |       CAST(sum(length(regexp_extract_all(text, '[\x70-\x7f]'))) AS BIGINT) AS hist_bin7_sum,
+             |       CAST(sum(CASE WHEN doc_id % 3 <= 1
+             |                THEN doc_id % 640 + 64 ELSE 0 END) AS BIGINT) AS decoded_w_sum,
+             |       CAST(sum(CASE WHEN doc_id % 3 <= 1
+             |                THEN doc_id % 480 + 48 ELSE 0 END) AS BIGINT) AS decoded_h_sum
              |FROM documents GROUP BY 1""".stripMargin)),
   )
 }

@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
 object EventMetricsQueries {
   private val GapSeconds = 3600L // reference SESSION_TTL_MINUTES=60
 
+  // Per-JVM scratch token: two concurrent gate processes must not share the
+  // s2 bronze dir (same dir.hashCode → write/read race); within one JVM the
+  // query re-runs sequentially, so reuse is safe.
+  private lazy val RunToken: String = java.util.UUID.randomUUID().toString.take(8)
+
   val entries: Seq[GraftQuery] = Seq(
 
     // A1+A3: composite group-by (period × type) with exact distinct counts —
@@ -40,7 +45,7 @@ object EventMetricsQueries {
     GraftQuery("s2_bronze_slice",
       (s, dir) => {
         val path = sys.props("java.io.tmpdir") +
-          s"/graft_bronze_slice_${dir.hashCode.toHexString}"
+          s"/graft_bronze_slice_${dir.hashCode.toHexString}_$RunToken"
         graft.sources.Ingest.writeBronze(Tables.events(s, dir), path)
         graft.sources.Ingest.readBronze(s, path)
           .filter(col("event_date") >= lit("2024-01-10") &&

@@ -420,12 +420,51 @@ class OperatorsSpec extends SparkSpec {
   test("multimodal feature extraction preserves counts and bytes") {
     val docs = Tables.documents(spark, testDataDir)
     val feats = Multimodal.extractFeatures(
-      Multimodal.mediaFromDocuments(spark, docs))
-    assert(feats.count() == docs.count())
-    val f = feats.head()
-    assert(f.byte_histogram.length == 16)
-    assert(f.byte_histogram.sum == f.n_bytes) // histogram covers every byte
-    assert(f.out_width <= 224 && f.out_height <= 224)
+      Multimodal.mediaFromDocuments(spark, docs)).collect()
+    assert(feats.length == docs.count())
+    for (f <- feats) {
+      assert(f.byte_histogram.length == 16)
+      // histogram covers every post-header byte; header size is fixed per
+      // format (PNG 24, JPEG 12, video none)
+      val headerLen = f.mime match {
+        case "image/png" => 24; case "image/jpeg" => 12; case _ => 0
+      }
+      assert(f.byte_histogram.sum == f.n_bytes - headerLen)
+      assert(f.out_width <= 224 && f.out_height <= 224)
+      // image rows round-trip their dimensions through a real header parse
+      if (headerLen > 0) {
+        assert(f.decoded_width == (f.media_id % 640 + 64).toInt)
+        assert(f.decoded_height == (f.media_id % 480 + 48).toInt)
+      } else assert(f.decoded_width == 0 && f.decoded_height == 0)
+    }
+  }
+
+  test("decodeImageDims parses real PNG and JPEG headers") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(30)
+      bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 0x0d, 'I', 'H', 'D', 'R'))
+      bb.putInt(w).putInt(h).put(8.toByte).put(6.toByte) // depth, color type
+      bb.array()
+    }
+    assert(Multimodal.decodeImageDims(png(800, 600)) == Some((800, 600, 24)))
+    assert(Multimodal.decodeImageDims(png(70000, 2)) == Some((70000, 2, 24)))
+    // JPEG with an APP0 (JFIF) segment BEFORE the SOF — the walker must skip
+    // variable-length segments, not assume SOF at a fixed offset
+    val jpeg = java.nio.ByteBuffer.allocate(40)
+      .put(Array[Byte](0xff.toByte, 0xd8.toByte))            // SOI
+      .put(Array[Byte](0xff.toByte, 0xe0.toByte, 0x00, 0x10)) // APP0 len 16
+      .put(new Array[Byte](14))                              // JFIF payload
+      .put(Array[Byte](0xff.toByte, 0xc2.toByte, 0x00, 0x11, 0x08)) // SOF2
+      .putShort(480.toShort).putShort(640.toShort).put(3.toByte)
+      .array()
+    // content offset: SOI(2) + APP0(2+16) + SOF2 header(10) = 30
+    assert(Multimodal.decodeImageDims(jpeg) == Some((640, 480, 30)))
+    // non-image payloads and truncated headers decode to None
+    assert(Multimodal.decodeImageDims("plain text".getBytes).isEmpty)
+    assert(Multimodal.decodeImageDims(png(1, 1).take(20)).isEmpty)
+    assert(Multimodal.decodeImageDims(Array[Byte](0xff.toByte, 0xd8.toByte))
+      .isEmpty)
   }
 
   test("resize geometry preserves aspect ratio and never upscales") {
