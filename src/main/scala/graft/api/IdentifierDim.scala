@@ -31,15 +31,70 @@ import org.apache.spark.sql.functions._
   */
 object IdentifierDim {
 
-  /** Built dims keyed by (session, table dir): the materialized-dimension
-    * analogue of the reference's sync-job output. */
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  /** Built dims keyed by (session UUID, table dir, dim name): the
+    * materialized-dimension analogue of the reference's sync-job output.
+    * The session UUID is stable and never reused (unlike identityHashCode,
+    * which can collide after a session is GC'd and would then serve another
+    * session's plan); the weak session reference lets [[sweep]] release
+    * entries — and their pinned checkpoint blocks — once the owning session
+    * is gone or its context stopped. */
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String),
+      (java.lang.ref.WeakReference[SparkSession], DataFrame)]
+
+  /** Stable unique id per live session: minted once per session object and
+    * held weakly, so a GC'd session's id is never reused (identityHashCode
+    * can be), and the map itself never pins sessions. */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
 
   private def cached(spark: SparkSession, dir: String, which: String)
-                    (build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), dir, which),
-      build.localCheckpoint())
+                    (build: => DataFrame): DataFrame = {
+    sweep()
+    cache.getOrElseUpdate((sessionKey(spark), dir, which),
+      (new java.lang.ref.WeakReference(spark), build.localCheckpoint()))._2
+  }
+
+  /** Release the local-checkpoint blocks a cached dim pins in the block
+    * manager. localCheckpoint persists the underlying RDD, so the handle to
+    * unpersist is that RDD (reached through the plan's LogicalRDD leaf), not
+    * the Dataset cache. Best-effort: on a stopped context the blocks died
+    * with the executors already. */
+  private def release(df: DataFrame): Unit =
+    try {
+      df.queryExecution.optimizedPlan.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    } catch { case _: Throwable => () }
+
+  /** Drop cache entries whose owning session was GC'd or whose context is
+    * stopped. Runs on every build, so the map is bounded by live sessions ×
+    * dirs instead of growing for the JVM lifetime. */
+  def sweep(): Unit =
+    cache.foreach { case (k, (ref, df)) =>
+      val s = ref.get
+      if (s == null || s.sparkContext.isStopped)
+        cache.remove(k).foreach { case (_, cachedDf) =>
+          if (s != null && !s.sparkContext.isStopped) release(cachedDf)
+        }
+    }
+
+  /** Explicit eviction for one session (call on session close): removes its
+    * entries and unpersists their checkpoint blocks. */
+  def invalidate(spark: SparkSession): Unit = {
+    val key = sessionKey(spark)
+    cache.keys.filter(_._1 == key).foreach { k =>
+      cache.remove(k).foreach { case (_, df) =>
+        if (!spark.sparkContext.isStopped) release(df)
+      }
+    }
+  }
 
   /** Synthetic obsolescence edges over the identifier domain: u obsoletes
     * u−50 (null parent ⇒ chain head). Every id appears as a child, so the
@@ -88,6 +143,24 @@ object IdentifierDim {
     val unresolved = raw.join(dim, Seq("user_id"), "left_anti")
     resolved.union(unresolved)
   }
+
+  /** (user_id, node_id, country) attribution dimension — the reference's
+    * node dictionary join (J6, `metricsreporter.py:678-703`) plus the geo
+    * attribution its events carry. The CONTENT is synthetic (driver tables
+    * have no node/geo columns; the formulas live in
+    * [[graft.reports.CounterReport.nodeOf]]/`countryOf`), but the SHAPE is
+    * the production one: a small dimension built once per sync cycle,
+    * checkpointed, and broadcast-joined into the report/API paths — at
+    * 1000 executors the node dim is a broadcast join, never a
+    * constant-folded array lookup on the fact side. */
+  def nodeDim(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "node") {
+      Tables.events(spark, dir).select(col("user_id")).distinct()
+        .withColumn("node_id",
+          graft.reports.CounterReport.nodeOf(col("user_id")))
+        .withColumn("country",
+          graft.reports.CounterReport.countryOf(col("user_id")))
+    }
 
   /** All member identifiers of the requested portals. */
   def portalMembers(spark: SparkSession, dir: String,

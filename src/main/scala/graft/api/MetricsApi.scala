@@ -87,11 +87,17 @@ object MetricsApi {
           df.filter(col("event_type").isin(f.values: _*))
         case ("repository", "list") =>
           // F3: node filter, skipped for the CN aggregate node
-          // (`metricsreader.py:745-751`)
+          // (`metricsreader.py:745-751`). Membership comes from the
+          // materialized node dimension via a broadcast semi-join (J6) —
+          // the fact side is filtered by a BroadcastHashJoin, not an
+          // array-lookup expression.
           val nodes = f.values.filterNot(_ == "urn:node:CN")
           if (nodes.isEmpty) df
-          else df.filter(
-            graft.reports.CounterReport.nodeOf(col("user_id")).isin(nodes: _*))
+          else {
+            val members = IdentifierDim.nodeDim(spark, dir)
+              .filter(col("node_id").isin(nodes: _*)).select(col("user_id"))
+            df.join(broadcast(members), Seq("user_id"), "left_semi")
+          }
         case ("time" | "month" | "day" | "year", "range") =>
           // the reference names the range filter after the period unit and
           // sends %m/%d/%Y dates (`metricsreader.py:702-709`); accept both
@@ -127,16 +133,24 @@ object MetricsApi {
 
     val unit = req.groupBy.map(_.stripSuffix("s")).find(Units.contains)
       .getOrElse("month")
+    // geo dimension (`metricsreader.py:786-796`): attributed through the
+    // broadcast node dim, same plan shape as the repository filter
+    val wantsCountry =
+      req.groupBy.exists(g => !Units.contains(g.stripSuffix("s")) && g == "country")
+    val attributed =
+      if (wantsCountry)
+        filtered.join(broadcast(IdentifierDim.nodeDim(spark, dir)
+          .select(col("user_id"), col("country"))), Seq("user_id"))
+      else filtered
     val dims = req.groupBy.filterNot(g => Units.contains(g.stripSuffix("s"))).map {
       case "eventType" => col("event_type")
       case "user" => col("user_id")
-      case "country" => // geo dimension (`metricsreader.py:786-796`)
-        graft.reports.CounterReport.countryOf(col("user_id")).as("country")
+      case "country" => col("country")
       case g => throw new IllegalArgumentException(s"unsupported groupBy: $g")
     }
 
     val typeMap = req.metrics.flatMap(m => MetricTypes.get(m).map(_ -> m))
-    val agg = MetricsKernel.pivotCounts(filtered,
+    val agg = MetricsKernel.pivotCounts(attributed,
       MetricsKernel.periodOf(col("ts"), unit).as("period") +: dims,
       col("event_type"), typeMap, lit(1L))
 

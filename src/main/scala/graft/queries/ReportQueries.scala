@@ -47,7 +47,8 @@ object ReportQueries {
     // §3.3 flat COUNTER metrics: node × month × country unique/total
     // investigations/requests over sessionized events.
     GraftQuery("r_counter_flat",
-      (s, dir) => CounterReport.flatMetrics(Tables.events(s, dir), GapSeconds,
+      (s, dir) => CounterReport.flatMetrics(Tables.events(s, dir),
+        graft.api.IdentifierDim.nodeDim(s, dir), GapSeconds,
         requestTypes = Seq("purchase", "click")),
       Some(s"""$flatCteSql
               |SELECT node_id, period, country, unique_investigations,
@@ -61,7 +62,8 @@ object ReportQueries {
     // render as a float).
     GraftQuery("r_sushi_reports",
       (s, dir) => CounterReport.sushiReports(
-        CounterReport.flatMetrics(Tables.events(s, dir), GapSeconds,
+        CounterReport.flatMetrics(Tables.events(s, dir),
+          graft.api.IdentifierDim.nodeDim(s, dir), GapSeconds,
           Seq("purchase", "click")), created = "2026-01-01"),
       Some(s"""$flatCteSql
               |SELECT node_id, period,

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object CounterReport {
 
-  /** Synthetic node/country dims derived from user_id (the driver tables
-    * carry no nodeId/geo columns); real deployments join the nodes dim
-    * (J6 broadcast lookup) instead. */
+  /** Synthetic node/country dim CONTENT (the driver tables carry no
+    * nodeId/geo columns). These formulas generate the rows of the
+    * materialized attribution dimension
+    * ([[graft.api.IdentifierDim.nodeDim]]); query paths consume that dim
+    * through a broadcast JOIN (J6, `metricsreporter.py:678-703`) — never
+    * these expressions directly on the fact side. */
   val NodeNames: Seq[String] = Seq("urn:node:A", "urn:node:B", "urn:node:C",
     "urn:node:D", "urn:node:E")
   val Countries: Seq[String] = Seq("US", "DE", "FR", "BR", "JP", "IN", "GB",
@@ -35,17 +38,17 @@ object CounterReport {
     element_at(lit(Countries.toArray), (pmod(userId, lit(10)) + 1).cast("int"))
 
   /** Flat per-(node, period, country) COUNTER metrics over sessionized
-    * events. `requestTypes` mirrors the DATA formatType
-    * (`metricsreporter.py:141-308`). */
-  def flatMetrics(events: DataFrame, gapSeconds: Long,
+    * events. `nodeDim` is the (user_id, node_id, country) attribution
+    * dimension, broadcast-joined after sessionization. `requestTypes`
+    * mirrors the DATA formatType (`metricsreporter.py:141-308`). */
+  def flatMetrics(events: DataFrame, nodeDim: DataFrame, gapSeconds: Long,
                   requestTypes: Seq[String]): DataFrame = {
     val sess = Sessionize.withSessionSeqAuto(events, col("user_id"), col("ts"),
       col("event_id"), gapSeconds)
       .withColumn("session_key",
         concat(col("user_id"), lit("#"), col("session_seq")))
     val enriched = sess
-      .withColumn("node_id", nodeOf(col("user_id")))
-      .withColumn("country", countryOf(col("user_id")))
+      .join(broadcast(nodeDim), Seq("user_id"))
       // unresolvable-geo rows are dropped from reports
       // (`metricsreporter.py:442-444` pops the "n/a" key)
       .filter(col("country") =!= "n/a")

@@ -16,6 +16,28 @@ class ApiSpec extends SparkSpec {
       Seq(MetricsFilter("user", Seq("1"), "list")), Seq("month")))
   }
 
+  test("identifier-dim cache is per-session and releases blocks on invalidate") {
+    import graft.api.IdentifierDim
+    def persisted() = spark.sparkContext.getPersistentRDDs.size
+    val s2 = spark.newSession()
+    val base = persisted()
+    IdentifierDim.nodeDim(s2, testDataDir)
+    val afterBuild = persisted()
+    assert(afterBuild > base, "dim build should pin checkpoint blocks")
+    // same session+dir: cache hit, no new blocks
+    IdentifierDim.nodeDim(s2, testDataDir)
+    assert(persisted() == afterBuild)
+    // a second session builds its OWN entry (keyed by session, not hashCode)
+    IdentifierDim.nodeDim(spark, testDataDir)
+    val afterSecond = persisted()
+    assert(afterSecond > afterBuild, "second session must not share the entry")
+    // invalidate releases s2's blocks but leaves the main session's dim
+    IdentifierDim.invalidate(s2)
+    assert(persisted() < afterSecond, "invalidate must unpersist the blocks")
+    IdentifierDim.nodeDim(spark, testDataDir) // main session still cached
+    assert(persisted() == afterSecond - (afterBuild - base))
+  }
+
   test("interpret zero-fills the requested range") {
     val req = MetricsRequest(Seq("views", "downloads"),
       Seq(MetricsFilter("time", Seq("2024-01-01", "2024-03-31"), "range")),

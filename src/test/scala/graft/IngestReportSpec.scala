@@ -60,7 +60,9 @@ class IngestReportSpec extends SparkSpec {
 
   test("sushi reports are valid JSON with header and performance") {
     val flat = CounterReport.flatMetrics(
-      Tables.events(spark, testDataDir), 3600L, Seq("purchase", "click"))
+      Tables.events(spark, testDataDir),
+      graft.api.IdentifierDim.nodeDim(spark, testDataDir),
+      3600L, Seq("purchase", "click"))
     val reports = CounterReport.sushiReports(flat, created = "2026-01-01")
     val row = reports.head()
     val json = row.getString(2)

@@ -62,6 +62,23 @@ class PlanSpec extends SparkSpec {
     assert(!por.contains("% 7"), "portal filter still a modulo stand-in")
   }
 
+  test("counter report and api node paths join the broadcast node dim") {
+    // node/country attribution is a materialized dimension joined with a
+    // BroadcastHashJoin (J6) — the dim build's element_at/pmod formulas are
+    // checkpointed away, so the executed query plan must show the join and
+    // no modulo lookup on the fact side
+    // (the requested node NAME may appear as a dim-side filter literal —
+    // what must not appear is the element_at/pmod lookup formula itself)
+    for (name <- Seq("r_counter_flat", "api_repository_profile",
+        "api_user_charts")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: no broadcast dim join:\n$p")
+      assert(!p.contains("pmod") && !p.contains("element_at"),
+        s"$name: attribution still a constant-folded lookup in the plan")
+    }
+  }
+
   test("sampling and cleaning passes are shuffle-free single stages") {
     // both must survive 100 TB as pure scan→project→filter pipelines:
     // any Exchange here would mean the corpus moves for a per-row decision
