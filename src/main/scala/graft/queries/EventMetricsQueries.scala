@@ -20,6 +20,28 @@ object EventMetricsQueries {
   // query re-runs sequentially, so reuse is safe.
   private lazy val RunToken: String = java.util.UUID.randomUUID().toString.take(8)
 
+  // s3's two-run stream build is expensive and stateful — run it once per
+  // (dir) per JVM; re-invocations read the bronze it produced.
+  private val StreamBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Dump a JSONL batch into the stream's source dir: write to a staging
+    * dir, then move the part files in under a batch prefix (the file stream
+    * source tracks files by name; a fresh directory write would collide). */
+  private def dumpJsonl(df: org.apache.spark.sql.DataFrame, stage: String,
+                        dest: String, prefix: String, fmt: String): Unit = {
+    df.write.mode("overwrite").option("timestampFormat", fmt).json(stage)
+    val destDir = new java.io.File(dest)
+    destDir.mkdirs()
+    new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(destDir, prefix + f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+  }
+
   val entries: Seq[GraftQuery] = Seq(
 
     // A1+A3: composite group-by (period × type) with exact distinct counts —
@@ -59,6 +81,52 @@ object EventMetricsQueries {
              |       event_type,
              |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users,
              |       count(*) AS total_count
+             |FROM events
+             |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // S3 + §2.9 in the hard gate: streaming JSONL ingest with a RESTART in
+    // the middle — run 1 streams the pre-cutoff slice to bronze and
+    // terminates; the full feed (100% overlap with run 1 plus the tail) is
+    // then re-delivered and run 2 RESUMES from the same checkpoint. The
+    // dedup state and watermark survive the restart in the state store, so
+    // redelivered rows are dropped (in-state dups within the watermark,
+    // late arrivals below it — all already in bronze) and only the genuine
+    // tail appends: bronze must equal the distinct event set, which is
+    // exactly what the plain-events oracle asserts. This is the reference's
+    // restart/tail-trim recovery (`eventprocessor.py:244-367`) as
+    // checkpointed exactly-once semantics.
+    GraftQuery("s3_stream_resume",
+      (s, dir) => {
+        val base = sys.props("java.io.tmpdir") +
+          s"/graft_stream_resume_${dir.hashCode.toHexString}_$RunToken"
+        val ev = Tables.events(s, dir)
+        // micro-precision timestamps must survive the JSONL round trip
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        val opts = Map("timestampFormat" -> fmt)
+        if (StreamBuilt.putIfAbsent(base, true).isEmpty) {
+          val cutoff = to_date(lit("2024-01-15"))
+          dumpJsonl(ev.filter(col("ts") < cutoff), s"$base/stage1",
+            s"$base/src", "b1_", fmt)
+          graft.sources.Ingest.streamJsonlToBronze(s, s"$base/src", ev,
+            s"$base/bronze", s"$base/cp", opts)
+          // full redelivery: every pre-cutoff row again, plus the tail
+          dumpJsonl(ev, s"$base/stage2", s"$base/src", "b2_", fmt)
+          graft.sources.Ingest.streamJsonlToBronze(s, s"$base/src", ev,
+            s"$base/bronze", s"$base/cp", opts)
+        }
+        graft.sources.Ingest.readBronze(s, s"$base/bronze")
+          .filter(col("event_date") >= lit("2024-01-10") &&
+            col("event_date") <= lit("2024-01-20"))
+          .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("user_id")).as("user_id_sum"))
+      },
+      Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             |       event_type,
+             |       count(*) AS n_events,
+             |       CAST(sum(user_id) AS BIGINT) AS user_id_sum
              |FROM events
              |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
              |GROUP BY 1, 2""".stripMargin)),

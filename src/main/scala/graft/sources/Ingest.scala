@@ -120,10 +120,12 @@ object Ingest {
     */
   def streamJsonlToBronze(spark: SparkSession, srcDir: String,
                           schemaSource: DataFrame, outPath: String,
-                          checkpoint: String): Unit = {
+                          checkpoint: String,
+                          readOptions: Map[String, String] = Map.empty): Unit = {
     val stream = spark.readStream
       .schema(schemaSource.schema)
       .option("mode", "DROPMALFORMED")
+      .options(readOptions)
       .json(srcDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
