@@ -25,6 +25,22 @@ class IngestReportSpec extends SparkSpec {
     assert(dirs.length > 1)
   }
 
+  test("citation staging contract validates conforming and rejects drifted frames") {
+    import graft.sources.CitationStaging
+    val good = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      CitationStaging.schema)
+    CitationStaging.validate(good) // conforming: no throw
+    // extra connector-side columns are allowed
+    CitationStaging.validate(good.withColumn("harvested_at", lit("2026-01-01")))
+    // a missing key column and a wrong type are both reported, together
+    val bad = good.drop("target_id")
+      .withColumn("year_of_publishing", lit("2020")) // string, not int
+    val e = intercept[IllegalArgumentException](CitationStaging.validate(bad))
+    assert(e.getMessage.contains("missing column: target_id"))
+    assert(e.getMessage.contains("year_of_publishing"))
+  }
+
   test("date filter on bronze prunes partitions at planning time") {
     val out = tmpDir() + "/bronze"
     Ingest.writeBronze(Tables.events(spark, testDataDir), out)
