@@ -59,6 +59,14 @@ object IdentifierDim {
       (new java.lang.ref.WeakReference(spark), build.localCheckpoint()))._2
   }
 
+  /** General materialized-dimension hook for other modules: build once per
+    * (session, dir), pin as checkpoint blocks, serve to every consumer —
+    * the engine-wide analogue of the reference's sync-job outputs. Entries
+    * share this cache's lifecycle (sweep/invalidate). */
+  def materialized(spark: SparkSession, dir: String, name: String)
+                  (build: => DataFrame): DataFrame =
+    cached(spark, dir, s"ext:$name")(build)
+
   /** Release the local-checkpoint blocks a cached dim pins in the block
     * manager. localCheckpoint persists the underlying RDD, so the handle to
     * unpersist is that RDD (reached through the plan's LogicalRDD leaf), not

