@@ -18,24 +18,43 @@ class ApiSpec extends SparkSpec {
 
   test("identifier-dim cache is per-session and releases blocks on invalidate") {
     import graft.api.IdentifierDim
-    def persisted() = spark.sparkContext.getPersistentRDDs.size
+    import org.apache.spark.sql.DataFrame
+    // track the cached entries' own checkpoint RDD ids — global persisted
+    // counts would race with other suites running in parallel
+    def ckptIds(df: DataFrame): Seq[Int] =
+      df.queryExecution.optimizedPlan.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+    def pinned(id: Int) = spark.sparkContext.getPersistentRDDs.contains(id)
     val s2 = spark.newSession()
-    val base = persisted()
-    IdentifierDim.nodeDim(s2, testDataDir)
-    val afterBuild = persisted()
-    assert(afterBuild > base, "dim build should pin checkpoint blocks")
-    // same session+dir: cache hit, no new blocks
-    IdentifierDim.nodeDim(s2, testDataDir)
-    assert(persisted() == afterBuild)
-    // a second session builds its OWN entry (keyed by session, not hashCode)
-    IdentifierDim.nodeDim(spark, testDataDir)
-    val afterSecond = persisted()
-    assert(afterSecond > afterBuild, "second session must not share the entry")
-    // invalidate releases s2's blocks but leaves the main session's dim
+    val s3 = spark.newSession()
+    val name = "spec-" + java.util.UUID.randomUUID().toString.take(8)
+    val d2 = IdentifierDim.materialized(s2, testDataDir, name) {
+      s2.range(100).toDF("user_id")
+    }
+    val ids2 = ckptIds(d2)
+    assert(ids2.nonEmpty && ids2.forall(pinned),
+      "dim build should pin checkpoint blocks")
+    // same session+dir+name: cache hit returns the same materialization
+    assert(IdentifierDim.materialized(s2, testDataDir, name) {
+      s2.range(100).toDF("user_id")
+    } eq d2)
+    // another session builds its OWN entry (keyed by session, not hashCode)
+    val d3 = IdentifierDim.materialized(s3, testDataDir, name) {
+      s3.range(100).toDF("user_id")
+    }
+    val ids3 = ckptIds(d3)
+    assert(ids3.nonEmpty && ids3.intersect(ids2).isEmpty,
+      "second session must not share the first session's entry")
+    // invalidate releases s2's blocks and leaves s3's pinned
     IdentifierDim.invalidate(s2)
-    assert(persisted() < afterSecond, "invalidate must unpersist the blocks")
-    IdentifierDim.nodeDim(spark, testDataDir) // main session still cached
-    assert(persisted() == afterSecond - (afterBuild - base))
+    assert(ids2.forall(!pinned(_)), "invalidate must unpersist the blocks")
+    assert(ids3.forall(pinned), "other sessions' entries must survive")
+    // s2 rebuilds fresh on next request instead of serving the evicted plan
+    val d2b = IdentifierDim.materialized(s2, testDataDir, name) {
+      s2.range(100).toDF("user_id")
+    }
+    assert(!(d2b eq d2))
   }
 
   test("interpret zero-fills the requested range") {
