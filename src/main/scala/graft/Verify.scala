@@ -20,9 +20,15 @@ object Verify {
     outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(outPath, true)
     new java.io.File(outDir).mkdirs()
-    // dev-only subset filter (comma-separated names); driver runs unfiltered
+    // dev-only subset filter (comma-separated names); driver runs unfiltered.
+    // Unknown names fail fast — a typo would otherwise select zero queries
+    // and exit 0, a verify that verified nothing
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }

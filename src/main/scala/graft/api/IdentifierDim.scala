@@ -35,16 +35,20 @@ object IdentifierDim {
     * materialized-dimension analogue of the reference's sync-job output.
     * The session UUID is stable and never reused (unlike identityHashCode,
     * which can collide after a session is GC'd and would then serve another
-    * session's plan); the weak session reference lets [[sweep]] release
-    * entries — and their pinned checkpoint blocks — once the owning session
-    * is gone or its context stopped. */
+    * session's plan).
+    *
+    * Lifecycle: an entry lives until [[invalidate]] (call it on session
+    * close) or until its SparkContext stops ([[sweep]] then drops it).
+    * GC-based eviction is deliberately NOT offered: a cached Dataset
+    * strongly references its owning session, so a session with live cache
+    * entries is never collectable — sessions on a long-lived shared context
+    * must be invalidated explicitly. */
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, String),
-      (java.lang.ref.WeakReference[SparkSession], DataFrame)]
+    .empty[(String, String, String), (SparkSession, DataFrame)]
 
-  /** Stable unique id per live session: minted once per session object and
-    * held weakly, so a GC'd session's id is never reused (identityHashCode
-    * can be), and the map itself never pins sessions. */
+  /** Stable unique id per session: minted once per session object and held
+    * weakly, so a GC'd session's id is never reused (identityHashCode can
+    * be), and id-minting itself never pins sessions. */
   private val sessionIds = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
 
@@ -55,8 +59,20 @@ object IdentifierDim {
   private def cached(spark: SparkSession, dir: String, which: String)
                     (build: => DataFrame): DataFrame = {
     sweep()
-    cache.getOrElseUpdate((sessionKey(spark), dir, which),
-      (new java.lang.ref.WeakReference(spark), build.localCheckpoint()))._2
+    val key = (sessionKey(spark), dir, which)
+    cache.get(key) match {
+      case Some((_, df)) => df
+      case None =>
+        // TrieMap.getOrElseUpdate can run the thunk in two racing threads
+        // and silently drop one result — whose checkpoint blocks would pin
+        // the block manager forever. Build outside the map, then let
+        // putIfAbsent decide; the loser unpersists its own build.
+        val built = build.localCheckpoint()
+        cache.putIfAbsent(key, (spark, built)) match {
+          case Some((_, winner)) => release(built); winner
+          case None => built
+        }
+    }
   }
 
   /** General materialized-dimension hook for other modules: build once per
@@ -70,8 +86,8 @@ object IdentifierDim {
   /** Release the local-checkpoint blocks a cached dim pins in the block
     * manager. localCheckpoint persists the underlying RDD, so the handle to
     * unpersist is that RDD (reached through the plan's LogicalRDD leaf), not
-    * the Dataset cache. Best-effort: on a stopped context the blocks died
-    * with the executors already. */
+    * the Dataset cache. Best-effort: on a stopped context unpersist throws
+    * (swallowed) — the blocks died with the executors already. */
   private def release(df: DataFrame): Unit =
     try {
       df.queryExecution.optimizedPlan.collectLeaves().foreach {
@@ -81,16 +97,12 @@ object IdentifierDim {
       }
     } catch { case _: Throwable => () }
 
-  /** Drop cache entries whose owning session was GC'd or whose context is
-    * stopped. Runs on every build, so the map is bounded by live sessions ×
-    * dirs instead of growing for the JVM lifetime. */
+  /** Drop cache entries whose SparkContext has stopped (their blocks died
+    * with it). Runs on every build, so the map is bounded by entries of
+    * LIVE contexts instead of growing for the JVM lifetime. */
   def sweep(): Unit =
-    cache.foreach { case (k, (ref, df)) =>
-      val s = ref.get
-      if (s == null || s.sparkContext.isStopped)
-        cache.remove(k).foreach { case (_, cachedDf) =>
-          if (s != null && !s.sparkContext.isStopped) release(cachedDf)
-        }
+    cache.foreach { case (k, (s, _)) =>
+      if (s.sparkContext.isStopped) cache.remove(k)
     }
 
   /** Explicit eviction for one session (call on session close): removes its
@@ -98,9 +110,7 @@ object IdentifierDim {
   def invalidate(spark: SparkSession): Unit = {
     val key = sessionKey(spark)
     cache.keys.filter(_._1 == key).foreach { k =>
-      cache.remove(k).foreach { case (_, df) =>
-        if (!spark.sparkContext.isStopped) release(df)
-      }
+      cache.remove(k).foreach { case (_, df) => release(df) }
     }
   }
 

@@ -135,8 +135,7 @@ object MetricsApi {
       .getOrElse("month")
     // geo dimension (`metricsreader.py:786-796`): attributed through the
     // broadcast node dim, same plan shape as the repository filter
-    val wantsCountry =
-      req.groupBy.exists(g => !Units.contains(g.stripSuffix("s")) && g == "country")
+    val wantsCountry = req.groupBy.contains("country")
     val attributed =
       if (wantsCountry)
         filtered.join(broadcast(IdentifierDim.nodeDim(spark, dir)

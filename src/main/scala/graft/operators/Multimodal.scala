@@ -54,12 +54,17 @@ object Multimodal {
 
   /** Real image-header decode, no native deps:
     *  - PNG: 8-byte signature, then the IHDR chunk carries width/height as
-    *    big-endian u32 at offsets 16/20; content starts after the IHDR data
-    *    (offset 24).
-    *  - JPEG: SOI (FFD8), then walk `FF mm len payload` segments to the
-    *    first frame header (SOF0–SOF15 minus C4/C8/CC), which carries
-    *    height/width as big-endian u16 at +5/+7; content starts past the
-    *    component count at +10.
+    *    big-endian u32 at offsets 16/20; content starts after the full IHDR
+    *    chunk — 13 data bytes + 4 CRC bytes, ending at offset 33. The CRC
+    *    is not verified (dimension extraction, not integrity checking).
+    *  - JPEG: SOI (FFD8), then walk the segment stream to the first frame
+    *    header (SOF0–SOF15 minus C4/C8/CC), which carries height/width as
+    *    big-endian u16 at +5/+7; content starts past the component count at
+    *    +10. The walker handles what real files contain: 0xFF fill bytes
+    *    before markers, standalone markers with no length field (TEM,
+    *    RST0–7), and stops cleanly at SOS/EOI — every frame header
+    *    precedes the scan data, so walking into entropy-coded bytes would
+    *    fabricate dimensions from garbage.
     * Returns (width, height, contentOffset), or None when the payload is
     * not a parseable image (audio/video/truncated). */
   def decodeImageDims(b: Array[Byte]): Option[(Int, Int, Int)] = {
@@ -67,19 +72,30 @@ object Multimodal {
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def u32(i: Int): Int =
       (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
-    if (b.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+    if (b.length >= 33 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
         u8(3) == 'G' && u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' &&
         u8(15) == 'R')
-      Some((u32(16), u32(20), 24))
+      Some((u32(16), u32(20), 33))
     else if (b.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
       var res: Option[(Int, Int, Int)] = None
-      while (res.isEmpty && i + 10 <= b.length && u8(i) == 0xff) {
-        val marker = u8(i + 1)
-        if (marker >= 0xc0 && marker <= 0xcf &&
-            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
-          res = Some((u16(i + 7), u16(i + 5), i + 10))
-        else i += 2 + u16(i + 2) // skip marker + segment (len includes itself)
+      var halt = false
+      while (!halt && res.isEmpty && i + 1 < b.length) {
+        if (u8(i) != 0xff) halt = true // not a marker: corrupt stream
+        else u8(i + 1) match {
+          case 0xff => i += 1 // fill byte before the marker proper
+          case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+            i += 2 // TEM / RSTn: standalone, no length field
+          case 0xd9 | 0xda =>
+            halt = true // EOI / SOS: no frame header seen before scan data
+          case m if m >= 0xc0 && m <= 0xcf &&
+              m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            if (i + 10 <= b.length) res = Some((u16(i + 7), u16(i + 5), i + 10))
+            else halt = true // truncated frame header
+          case _ =>
+            if (i + 4 <= b.length) i += 2 + u16(i + 2) // marker + len-inclusive segment
+            else halt = true
+        }
       }
       res
     } else None
@@ -125,8 +141,8 @@ object Multimodal {
 
   /** Build a synthetic media table from the documents corpus: text bytes as
     * the content payload, PREFIXED with a genuine image header for the
-    * png/jpeg slices — a real 24-byte PNG signature+IHDR or a 12-byte JPEG
-    * SOI+SOF0 carrying the row's width/height big-endian, built from pure
+    * png/jpeg slices — a full 33-byte PNG signature+IHDR chunk or a 12-byte
+    * JPEG SOI+SOF0 carrying the row's width/height big-endian, built from pure
     * column arithmetic (`hex`/`lpad`/`unhex`). [[extractFeatures]] then
     * parses the dimensions back OUT of the bytes, so the graded query
     * round-trips a real encode→decode, with driver-provided data only. */
@@ -136,11 +152,14 @@ object Multimodal {
     val h = (col("doc_id") % 480 + 48).cast("int")
     def be(v: org.apache.spark.sql.Column, hexDigits: Int) =
       unhex(lpad(hex(v), hexDigits, "0"))
-    // PNG: signature + IHDR length(13) + "IHDR" + w u32 + h u32  (24 bytes)
+    // PNG: signature + IHDR length(13) + "IHDR" + w u32 + h u32 +
+    // depth/color/compression/filter/interlace + CRC  (full 33-byte chunk;
+    // the CRC is a placeholder — the decoder extracts, it doesn't verify)
     val pngHeader = concat(
       lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
         0, 0, 0, 0x0d, 'I', 'H', 'D', 'R')),
-      be(w, 8), be(h, 8))
+      be(w, 8), be(h, 8),
+      lit(Array[Byte](8, 6, 0, 0, 0, 0, 0, 0, 0)))
     // JPEG: SOI + SOF0 marker + len(17) + precision(8) + h u16 + w u16 +
     // ncomp  (12 bytes; component entries truncated — offsets are standard)
     val jpegHeader = concat(

@@ -239,7 +239,7 @@ object ApiQueries {
 
     // Multimodal feature extraction: typed binary media records through the
     // mapPartitions pass, rolled up by mime. The payload carries a GENUINE
-    // image header (24-byte PNG sig+IHDR / 12-byte JPEG SOI+SOF0) that the
+    // image header (33-byte PNG sig+IHDR chunk / 12-byte JPEG SOI+SOF0) that the
     // engine parses back out; the oracle recomputes the decoded-dimension
     // sums from the generating formula and the header sizes from the spec
     // constants, so a wrong parse offset or endianness hash-mismatches.
@@ -251,7 +251,7 @@ object ApiQueries {
              |            ELSE 'video/mp4' END AS mime,
              |       count(*) AS n_media,
              |       CAST(sum(octet_length(text::BLOB) +
-             |                CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 12
+             |                CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 12
              |                     ELSE 0 END) AS BIGINT) AS total_bytes,
              |       CAST(sum(CASE WHEN doc_id % 3 = 2
              |                THEN greatest((n_chars * 100) // 1000, 1)

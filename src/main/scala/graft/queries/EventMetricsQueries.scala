@@ -21,9 +21,35 @@ object EventMetricsQueries {
   private lazy val RunToken: String = java.util.UUID.randomUUID().toString.take(8)
 
   // s3's two-run stream build is expensive and stateful — run it once per
-  // (dir) per JVM; re-invocations read the bronze it produced.
+  // (dir) per JVM; re-invocations read the bronze it produced. The flag is
+  // set only AFTER a successful build (inside the lock): a failed or
+  // in-flight build must never be latched as done, or later invocations
+  // would silently read partial bronze.
   private val StreamBuilt =
-    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+    scala.collection.mutable.Set.empty[String]
+
+  // scratch dirs this JVM created (unique per RunToken, so no other run
+  // reuses them): delete on exit or every gate/bench JVM would leave a
+  // full bronze copy plus JSONL feeds in the tmpdir
+  private val ScratchDirs =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ScratchDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }))
+  }
+
+  private def scratchDir(kind: String, dir: String): String = {
+    val path = sys.props("java.io.tmpdir") +
+      s"/graft_${kind}_${dir.hashCode.toHexString}_$RunToken"
+    ScratchDirs.add(path)
+    path
+  }
 
   /** Dump a JSONL batch into the stream's source dir: write to a staging
     * dir, then move the part files in under a batch prefix (the file stream
@@ -66,8 +92,7 @@ object EventMetricsQueries {
     // PartitionFilters on this exact plan).
     GraftQuery("s2_bronze_slice",
       (s, dir) => {
-        val path = sys.props("java.io.tmpdir") +
-          s"/graft_bronze_slice_${dir.hashCode.toHexString}_$RunToken"
+        val path = scratchDir("bronze_slice", dir)
         graft.sources.Ingest.writeBronze(Tables.events(s, dir), path)
         graft.sources.Ingest.readBronze(s, path)
           .filter(col("event_date") >= lit("2024-01-10") &&
@@ -98,22 +123,24 @@ object EventMetricsQueries {
     // checkpointed exactly-once semantics.
     GraftQuery("s3_stream_resume",
       (s, dir) => {
-        val base = sys.props("java.io.tmpdir") +
-          s"/graft_stream_resume_${dir.hashCode.toHexString}_$RunToken"
+        val base = scratchDir("stream_resume", dir)
         val ev = Tables.events(s, dir)
         // micro-precision timestamps must survive the JSONL round trip
         val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
         val opts = Map("timestampFormat" -> fmt)
-        if (StreamBuilt.putIfAbsent(base, true).isEmpty) {
-          val cutoff = to_date(lit("2024-01-15"))
-          dumpJsonl(ev.filter(col("ts") < cutoff), s"$base/stage1",
-            s"$base/src", "b1_", fmt)
-          graft.sources.Ingest.streamJsonlToBronze(s, s"$base/src", ev,
-            s"$base/bronze", s"$base/cp", opts)
-          // full redelivery: every pre-cutoff row again, plus the tail
-          dumpJsonl(ev, s"$base/stage2", s"$base/src", "b2_", fmt)
-          graft.sources.Ingest.streamJsonlToBronze(s, s"$base/src", ev,
-            s"$base/bronze", s"$base/cp", opts)
+        StreamBuilt.synchronized {
+          if (!StreamBuilt.contains(base)) {
+            val cutoff = to_date(lit("2024-01-15"))
+            dumpJsonl(ev.filter(col("ts") < cutoff), s"$base/stage1",
+              s"$base/src", "b1_", fmt)
+            graft.sources.Ingest.streamJsonlToBronze(s, s"$base/src", ev,
+              s"$base/bronze", s"$base/cp", opts)
+            // full redelivery: every pre-cutoff row again, plus the tail
+            dumpJsonl(ev, s"$base/stage2", s"$base/src", "b2_", fmt)
+            graft.sources.Ingest.streamJsonlToBronze(s, s"$base/src", ev,
+              s"$base/bronze", s"$base/cp", opts)
+            StreamBuilt += base // only a COMPLETED build is latched
+          }
         }
         graft.sources.Ingest.readBronze(s, s"$base/bronze")
           .filter(col("event_date") >= lit("2024-01-10") &&

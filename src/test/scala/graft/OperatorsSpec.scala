@@ -425,9 +425,9 @@ class OperatorsSpec extends SparkSpec {
     for (f <- feats) {
       assert(f.byte_histogram.length == 16)
       // histogram covers every post-header byte; header size is fixed per
-      // format (PNG 24, JPEG 12, video none)
+      // format (PNG 33 = full IHDR chunk, JPEG 12, video none)
       val headerLen = f.mime match {
-        case "image/png" => 24; case "image/jpeg" => 12; case _ => 0
+        case "image/png" => 33; case "image/jpeg" => 12; case _ => 0
       }
       assert(f.byte_histogram.sum == f.n_bytes - headerLen)
       assert(f.out_width <= 224 && f.out_height <= 224)
@@ -441,28 +441,40 @@ class OperatorsSpec extends SparkSpec {
 
   test("decodeImageDims parses real PNG and JPEG headers") {
     def png(w: Int, h: Int): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(30)
+      val bb = java.nio.ByteBuffer.allocate(37)
       bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
         0, 0, 0, 0x0d, 'I', 'H', 'D', 'R'))
-      bb.putInt(w).putInt(h).put(8.toByte).put(6.toByte) // depth, color type
+      bb.putInt(w).putInt(h)
+        .put(Array[Byte](8, 6, 0, 0, 0)) // depth/color/comp/filter/interlace
+        .putInt(0xdeadbeef)              // CRC (extracted around, not verified)
       bb.array()
     }
-    assert(Multimodal.decodeImageDims(png(800, 600)) == Some((800, 600, 24)))
-    assert(Multimodal.decodeImageDims(png(70000, 2)) == Some((70000, 2, 24)))
-    // JPEG with an APP0 (JFIF) segment BEFORE the SOF — the walker must skip
-    // variable-length segments, not assume SOF at a fixed offset
-    val jpeg = java.nio.ByteBuffer.allocate(40)
+    // content offset 33 = end of the IHDR chunk including its CRC
+    assert(Multimodal.decodeImageDims(png(800, 600)) == Some((800, 600, 33)))
+    assert(Multimodal.decodeImageDims(png(70000, 2)) == Some((70000, 2, 33)))
+    // JPEG with a fill byte, a standalone TEM marker, and an APP0 (JFIF)
+    // segment BEFORE the SOF — the walker must skip fill bytes and
+    // no-length markers and walk variable-length segments, not assume SOF
+    // at a fixed offset
+    val jpeg = java.nio.ByteBuffer.allocate(43)
       .put(Array[Byte](0xff.toByte, 0xd8.toByte))            // SOI
+      .put(Array[Byte](0xff.toByte, 0xff.toByte))            // fill byte run
+      .put(Array[Byte](0xff.toByte, 0x01.toByte))            // TEM: no length
       .put(Array[Byte](0xff.toByte, 0xe0.toByte, 0x00, 0x10)) // APP0 len 16
       .put(new Array[Byte](14))                              // JFIF payload
       .put(Array[Byte](0xff.toByte, 0xc2.toByte, 0x00, 0x11, 0x08)) // SOF2
       .putShort(480.toShort).putShort(640.toShort).put(3.toByte)
       .array()
-    // content offset: SOI(2) + APP0(2+16) + SOF2 header(10) = 30
-    assert(Multimodal.decodeImageDims(jpeg) == Some((640, 480, 30)))
+    // content: SOI(2) + fill(2) + TEM(2) + APP0(2+16) + SOF2 header(10) = 34
+    assert(Multimodal.decodeImageDims(jpeg) == Some((640, 480, 34)))
+    // scan data reached without a frame header → clean None, not a
+    // fabricated parse from entropy-coded bytes
+    val scanOnly = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xda.toByte, 0x00, 0x08, 1, 2, 3, 4, 5, 6)
+    assert(Multimodal.decodeImageDims(scanOnly).isEmpty)
     // non-image payloads and truncated headers decode to None
     assert(Multimodal.decodeImageDims("plain text".getBytes).isEmpty)
-    assert(Multimodal.decodeImageDims(png(1, 1).take(20)).isEmpty)
+    assert(Multimodal.decodeImageDims(png(1, 1).take(30)).isEmpty)
     assert(Multimodal.decodeImageDims(Array[Byte](0xff.toByte, 0xd8.toByte))
       .isEmpty)
   }
