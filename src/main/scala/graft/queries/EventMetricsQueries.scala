@@ -15,42 +15,6 @@ import org.apache.spark.sql.functions._
 object EventMetricsQueries {
   private val GapSeconds = 3600L // reference SESSION_TTL_MINUTES=60
 
-  // Per-JVM scratch token: two concurrent gate processes must not share the
-  // s2 bronze dir (same dir.hashCode → write/read race); within one JVM the
-  // query re-runs sequentially, so reuse is safe.
-  private lazy val RunToken: String = java.util.UUID.randomUUID().toString.take(8)
-
-  // s3's two-run stream build is expensive and stateful — run it once per
-  // (dir) per JVM; re-invocations read the bronze it produced. The flag is
-  // set only AFTER a successful build (inside the lock): a failed or
-  // in-flight build must never be latched as done, or later invocations
-  // would silently read partial bronze.
-  private val StreamBuilt =
-    scala.collection.mutable.Set.empty[String]
-
-  // scratch dirs this JVM created (unique per RunToken, so no other run
-  // reuses them): delete on exit or every gate/bench JVM would leave a
-  // full bronze copy plus JSONL feeds in the tmpdir
-  private val ScratchDirs =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      ScratchDirs.forEach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(d))
-      }))
-  }
-
-  private def scratchDir(kind: String, dir: String): String = {
-    val path = sys.props("java.io.tmpdir") +
-      s"/graft_${kind}_${dir.hashCode.toHexString}_$RunToken"
-    ScratchDirs.add(path)
-    path
-  }
-
   /** Dump a JSONL batch into the stream's source dir: write to a staging
     * dir, then move the part files in under a batch prefix (the file stream
     * source tracks files by name; a fresh directory write would collide). */
@@ -92,7 +56,7 @@ object EventMetricsQueries {
     // PartitionFilters on this exact plan).
     GraftQuery("s2_bronze_slice",
       (s, dir) => {
-        val path = scratchDir("bronze_slice", dir)
+        val path = Scratch.dir("bronze_slice", dir)
         graft.sources.Ingest.writeBronze(Tables.events(s, dir), path)
         graft.sources.Ingest.readBronze(s, path)
           .filter(col("event_date") >= lit("2024-01-10") &&
@@ -123,24 +87,21 @@ object EventMetricsQueries {
     // checkpointed exactly-once semantics.
     GraftQuery("s3_stream_resume",
       (s, dir) => {
-        val base = scratchDir("stream_resume", dir)
+        val base = Scratch.dir("stream_resume", dir)
         val ev = Tables.events(s, dir)
         // micro-precision timestamps must survive the JSONL round trip
         val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
         val opts = Map("timestampFormat" -> fmt)
-        StreamBuilt.synchronized {
-          if (!StreamBuilt.contains(base)) {
-            val cutoff = to_date(lit("2024-01-15"))
-            dumpJsonl(ev.filter(col("ts") < cutoff), s"$base/stage1",
-              s"$base/src", "b1_", fmt)
-            graft.sources.Ingest.streamJsonlToBronze(s, s"$base/src", ev,
-              s"$base/bronze", s"$base/cp", opts)
-            // full redelivery: every pre-cutoff row again, plus the tail
-            dumpJsonl(ev, s"$base/stage2", s"$base/src", "b2_", fmt)
-            graft.sources.Ingest.streamJsonlToBronze(s, s"$base/src", ev,
-              s"$base/bronze", s"$base/cp", opts)
-            StreamBuilt += base // only a COMPLETED build is latched
-          }
+        Scratch.buildOnce(base) {
+          val cutoff = to_date(lit("2024-01-15"))
+          dumpJsonl(ev.filter(col("ts") < cutoff), s"$base/stage1",
+            s"$base/src", "b1_", fmt)
+          graft.sources.Ingest.streamJsonlToBronze(s, s"$base/src", ev,
+            s"$base/bronze", s"$base/cp", opts)
+          // full redelivery: every pre-cutoff row again, plus the tail
+          dumpJsonl(ev, s"$base/stage2", s"$base/src", "b2_", fmt)
+          graft.sources.Ingest.streamJsonlToBronze(s, s"$base/src", ev,
+            s"$base/bronze", s"$base/cp", opts)
         }
         graft.sources.Ingest.readBronze(s, s"$base/bronze")
           .filter(col("event_date") >= lit("2024-01-10") &&
@@ -157,6 +118,59 @@ object EventMetricsQueries {
              |FROM events
              |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
              |GROUP BY 1, 2""".stripMargin)),
+
+    // §2.9 in the hard gate: session windows computed BY the streaming
+    // engine — watermarked session_window aggregation over a JSONL feed,
+    // append-mode parquet sink, AvailableNow. A sentinel row far past the
+    // event horizon (user_id −1, outside the id domain) advances the final
+    // watermark past every real session's window end, so all real sessions
+    // finalize and emit exactly once; the sentinel's own session stays in
+    // state and is filtered out. Oracle: batch sessionization in SQL with
+    // session_window's strict-gap semantics (an event exactly gap seconds
+    // after the last does NOT extend the session).
+    GraftQuery("w_stream_sessions",
+      (s, dir) => {
+        val base = Scratch.dir("stream_sessions", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          dumpJsonl(ev, s"$base/stage1", s"$base/src", "ev_", fmt)
+          val sentinel = s.sql(
+            """SELECT CAST(-1 AS BIGINT) AS event_id,
+              |       TIMESTAMP '2024-12-31 00:00:00' AS ts,
+              |       CAST(-1 AS BIGINT) AS user_id,
+              |       'sentinel' AS event_type,
+              |       CAST(0.0 AS DOUBLE) AS value, '' AS props""".stripMargin)
+            .select(ev.columns.map(col).toSeq: _*)
+          dumpJsonl(sentinel, s"$base/stage2", s"$base/src", "zz_", fmt)
+          graft.streaming.StreamingSessionize.streamSessionsToParquet(
+            s, s"$base/src", ev, s"$base/sessions", s"$base/cp",
+            GapSeconds, watermarkDelay = "1 hour",
+            readOptions = Map("timestampFormat" -> fmt))
+        }
+        s.read.parquet(s"$base/sessions")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("n_events"),
+            unix_micros(col("session_start")).as("session_start"),
+            unix_micros(col("session_end")).as("session_end"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              < 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM events
+             |), sess AS (
+             |  SELECT user_id, ts,
+             |         sum(is_new) OVER (PARTITION BY user_id
+             |                           ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS seq
+             |  FROM g
+             |)
+             |SELECT user_id, count(*) AS n_events,
+             |       epoch_us(min(ts)) AS session_start,
+             |       epoch_us(max(ts)) AS session_end
+             |FROM sess GROUP BY user_id, seq""".stripMargin)),
 
     // A3 day-unit histogram (`metricsreader.py:286-294` day dispatch).
     GraftQuery("a3_histogram_day",

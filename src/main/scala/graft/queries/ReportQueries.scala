@@ -167,6 +167,41 @@ object ReportQueries {
            |FROM n GROUP BY 1""".stripMargin
       }),
 
+    // S12 in the hard gate: the incremental gold build's recompute +
+    // partition-overwrite + vanished-partition-delete protocol, graded
+    // end-to-end. Run 1 builds gold for all five nodes; run 2 re-runs with
+    // node E's members gone from the input — the other four groups carry
+    // identical fingerprints (skipped, their partitions untouched) and E's
+    // partition must be DELETED, the reference's bulk-mutate semantics
+    // (`es_eventlog_sync.py:469-547`). The oracle aggregates the filtered
+    // input directly, so a stale or missing partition hash-mismatches.
+    GraftQuery("s12_gold_incremental",
+      (s, dir) => {
+        import graft.api.IdentifierDim
+        val base = Scratch.dir("gold_incr", dir)
+        def withNode(df: org.apache.spark.sql.DataFrame) =
+          df.join(broadcast(IdentifierDim.nodeDim(s, dir)
+            .select(col("user_id"), col("node_id"))), Seq("user_id"))
+        Scratch.buildOnce(base) {
+          val ev = withNode(Tables.events(s, dir))
+          GoldTables.incrementalBuild(s, ev, "node_id",
+            s"$base/gold", s"$base/state")
+          GoldTables.incrementalBuild(s,
+            ev.filter(col("node_id") =!= "urn:node:E"), "node_id",
+            s"$base/gold", s"$base/state")
+        }
+        s.read.parquet(s"$base/gold")
+          .select(col("node_id").cast("string").as("node_id"), col("period"),
+            col("event_type"), col("n_events"), col("n_unique"))
+      },
+      Some(s"""SELECT ($nodeListSql)[(user_id % 5 + 1)::INT] AS node_id,
+              |       strftime(date_trunc('month', ts), '%Y-%m') AS period,
+              |       event_type, count(*) AS n_events,
+              |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+              |FROM events
+              |WHERE user_id % 5 <> 4
+              |GROUP BY 1, 2, 3""".stripMargin)),
+
     // A8 on the events table: the gold rollup view with subtotal rows.
     GraftQuery("g_rollup_view",
       (s, dir) => GoldTables.rollupView(Tables.events(s, dir)),

@@ -1,0 +1,48 @@
+package graft.queries
+
+/** Per-JVM scratch directories and one-shot builds for graded queries that
+  * materialize real tables (bronze layouts, gold aggregates, stream feeds).
+  *
+  * Paths carry a per-process token so two concurrent gate runs never share
+  * a directory, and every path is registered for recursive deletion at JVM
+  * exit so repeated gate/bench runs don't accumulate table copies in the
+  * tmpdir. Builds latch as done only AFTER completing (inside the lock): a
+  * failed or in-flight build must never be served as built.
+  */
+private[queries] object Scratch {
+
+  private lazy val RunToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  private val dirs =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.forEach(d => rm(new java.io.File(d)))))
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
+  }
+
+  /** A per-(kind, sf-dir, process) scratch path, registered for cleanup. */
+  def dir(kind: String, sfDir: String): String = {
+    val p = sys.props("java.io.tmpdir") +
+      s"/graft_${kind}_${sfDir.hashCode.toHexString}_$RunToken"
+    dirs.add(p)
+    p
+  }
+
+  private val built = scala.collection.mutable.Set.empty[String]
+
+  /** Run `build` once per JVM for `key`; concurrent callers wait, and only
+    * a COMPLETED build is latched — re-invocations after a failure retry. */
+  def buildOnce(key: String)(build: => Unit): Unit = built.synchronized {
+    if (!built.contains(key)) {
+      build
+      built += key
+    }
+  }
+}

@@ -56,6 +56,35 @@ object StreamingSessionize {
         col("session_start"), col("session_end"))
   }
 
+  /** Run [[sessionWindowStats]] as a checkpointed streaming job: JSONL
+    * directory → session aggregates → parquet, append mode (the file sink's
+    * only mode — correct here, since a session row is appended exactly once
+    * when the watermark finalizes its window). Sessions still extendable at
+    * end-of-input (within watermark + gap of the max event time) stay in
+    * state, unemitted, until a later run's data advances the watermark —
+    * the caller controls finalization by what it feeds (e.g. a sentinel row
+    * past the horizon). */
+  def streamSessionsToParquet(spark: org.apache.spark.sql.SparkSession,
+                              srcDir: String, schemaSource: DataFrame,
+                              outPath: String, checkpoint: String,
+                              gapSeconds: Long, watermarkDelay: String,
+                              readOptions: Map[String, String] = Map.empty): Unit = {
+    val stream = spark.readStream
+      .schema(schemaSource.schema)
+      .option("mode", "DROPMALFORMED")
+      .options(readOptions)
+      .json(srcDir)
+    val q = sessionWindowStats(stream, gapSeconds, Some(watermarkDelay))
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental per-event session tagging with explicit state — the
     * streaming twin of `Sessionize.withSessionSeq`. Events inside one batch
     * are sorted per key before state application (the reference sorts new
