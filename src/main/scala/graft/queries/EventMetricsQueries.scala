@@ -172,6 +172,41 @@ object EventMetricsQueries {
              |       epoch_us(max(ts)) AS session_end
              |FROM sess GROUP BY user_id, seq""".stripMargin)),
 
+    // §2.9's second streaming path in the hard gate: per-event session
+    // tagging through flatMapGroupsWithState (the reference's live_sessions
+    // dict as distributed state, `metricselasticsearch.py:754-787`),
+    // streamed from a JSONL feed into parquet. Unlike session_window,
+    // flatMap emits in-batch, so no sentinel is needed; the oracle is the
+    // batch sessionizer's per-event seq (same-session iff gap ≤ 3600 s,
+    // ties broken by event_id — exactly the state walk's ordering).
+    GraftQuery("w_stream_stateful",
+      (s, dir) => {
+        val base = Scratch.dir("stream_stateful", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          dumpJsonl(ev, s"$base/stage1", s"$base/src", "ev_", fmt)
+          graft.streaming.StreamingSessionize.streamStatefulToParquet(
+            s, s"$base/src", ev, s"$base/sessions", s"$base/cp",
+            GapSeconds, readOptions = Map("timestampFormat" -> fmt))
+        }
+        s.read.parquet(s"$base/sessions")
+          .select(col("user_id"), col("event_id"), col("session_seq"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM events
+             |)
+             |SELECT user_id, event_id,
+             |       CAST(sum(is_new) OVER (PARTITION BY user_id
+             |                              ORDER BY ts, event_id
+             |                              ROWS UNBOUNDED PRECEDING)
+             |            AS BIGINT) AS session_seq
+             |FROM g""".stripMargin)),
+
     // A3 day-unit histogram (`metricsreader.py:286-294` day dispatch).
     GraftQuery("a3_histogram_day",
       (s, dir) => MetricsKernel.compositeAgg(
