@@ -207,6 +207,44 @@ object EventMetricsQueries {
              |            AS BIGINT) AS session_seq
              |FROM g""".stripMargin)),
 
+    // §2.9 quarantine in the hard gate: the PERMISSIVE dead-letter split —
+    // a feed of valid events plus deliberately malformed lines streams to
+    // bronze, with the bad lines landing verbatim in the quarantine side
+    // (the reference's `_jsonparsefailure` → sessionId=-1 path,
+    // `metricselasticsearch.py:964-976`). Graded as counts: every valid
+    // event reaches bronze exactly once, every malformed line is kept (not
+    // silently dropped), and nothing leaks across the split.
+    GraftQuery("s2_quarantine_split",
+      (s, dir) => {
+        val base = Scratch.dir("quarantine", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          dumpJsonl(ev, s"$base/stage1", s"$base/src", "ev_", fmt)
+          // 7 malformed lines, written as .json so the stream source
+          // picks them up alongside the valid feed
+          import s.implicits._
+          (1 to 7).map(i => s"{corrupt line $i").toDF("line")
+            .coalesce(1).write.mode("overwrite").text(s"$base/stage2")
+          new java.io.File(s"$base/stage2").listFiles()
+            .filter(_.getName.endsWith(".txt"))
+            .foreach { f =>
+              java.nio.file.Files.move(f.toPath,
+                new java.io.File(s"$base/src", "zz_bad.json").toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+          graft.sources.Ingest.streamJsonlToBronzeWithQuarantine(
+            s, s"$base/src", ev, s"$base/bronze", s"$base/quarantine",
+            s"$base/cp", Map("timestampFormat" -> fmt))
+        }
+        val nBronze = s.read.parquet(s"$base/bronze").count()
+        val nQuarantined = s.read.text(s"$base/quarantine").count()
+        s.range(1).select(lit(nBronze).as("n_bronze"),
+          lit(nQuarantined).as("n_quarantined"))
+      },
+      Some("""SELECT (SELECT count(*) FROM events) AS n_bronze,
+             |       CAST(7 AS BIGINT) AS n_quarantined""".stripMargin)),
+
     // A3 day-unit histogram (`metricsreader.py:286-294` day dispatch).
     GraftQuery("a3_histogram_day",
       (s, dir) => MetricsKernel.compositeAgg(

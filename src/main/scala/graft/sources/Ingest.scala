@@ -150,13 +150,15 @@ object Ingest {
   def streamJsonlToBronzeWithQuarantine(spark: SparkSession, srcDir: String,
                                         schemaSource: DataFrame,
                                         outPath: String, quarantinePath: String,
-                                        checkpoint: String): Unit = {
+                                        checkpoint: String,
+                                        readOptions: Map[String, String] = Map.empty): Unit = {
     val schema = schemaSource.schema
       .add("_corrupt_record", org.apache.spark.sql.types.StringType)
     val stream = spark.readStream
       .schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .options(readOptions)
       .json(srcDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
