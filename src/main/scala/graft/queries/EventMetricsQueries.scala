@@ -127,7 +127,12 @@ object EventMetricsQueries {
     // finalize and emit exactly once; the sentinel's own session stays in
     // state and is filtered out. Oracle: batch sessionization in SQL with
     // session_window's strict-gap semantics (an event exactly gap seconds
-    // after the last does NOT extend the session).
+    // after the last does NOT extend the session). NOTE this boundary is
+    // Spark-fixed and one microsecond STRICTER than the reference's TTL
+    // (and than w_stream_stateful/Sessionize, which use <= gap, exact
+    // parity): at an exact-gap tie the two paths count sessions
+    // differently. The stateful path is the canonical parity semantics;
+    // this query grades the native-session-window machinery itself.
     GraftQuery("w_stream_sessions",
       (s, dir) => {
         val base = Scratch.dir("stream_sessions", dir)

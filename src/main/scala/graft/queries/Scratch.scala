@@ -35,14 +35,25 @@ private[queries] object Scratch {
     p
   }
 
-  private val built = scala.collection.mutable.Set.empty[String]
+  private val built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Run `build` once per JVM for `key`; concurrent callers wait, and only
-    * a COMPLETED build is latched — re-invocations after a failure retry. */
-  def buildOnce(key: String)(build: => Unit): Unit = built.synchronized {
-    if (!built.contains(key)) {
-      build
-      built += key
+  /** Run `build` once per JVM for `key` (a scratch DIRECTORY path);
+    * same-key callers wait on a per-key latch — an in-flight multi-minute
+    * stream build must not block unrelated keys. Only a COMPLETED build is
+    * latched, and a retry after failure starts from a CLEAN directory: a
+    * partial first attempt leaves part files, sink output, and streaming
+    * checkpoints that would otherwise double-feed the rebuilt stream. */
+  def buildOnce(key: String)(build: => Unit): Unit = {
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!built.contains(key)) {
+        rm(new java.io.File(key))
+        build
+        built.add(key)
+      }
     }
   }
 }

@@ -41,15 +41,19 @@ object GoldTables {
     * bounded groups — see the graded `a16_group_fingerprint`): gold groups
     * here are nodes/portals whose member sets grow with the fact table, and
     * `collect_list` would hold billions of ids in one aggregation buffer at
-    * 100 TB. Instead: member count plus two independently-salted XORs of
+    * 100 TB. Instead: member count plus two independently-salted SUMS of
     * per-row 64-bit hashes — order-insensitive, constant memory per group,
-    * collision odds ~2^-128, and map-side combinable. */
+    * map-side combinable, and multiplicity-sensitive (an XOR would cancel
+    * paired duplicates with probability 1; sums accumulate them). Sums are
+    * decimal(38,0): ANSI mode would throw on long overflow, and 38 digits
+    * absorbs any realistic row count times 2^63. */
   def fingerprints(events: DataFrame, groupCol: String): DataFrame =
     events.groupBy(col(groupCol))
       .agg(concat_ws("|",
         count(lit(1)),
-        bit_xor(xxhash64(col("event_id"))),
-        bit_xor(xxhash64(col("event_id"), lit(0x9e3779b97f4a7c15L))))
+        sum(xxhash64(col("event_id")).cast("decimal(38,0)")),
+        sum(xxhash64(col("event_id"), lit(0x9e3779b97f4a7c15L))
+          .cast("decimal(38,0)")))
         .as("fingerprint"))
 
   /** Incremental gold build: recompute only groups whose fingerprint

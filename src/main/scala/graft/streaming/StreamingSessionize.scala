@@ -44,7 +44,12 @@ case class SessionizedEvent(user_id: Long, ts: Timestamp, event_id: Long,
 object StreamingSessionize {
 
   /** Closed-session aggregates via the native session window. Works on both
-    * streaming and batch DataFrames (batch: no watermark needed). */
+    * streaming and batch DataFrames (batch: no watermark needed).
+    * Gap boundary is Spark-fixed and STRICT: an event exactly `gapSeconds`
+    * after the last does not extend the session — one microsecond stricter
+    * than the reference's TTL check and than [[statefulSessionize]] (both
+    * `<=`). Use the stateful path where exact reference parity at the
+    * boundary matters. */
   def sessionWindowStats(events: DataFrame, gapSeconds: Long,
                          watermark: Option[String] = None): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts", w))
