@@ -9,7 +9,7 @@ package graft.queries
   * tmpdir. Builds latch as done only AFTER completing (inside the lock): a
   * failed or in-flight build must never be served as built.
   */
-private[queries] object Scratch {
+private[graft] object Scratch {
 
   private lazy val RunToken: String =
     java.util.UUID.randomUUID().toString.take(8)

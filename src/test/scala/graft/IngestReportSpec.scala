@@ -25,6 +25,29 @@ class IngestReportSpec extends SparkSpec {
     assert(dirs.length > 1)
   }
 
+  test("scratch buildOnce latches success, retries failures from a clean dir") {
+    import graft.queries.Scratch
+    val base = Scratch.dir("spec_retry", java.util.UUID.randomUUID().toString)
+    var calls = 0
+    // attempt 1 fails after dirtying the dir
+    intercept[RuntimeException](Scratch.buildOnce(base) {
+      calls += 1
+      new java.io.File(base).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(base, "partial.txt"), "leftover")
+      sys.error("transient failure")
+    })
+    // attempt 2 must re-run AND start from a clean directory
+    Scratch.buildOnce(base) {
+      calls += 1
+      assert(!new java.io.File(base, "partial.txt").exists(),
+        "retry must not see the failed attempt's leftovers")
+    }
+    // attempt 3 is a cache hit — the success latched
+    Scratch.buildOnce(base) { calls += 1 }
+    assert(calls == 2)
+  }
+
   test("citation staging contract validates conforming and rejects drifted frames") {
     import graft.sources.CitationStaging
     val good = spark.createDataFrame(
