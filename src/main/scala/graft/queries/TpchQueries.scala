@@ -142,5 +142,39 @@ object TpchQueries {
              |       md5(string_agg(CAST(o_orderkey AS VARCHAR), ''
              |           ORDER BY CAST(o_orderkey AS VARCHAR))) AS fingerprint
              |FROM orders GROUP BY 1""".stripMargin)),
+
+    // Skew battery in the hard gate: the salting operators must be EXACT —
+    // identical results to the unsalted plans they replace at scale. The
+    // oracles are the plain SQL forms; any salt leakage (lost rows, double
+    // counts, per-bucket distinct overlap) hash-mismatches.
+    GraftQuery("a_salted_distinct",
+      (s, dir) => graft.operators.Skew.saltedDistinctAgg(
+        Tables.events(s, dir), Seq(col("event_type")), col("user_id"),
+        buckets = 16),
+      Some("""SELECT event_type,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_count,
+             |       count(*) AS total_count
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    GraftQuery("j_salted_join",
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+        graft.operators.Skew.saltedJoin(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+          urgent, "l_orderkey",
+          discriminator = col("l_partkey"), buckets = 8)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("total_qty"))
+      },
+      Some("""SELECT o_custkey, count(*) AS n_items,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY 1""".stripMargin)),
   )
 }
