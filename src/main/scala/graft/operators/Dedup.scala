@@ -96,6 +96,35 @@ object Dedup {
       .select(col("doc_id"), col("s"))
   }
 
+  /** Per-doc minhash signature columns (mh0..mhN−1) plus the exact shingle
+    * set, in ONE aggregation pass: md5 runs once per shingle and the
+    * permuted minima come from map-side partial aggregation — the shingle
+    * pipeline would otherwise run three times (signature + two set
+    * fetches). Shared by the self-join LSH pipeline and the incremental
+    * corpus-probe pipeline. */
+  private def perDocSignatures(df: DataFrame, id: Column, text: Column,
+                               shingleSize: Int, numHashes: Int): DataFrame = {
+    val sigCols = (0 until numHashes).map(j =>
+      min((lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % MinhashP)
+        .as(s"mh$j"))
+    shingleRows(df, id, text, shingleSize)
+      .select(col("doc_id"), col("s"),
+        hash60(col("s")).bitwiseAND(lit(MinhashMask)).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail :+ collect_set(col("s")).as("sh"): _*)
+  }
+
+  /** (doc_id, band_key) rows from a [[perDocSignatures]] frame. */
+  private def bandKeyRows(sig: DataFrame, numHashes: Int,
+                          bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sig.select(col("doc_id"), explode(array(
+      (0 until bands).map { b =>
+        concat_ws(":", lit(b) +:
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      }: _*)).as("band_key"))
+  }
+
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       shingleSize: Int = 3, numHashes: Int = 8,
                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
@@ -104,28 +133,11 @@ object Dedup {
         s"trailing hashes would be silently ignored")
     require(numHashes <= MinhashA.length,
       s"at most ${MinhashA.length} hash functions are defined")
-    val rows = shingleRows(df, id, text, shingleSize)
-    // ONE aggregation pass computes both the minhash signature (md5 runs
-    // once per shingle; permuted minima come from map-side partial
-    // aggregation) and the exact shingle set used for verification — the
-    // shingle pipeline would otherwise run three times (signature + two
-    // set fetches). Materialized once: consumed by the band explode and by
-    // both sides of the verification join.
-    val sigCols = (0 until numHashes).map(j =>
-      min((lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % MinhashP)
-        .as(s"mh$j"))
-    val perDoc = rows
-      .select(col("doc_id"), col("s"),
-        hash60(col("s")).bitwiseAND(lit(MinhashMask)).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail :+ collect_set(col("s")).as("sh"): _*)
+    // materialized once: consumed by the band explode and by both sides of
+    // the verification join
+    val perDoc = perDocSignatures(df, id, text, shingleSize, numHashes)
       .localCheckpoint()
-    val withBands = perDoc.select(col("doc_id"), explode(array(
-      (0 until bands).map { b =>
-        val rows = numHashes / bands
-        concat_ws(":", lit(b) +:
-          (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-      }: _*)).as("band_key"))
+    val withBands = bandKeyRows(perDoc, numHashes, bands)
     val cands = withBands.as("a")
       .join(withBands.as("b"), col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -137,6 +149,51 @@ object Dedup {
       .withColumn("jac", jaccard(col("sh_i"), col("sh_j")))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), col("jac"))
+  }
+
+  /** Incremental ingest dedup — the production shape at 100 TB: flag each
+    * document of a NEW batch against an EXISTING corpus instead of
+    * re-deduping everything pairwise. The corpus side is an INDEX (content
+    * hashes + LSH band keys, which a real deployment maintains
+    * incrementally as batches are admitted); the new batch PROBES it:
+    * exact layer = content-hash semi-join, near layer = band-key equi-join
+    * to candidates, then exact-Jaccard verification. Neither side is ever
+    * self-joined and the corpus text is touched only for candidate
+    * verification.
+    *
+    * @return one row per new doc: (doc_id, exact_dup, n_near_dups) where
+    *   `n_near_dups` counts corpus docs with jaccard ≥ threshold.
+    */
+  def incrementalDedupFlags(corpus: DataFrame, fresh: DataFrame,
+                            id: Column, text: Column,
+                            shingleSize: Int = 3, numHashes: Int = 8,
+                            bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands)")
+    val exact = fresh.select(id.as("doc_id"), md5(text).as("content_hash"))
+      .join(corpus.select(md5(text).as("content_hash")).distinct(),
+        Seq("content_hash"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+    val freshSig = perDocSignatures(fresh, id, text, shingleSize, numHashes)
+      .localCheckpoint()
+    val corpusSig = perDocSignatures(corpus, id, text, shingleSize, numHashes)
+      .localCheckpoint()
+    val cands = bandKeyRows(freshSig, numHashes, bands).as("a")
+      .join(bandKeyRows(corpusSig, numHashes, bands).as("b"), "band_key")
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val near = cands
+      .join(freshSig.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+      .join(corpusSig.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+      .filter(jaccard(col("sh_i"), col("sh_j")) >= threshold)
+      .groupBy(col("i").as("doc_id"))
+      .agg(count(lit(1)).as("n_near_dups"))
+    fresh.select(id.as("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
   }
 
   /** SimHash near-dup PAIRS: band the 60-bit signature into `bands`

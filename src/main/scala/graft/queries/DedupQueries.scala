@@ -22,10 +22,9 @@ object DedupQueries {
       |             ELSE [] END AS sh
       |      FROM d)""".stripMargin
 
-  /** Shared oracle fragment: minhash pairs closed into components (ends
-    * with the recursive `reach` CTE) — composed by the group and corpus
-    * queries so the pair pipeline is defined once. */
-  private lazy val MinhashComponentsCte: String =
+  /** Shared oracle fragment: shingles → minhash signatures → band keys —
+    * the probe structure every LSH query builds on. */
+  private lazy val MinhashBandsCte: String =
     s"""$ShingleCte,
        |m AS (SELECT doc_id, sh,
        |        list_transform(generate_series(1, 8), j ->
@@ -38,7 +37,13 @@ object DedupQueries {
        |bk AS (SELECT doc_id,
        |         unnest(list_transform(generate_series(0, 3),
        |           k -> k || ':' || mh[2*k+1] || ':' || mh[2*k+2])) AS band_key
-       |       FROM m),
+       |       FROM m)""".stripMargin
+
+  /** Shared oracle fragment: minhash pairs closed into components (ends
+    * with the recursive `reach` CTE) — composed by the group and corpus
+    * queries so the pair pipeline is defined once. */
+  private lazy val MinhashComponentsCte: String =
+    s"""$MinhashBandsCte,
        |c AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |      FROM bk a JOIN bk b ON a.band_key = b.band_key
        |                         AND a.doc_id < b.doc_id),
@@ -94,6 +99,38 @@ object DedupQueries {
               |      FROM c JOIN s si ON si.doc_id = c.i
               |             JOIN s sj ON sj.doc_id = c.j)
               |SELECT i, j, jac FROM v WHERE jac >= 0.5""".stripMargin)),
+
+    // Incremental ingest dedup: a new batch (doc_id ≡ 0 mod 5) probes the
+    // existing corpus's content-hash and LSH band-key index — the
+    // production dedup shape, where admitted batches never re-pair the
+    // whole corpus. Exact + near flags per new doc, oracle-exact.
+    GraftQuery("d_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.incrementalDedupFlags(
+          corpus = docs.filter(col("doc_id") % 5 =!= 0),
+          fresh = docs.filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"))
+      },
+      Some(s"""WITH $MinhashBandsCte,
+              |c AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              |      FROM bk a JOIN bk b ON a.band_key = b.band_key
+              |      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+              |v AS (SELECT i, j,
+              |        length(list_intersect(si.sh, sj.sh))::DOUBLE /
+              |          length(list_distinct(si.sh || sj.sh)) AS jac
+              |      FROM c JOIN s si ON si.doc_id = c.i
+              |             JOIN s sj ON sj.doc_id = c.j),
+              |near AS (SELECT i AS doc_id, count(*) AS n
+              |         FROM v WHERE jac >= 0.5 GROUP BY 1),
+              |ex AS (SELECT DISTINCT d.doc_id FROM documents d
+              |       JOIN documents c2 ON md5(c2.text) = md5(d.text)
+              |       WHERE d.doc_id % 5 = 0 AND c2.doc_id % 5 <> 0)
+              |SELECT d.doc_id,
+              |       d.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+              |       CAST(coalesce(near.n, 0) AS BIGINT) AS n_near_dups
+              |FROM documents d LEFT JOIN near USING (doc_id)
+              |WHERE d.doc_id % 5 = 0""".stripMargin)),
 
     // SimHash: one 60-bit signature per doc (no shuffle at all) — hamming
     // clustering then finds near-dups without any pairwise text compare.

@@ -137,6 +137,58 @@ object TextQueries {
               |          x -> x IS NOT NULL), ','), '') AS reasons
               |      FROM q)""".stripMargin)),
 
+    // PII scrubbing — the redaction pass every released training corpus
+    // runs (emails, IPv4s, phone numbers → typed placeholder tokens). The
+    // corpus carries no PII, so deterministic PII is synthesized per doc
+    // first; the scrub chain and per-category counts are then graded
+    // value-exact. Patterns use only Java-regex ∩ RE2 constructs so the
+    // identical strings drive Spark and the oracle; replacement order is
+    // email → phone → IP (none can match inside another's replacement).
+    // Shuffle-free single projection — survives 100 TB as a pure map.
+    GraftQuery("t_pii_scrub",
+      (s, dir) => {
+        val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val PhoneRe = "\\+1-555-\\d{4}"
+        val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val raw = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.org from "),
+          (col("doc_id") * 37) % 256, lit("."), (col("doc_id") * 11) % 256,
+          lit(".0."), col("doc_id") % 8,
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            regexp_replace(regexp_replace(regexp_replace(col("raw"),
+              EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+              .as("clean"),
+            regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+            regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phones"),
+            regexp_count(col("raw"), lit(IpRe)).cast("long").as("n_ips"))
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || doc_id || '@example.org from ' ||
+             |    (doc_id * 37) % 256 || '.' || (doc_id * 11) % 256 ||
+             |    '.0.' || doc_id % 8 ||
+             |    CASE WHEN doc_id % 3 = 0
+             |         THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             |         ELSE '' END AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+1-555-\d{4}', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean,
+             |  CAST(length(regexp_extract_all(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(length(regexp_extract_all(raw, '\+1-555-\d{4}')) AS BIGINT) AS n_phones,
+             |  CAST(length(regexp_extract_all(raw,
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+             |FROM r""".stripMargin)),
+
     // Stratified deterministic sampling: hash-gated per-language rates —
     // downsample the dominant language, keep the tail. Reproducible across
     // runs (pure function of doc_id); no shuffle, no rand().
