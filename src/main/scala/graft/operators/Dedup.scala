@@ -196,6 +196,31 @@ object Dedup {
         coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
   }
 
+  /** Benchmark decontamination — flag corpus documents sharing any word
+    * n-gram with a benchmark/eval set (the standard pre-training hygiene
+    * pass). The benchmark side is SMALL (eval suites are thousands of
+    * docs), so its distinct shingle set broadcasts; the corpus side is one
+    * shingle projection + broadcast semi-join + per-doc count — no corpus
+    * self-join, no shuffle of corpus text, scales as a single pass over
+    * the 100 TB side.
+    *
+    * @return one row per corpus doc: (doc_id, n_shared_ngrams,
+    *   contaminated), counting DISTINCT shared n-grams.
+    */
+  def decontaminationFlags(corpus: DataFrame, benchmark: DataFrame,
+                           id: Column, text: Column, n: Int): DataFrame = {
+    val bench = shingleRows(benchmark, id, text, n).select(col("s")).distinct()
+    val shared = shingleRows(corpus, id, text, n).distinct()
+      .join(broadcast(bench), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams")) // rows are distinct already
+    corpus.select(id.as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"))
+      .withColumn("contaminated", col("n_shared_ngrams") > 0)
+  }
+
   /** SimHash near-dup PAIRS: band the 60-bit signature into `bands`
     * equal bit-slices — two docs within Hamming distance < bands must
     * share at least one identical band (pigeonhole), so band-key equality
