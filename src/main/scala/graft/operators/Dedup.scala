@@ -170,6 +170,8 @@ object Dedup {
                             bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands)")
+    require(numHashes <= MinhashA.length,
+      s"at most ${MinhashA.length} hash functions are defined")
     val exact = fresh.select(id.as("doc_id"), md5(text).as("content_hash"))
       .join(corpus.select(md5(text).as("content_hash")).distinct(),
         Seq("content_hash"), "left_semi")
@@ -200,9 +202,11 @@ object Dedup {
     * n-gram with a benchmark/eval set (the standard pre-training hygiene
     * pass). The benchmark side is SMALL (eval suites are thousands of
     * docs), so its distinct shingle set broadcasts; the corpus side is one
-    * shingle projection + broadcast semi-join + per-doc count — no corpus
-    * self-join, no shuffle of corpus text, scales as a single pass over
-    * the 100 TB side.
+    * shingle projection filtered by that broadcast BEFORE any shuffle, so
+    * the only shuffled data is the near-empty hit set — the 100 TB side is
+    * swept exactly once with no corpus self-join. The post-join
+    * countDistinct collapses repeated in-doc shingles (shingleRows emits
+    * the multiset).
     *
     * @return one row per corpus doc: (doc_id, n_shared_ngrams,
     *   contaminated), counting DISTINCT shared n-grams.
@@ -210,10 +214,10 @@ object Dedup {
   def decontaminationFlags(corpus: DataFrame, benchmark: DataFrame,
                            id: Column, text: Column, n: Int): DataFrame = {
     val bench = shingleRows(benchmark, id, text, n).select(col("s")).distinct()
-    val shared = shingleRows(corpus, id, text, n).distinct()
+    val shared = shingleRows(corpus, id, text, n)
       .join(broadcast(bench), Seq("s"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared_ngrams")) // rows are distinct already
+      .agg(countDistinct(col("s")).as("n_shared_ngrams"))
     corpus.select(id.as("doc_id"))
       .join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -12,20 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Shared oracle CTE: tokenized docs + distinct 3-gram shingles. */
-  private val ShingleCte =
-    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |s AS (SELECT doc_id,
-      |        CASE WHEN length(w) >= 3
-      |             THEN list_distinct(list_transform(generate_series(1, length(w) - 2),
-      |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-      |             ELSE [] END AS sh
-      |      FROM d)""".stripMargin
+  /** Default tokenized-docs source for the oracle CTE chain. */
+  private val DefaultDocsSql =
+    "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+
+  /** Shared oracle CTE: tokenized docs + distinct 3-gram shingles, over a
+    * pluggable doc source (queries that inject synthetic rows pass their
+    * own UNION'd source). */
+  private def shingleCte(docsSql: String = DefaultDocsSql): String =
+    s"""d AS ($docsSql),
+       |s AS (SELECT doc_id,
+       |        CASE WHEN length(w) >= 3
+       |             THEN list_distinct(list_transform(generate_series(1, length(w) - 2),
+       |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+       |             ELSE [] END AS sh
+       |      FROM d)""".stripMargin
+
+  private val ShingleCte = shingleCte()
 
   /** Shared oracle fragment: shingles → minhash signatures → band keys —
     * the probe structure every LSH query builds on. */
-  private lazy val MinhashBandsCte: String =
-    s"""$ShingleCte,
+  private def minhashBandsCte(docsSql: String = DefaultDocsSql): String =
+    s"""${shingleCte(docsSql)},
        |m AS (SELECT doc_id, sh,
        |        list_transform(generate_series(1, 8), j ->
        |          list_min(list_transform(sh,
@@ -38,6 +46,8 @@ object DedupQueries {
        |         unnest(list_transform(generate_series(0, 3),
        |           k -> k || ':' || mh[2*k+1] || ':' || mh[2*k+2])) AS band_key
        |       FROM m)""".stripMargin
+
+  private lazy val MinhashBandsCte: String = minhashBandsCte()
 
   /** Shared oracle fragment: minhash pairs closed into components (ends
     * with the recursive `reach` CTE) — composed by the group and corpus
@@ -77,19 +87,7 @@ object DedupQueries {
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir),
         col("doc_id"), col("text"),
         shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5),
-      Some(s"""WITH $ShingleCte,
-              |m AS (SELECT doc_id, sh,
-              |        list_transform(generate_series(1, 8), j ->
-              |          list_min(list_transform(sh,
-              |            x -> ([${Dedup.MinhashA.mkString(", ")}][j] *
-              |                  (('0x' || substring(md5(x), 1, 15))::BIGINT & 1073741823)
-              |                  + [${Dedup.MinhashB.mkString(", ")}][j])
-              |                 % 1073741789))) AS mh
-              |      FROM s),
-              |bk AS (SELECT doc_id,
-              |         unnest(list_transform(generate_series(0, 3),
-              |           k -> k || ':' || mh[2*k+1] || ':' || mh[2*k+2])) AS band_key
-              |       FROM m),
+      Some(s"""WITH $MinhashBandsCte,
               |c AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
               |      FROM bk a JOIN bk b ON a.band_key = b.band_key
               |                         AND a.doc_id < b.doc_id),
@@ -103,34 +101,51 @@ object DedupQueries {
     // Incremental ingest dedup: a new batch (doc_id ≡ 0 mod 5) probes the
     // existing corpus's content-hash and LSH band-key index — the
     // production dedup shape, where admitted batches never re-pair the
-    // whole corpus. Exact + near flags per new doc, oracle-exact.
+    // whole corpus. The driver corpus carries no duplicate texts at the
+    // gate SF, which would leave the exact-hash layer vacuously all-false;
+    // a synthetic fresh doc (id −1) duplicating corpus doc 1 is injected
+    // on BOTH sides so a broken content-hash join hash-mismatches.
     GraftQuery("d_incremental_dedup",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        val synth = docs.filter(col("doc_id") === 1)
+          .select(lit(-1L).as("doc_id"), col("text"))
         Dedup.incrementalDedupFlags(
-          corpus = docs.filter(col("doc_id") % 5 =!= 0),
-          fresh = docs.filter(col("doc_id") % 5 === 0),
+          corpus = docs.filter(col("doc_id") % 5 =!= 0)
+            .select(col("doc_id"), col("text")),
+          fresh = docs.filter(col("doc_id") % 5 === 0)
+            .select(col("doc_id"), col("text")).union(synth),
           col("doc_id"), col("text"))
       },
-      Some(s"""WITH $MinhashBandsCte,
-              |c AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-              |      FROM bk a JOIN bk b ON a.band_key = b.band_key
-              |      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
-              |v AS (SELECT i, j,
-              |        length(list_intersect(si.sh, sj.sh))::DOUBLE /
-              |          length(list_distinct(si.sh || sj.sh)) AS jac
-              |      FROM c JOIN s si ON si.doc_id = c.i
-              |             JOIN s sj ON sj.doc_id = c.j),
-              |near AS (SELECT i AS doc_id, count(*) AS n
-              |         FROM v WHERE jac >= 0.5 GROUP BY 1),
-              |ex AS (SELECT DISTINCT d.doc_id FROM documents d
-              |       JOIN documents c2 ON md5(c2.text) = md5(d.text)
-              |       WHERE d.doc_id % 5 = 0 AND c2.doc_id % 5 <> 0)
-              |SELECT d.doc_id,
-              |       d.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
-              |       CAST(coalesce(near.n, 0) AS BIGINT) AS n_near_dups
-              |FROM documents d LEFT JOIN near USING (doc_id)
-              |WHERE d.doc_id % 5 = 0""".stripMargin)),
+      Some {
+        val docsWithSynth =
+          s"""$DefaultDocsSql
+             |           UNION ALL
+             |           SELECT CAST(-1 AS BIGINT), string_split(text, ' ')
+             |           FROM documents WHERE doc_id = 1""".stripMargin
+        s"""WITH ${minhashBandsCte(docsWithSynth)},
+           |c AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+           |      FROM bk a JOIN bk b ON a.band_key = b.band_key
+           |      WHERE (a.doc_id % 5 = 0 OR a.doc_id = -1)
+           |        AND b.doc_id % 5 <> 0 AND b.doc_id >= 0),
+           |v AS (SELECT i, j,
+           |        length(list_intersect(si.sh, sj.sh))::DOUBLE /
+           |          length(list_distinct(si.sh || sj.sh)) AS jac
+           |      FROM c JOIN s si ON si.doc_id = c.i
+           |             JOIN s sj ON sj.doc_id = c.j),
+           |near AS (SELECT i AS doc_id, count(*) AS n
+           |         FROM v WHERE jac >= 0.5 GROUP BY 1),
+           |f AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+           |      UNION ALL
+           |      SELECT CAST(-1 AS BIGINT), text FROM documents WHERE doc_id = 1),
+           |ex AS (SELECT DISTINCT f.doc_id FROM f
+           |       JOIN documents c2 ON md5(c2.text) = md5(f.text)
+           |       WHERE c2.doc_id % 5 <> 0)
+           |SELECT f.doc_id,
+           |       f.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+           |       CAST(coalesce(near.n, 0) AS BIGINT) AS n_near_dups
+           |FROM f LEFT JOIN near USING (doc_id)""".stripMargin
+      }),
 
     // Benchmark decontamination: corpus docs (doc_id % 61 ≠ 0) sharing any
     // 8-gram with the benchmark slice (doc_id % 61 = 0, a slice that lands
