@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through verbatim: the driver
+// parses Bench's one-line JSON metric from stdout, and sbt's default
+// LoggedOutput strategy would prefix it with "[info] ", breaking a
+// strict JSON-line parse (BENCH_r{1..3}.json all show parsed: null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

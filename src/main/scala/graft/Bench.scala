@@ -70,7 +70,9 @@ object Bench {
       .mkString("{", ",", "}")
     // total covers successful queries only; failed ones carry -1 per query
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // Print the contract line LAST, after Spark's shutdown chatter, so it
+    // is the final stdout line of the run.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }
