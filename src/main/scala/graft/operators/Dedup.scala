@@ -336,4 +336,46 @@ object Dedup {
        |        (acc, h) -> acc + IF(((cast(h AS BIGINT) >> j) & 1) = 1, 1L, -1L)) > 0,
        |      shiftleft(1L, j), 0L)),
        |  0L, (acc, x) -> acc + x)""".stripMargin)
+
+  /** Cross-document chunk-level exact dedup with reassembly — the
+    * fixed-window approximation of exact-substring dedup (RefinedWeb /
+    * "Deduplicating Training Data Makes Language Models Better" run this
+    * over suffix arrays; at cluster scale the standard compromise is
+    * non-overlapping k-token windows, which this implements).
+    *
+    * Each doc is split into non-overlapping `chunkWords`-word chunks; the
+    * globally-first occurrence of each chunk text (ordered by doc id, then
+    * chunk position) is kept, every later occurrence is dropped, and docs
+    * are reassembled from their surviving chunks in order.
+    *
+    * Scale: one shuffle partitioned by chunk text for the first-occurrence
+    * window (high-cardinality, skew-free — chunk texts are near-unique by
+    * construction), one partial-agg shuffle on doc id for reassembly.
+    * Never materializes pairs; survives 100 TB because state per key is
+    * one row number.
+    */
+  def chunkDedup(df: DataFrame, id: Column, text: Column,
+      chunkWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(text, " ")
+    val nChunks = ceil(size(ws).cast("double") / chunkWords).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), j =>
+      struct(j.as("chunk_idx"),
+        array_join(slice(ws, j * chunkWords + 1, lit(chunkWords)), " ")
+          .as("chunk")))
+    val firstWin = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    df.select(id.as("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"))
+      .withColumn("keep", row_number().over(firstWin) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_chunks"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("dedup_text"))
+  }
 }

@@ -297,5 +297,30 @@ object DedupQueries {
               |          length(list_distinct(a.sh || b.sh)) AS jac
               |      FROM f a JOIN f b ON a.doc_id < b.doc_id)
               |SELECT i, j, jac FROM p WHERE jac >= 0.3""".stripMargin)),
+
+    // Chunk-level exact-substring dedup: non-overlapping 8-word windows,
+    // global first occurrence kept, docs reassembled from surviving
+    // chunks. Graded value-exact including the reassembled text.
+    GraftQuery("d_chunk_dedup",
+      (s, dir) => Dedup.chunkDedup(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        chunkWords = 8),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |           FROM documents),
+             |c AS (SELECT doc_id, j AS chunk_idx,
+             |        array_to_string(ws[(j*8+1):(j*8+8)], ' ') AS chunk
+             |      FROM w, unnest(generate_series(0,
+             |        CAST(ceil(len(ws) / 8.0) AS BIGINT) - 1)) AS t(j)),
+             |k AS (SELECT doc_id, chunk_idx, chunk,
+             |        row_number() OVER (PARTITION BY chunk
+             |          ORDER BY doc_id, chunk_idx) = 1 AS keep
+             |      FROM c)
+             |SELECT doc_id,
+             |       CAST(count(*) AS BIGINT) AS total_chunks,
+             |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS kept_chunks,
+             |       coalesce(string_agg(CASE WHEN keep THEN chunk END, ' '
+             |         ORDER BY chunk_idx), '') AS dedup_text
+             |FROM k GROUP BY 1""".stripMargin)),
   )
 }

@@ -497,5 +497,33 @@ object EventMetricsQueries {
       Some("""SELECT epoch_us(min(ts)) AS min_ts, epoch_us(max(ts)) AS max_ts,
              |       count(*) AS n_events, max(event_id) AS max_event_id
              |FROM events""".stripMargin)),
+
+    // Re-aggregable distinct-count sketches: per-(type, day) HLL partials
+    // union-merged to a per-type estimate — the ONLY way a 100 TB gold
+    // table serves "unique users over an arbitrary window" without
+    // rescanning raw events (exact distincts don't re-aggregate; DataSketches
+    // HLL partials do, which is also how ES caches its cardinality aggs).
+    // Sketch bytes are implementation-defined, so the graded row carries
+    // the exact count plus `approx_ok` = |estimate − exact| ≤
+    // max(5, 5% · exact); the oracle asserts TRUE (lgK=12 ⇒ 3σ ≈ 2.5%).
+    GraftQuery("a_hll_partial_merge",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val daily = ev
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = daily.groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        exact.join(merged, Seq("event_type"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("est") - col("exact_users"))
+              <= greatest(lit(5), col("exact_users") * 0.05)).as("approx_ok"))
+      },
+      Some("""SELECT event_type,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |       TRUE AS approx_ok
+             |FROM events GROUP BY 1""".stripMargin)),
   )
 }

@@ -363,5 +363,82 @@ object TextQueries {
              |    i -> ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::BIGINT))
              |    AS fingerprint
              |FROM documents""".stripMargin)),
+
+    // Gopher-style repetition battery: duplicate-word fraction, the
+    // character share of the single most frequent bigram, and the
+    // duplicate-trigram fraction, composed into a keep flag (Rae et al.
+    // 2021 §A1.1 thresholds, adapted to word-soup docs). Entirely
+    // within-row — the top bigram comes from one O(n log n) sort + run
+    // fold over the gram array, so the whole battery is shuffle-free and
+    // embarrassingly parallel at 100 TB (no per-doc groupBy explode).
+    GraftQuery("t_repetition",
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          col("n_chars"), ws.as("ws"), size(ws).cast("long").as("nw"))
+        def grams(n: Int) = transform(
+          sequence(lit(1), col("nw") - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(col("ws"), (i + k).cast("int"))): _*))
+        // first maximal run in the ascending sort = most frequent gram,
+        // ties broken toward the lexicographically smallest — the same
+        // pick as the oracle's ORDER BY count DESC, gram ASC
+        val folded = aggregate(array_sort(grams(2)),
+          named_struct(lit("prev"), lit(""), lit("run"), lit(0L),
+            lit("best"), lit(0L), lit("bestg"), lit("")),
+          (a, g) => {
+            val run = when(g === a.getField("prev"),
+              a.getField("run") + 1).otherwise(lit(1L))
+            named_struct(lit("prev"), g, lit("run"), run,
+              lit("best"), greatest(run, a.getField("best")),
+              lit("bestg"), when(run > a.getField("best"), g)
+                .otherwise(a.getField("bestg")))
+          })
+        val dwf = (col("nw") - size(array_distinct(col("ws"))))
+          .cast("double") / col("nw")
+        val total3 = col("nw") - 2
+        val dtf = (total3 - size(array_distinct(grams(3))))
+          .cast("double") / total3
+        d.select(col("doc_id"), col("nw").as("n_words"),
+            dwf.as("dup_word_frac"), dtf.as("dup_trigram_frac"),
+            col("n_chars"), folded.as("f"))
+          .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+            col("f.bestg").as("top_bigram"),
+            (col("f.best") * length(col("f.bestg"))).cast("double")
+              / col("n_chars") as "top_bigram_frac",
+            col("dup_trigram_frac"))
+          .withColumn("keep", col("dup_word_frac") <= 0.60
+            && col("top_bigram_frac") <= 0.20
+            && col("dup_trigram_frac") <= 0.30)
+      },
+      Some("""WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+             |           FROM documents),
+             |base AS (SELECT doc_id, n_chars, ws, len(ws) AS nw FROM w),
+             |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+             |       FROM base, unnest(generate_series(1, nw - 1)) AS t(i)),
+             |g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+             |top2 AS (SELECT doc_id, g, c FROM g2c
+             |         QUALIFY row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY c DESC, g ASC) = 1),
+             |g3 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+             |       FROM base, unnest(generate_series(1, nw - 2)) AS t(i)),
+             |g3c AS (SELECT doc_id, count(*) AS total3,
+             |          count(DISTINCT g) AS uniq3
+             |        FROM g3 GROUP BY 1)
+             |SELECT b.doc_id,
+             |       CAST(b.nw AS BIGINT) AS n_words,
+             |       (b.nw - len(list_distinct(b.ws)))::DOUBLE / b.nw
+             |         AS dup_word_frac,
+             |       top2.g AS top_bigram,
+             |       (top2.c * length(top2.g))::DOUBLE / b.n_chars
+             |         AS top_bigram_frac,
+             |       (g3c.total3 - g3c.uniq3)::DOUBLE / g3c.total3
+             |         AS dup_trigram_frac,
+             |       ((b.nw - len(list_distinct(b.ws)))::DOUBLE / b.nw <= 0.60
+             |        AND (top2.c * length(top2.g))::DOUBLE / b.n_chars <= 0.20
+             |        AND (g3c.total3 - g3c.uniq3)::DOUBLE / g3c.total3 <= 0.30)
+             |         AS keep
+             |FROM base b JOIN top2 USING (doc_id) JOIN g3c USING (doc_id)"""
+        .stripMargin)),
   )
 }

@@ -506,4 +506,54 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == again)
   }
+
+  test("chunkDedup keeps the globally-first occurrence and reassembles") {
+    import spark.implicits._
+    val df = Seq(
+      0L -> "a b c d e f",  // chunks: "a b c", "d e f"
+      1L -> "a b c x y z",  // "a b c" is doc0's → dropped; "x y z" kept
+      2L -> "x y z",        // duplicate of doc1's kept chunk → dropped
+      3L -> "p q r s"       // partial trailing chunk "s" survives alone
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, col("doc_id"), col("text"), chunkWords = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((2L, 2L, "a b c d e f")))
+    assert(out(1L) == ((2L, 1L, "x y z")))
+    assert(out(2L) == ((1L, 0L, "")))
+    assert(out(3L) == ((2L, 2L, "p q r s")))
+  }
+
+  test("t_repetition metrics are internally consistent") {
+    val rows = SparkEntry.queries("t_repetition")(spark, testDataDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dwf = r.getAs[Double]("dup_word_frac")
+      val tbf = r.getAs[Double]("top_bigram_frac")
+      val dtf = r.getAs[Double]("dup_trigram_frac")
+      assert(dwf >= 0 && dwf < 1)
+      assert(tbf > 0 && tbf <= 1, s"bigram frac out of range: $r")
+      assert(dtf >= 0 && dtf < 1)
+      assert(r.getAs[String]("top_bigram").split(" ").length == 2)
+      assert(r.getAs[Boolean]("keep") ==
+        (dwf <= 0.60 && tbf <= 0.20 && dtf <= 0.30))
+    }
+  }
+
+  test("hll partial-merge estimate equals the direct whole-column sketch") {
+    // union of same-lgK per-day sketches must estimate identically to one
+    // sketch over all values — the re-aggregability the gold table relies on
+    val ev = Tables.events(spark, testDataDir)
+    val viaPartials = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaPartials == direct)
+  }
 }
