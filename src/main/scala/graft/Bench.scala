@@ -19,7 +19,10 @@ object Bench {
     "api_dataset_family",  // family expansion via identifier dim semi-join
     "api_portal_query",    // portal membership dim + collection filter
     "r_sushi_reports",     // sessionize → COUNTER → JSON report assembly
-    "s2_bronze_slice")     // bronze write + partition-pruned slice read
+    "s2_bronze_slice",     // bronze write + partition-pruned slice read
+    "d_chunk_dedup",       // chunk-grain substring dedup (window + regroup)
+    "t_repetition",        // within-row repetition battery (shuffle-free)
+    "a_hll_partial_merge") // re-aggregable HLL sketch rollup
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a
