@@ -190,4 +190,29 @@ class PlanSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(salted == direct)
   }
+
+  test("repetition battery is a shuffle-free projection chain") {
+    // the whole Gopher battery is within-row (sorted-run fold for the top
+    // bigram); an Exchange here would mean the corpus shuffles for a
+    // per-doc statistic
+    val p = plan("t_repetition")
+    assert(!p.contains("Exchange"), s"repetition battery shuffles:\n$p")
+  }
+
+  test("chunk dedup shuffles exactly twice: chunk window + doc regroup") {
+    // first-occurrence window partitions by chunk text, reassembly
+    // partial-aggregates on doc id — any third exchange is a regression
+    val p = plan("d_chunk_dedup")
+    assert("(?m)^\\s*\\+?-? *Exchange".r.findAllIn(p).size == 2,
+      s"expected exactly 2 exchanges:\n$p")
+    // reassembly combines map-side before the doc exchange
+    assert(p.contains("partial_count") || p.contains("ObjectHashAggregate"),
+      s"no partial aggregation before the regroup:\n$p")
+  }
+
+  test("hll partial merge keeps sketch partial-aggregation map-side") {
+    val p = plan("a_hll_partial_merge")
+    assert(p.contains("partial_hllsketchagg") || p.contains("partial_hll"),
+      s"daily sketch build is not a partial agg:\n$p")
+  }
 }
