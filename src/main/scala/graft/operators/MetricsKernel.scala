@@ -108,4 +108,49 @@ object MetricsKernel {
   /** A14: country-null normalization (`metricsreader.py:1684-1686`). */
   def normalizeCountry(c: Column, default: String = "US"): Column =
     coalesce(c, lit(default))
+
+  /** Ordered funnel: per user, the timestamp at which each stage of
+    * `stages` was first reached, where stage k counts only strictly after
+    * stage k−1's timestamp (greedy first-match — standard funnel
+    * semantics). One shuffle on the user key, then a within-row fold over
+    * the user's time-sorted events; per-key state is `stages.length`
+    * timestamps, so the operator scales wherever per-user event counts
+    * do. Returns (user_id, stage_ts: array<long> — element k is the
+    * micros timestamp of stage k, null if never reached). */
+  def funnelStates(events: DataFrame, user: Column, tsMicros: Column,
+      stageCol: Column, stages: Seq[String]): DataFrame = {
+    val n = stages.length
+    require(n >= 1, "funnel needs at least one stage")
+    val k = (array_position(
+      lit(stages.toArray), stageCol) - 1).cast("int").as("k")
+    val empty = transform(sequence(lit(0), lit(n - 1)),
+      _ => lit(null).cast("long"))
+    val step = (acc: Column, e: Column) =>
+      transform(sequence(lit(0), lit(n - 1)), j => {
+        val cur = element_at(acc, j + 1)
+        val hit = cur.isNull && e.getField("k") === j &&
+          // branch guards element_at(acc, 0): CaseWhen evaluates lazily
+          when(j === 0, lit(true)).otherwise(
+            element_at(acc, j).isNotNull &&
+              e.getField("us") > element_at(acc, j))
+        when(hit, e.getField("us")).otherwise(cur)
+      })
+    events.filter(stageCol.isin(stages: _*))
+      .select(user.as("user_id"), tsMicros.as("us"), k)
+      .groupBy(col("user_id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("us"), col("k")))),
+        empty, step).as("stage_ts"))
+  }
+
+  /** Funnel conversion counts: one row — total users plus how many
+    * reached each stage in order. */
+  def funnelCounts(events: DataFrame, user: Column, tsMicros: Column,
+      stageCol: Column, stages: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_users") +:
+      stages.zipWithIndex.map { case (st, i) =>
+        count(element_at(col("stage_ts"), i + 1)).as(s"n_$st")
+      }
+    funnelStates(events, user, tsMicros, stageCol, stages)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed media record: opaque payload + metadata. At 100 TB the `bytes`
@@ -179,6 +179,91 @@ object Multimodal {
       h.as("height"),
       (col("n_chars") * 100).as("duration_ms"))
       .as[MediaRecord]
+  }
+
+  /** Real WAV/RIFF header decode, no native deps: verifies the
+    * RIFF....WAVE container, then walks the chunk stream (id + u32le size,
+    * word-aligned) to the `fmt ` chunk (channels u16le@+2, sample rate
+    * u32le@+4, byte rate u32le@+8, bits/sample u16le@+14 within the chunk
+    * body) and the `data` chunk (payload length). Chunk-walking — not
+    * fixed offsets — so files with LIST/INFO chunks between fmt and data
+    * parse correctly. Returns (sampleRate, channels, bitsPerSample,
+    * dataBytes, durationMs), or None for non-WAV payloads. */
+  def decodeWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Long)] = None // ch, rate, bits, byteRate
+    var data: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i)
+      val size = u32le(i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
+        fmt = Some((u16le(i + 10), u32le(i + 12).toInt, u16le(i + 22),
+          u32le(i + 16)))
+      else if (id == "data")
+        // size may legitimately exceed the bytes present (streaming
+        // writers patch it later); clamp to what the payload carries
+        data = Some(math.min(size, (b.length - i - 8).toLong))
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    for ((ch, rate, bits, byteRate) <- fmt; d <- data)
+      yield (rate, ch, bits, d,
+        if (byteRate > 0) d * 1000L / byteRate else 0L)
+  }
+
+  /** Build a synthetic audio table: text bytes as PCM payload behind a
+    * genuine 44-byte canonical WAV header built from pure column
+    * arithmetic (little-endian fields via shift/mask → `unhex`). The
+    * graded query round-trips encode → [[decodeWavHeader]]. */
+  def audioFromDocuments(docs: DataFrame): DataFrame = {
+    def byteOf(c: Column) =
+      unhex(lpad(hex(c.bitwiseAND(255)), 2, "0"))
+    def le16(c: Column) = concat(byteOf(c), byteOf(shiftright(c, 8)))
+    def le32(c: Column) =
+      concat(byteOf(c), byteOf(shiftright(c, 8)),
+        byteOf(shiftright(c, 16)), byteOf(shiftright(c, 24)))
+    val ch = (col("doc_id") % 2 + 1).cast("long")
+    val rate = ((col("doc_id") % 3 + 1) * 8000).cast("long")
+    val byteRate = rate * ch * 2
+    val dataLen = length(col("text")).cast("long") // ASCII: chars = bytes
+    val header = concat(
+      lit("RIFF".getBytes("US-ASCII")), le32(dataLen + 36),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), le32(lit(16L)),
+      le16(lit(1L)), le16(ch), le32(rate), le32(byteRate), le16(ch * 2),
+      le16(lit(16L)),
+      lit("data".getBytes("US-ASCII")), le32(dataLen))
+    docs.select(col("doc_id").as("media_id"),
+      concat(header, col("text").cast("binary")).as("bytes"))
+  }
+
+  /** Audio features rolled up by channel count; the oracle recomputes
+    * every column from the generating formulas, so a wrong little-endian
+    * offset in either the encoder or [[decodeWavHeader]] hash-mismatches. */
+  def audioSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val feats = audioFromDocuments(docs)
+      .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeWavHeader(bytes).map { case (rate, ch, bits, d, ms) =>
+            (id, rate, ch, bits, d, ms)
+          }
+        }
+      }.toDF("media_id", "sample_rate", "channels", "bits", "data_bytes",
+        "duration_ms")
+    feats.groupBy(col("channels"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("sample_rate")).as("rate_sum"),
+        sum(col("data_bytes")).as("payload_bytes"),
+        sum(col("duration_ms")).as("duration_ms_sum"),
+        max(col("bits")).as("bits_max"))
   }
 
   /** Query entry (oracle-checked): features rolled up by mime type. The

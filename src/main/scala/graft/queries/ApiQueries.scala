@@ -262,5 +262,23 @@ object ApiQueries {
              |       CAST(sum(CASE WHEN doc_id % 3 <= 1
              |                THEN doc_id % 480 + 48 ELSE 0 END) AS BIGINT) AS decoded_h_sum
              |FROM documents GROUP BY 1""".stripMargin)),
+
+    // Audio plumbing parity for the multimodal row: synthesize canonical
+    // WAV containers from column arithmetic, decode them back with the
+    // real RIFF chunk-walker, roll up by channel count. Every output
+    // column is recomputed by the oracle from the generating formulas, so
+    // a little-endian slip on either side hash-mismatches.
+    GraftQuery("m_audio_features",
+      (s, dir) => Multimodal.audioSummary(s, Tables.documents(s, dir)),
+      Some("""SELECT CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+             |       count(*) AS n_media,
+             |       CAST(sum((doc_id % 3 + 1) * 8000) AS BIGINT) AS rate_sum,
+             |       CAST(sum(octet_length(text::BLOB)) AS BIGINT)
+             |         AS payload_bytes,
+             |       CAST(sum((octet_length(text::BLOB) * 1000)
+             |                // ((doc_id % 3 + 1) * 8000 * (doc_id % 2 + 1) * 2))
+             |         AS BIGINT) AS duration_ms_sum,
+             |       16 AS bits_max
+             |FROM documents GROUP BY 1""".stripMargin)),
   )
 }

@@ -525,5 +525,34 @@ object EventMetricsQueries {
              |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
              |       TRUE AS approx_ok
              |FROM events GROUP BY 1""".stripMargin)),
+
+    // Ordered funnel analysis: view → click → purchase, each stage
+    // strictly after the previous user's stage timestamp (greedy
+    // first-match, the standard funnel semantics). One shuffle on
+    // user_id, then a within-row fold over the user's time-sorted
+    // events — per-key state is 3 timestamps, so the operator holds at
+    // 100 TB wherever per-user event counts do (and a time-bounded
+    // variant just adds a window predicate to the same fold).
+    GraftQuery("a_funnel_steps",
+      (s, dir) => MetricsKernel.funnelCounts(Tables.events(s, dir),
+        col("user_id"), unix_micros(col("ts")), col("event_type"),
+        Seq("view", "click", "purchase")),
+      Some("""WITH v AS (SELECT user_id, min(ts) AS v FROM events
+             |           WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS c
+             |      FROM events e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND e.ts > v.v
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS p
+             |      FROM events e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.c
+             |      GROUP BY e.user_id)
+             |SELECT CAST((SELECT count(DISTINCT user_id) FROM events
+             |             WHERE event_type IN ('view','click','purchase'))
+             |         AS BIGINT) AS n_users,
+             |       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+             |       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+             |       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase"""
+        .stripMargin)),
   )
 }

@@ -440,5 +440,41 @@ object TextQueries {
              |         AS keep
              |FROM base b JOIN top2 USING (doc_id) JOIN g3c USING (doc_id)"""
         .stripMargin)),
+
+    // Sharded inverted index: term → "doc:tf" posting strings, sharded by
+    // doc-id range (128 docs/shard) the way a real engine bounds posting
+    // lists — a common term's postings never concentrate on one task, so
+    // the build survives 100 TB where a single collect_list-per-term
+    // would OOM on stopwords. Global df rides a window sum over shards.
+    GraftQuery("t_inverted_index",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("shard", expr("doc_id DIV 128"))
+          .groupBy(col("term"), col("shard"))
+          .agg(count(lit(1)).as("df_shard"), sum(col("tf")).as("tf_shard"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+              e => concat(e.getField("doc_id"), lit(":"), e.getField("tf"))),
+              " ").as("postings"))
+          .withColumn("df",
+            sum(col("df_shard")).over(Window.partitionBy(col("term"))))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |           FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+             |g AS (SELECT term, doc_id // 128 AS shard,
+             |        CAST(count(*) AS BIGINT) AS df_shard,
+             |        CAST(sum(tf) AS BIGINT) AS tf_shard,
+             |        string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)
+             |          AS postings
+             |      FROM tf GROUP BY 1, 2)
+             |SELECT term, shard, df_shard, tf_shard, postings,
+             |       CAST(sum(df_shard) OVER (PARTITION BY term) AS BIGINT)
+             |         AS df
+             |FROM g""".stripMargin)),
   )
 }

@@ -541,6 +541,65 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("funnelStates enforces stage order with strictly-later timestamps") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "click"), (2L, 20L, "view"), (2L, 30L, "purchase"),
+      (3L, 10L, "view"), (3L, 20L, "purchase"),
+      (4L, 10L, "view"), (4L, 10L, "click"),
+      (5L, 5L, "signup")
+    ).toDF("user_id", "us", "event_type")
+    val counts = MetricsKernel.funnelCounts(ev, col("user_id"), col("us"),
+      col("event_type"), Seq("view", "click", "purchase")).collect().head
+    // user 2's click precedes their first view → not converted; user 2's
+    // purchase follows a never-reached click → not converted; user 3
+    // skips click so purchase can't count; user 4's click ties the view
+    // timestamp (strictly-later required); user 5 never enters
+    assert(counts.getAs[Long]("n_users") == 4L)
+    assert(counts.getAs[Long]("n_view") == 4L)
+    assert(counts.getAs[Long]("n_click") == 1L)
+    assert(counts.getAs[Long]("n_purchase") == 1L)
+    val states = MetricsKernel.funnelStates(ev, col("user_id"), col("us"),
+      col("event_type"), Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(states(1L) == Seq(10L, 20L, 30L))
+    assert(states(2L) == Seq(20L, null, null))
+    assert(states(4L) == Seq(10L, null, null))
+  }
+
+  test("decodeWavHeader walks RIFF chunks and survives junk") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def wav(rate: Int, ch: Int, bits: Int, data: Array[Byte],
+        extraChunk: Boolean): Array[Byte] = {
+      val extra = if (extraChunk) 8 + 6 else 0
+      val bb = ByteBuffer.allocate(44 + extra + data.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + extra + data.length)
+      bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1.toShort); bb.putShort(ch.toShort); bb.putInt(rate)
+      bb.putInt(rate * ch * bits / 8); bb.putShort((ch * bits / 8).toShort)
+      bb.putShort(bits.toShort)
+      if (extraChunk) { // LIST chunk between fmt and data (odd size: pad)
+        bb.put("LIST".getBytes); bb.putInt(5)
+        bb.put("INFOx".getBytes); bb.put(0.toByte)
+      }
+      bb.put("data".getBytes); bb.putInt(data.length); bb.put(data)
+      bb.array()
+    }
+    val payload = Array.fill[Byte](32000)(7)
+    assert(Multimodal.decodeWavHeader(wav(16000, 2, 16, payload,
+      extraChunk = false)) == Some((16000, 2, 16, 32000L, 500L)))
+    // chunk walking: a LIST chunk between fmt and data must not break it
+    assert(Multimodal.decodeWavHeader(wav(8000, 1, 16, payload,
+      extraChunk = true)) == Some((8000, 1, 16, 32000L, 2000L)))
+    assert(Multimodal.decodeWavHeader("RIFFjunk".getBytes ++
+      Array.fill[Byte](40)(0)).isEmpty)
+    assert(Multimodal.decodeWavHeader(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeWavHeader(payload).isEmpty)
+  }
+
   test("hll partial-merge estimate equals the direct whole-column sketch") {
     // union of same-lgK per-day sketches must estimate identically to one
     // sketch over all values — the re-aggregability the gold table relies on
