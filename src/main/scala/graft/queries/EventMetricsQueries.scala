@@ -554,5 +554,62 @@ object EventMetricsQueries {
              |       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
              |       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase"""
         .stripMargin)),
+
+    // Cohort retention: users grouped by first-seen day, distinct actives
+    // per day offset — the standard retention triangle. At 100 TB the
+    // first-seen table is a materialized user dimension (same move as
+    // IdentifierDim); here it's the inline aggregate, co-partitioned with
+    // the activity join on user_id so the join adds no extra shuffle.
+    GraftQuery("a_cohort_retention",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort"))
+        ev.join(first, Seq("user_id"))
+          .groupBy(col("cohort"),
+            datediff(col("day"), col("cohort")).as("offset_days"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+             |           FROM events GROUP BY 1)
+             |SELECT f.cohort,
+             |       date_diff('day', f.cohort, CAST(e.ts AS DATE))
+             |         AS offset_days,
+             |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+             |FROM events e JOIN f USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Event-path transition matrix: (from, to) bigram counts over each
+    // user's time-ordered stream plus the row-normalized transition
+    // probability — the Markov-chain view of user paths. One window pass
+    // per user (the sessionize shuffle shape), then a bounded
+    // 25-cell aggregate.
+    GraftQuery("a_event_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      },
+      Some("""WITH o AS (SELECT event_type,
+             |             lead(event_type) OVER (PARTITION BY user_id
+             |               ORDER BY ts, event_id) AS to_type
+             |           FROM events),
+             |g AS (SELECT event_type AS from_type, to_type,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |       n::DOUBLE / CAST(sum(n) OVER (PARTITION BY from_type)
+             |                        AS BIGINT) AS p
+             |FROM g""".stripMargin)),
   )
 }
