@@ -26,6 +26,15 @@ object Sampling {
   def deterministicSample(df: DataFrame, id: Column, fraction: Double): DataFrame =
     df.filter(hashUnit(id) < fraction)
 
+  /** Weighted Bernoulli sampling: keep probability = weight/weightScale,
+    * clamped to 1 — length- or quality-proportional corpus selection as a
+    * shuffle-free deterministic gate (the linear-arithmetic form; rank
+    * tricks like A-ExpJ need log/pow whose libm ULPs an SQL oracle can't
+    * reproduce bit-for-bit). */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      weightScale: Double): DataFrame =
+    df.filter(hashUnit(id) < least(weight / weightScale, lit(1.0)))
+
   /** Per-stratum sampling rates with a default — e.g. downsample dominant
     * languages, keep the tail at full rate. The (small) rate map
     * constant-folds into one when/otherwise chain: no join, no shuffle. */

@@ -286,5 +286,33 @@ object JoinQueries {
              |JOIN nation   ON s_nationkey = n_nationkey
              |JOIN region   ON n_regionkey = r_regionkey
              |GROUP BY 1""".stripMargin)),
+
+    // Entity-resolution fuzzy match: distinct names, blocked on the first
+    // token (the classic blocking key), candidate pairs filtered by edit
+    // distance — the author/identifier reconciliation shape
+    // (`metricsdatabase.py:1203-1262` matches citation DOIs/names). The
+    // block turns an n² similarity join into a per-block equi-join;
+    // production blocking swaps first-token for phonetic/q-gram keys but
+    // keeps this exact plan.
+    GraftQuery("j_fuzzy_name_match",
+      (s, dir) => {
+        val names = Tables.part(s, dir).select(col("p_name")).distinct()
+          .withColumn("blk", split(col("p_name"), " ").getItem(0))
+        names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk")
+            && col("a.p_name") < col("b.p_name"))
+          .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+          .filter(col("dist") <= 3)
+          .select(col("a.p_name").as("name_a"),
+            col("b.p_name").as("name_b"), col("dist"))
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part),
+             |p AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk
+             |      FROM n)
+             |SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+             |FROM p a JOIN p b
+             |  ON a.blk = b.blk AND a.p_name < b.p_name
+             |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin)),
   )
 }

@@ -204,6 +204,20 @@ object TextQueries {
              |             WHEN lang = 'es' THEN 0.25
              |             ELSE 0.1 END""".stripMargin)),
 
+    // Length-weighted deterministic sampling: keep probability
+    // n_chars/600 (clamped) — the quality/length-proportional corpus
+    // selection pass, as the same shuffle-free hash gate as the uniform
+    // samplers.
+    GraftQuery("t_weighted_sample",
+      (s, dir) => graft.operators.Sampling.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        col("doc_id"), col("n_chars"), weightScale = 600.0),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+             |        / 1152921504606846976.0
+             |      < least(n_chars / 600.0, 1.0)""".stripMargin)),
+
     // TF-IDF relevance scoring over the corpus vocabulary: one explode +
     // two aggregations (term rows shuffle once on term for document
     // frequency, once on (doc, term) for term frequency). The probe terms
