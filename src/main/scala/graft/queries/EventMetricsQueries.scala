@@ -617,5 +617,37 @@ object EventMetricsQueries {
              |       n::DOUBLE / CAST(sum(n) OVER (PARTITION BY from_type)
              |                        AS BIGINT) AS p
              |FROM g""".stripMargin)),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent preceding non-purchase event — one `last(..., ignoreNulls)`
+    // window over the same per-user shuffle as sessionization, then a
+    // 5-row rollup. (First-touch is the same plan with an
+    // unbounded-following `first`.)
+    GraftQuery("a_last_touch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("attributed",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("attributed"), lit("none")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"))
+      },
+      Some("""WITH a AS (SELECT event_type,
+             |    last_value(CASE WHEN event_type <> 'purchase'
+             |                    THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS attributed
+             |  FROM events)
+             |SELECT coalesce(attributed, 'none') AS channel,
+             |       count(*) AS n_purchases
+             |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin)),
   )
 }
