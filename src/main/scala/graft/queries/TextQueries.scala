@@ -490,5 +490,38 @@ object TextQueries {
              |       CAST(sum(df_shard) OVER (PARTITION BY term) AS BIGINT)
              |         AS df
              |FROM g""".stripMargin)),
+
+    // Corpus-wide top-k bigrams — the vocabulary-building pass of a BPE/
+    // tokenizer-training pipeline. Adjacent-token pairs via two shifted
+    // slices zipped in-plan (no explode-then-self-join), then one hash agg
+    // and a TakeOrderedAndProject top-100 (count desc, bigram asc — fully
+    // deterministic). Scale: partial aggregation absorbs the n-gram
+    // explosion map-side; the shuffle carries only distinct bigrams.
+    GraftQuery("t_top_ngrams",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, dir)
+          .select(toks.as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy(col("n_occurrences").desc, col("bigram"))
+          .limit(100)
+      },
+      Some("""WITH d AS (
+             |  SELECT string_split(text, ' ') AS toks FROM documents
+             |  WHERE length(string_split(text, ' ')) >= 2),
+             |b AS (
+             |  SELECT unnest(list_transform(generate_series(1, length(toks) - 1),
+             |           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+             |  FROM d)
+             |SELECT bigram, count(*) AS n_occurrences
+             |FROM b GROUP BY 1
+             |ORDER BY n_occurrences DESC, bigram
+             |LIMIT 100""".stripMargin)),
   )
 }

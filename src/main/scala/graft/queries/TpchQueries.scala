@@ -176,5 +176,43 @@ object TpchQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderpriority = '1-URGENT'
              |GROUP BY 1""".stripMargin)),
+
+    // Shipping-priority top-k (TPC-H Q3 shape): selective dim filter →
+    // fact join → agg → global top-10. Scale: both join sides carry their
+    // filters into the scan (pushdown asserted for this family in PlanSpec);
+    // the planner broadcasts the filtered customer side at this SF and AQE
+    // re-plans it at 100× (no hint pinned — at 100 TB the customer side
+    // outgrows broadcast and SMJ on the shuffle keys is the right call).
+    // The top-10 runs as TakeOrderedAndProject: per-partition heaps, never
+    // a global sort.
+    GraftQuery("q3_shipping_priority",
+      (s, dir) => {
+        val cut = lit("1998-06-15").cast("timestamp")
+        Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+          .join(Tables.orders(s, dir).filter(col("o_orderdate") < cut),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir)
+              .filter(col("c_mktsegment") === "BUILDING"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-06-15'
+             |  AND l_shipdate > TIMESTAMP '1998-06-15'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin)),
   )
 }

@@ -264,5 +264,37 @@ object VectorQueries {
              |      (x, y) -> x + y) AS bucket
              |  FROM embeddings)
              |SELECT bucket, count(*) AS n_vecs FROM b GROUP BY 1""".stripMargin)),
+
+    // Symmetric per-vector int8 quantization — the embedding storage format
+    // at 100 TB (4× smaller; ADC/rerank read codes). Shuffle-free projection;
+    // the oracle replays scale/round/error arithmetic exactly (double math,
+    // half-away-from-zero rounding in both engines).
+    GraftQuery("v_int8_quant",
+      (s, dir) => Vectors.int8Quantize(Tables.embeddings(s, dir)),
+      Some("""WITH q AS (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_transform(embedding, x -> abs(x::DOUBLE)),
+             |                (a, b) -> greatest(a, b)) AS scale
+             |  FROM embeddings),
+             |c AS (
+             |  SELECT vec_id, embedding, scale,
+             |    CASE WHEN scale = 0
+             |      THEN list_transform(embedding, x -> 0)
+             |      ELSE list_transform(embedding,
+             |             x -> CAST(round(x::DOUBLE / scale * 127.0) AS INT))
+             |    END AS codes
+             |  FROM q),
+             |e AS (
+             |  SELECT vec_id, scale, codes,
+             |    list_transform(generate_series(1, 64),
+             |      i -> abs(embedding[i]::DOUBLE - codes[i]::DOUBLE * scale / 127.0)) AS err
+             |  FROM c)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |       array_to_string(codes, ',') AS codes_csv,
+             |       round(list_reduce(err, (a, b) -> greatest(a, b)), 6)
+             |         AS max_abs_err,
+             |       round(list_reduce(list_transform(err, x -> x * x),
+             |                         (a, b) -> a + b) / length(err), 9) AS mse
+             |FROM e""".stripMargin)),
   )
 }

@@ -94,4 +94,29 @@ class AnnSpec extends SparkSpec {
         s"$k: exact=$ex approx=$ap")
     }
   }
+
+  test("int8 quantization: codes in range, error bounded by half a step, zero vectors safe") {
+    import spark.implicits._
+    val edge = Seq(
+      (9000L, Array(0f, 0f, 0f, 0f)),             // zero vector: scale 0, no NaN
+      (9001L, Array(1f, -1f, 0.5f, -0.25f)),
+      (9002L, Array(1e-4f, -1e-4f, 1e-4f, 0f))    // tiny but nonzero scale
+    ).toDF("vec_id", "embedding")
+    val q = Vectors.int8Quantize(edge).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(9000L).getDouble(1) == 0.0 &&
+      q(9000L).getString(2) == "0,0,0,0" &&
+      q(9000L).getDouble(3) == 0.0)
+    // exact codes for the hand-computable vector
+    assert(q(9001L).getString(2) == "127,-127,64,-32")
+    val real = Vectors.int8Quantize(Tables.embeddings(spark, testDataDir))
+    val rows = real.select("scale", "codes_csv", "max_abs_err").collect()
+    rows.foreach { r =>
+      val codes = r.getString(1).split(",").map(_.toInt)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // quantization error never exceeds half a step (scale/127/2), + round-off
+      assert(r.getDouble(2) <= r.getDouble(0) / 127.0 / 2.0 + 1e-6,
+        s"err ${r.getDouble(2)} vs step ${r.getDouble(0) / 127.0}")
+    }
+  }
 }

@@ -215,4 +215,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_hllsketchagg") || p.contains("partial_hll"),
       s"daily sketch build is not a partial agg:\n$p")
   }
+
+  test("q3 top-k runs as per-partition heaps, not a global sort") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), s"q3 global-sorts:\n$p")
+    // both fact-side filters reach their scans
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"))
+  }
+
+  test("top-ngrams aggregates the bigram explosion map-side") {
+    val p = plan("t_top_ngrams")
+    // partial count before the exchange: the shuffle carries distinct
+    // bigrams, not one row per corpus token pair
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 global-sorts:\n$p")
+  }
+
+  test("int8 quantization is a shuffle-free projection") {
+    val p = plan("v_int8_quant")
+    assert(!p.contains("Exchange"), s"quantization pass shuffles:\n$p")
+  }
 }
