@@ -304,6 +304,49 @@ object Vectors {
     topKPerQuery(joined, "adc_dist", ascending = true, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each probe, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * near-miss examples a retrieval/embedding trainer wants in its batch.
+    * Same broadcast-probe shape as [[bruteForceTopK]], with the label
+    * inequality fused into the join condition so mismatched pairs are
+    * discarded before any distance math.
+    *
+    * Scale: identical cost profile to the exact ANN baseline (one corpus
+    * scan per probe batch); at 100 TB the candidate generation swaps to
+    * [[ivfTopK]]/[[lshBucket]] and this exact pass reranks candidates only.
+    */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val probeLabeled = probes.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("q_nrm"))
+    val joined = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("label").as("n_label"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("n_nrm"))
+      .join(broadcast(probeLabeled),
+        col("query_id") =!= col("neighbor_id") &&
+          col("q_label") =!= col("n_label"))
+      .withColumn("cos",
+        dotNative(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+    topKPerQuery(joined, "cos", ascending = false, k)
+  }
+
+  /** Deterministic random-projection dimensionality reduction (the
+    * Johnson–Lindenstrauss workhorse): project `dim`-d embeddings onto
+    * `outDims` md5-derived hyperplanes — the same [[planeWeight]] recipe as
+    * [[lshBucket]], so an ANSI-SQL oracle reproduces every output value
+    * bit-for-bit. Planes constant-fold into the plan; the pass is a
+    * shuffle-free codegen'd projection (one `vec_dot` per output dim).
+    */
+  def randomProjection(df: DataFrame, dim: Int, outDims: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col("vec_id") +:
+      (0 until outDims).map { p =>
+        val plane = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+        round(dotNative(col("embedding"), plane), 6).as(s"p$p")
+      }: _*)
+  }
+
   /** Symmetric per-vector int8 quantization — the storage path a 100 TB
     * embedding corpus actually ships (4× smaller than float32, and ADC /
     * rerank read the codes, not the floats). Per vector: `scale =

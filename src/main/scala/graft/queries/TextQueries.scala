@@ -523,5 +523,33 @@ object TextQueries {
              |FROM b GROUP BY 1
              |ORDER BY n_occurrences DESC, bigram
              |LIMIT 100""".stripMargin)),
+
+    // Corpus composition card: per-(lang, source) doc/token/char volumes
+    // plus exact median document length — the summary table every dataset
+    // release ships. One hash-agg shuffle; the exact percentile keeps its
+    // per-group value list bounded by group cardinality (for monitoring at
+    // 100 TB swap in approx_percentile; exact here because the oracle is).
+    GraftQuery("t_corpus_stats",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("n_tokens")), 6).as("avg_tokens"),
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("median_tokens")),
+      Some("""WITH d AS (
+             |  SELECT lang, source,
+             |         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |         n_chars
+             |  FROM documents)
+             |SELECT lang, source, count(*) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |       round(avg(n_tokens), 6) AS avg_tokens,
+             |       round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens
+             |FROM d GROUP BY 1, 2""".stripMargin)),
   )
 }

@@ -265,6 +265,49 @@ object VectorQueries {
              |  FROM embeddings)
              |SELECT bucket, count(*) AS n_vecs FROM b GROUP BY 1""".stripMargin)),
 
+    // Hard-negative mining for contrastive training: most-similar corpus
+    // vectors with a different label, per probe. The oracle is the ANN
+    // baseline SQL plus the label-inequality pair filter.
+    GraftQuery("v_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Vectors.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, label AS ql,
+              |             embedding AS qe,
+              |             sqrt(${dotSql("embedding", "embedding")}) AS qn
+              |           FROM embeddings WHERE vec_id < 10),
+              |c AS (SELECT vec_id AS neighbor_id, label AS nl,
+              |        embedding AS ne,
+              |        sqrt(${dotSql("embedding", "embedding")}) AS nn
+              |      FROM embeddings),
+              |p AS (SELECT query_id, neighbor_id,
+              |        ${dotSql("qe", "ne")} / (qn * nn) AS cos
+              |      FROM q, c WHERE query_id <> neighbor_id AND ql <> nl),
+              |r AS (SELECT query_id, neighbor_id, cos,
+              |        row_number() OVER (PARTITION BY query_id
+              |                           ORDER BY cos DESC, neighbor_id) AS rank
+              |      FROM p)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |       round(cos, 6) AS cos
+              |FROM r WHERE rank <= 5""".stripMargin)),
+
+    // Deterministic random-projection reduction 64 → 8 dims: the JL sketch
+    // a 100 TB pipeline runs before clustering/visualization. Every output
+    // value replayed exactly by the oracle (md5-derived planes, double
+    // accumulation).
+    GraftQuery("v_random_projection",
+      (s, dir) => Vectors.randomProjection(Tables.embeddings(s, dir),
+        dim = 64, outDims = 8),
+      Some {
+        def planeDot(p: Int): String =
+          s"round(list_reduce(list_transform(generate_series(1, 64), i -> " +
+            s"embedding[i]::DOUBLE * " +
+            s"(('0x' || substring(md5($p || ':' || (i-1)), 1, 15))::BIGINT" +
+            s" / 576460752303423488.0 - 1.0)), (x, y) -> x + y), 6) AS p$p"
+        s"SELECT vec_id, ${(0 until 8).map(planeDot).mkString(", ")} FROM embeddings"
+      }),
+
     // Symmetric per-vector int8 quantization — the embedding storage format
     // at 100 TB (4× smaller; ADC/rerank read codes). Shuffle-free projection;
     // the oracle replays scale/round/error arithmetic exactly (double math,

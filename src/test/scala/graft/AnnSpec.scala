@@ -95,6 +95,40 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: labels always differ, scores dominated by unrestricted top-k") {
+    val emb = Tables.embeddings(spark, testDataDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hard = Vectors.hardNegatives(emb, probes, k = 5).collect()
+    assert(hard.nonEmpty)
+    hard.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(2))
+      assert(labels(q) != labels(n), s"probe $q got same-label negative $n")
+    }
+    // a label-restricted top-k can never beat the unrestricted best cosine
+    val best = Vectors.bruteForceTopK(emb, probes, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    hard.foreach { r =>
+      assert(r.getDouble(3) <= best(r.getLong(0)) + 1e-9)
+    }
+  }
+
+  test("random projection matches a driver-side replay and stays shuffle-free") {
+    val proj = Vectors.randomProjection(
+      Tables.embeddings(spark, testDataDir), dim = 64, outDims = 8)
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"))
+    val row = proj.orderBy("vec_id").limit(1).collect()(0)
+    val emb = Tables.embeddings(spark, testDataDir).orderBy("vec_id")
+      .limit(1).select("embedding").collect()(0).getSeq[Float](0)
+    (0 until 8).foreach { p =>
+      val expect = emb.indices.map(d =>
+        emb(d).toDouble * Vectors.planeWeight(p, d)).sum
+      assert(math.abs(row.getDouble(1 + p) - expect) < 1e-6,
+        s"plane $p: got ${row.getDouble(1 + p)}, expected $expect")
+    }
+  }
+
   test("int8 quantization: codes in range, error bounded by half a step, zero vectors safe") {
     import spark.implicits._
     val edge = Seq(

@@ -236,4 +236,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("v_int8_quant")
     assert(!p.contains("Exchange"), s"quantization pass shuffles:\n$p")
   }
+
+  test("corpus stats aggregate partially before the group shuffle") {
+    val p = plan("t_corpus_stats")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side combine:\n$p")
+    assert("(?m)^\\s*\\+?-? *Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly 1 exchange:\n$p")
+  }
 }
