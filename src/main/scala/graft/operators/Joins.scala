@@ -206,4 +206,30 @@ object Joins {
   def thetaContainsJoin(facts: DataFrame, probes: DataFrame,
                         haystackExpr: Column, targetExpr: Column): DataFrame =
     facts.join(broadcast(probes), contains(lower(haystackExpr), lower(targetExpr)))
+
+  /** Snapshot diff (CDC between two loads of the same table): classify every
+    * key as `added` / `removed` / `changed` / `unchanged` by full-outer-
+    * joining the snapshots on `key` and comparing an xxhash64 fingerprint of
+    * `compareCols`. The fingerprint collapses arbitrarily wide rows to one
+    * BIGINT before the join, so the shuffle carries (key, hash) — not the
+    * payload.
+    *
+    * Scale: one co-partitioned shuffle on `key` per side; both sides
+    * hash-partition identically so the join never broadcasts or explodes.
+    * This is the reference's nightly "what changed since the last harvest"
+    * step (`metricsdatabase.py:607-668` diffs citation batches by natural
+    * key) as one declarative operator.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    def fp(df: DataFrame, side: String): DataFrame =
+      df.select(col(key), xxhash64(compareCols.map(col): _*).as(s"${side}_fp"))
+    fp(oldSnap, "old").join(fp(newSnap, "new"), Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(col(key), col("change_type"))
+  }
 }

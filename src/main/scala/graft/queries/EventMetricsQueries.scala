@@ -649,5 +649,128 @@ object EventMetricsQueries {
              |SELECT coalesce(attributed, 'none') AS channel,
              |       count(*) AS n_purchases
              |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin)),
+
+    // Dwell-time analytics: time to the next event within the same session,
+    // rolled up per event type — the "time on page" metric, composed from
+    // the ONE sessionizer + a lead() window on the already-shuffled
+    // (user, session) partitions (no extra exchange beyond sessionization).
+    GraftQuery("a_dwell_time",
+      (s, dir) => {
+        val sess = Sessionize.withSessionSeqAuto(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), GapSeconds)
+        val w = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))
+        sess.withColumn("dwell_us",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .filter(col("dwell_us").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_dwells"),
+            round(avg(col("dwell_us")) / 1000000.0, 6).as("avg_dwell_sec"),
+            max(col("dwell_us")).as("max_dwell_us"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM events
+             |), s AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM g
+             |), d AS (
+             |  SELECT event_type,
+             |         epoch_us(lead(ts) OVER (PARTITION BY user_id, session_seq
+             |                                 ORDER BY ts, event_id))
+             |           - epoch_us(ts) AS dwell_us
+             |  FROM s
+             |)
+             |SELECT event_type, count(*) AS n_dwells,
+             |       round(avg(dwell_us) / 1000000.0, 6) AS avg_dwell_sec,
+             |       max(dwell_us) AS max_dwell_us
+             |FROM d WHERE dwell_us IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    // RFM segmentation: per-user recency/frequency/monetary quartiles →
+    // segment population counts. Monetary sums in DECIMAL (exact under
+    // partial-agg reordering). The ntile windows run over the per-user
+    // aggregate (one row per user); at 100 TB the quartile cut swaps to
+    // approx_percentile thresholds so no single-partition window exists.
+    GraftQuery("a_rfm_segments",
+      (s, dir) => {
+        val perUser = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(max(col("ts")).as("last_ts"),
+            count(lit(1)).as("frequency"),
+            sum(col("value").cast("decimal(18,6)")).as("monetary"))
+          .withColumn("gmax", max(col("last_ts")).over(Window.partitionBy()))
+          .withColumn("recency_us",
+            unix_micros(col("gmax")) - unix_micros(col("last_ts")))
+        val seg = perUser
+          .withColumn("r_quartile", ntile(4).over(
+            Window.orderBy(col("recency_us"), col("user_id"))))
+          .withColumn("f_quartile", ntile(4).over(
+            Window.orderBy(col("frequency").desc, col("user_id"))))
+          .withColumn("m_quartile", ntile(4).over(
+            Window.orderBy(col("monetary").desc, col("user_id"))))
+        seg.groupBy(col("r_quartile"), col("f_quartile"), col("m_quartile"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("monetary")).cast("double").as("segment_value"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+             |         sum(CAST(value AS DECIMAL(18,6))) AS monetary
+             |  FROM events GROUP BY 1
+             |), r AS (
+             |  SELECT user_id, frequency, monetary,
+             |         epoch_us((SELECT max(last_ts) FROM u))
+             |           - epoch_us(last_ts) AS recency_us
+             |  FROM u
+             |), q AS (
+             |  SELECT ntile(4) OVER (ORDER BY recency_us, user_id) AS r_quartile,
+             |         ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+             |         ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_quartile,
+             |         monetary
+             |  FROM r
+             |)
+             |SELECT r_quartile, f_quartile, m_quartile,
+             |       count(*) AS n_users,
+             |       CAST(sum(monetary) AS DOUBLE) AS segment_value
+             |FROM q GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Key-skew diagnostic: per-key row share + cumulative concentration +
+    // hot-key flag — the report that decides when a 100 TB job needs
+    // salting (operators/Skew) before its group-by/join. Runs over the
+    // aggregated key counts (|keys| rows), never the raw table.
+    GraftQuery("a_skew_report",
+      (s, dir) => {
+        val counts = Tables.events(s, dir)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
+        val cum = Window.orderBy(col("n_rows").desc, col("event_type"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts
+          .withColumn("total", sum(col("n_rows")).over(Window.partitionBy()))
+          .withColumn("share",
+            round(col("n_rows").cast("double") / col("total"), 6))
+          .withColumn("cum_share",
+            round(sum(col("n_rows")).over(cum).cast("double") / col("total"), 6))
+          .withColumn("is_hot", col("n_rows") * 4 > col("total"))
+          .select(col("event_type"), col("n_rows"), col("share"),
+            col("cum_share"), col("is_hot"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1
+             |), t AS (
+             |  SELECT event_type, n_rows,
+             |         sum(n_rows) OVER () AS total,
+             |         sum(n_rows) OVER (ORDER BY n_rows DESC, event_type
+             |                           ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM c
+             |)
+             |SELECT event_type, n_rows,
+             |       round(n_rows::DOUBLE / total, 6) AS share,
+             |       round(cum::DOUBLE / total, 6) AS cum_share,
+             |       n_rows * 4 > total AS is_hot
+             |FROM t""".stripMargin)),
   )
 }

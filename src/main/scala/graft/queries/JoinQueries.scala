@@ -314,5 +314,48 @@ object JoinQueries {
              |FROM p a JOIN p b
              |  ON a.blk = b.blk AND a.p_name < b.p_name
              |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin)),
+
+    // Snapshot diff (CDC): two loads of `orders` — the later one wider by a
+    // year and with every 97th price restated — classified added / removed /
+    // changed / unchanged per key via fingerprint compare. The oracle
+    // classifies by comparing the columns directly, so it also proves the
+    // xxhash64 fingerprint introduces no false matches on this corpus.
+    // ("removed" is structurally empty here — the old snapshot is a subset
+    // — but the branch is exercised by OperatorsSpec.)
+    GraftQuery("j_snapshot_diff",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val oldSnap = orders
+          .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val newSnap = orders
+          .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 97 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")).as("o_totalprice"),
+            col("o_orderstatus"))
+        Joins.snapshotDiff(oldSnap, newSnap, "o_orderkey",
+          Seq("o_totalprice", "o_orderstatus"))
+          .groupBy(col("change_type")).agg(count(lit(1)).as("n_keys"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+             |), n AS (
+             |  SELECT o_orderkey AS k,
+             |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+             |              ELSE o_totalprice END AS p,
+             |         o_orderstatus AS st
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+             |), d AS (
+             |  SELECT CASE WHEN o.k IS NULL THEN 'added'
+             |              WHEN n.k IS NULL THEN 'removed'
+             |              WHEN o.p IS DISTINCT FROM n.p
+             |                OR o.st IS DISTINCT FROM n.st THEN 'changed'
+             |              ELSE 'unchanged' END AS change_type
+             |  FROM o FULL OUTER JOIN n ON o.k = n.k
+             |)
+             |SELECT change_type, count(*) AS n_keys
+             |FROM d GROUP BY 1""".stripMargin)),
   )
 }

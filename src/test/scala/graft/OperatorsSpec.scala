@@ -615,4 +615,19 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaPartials == direct)
   }
+
+  test("snapshotDiff classifies all four change types, including removed") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    val newSnap = Seq((1L, "a", 10.0),  // unchanged
+      (2L, "b", 99.0),                  // changed value
+      (3L, "X", 30.0),                  // changed string
+      (5L, "e", 50.0)                   // added; 4 removed
+    ).toDF("k", "s", "v")
+    val got = Joins.snapshotDiff(oldSnap, newSnap, "k", Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
 }
