@@ -22,7 +22,10 @@ object Bench {
     "s2_bronze_slice",     // bronze write + partition-pruned slice read
     "d_chunk_dedup",       // chunk-grain substring dedup (window + regroup)
     "t_repetition",        // within-row repetition battery (shuffle-free)
-    "a_hll_partial_merge") // re-aggregable HLL sketch rollup
+    "a_hll_partial_merge", // re-aggregable HLL sketch rollup
+    "q3_shipping_priority",// selective-dim fact join + global top-k
+    "t_top_ngrams",        // bigram explosion with map-side combine
+    "v_int8_quant")        // shuffle-free quantization projection
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a
