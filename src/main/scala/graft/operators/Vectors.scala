@@ -278,13 +278,11 @@ object Vectors {
     * table, built once per probe), then a corpus vector's distance is m
     * array lookups over its codes — no float math per corpus element. The
     * probe side (with tables) broadcasts; the corpus side streams codes. */
-  def pqAdcTopK(corpusCodes: DataFrame, probes: DataFrame,
-                cents: Array[Array[Array[Float]]], k: Int,
-                dim: Int): DataFrame = {
-    graft.plans.GraftFunctions.register(probes.sparkSession)
-    val m = cents.length
-    val sub = dim / m
-    val tables = array((0 until m).map { mi =>
+  /** Probe-side ADC distance tables: per subspace, the probe's L2²
+    * distance to each sub-centroid (an m×k array-of-arrays built once per
+    * probe row, constant-folded centroids). */
+  private def adcTables(cents: Array[Array[Array[Float]]], sub: Int): Column =
+    array(cents.indices.map { mi =>
       array(cents(mi).map { c =>
         val lits = array(c.map(lit): _*)
         val sv = slice(col("embedding"), mi * sub + 1, sub)
@@ -292,15 +290,55 @@ object Vectors {
           lit(2.0) * dotNative(sv, lits) + dotNative(sv, sv)
       }: _*)
     }: _*)
+
+  /** ADC distance of a corpus `codes` array against a probe's `tables`:
+    * m array lookups summed in subspace order. */
+  private def adcDistance: Column = aggregate(
+    zip_with(col("codes"), col("tables"),
+      (c, t) => element_at(t, c.cast("int") + 1)),
+    lit(0.0), (acc, x) => acc + x)
+
+  def pqAdcTopK(corpusCodes: DataFrame, probes: DataFrame,
+                cents: Array[Array[Array[Float]]], k: Int,
+                dim: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(probes.sparkSession)
     val probeTables = probes.select(col("vec_id").as("query_id"),
-      tables.as("tables"))
-    val dist = aggregate(
-      zip_with(col("codes"), col("tables"),
-        (c, t) => element_at(t, c.cast("int") + 1)),
-      lit(0.0), (acc, x) => acc + x)
+      adcTables(cents, dim / cents.length).as("tables"))
     val joined = corpusCodes.select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(probeTables), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_dist", dist)
+      .withColumn("adc_dist", adcDistance)
+    topKPerQuery(joined, "adc_dist", ascending = true, k)
+  }
+
+  /** IVF-PQ: coarse cluster pruning (IVF) + code-lookup scoring (PQ-ADC) —
+    * the two approximations composed the way a production ANN index ships
+    * them (FAISS's IVFPQ, minus residual encoding: codebooks here are
+    * global, which keeps the oracle replayable). The corpus side stores
+    * (cluster, codes) — never raw floats — and a probe touches only its
+    * `nprobe` clusters' code lists, each scored by m array lookups.
+    *
+    * Scale: the corpus projection is one map pass; the candidate join
+    * shuffles nothing (probe tables broadcast, corpus restricted by the
+    * cluster equi-key); per-probe cost is nprobe/numClusters of the corpus
+    * at 1 byte-ish per subspace code.
+    */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                numClusters: Int, nprobe: Int, m: Int, pqK: Int,
+                dim: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val coarse = ivfCentroids(corpus, numClusters, dim)
+    val books = pqCentroids(corpus, m, pqK, dim)
+    val sub = dim / m
+    val corpusCoded = corpus.select(col("vec_id").as("neighbor_id"),
+      array((0 until m).map(mi =>
+        pqAssign(col("embedding"), books(mi), mi, sub)): _*).as("codes"),
+      assignCluster(col("embedding"), coarse).as("cluster"))
+    val probeTables = probes.select(col("vec_id").as("query_id"),
+      adcTables(books, sub).as("tables"),
+      explode(nearestClusters(col("embedding"), coarse, nprobe)).as("cluster"))
+    val joined = corpusCoded.join(broadcast(probeTables), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", adcDistance)
     topKPerQuery(joined, "adc_dist", ascending = true, k)
   }
 

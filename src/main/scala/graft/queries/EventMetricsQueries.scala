@@ -691,6 +691,46 @@ object EventMetricsQueries {
              |       max(dwell_us) AS max_dwell_us
              |FROM d WHERE dwell_us IS NOT NULL GROUP BY 1""".stripMargin)),
 
+    // Concurrency curve: active sessions per hour bucket. NOT an interval
+    // join against an hour spine (that plans as a broadcast nested loop) —
+    // each session explodes into the hours it covers via sequence(), a pure
+    // projection, then one count agg. Rows produced = session-hours, which
+    // the 60-min TTL bounds to ≤ 2 per session in steady state.
+    GraftQuery("a_concurrency_curve",
+      (s, dir) => Sessionize.sessionStats(
+        Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"),
+        GapSeconds)
+        .select(explode(sequence(
+          date_trunc("hour", col("session_start")),
+          date_trunc("hour", col("session_end")),
+          expr("interval 1 hour"))).as("hour"))
+        .groupBy(col("hour"))
+        .agg(count(lit(1)).as("active_sessions"))
+        .select(unix_micros(col("hour")).as("hour_us"),
+          col("active_sessions")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM events
+             |), s AS (
+             |  SELECT user_id, ts,
+             |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM g
+             |), b AS (
+             |  SELECT min(ts) AS session_start, max(ts) AS session_end
+             |  FROM s GROUP BY user_id, session_seq
+             |), h AS (
+             |  SELECT unnest(generate_series(date_trunc('hour', session_start),
+             |                                date_trunc('hour', session_end),
+             |                                INTERVAL 1 HOUR)) AS hour
+             |  FROM b
+             |)
+             |SELECT epoch_us(hour) AS hour_us, count(*) AS active_sessions
+             |FROM h GROUP BY 1""".stripMargin)),
+
     // RFM segmentation: per-user recency/frequency/monetary quartiles →
     // segment population counts. Monetary sums in DECIMAL (exact under
     // partial-agg reordering). The ntile windows run over the per-user

@@ -265,6 +265,114 @@ object VectorQueries {
              |  FROM embeddings)
              |SELECT bucket, count(*) AS n_vecs FROM b GROUP BY 1""".stripMargin)),
 
+    // IVF-PQ composition: coarse cluster pruning + ADC code scoring — the
+    // production ANN index shape. The oracle replays BOTH deterministic
+    // builds (IVF coarse centroids and PQ codebooks: lowest-id seeds, one
+    // Lloyd step, FLOAT-cast means) and restricts the ADC terms to each
+    // probe's nprobe clusters.
+    GraftQuery("v_ivfpq_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Vectors.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          numClusters = 16, nprobe = 4, m = 8, pqK = 16, dim = 64)
+      },
+      Some(s"""WITH ipos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+              |iseeds AS (
+              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent
+              |  FROM embeddings ORDER BY vec_id LIMIT 16),
+              |ia0 AS (
+              |  SELECT e.vec_id, s.cid,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${dotSql("e.embedding", "s.cent")}
+              |                 * (1.0 / sqrt(${dotSql("s.cent", "s.cent")})) DESC,
+              |               s.cid DESC) AS rn
+              |  FROM embeddings e CROSS JOIN iseeds s),
+              |imembers AS (SELECT vec_id, cid FROM ia0 WHERE rn = 1),
+              |imsum AS (
+              |  SELECT m.cid, p.pos, CAST(avg(e.embedding[p.pos]) AS FLOAT) AS mv
+              |  FROM imembers m JOIN embeddings e USING (vec_id) CROSS JOIN ipos p
+              |  GROUP BY 1, 2),
+              |icents AS (
+              |  SELECT s.cid, list(coalesce(ms.mv, s.cent[p.pos]) ORDER BY p.pos) AS cent
+              |  FROM iseeds s CROSS JOIN ipos p
+              |  LEFT JOIN imsum ms ON ms.cid = s.cid AND ms.pos = p.pos
+              |  GROUP BY s.cid),
+              |ccl AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT e.vec_id, c.cid,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${dotSql("e.embedding", "c.cent")}
+              |                   * (1.0 / sqrt(${dotSql("c.cent", "c.cent")})) DESC,
+              |                 c.cid DESC) AS rn
+              |    FROM embeddings e CROSS JOIN icents c) WHERE rn = 1),
+              |pcl AS (
+              |  SELECT vec_id AS query_id, cid FROM (
+              |    SELECT e.vec_id, c.cid,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${dotSql("e.embedding", "c.cent")}
+              |                   * (1.0 / sqrt(${dotSql("c.cent", "c.cent")})) DESC,
+              |                 c.cid ASC) AS rn
+              |    FROM embeddings e CROSS JOIN icents c WHERE e.vec_id < 10)
+              |  WHERE rn <= 4),
+              |pos AS (SELECT unnest(generate_series(1, 8)) AS pos),
+              |sub AS (SELECT unnest(generate_series(0, 7)) AS mi),
+              |seeds AS (
+              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ki, embedding
+              |  FROM embeddings ORDER BY vec_id LIMIT 16),
+              |init AS (
+              |  SELECT s.mi, d.ki,
+              |    list_transform(generate_series(1, 8), p -> d.embedding[s.mi * 8 + p]) AS cent
+              |  FROM sub s CROSS JOIN seeds d),
+              |a0 AS (
+              |  SELECT e.vec_id, i.mi, i.ki,
+              |    row_number() OVER (PARTITION BY e.vec_id, i.mi
+              |      ORDER BY ${centSqSql("i.cent")}
+              |                 - 2.0 * ${subDotSql("e.embedding", "i.mi", "i.cent")} ASC,
+              |               i.ki ASC) AS rn
+              |  FROM embeddings e CROSS JOIN init i),
+              |m0 AS (SELECT vec_id, mi, ki FROM a0 WHERE rn = 1),
+              |msum AS (
+              |  SELECT m.mi, m.ki, p.pos,
+              |         CAST(avg(e.embedding[m.mi * 8 + p.pos]) AS FLOAT) AS mv
+              |  FROM m0 m JOIN embeddings e USING (vec_id) CROSS JOIN pos p
+              |  GROUP BY 1, 2, 3),
+              |cents AS (
+              |  SELECT i.mi, i.ki, list(coalesce(ms.mv, i.cent[p.pos]) ORDER BY p.pos) AS cent
+              |  FROM init i CROSS JOIN pos p
+              |  LEFT JOIN msum ms ON ms.mi = i.mi AND ms.ki = i.ki AND ms.pos = p.pos
+              |  GROUP BY i.mi, i.ki),
+              |c1 AS (
+              |  SELECT e.vec_id, c.mi, c.ki,
+              |    row_number() OVER (PARTITION BY e.vec_id, c.mi
+              |      ORDER BY ${centSqSql("c.cent")}
+              |                 - 2.0 * ${subDotSql("e.embedding", "c.mi", "c.cent")} ASC,
+              |               c.ki ASC) AS rn
+              |  FROM embeddings e CROSS JOIN cents c),
+              |codes AS (SELECT vec_id, mi, ki FROM c1 WHERE rn = 1),
+              |terms AS (
+              |  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, cd.mi,
+              |    ${centSqSql("ct.cent")}
+              |      - 2.0 * ${subDotSql("q.embedding", "ct.mi", "ct.cent")}
+              |      + ${svSqSql("q.embedding", "ct.mi")} AS term
+              |  FROM embeddings q
+              |  CROSS JOIN codes cd
+              |  JOIN cents ct ON ct.mi = cd.mi AND ct.ki = cd.ki
+              |  JOIN ccl nc ON nc.vec_id = cd.vec_id
+              |  JOIN pcl pc ON pc.query_id = q.vec_id AND pc.cid = nc.cid
+              |  WHERE q.vec_id < 10 AND q.vec_id <> cd.vec_id),
+              |dists AS (
+              |  SELECT query_id, neighbor_id,
+              |    list_reduce(list(term ORDER BY mi), (x, y) -> x + y) AS adc_dist
+              |  FROM terms GROUP BY 1, 2),
+              |r AS (
+              |  SELECT query_id, neighbor_id, adc_dist,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY adc_dist ASC, neighbor_id) AS rank
+              |  FROM dists)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |       round(adc_dist, 6) AS adc_dist
+              |FROM r WHERE rank <= 5""".stripMargin)),
+
     // Hard-negative mining for contrastive training: most-similar corpus
     // vectors with a different label, per probe. The oracle is the ANN
     // baseline SQL plus the label-inequality pair filter.

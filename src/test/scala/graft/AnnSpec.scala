@@ -95,6 +95,32 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ equals plain PQ-ADC when pruning is disabled, keeps recall when on") {
+    val emb = Tables.embeddings(spark, testDataDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    // nprobe = numClusters ⇒ every cluster probed ⇒ candidate set identical
+    // to unpruned PQ-ADC ⇒ results must match EXACTLY
+    val unpruned = Vectors.ivfPqTopK(emb, probes, k = 5,
+      numClusters = 16, nprobe = 16, m = 8, pqK = 16, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val cents = Vectors.pqCentroids(emb, m = 8, k = 16, dim = 64)
+    val plain = Vectors.pqAdcTopK(Vectors.pqCodes(emb, cents, dim = 64),
+      probes, cents, k = 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(unpruned == plain)
+    // doubly-approximate path still finds a meaningful share of true
+    // neighbours and answers every probe
+    val exact = topkSet(Vectors.bruteForceTopK(emb, probes, k = 5))
+    val pruned = topkSet(Vectors.ivfPqTopK(emb, probes, k = 5,
+      numClusters = 16, nprobe = 4, m = 8, pqK = 16, dim = 64))
+    val recalls = exact.map { case (q, ex) =>
+      pruned.get(q).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    assert(recalls.sum / recalls.size > 0.2,
+      s"mean recall ${recalls.sum / recalls.size}")
+    assert(pruned.size == exact.size)
+  }
+
   test("hard negatives: labels always differ, scores dominated by unrestricted top-k") {
     val emb = Tables.embeddings(spark, testDataDir)
     val probes = emb.filter(col("vec_id") < 10)
