@@ -778,6 +778,66 @@ object EventMetricsQueries {
              |       CAST(sum(monetary) AS DOUBLE) AS segment_value
              |FROM q GROUP BY 1, 2, 3""".stripMargin)),
 
+    // Volume-anomaly detection: per-type daily counts vs a trailing 7-day
+    // window, z-scored. The window carries exact BIGINT (count, sum, sum of
+    // squares) — mean/variance derive from them in ONE fixed double
+    // expression, so no Welford-vs-naive stddev implementation drift can
+    // exist between engines. Runs over the aggregated daily table
+    // (|types|×|days| rows), not raw events.
+    GraftQuery("a_anomaly_zscore",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val win = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-7, -1)
+        val mean = col("w_sum").cast("double") / col("w_cnt")
+        val variance = (col("w_sumsq").cast("double") -
+          col("w_sum").cast("double") * col("w_sum").cast("double") / col("w_cnt")) /
+          (col("w_cnt") - 1)
+        val z = when(variance > 0,
+          (col("n").cast("double") - mean) / sqrt(variance))
+        daily
+          .withColumn("w_cnt", count(col("n")).over(win))
+          .withColumn("w_sum", sum(col("n")).over(win))
+          .withColumn("w_sumsq", sum(col("n") * col("n")).over(win))
+          .filter(col("w_cnt") >= 2)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+            round(mean, 6).as("mean"),
+            round(z, 6).as("zscore"),
+            coalesce(abs(z) > 2, lit(false)).as("is_anomaly"))
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+             |  FROM events GROUP BY 1, 2
+             |), w AS (
+             |  SELECT event_type, day, n,
+             |         count(n) OVER win AS w_cnt,
+             |         sum(n) OVER win AS w_sum,
+             |         sum(n * n) OVER win AS w_sumsq
+             |  FROM d
+             |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+             |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+             |)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+             |       round(CAST(w_sum AS DOUBLE) / w_cnt, 6) AS mean,
+             |       round(CASE WHEN (CAST(w_sumsq AS DOUBLE)
+             |                        - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / w_cnt)
+             |                       / (w_cnt - 1) > 0
+             |              THEN (CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / w_cnt)
+             |                   / sqrt((CAST(w_sumsq AS DOUBLE)
+             |                           - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / w_cnt)
+             |                          / (w_cnt - 1)) END, 6) AS zscore,
+             |       coalesce(abs((CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / w_cnt)
+             |                    / sqrt((CAST(w_sumsq AS DOUBLE)
+             |                            - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / w_cnt)
+             |                           / (w_cnt - 1))) > 2
+             |                AND (CAST(w_sumsq AS DOUBLE)
+             |                     - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / w_cnt)
+             |                    / (w_cnt - 1) > 0, FALSE) AS is_anomaly
+             |FROM w WHERE w_cnt >= 2""".stripMargin)),
+
     // Key-skew diagnostic: per-key row share + cumulative concentration +
     // hot-key flag — the report that decides when a 100 TB job needs
     // salting (operators/Skew) before its group-by/join. Runs over the

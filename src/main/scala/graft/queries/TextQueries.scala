@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Dedup
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis suite over `documents`: language ID (stopword heuristic),
@@ -523,6 +524,48 @@ object TextQueries {
              |FROM b GROUP BY 1
              |ORDER BY n_occurrences DESC, bigram
              |LIMIT 100""".stripMargin)),
+
+    // Unigram language-model scoring: corpus-trained token log-probs →
+    // per-document mean surprisal, the classic LM-based quality filter
+    // (low mean logprob = gibberish/boilerplate candidates). Per-token
+    // logprobs round to 4dp and sum in DECIMAL so partial-agg order can
+    // never move the result; the vocab joins back on the term equi-key
+    // (broadcast at this SF, shuffle join at 100 TB — either is one pass).
+    GraftQuery("t_unigram_logprob",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        // corpus token total as a broadcast one-row aggregate (the BM25
+        // pattern) — never a window over the whole vocab
+        val total = toks.agg(count(lit(1)).as("total"))
+        val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+          .crossJoin(broadcast(total))
+          .withColumn("logprob",
+            round(log(col("tf").cast("double") / col("total")), 4)
+              .cast("decimal(18,4)"))
+          .select(col("term"), col("logprob"))
+        toks.join(vocab, Seq("term"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            // decimal sum → double FIRST, then one double division: both
+            // engines' decimal-division scale rules never enter the plan
+            round(sum(col("logprob")).cast("double") / count(lit(1)), 6)
+              .as("mean_logprob"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents
+             |), v AS (
+             |  SELECT term,
+             |         CAST(round(ln(count(*)::DOUBLE / sum(count(*)) OVER ()), 4)
+             |              AS DECIMAL(18,4)) AS logprob
+             |  FROM t GROUP BY term
+             |)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |       round(CAST(sum(logprob) AS DOUBLE) / count(*), 6)
+             |         AS mean_logprob
+             |FROM t JOIN v USING (term)
+             |GROUP BY 1""".stripMargin)),
 
     // Corpus composition card: per-(lang, source) doc/token/char volumes
     // plus exact median document length — the summary table every dataset

@@ -265,6 +265,34 @@ object VectorQueries {
              |  FROM embeddings)
              |SELECT bucket, count(*) AS n_vecs FROM b GROUP BY 1""".stripMargin)),
 
+    // Filtered vector search: exact top-k restricted by a metadata
+    // predicate — the "filtered ANN" production shape. The filter sits on
+    // the corpus side BEFORE any distance math, so it reaches the parquet
+    // scan (PlanSpec asserts the pushdown); scoring cost scales with the
+    // filtered corpus, not the full one.
+    GraftQuery("v_filtered_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Vectors.bruteForceTopK(emb.filter(col("label") === 3),
+          emb.filter(col("vec_id") < 10), k = 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+              |             sqrt(${dotSql("embedding", "embedding")}) AS qn
+              |           FROM embeddings WHERE vec_id < 10),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS ne,
+              |        sqrt(${dotSql("embedding", "embedding")}) AS nn
+              |      FROM embeddings WHERE label = 3),
+              |p AS (SELECT query_id, neighbor_id,
+              |        ${dotSql("qe", "ne")} / (qn * nn) AS cos
+              |      FROM q, c WHERE query_id <> neighbor_id),
+              |r AS (SELECT query_id, neighbor_id, cos,
+              |        row_number() OVER (PARTITION BY query_id
+              |                           ORDER BY cos DESC, neighbor_id) AS rank
+              |      FROM p)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |       round(cos, 6) AS cos
+              |FROM r WHERE rank <= 5""".stripMargin)),
+
     // IVF-PQ composition: coarse cluster pruning + ADC code scoring — the
     // production ANN index shape. The oracle replays BOTH deterministic
     // builds (IVF coarse centroids and PQ codebooks: lowest-id seeds, one

@@ -237,6 +237,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"quantization pass shuffles:\n$p")
   }
 
+  test("filtered vector search pushes the metadata predicate into the scan") {
+    val p = plan("v_filtered_topk")
+    // the label filter must hit the parquet reader, BEFORE any distance math
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)"),
+      s"label filter not pushed:\n$p")
+  }
+
   test("corpus stats aggregate partially before the group shuffle") {
     val p = plan("t_corpus_stats")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
