@@ -183,6 +183,24 @@ object Vectors {
     cents
   }
 
+  /** Append a new vector batch to a materialized IVF index WITHOUT a
+    * rebuild: assign each vector to its nearest existing (frozen) centroid
+    * and append parquet files into just the touched cluster partitions.
+    * This is how a 100 TB index absorbs a daily embedding delta — one
+    * map-only pass over the batch; existing partitions' files are never
+    * rewritten, and probes see old + new vectors through the same
+    * partition-pruned scan. Re-train centroids only when recall drifts
+    * (the standard IVF operating practice).
+    */
+  def ivfAppendToIndex(batch: DataFrame, path: String,
+                       cents: Array[Array[Float]]): Unit = {
+    graft.plans.GraftFunctions.register(batch.sparkSession)
+    batch.select(col("vec_id"), col("embedding"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("nrm"),
+      assignCluster(col("embedding"), cents).as("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+  }
+
   /** [[ivfTopK]] against a materialized index: the `cluster.isin(...)`
     * filter prunes parquet partitions at planning time — the scan never
     * touches the other clusters' files. Probe set must be small enough to

@@ -95,6 +95,30 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF index append under frozen centroids equals a one-shot write") {
+    val emb = Tables.embeddings(spark, testDataDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    // index built from the first half; the second half appended later
+    // under the SAME frozen centroids
+    val firstHalf = emb.filter(col("vec_id") % 2 === 0)
+    val cents = Vectors.ivfWriteIndex(firstHalf, s"$base/grown",
+      numClusters = 16, dim = 64)
+    Vectors.ivfAppendToIndex(emb.filter(col("vec_id") % 2 === 1),
+      s"$base/grown", cents)
+    // reference: the full corpus written in one shot with those centroids
+    Vectors.ivfAppendToIndex(emb, s"$base/oneshot", cents)
+    val grown = Vectors.ivfTopKFromIndex(spark, s"$base/grown", probes,
+      cents, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val oneshot = Vectors.ivfTopKFromIndex(spark, s"$base/oneshot", probes,
+      cents, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(grown == oneshot)
+    // every corpus vector is present exactly once after the append
+    assert(spark.read.parquet(s"$base/grown").count() == emb.count())
+  }
+
   test("IVF-PQ equals plain PQ-ADC when pruning is disabled, keeps recall when on") {
     val emb = Tables.embeddings(spark, testDataDir)
     val probes = emb.filter(col("vec_id") < 10)
