@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream joins — the §2.9 shape the batch interval join
+  * (`Enrich.intervalJoin`) takes when both sides are unbounded.
+  *
+  * Reference analogue: the repair loop re-joins late events to their
+  * session context (`eventprocessor.py:244-367`); declaratively that is a
+  * watermarked interval join — Spark buffers each side's state only until
+  * the watermark proves no matching row can still arrive, then evicts.
+  */
+object StreamJoins {
+
+  /** Inner interval join of two event streams on `user_id`, keeping right
+    * rows within `[left.ts - windowSeconds, left.ts]` — the streaming
+    * attribution shape ("purchase joined to the clicks that preceded it").
+    *
+    * Both sides MUST carry the event-time range condition so Spark can
+    * bound join state: each side's buffer holds at most
+    * `watermarkDelay + windowSeconds` of data per user key — O(window),
+    * not O(stream). Columns: left keeps its names, right's `ts`/`event_id`
+    * are prefixed `r_`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, windowSeconds: Long,
+                   watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    val r = right
+      .withColumnRenamed("ts", "r_ts")
+      .withColumnRenamed("event_id", "r_event_id")
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      l("user_id") === r("user_id") &&
+        col("r_ts") >= col("ts") - expr(s"interval $windowSeconds seconds") &&
+        col("r_ts") <= col("ts"))
+      .drop(r("user_id"))
+  }
+}

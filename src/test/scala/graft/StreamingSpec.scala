@@ -43,6 +43,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch join across micro-batch splits") {
+    import graft.streaming.StreamJoins
+    import spark.implicits._
+    val purchases = Seq(ev(1, base + 200, 100), ev(2, base + 4200, 101),
+      ev(3, base + 9000, 102))
+    val clicks = fixture
+    val pIn = MemoryStream[SessionEvent](spark)
+    val cIn = MemoryStream[SessionEvent](spark)
+    val out = StreamJoins.intervalJoin(pIn.toDS().toDF(), cIn.toDS().toDF(),
+      windowSeconds = 300L, watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").start()
+    // interleave the sides across micro-batches: join state must buffer
+    val (c1, c2) = clicks.splitAt(3)
+    cIn.addData(c1); q.processAllAvailable()
+    pIn.addData(purchases.take(2)); q.processAllAvailable()
+    cIn.addData(c2); pIn.addData(purchases.drop(2)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sjoin")
+      .select("user_id", "event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = StreamJoins.intervalJoin(purchases.toDF(), clicks.toDF(),
+      windowSeconds = 300L, watermarkDelay = "1 hour")
+      .select("user_id", "event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // sanity: user 1's purchase at +200 attributes to clicks at +0/+100,
+    // NOT the one at +5000
+    assert(batch.contains((1L, 100L, 1L)) && batch.contains((1L, 100L, 2L)))
+    assert(!batch.exists(t => t._1 == 1L && t._3 == 3L))
+  }
+
   test("sessionWindowStats (batch mode) matches gap-based sessionStats") {
     import spark.implicits._
     val df = fixture.toDF()
