@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout optimization: Z-order (Morton) clustering, so parquet
+  * row-group min/max statistics stay selective on EVERY clustered column —
+  * not just the leading sort key. The 100 TB payoff: a point/range filter
+  * on any clustered column skips most files and row groups at scan time,
+  * the same mechanism behind Delta/Iceberg `OPTIMIZE ZORDER BY`.
+  *
+  * All pure column arithmetic (the same interleaved-bit discipline as
+  * `Enrich.geohash`): min/max normalization to `bits`-bit integers, then
+  * bit interleaving — no UDF, fully codegen'd. The min/max stats come from
+  * ONE tiny one-row aggregate (broadcast), the standard pre-pass any
+  * layout optimizer runs.
+  */
+object Layout {
+
+  /** Morton key of `cols` (numeric): each column normalized to
+    * [0, 2^bits) by its [lo, hi] bound columns, then bit j of column i
+    * interleaved into position `j * n + i`. `n * bits` must fit a long. */
+  private[sources] def mortonKey(cols: Seq[(Column, Column, Column)],
+                                 bits: Int): Column = {
+    val n = cols.size
+    require(n * bits <= 62, s"$n cols × $bits bits overflows a long")
+    val scaled = cols.map { case (c, lo, hi) =>
+      // degenerate range → 0; else scale into [0, 2^bits - 1]
+      when(hi === lo, lit(0L)).otherwise(
+        least(greatest(
+          floor((c.cast("double") - lo) / (hi - lo) * ((1L << bits) - 1)),
+          lit(0.0)), lit(((1L << bits) - 1).toDouble)).cast("long"))
+    }
+    (0 until bits).flatMap { j =>
+      scaled.zipWithIndex.map { case (v, i) =>
+        shiftleft(shiftright(v, j).bitwiseAND(1L), j * n + i).cast("long")
+      }
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` clustered by the Z-order of `clusterCols` into `numFiles`
+    * range-partitioned, internally sorted files. Each output file covers a
+    * compact Morton range, so its footer min/max on every clustered column
+    * is narrow — filters on any of them prune files AND row groups. */
+  def writeZOrdered(df: DataFrame, outPath: String, clusterCols: Seq[String],
+                    numFiles: Int, bits: Int = 16): Unit = {
+    val statExprs = clusterCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max")))
+    val statsRow = df.agg(statExprs.head, statExprs.tail: _*)
+    val key = mortonKey(clusterCols.map(c =>
+      (col(c), col(s"${c}_min"), col(s"${c}_max"))), bits)
+    df.crossJoin(broadcast(statsRow))
+      .withColumn("_zkey", key)
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .select(df.columns.map(col): _*)
+      .write.mode("overwrite").parquet(outPath)
+  }
+}

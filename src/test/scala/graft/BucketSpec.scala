@@ -48,4 +48,46 @@ class BucketSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
+
+  test("z-ordered layout narrows per-file min/max on BOTH clustered columns") {
+    import graft.sources.Layout
+    val ev = Tables.events(spark, testDataDir)
+      .select("event_id", "user_id", "value")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString + "/z"
+    Layout.writeZOrdered(ev, out, Seq("user_id", "value"), numFiles = 8)
+
+    val back = spark.read.parquet(out)
+    // data parity: clustering is a layout change, never a data change
+    assert(back.count() == ev.count())
+    assert(back.agg(sum("event_id")).head.getLong(0) ==
+      ev.agg(sum("event_id")).head.getLong(0))
+
+    // per-file spread of each clustered column vs its global spread: a
+    // z-ordered file covers a compact Morton range, so BOTH columns'
+    // footer ranges must be materially narrower than the whole table's —
+    // that narrowing is exactly what row-group/file skipping prunes on
+    def spreads(df: org.apache.spark.sql.DataFrame, c: String): Seq[Double] =
+      df.groupBy(input_file_name())
+        .agg((max(col(c)).cast("double") - min(col(c)).cast("double"))
+          .as("spread"))
+        .collect().map(_.getDouble(1)).toSeq
+    val global = ev.agg(
+      (max(col("user_id")) - min(col("user_id"))).cast("double"),
+      (max(col("value")) - min(col("value"))).cast("double")).head
+    val uSpread = spreads(back, "user_id").sum / 8 / global.getDouble(0)
+    val vSpread = spreads(back, "value").sum / 8 / global.getDouble(1)
+    assert(uSpread < 0.8, s"user_id avg file spread $uSpread of global")
+    assert(vSpread < 0.8, s"value avg file spread $vSpread of global")
+    // and a single-column sort can NOT deliver that: sorting by user_id
+    // alone leaves value's per-file spread at ~the full range
+    val sortedOut = out + "_sorted"
+    ev.repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(sortedOut)
+    val sortedBack = spark.read.parquet(sortedOut)
+    val vSortedSpread = spreads(sortedBack, "value").sum / 8 / global.getDouble(1)
+    assert(vSpread < vSortedSpread,
+      s"z-order value spread $vSpread !< single-sort $vSortedSpread")
+  }
 }
