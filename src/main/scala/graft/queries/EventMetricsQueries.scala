@@ -778,6 +778,24 @@ object EventMetricsQueries {
              |       CAST(sum(monetary) AS DOUBLE) AS segment_value
              |FROM q GROUP BY 1, 2, 3""".stripMargin)),
 
+    // Fixed-width numeric histogram of the value column (the width_bucket
+    // shape): one hash agg, bins computed in-row — the complement of the
+    // exact-quantile battery for distribution dashboards.
+    GraftQuery("a_value_histogram",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(least(floor(col("value") / 50), lit(9)).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .withColumn("bin_lo", col("bin") * 50.0)
+        .select(col("bin"), col("bin_lo"), col("n_events"), col("sum_value")),
+      Some("""SELECT CAST(least(floor(value / 50), 9) AS BIGINT) AS bin,
+             |       CAST(least(floor(value / 50), 9) AS BIGINT) * 50.0 AS bin_lo,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // Volume-anomaly detection: per-type daily counts vs a trailing 7-day
     // window, z-scored. The window carries exact BIGINT (count, sum, sum of
     // squares) — mean/variance derive from them in ONE fixed double

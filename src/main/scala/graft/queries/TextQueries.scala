@@ -525,6 +525,42 @@ object TextQueries {
              |ORDER BY n_occurrences DESC, bigram
              |LIMIT 100""".stripMargin)),
 
+    // BPE merge-pair counting — one round of byte-pair-encoding tokenizer
+    // training: adjacent character-pair frequencies weighted by word
+    // frequency. Pair extraction runs on the DISTINCT-word table (vocab-
+    // sized, not corpus-sized — the standard BPE trick), weighted by the
+    // word counts from one corpus pass; 2-char substrings via sequence()
+    // keep it a pure projection between the two hash aggs.
+    GraftQuery("t_bpe_pairs",
+      (s, dir) => {
+        val wc = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+          .filter(length(col("word")) >= 2)
+        wc.select(col("wf"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"))
+          .as("pair"))
+          .groupBy(col("pair"))
+          .agg(sum(col("wf")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("pair"))
+          .limit(50)
+      },
+      Some("""WITH w AS (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+             |), wc AS (
+             |  SELECT word, count(*) AS wf FROM w GROUP BY 1
+             |  HAVING length(word) >= 2
+             |), p AS (
+             |  SELECT wf, unnest(list_transform(
+             |           generate_series(1, length(word) - 1),
+             |           i -> substr(word, i, 2))) AS pair
+             |  FROM wc
+             |)
+             |SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_count
+             |FROM p GROUP BY 1
+             |ORDER BY pair_count DESC, pair
+             |LIMIT 50""".stripMargin)),
+
     // Unigram language-model scoring: corpus-trained token log-probs →
     // per-document mean surprisal, the classic LM-based quality filter
     // (low mean logprob = gibberish/boilerplate candidates). Per-token
