@@ -26,6 +26,19 @@ object Sampling {
   def deterministicSample(df: DataFrame, id: Column, fraction: Double): DataFrame =
     df.filter(hashUnit(id) < fraction)
 
+  /** Exactly-k-per-group deterministic sample: rank each group's rows by
+    * the id hash and keep the k smallest — a reproducible reservoir with a
+    * FIXED size per stratum (rate-based gates give binomial sizes). One
+    * group-key shuffle; the row_number window runs as WindowGroupLimit, so
+    * each partition pre-prunes to its local top-k before the exchange. */
+  def fixedSizePerGroup(df: DataFrame, id: Column, group: Column,
+                        k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(hashUnit(id).asc, id.asc)
+    df.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k).drop("_rank")
+  }
+
   /** Weighted Bernoulli sampling: keep probability = weight/weightScale,
     * clamped to 1 — length- or quality-proportional corpus selection as a
     * shuffle-free deterministic gate (the linear-arithmetic form; rank

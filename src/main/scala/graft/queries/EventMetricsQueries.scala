@@ -778,6 +778,36 @@ object EventMetricsQueries {
              |       CAST(sum(monetary) AS DOUBLE) AS segment_value
              |FROM q GROUP BY 1, 2, 3""".stripMargin)),
 
+    // Approximate quantiles with a graded error bound — the t-digest/KLL
+    // parity path, same discipline as the graded HLL entry: sketch values
+    // are implementation-defined, so the row carries the exact percentiles
+    // plus approx_ok = "approx p50/p95 lands within the exact p45–p55 /
+    // p90–p99 rank band"; the oracle asserts TRUE, so an out-of-band
+    // sketch fails the gate.
+    GraftQuery("a_quantile_approx",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("exact_p50"),
+          expr("percentile(value, 0.95)").as("exact_p95"),
+          expr("percentile(value, 0.45)").as("lo50"),
+          expr("percentile(value, 0.55)").as("hi50"),
+          expr("percentile(value, 0.90)").as("lo95"),
+          expr("percentile(value, 0.99)").as("hi95"),
+          percentile_approx(col("value"), lit(0.5), lit(2000)).as("a50"),
+          percentile_approx(col("value"), lit(0.95), lit(2000)).as("a95"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          round(col("exact_p50"), 6).as("exact_p50"),
+          round(col("exact_p95"), 6).as("exact_p95"), col("n"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50") &&
+            col("a95") >= col("lo95") && col("a95") <= col("hi95"))
+            .as("approx_ok")),
+      Some("""SELECT event_type,
+             |       round(quantile_cont(value, 0.5), 6) AS exact_p50,
+             |       round(quantile_cont(value, 0.95), 6) AS exact_p95,
+             |       count(*) AS n, TRUE AS approx_ok
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // Fixed-width numeric histogram of the value column (the width_bucket
     // shape): one hash agg, bins computed in-row — the complement of the
     // exact-quantile battery for distribution dashboards.

@@ -205,6 +205,26 @@ object TextQueries {
              |             WHEN lang = 'es' THEN 0.25
              |             ELSE 0.1 END""".stripMargin)),
 
+    // Exactly-k-per-stratum deterministic sample: fixed-size reproducible
+    // reservoir per language (hash-ranked; rate gates give binomial sizes,
+    // this gives exact ones — the eval-set construction shape).
+    GraftQuery("t_per_group_sample",
+      (s, dir) => graft.operators.Sampling.fixedSizePerGroup(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"), k = 20),
+      Some("""WITH h AS (
+             |  SELECT doc_id, lang,
+             |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+             |           / 1152921504606846976.0 AS hu
+             |  FROM documents
+             |), r AS (
+             |  SELECT doc_id, lang,
+             |         row_number() OVER (PARTITION BY lang
+             |                            ORDER BY hu, doc_id) AS rn
+             |  FROM h
+             |)
+             |SELECT doc_id, lang FROM r WHERE rn <= 20""".stripMargin)),
+
     // Length-weighted deterministic sampling: keep probability
     // n_chars/600 (clamped) — the quality/length-proportional corpus
     // selection pass, as the same shuffle-free hash gate as the uniform
