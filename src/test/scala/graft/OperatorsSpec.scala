@@ -616,6 +616,29 @@ class OperatorsSpec extends SparkSpec {
     assert(viaPartials == direct)
   }
 
+  test("BPE merge learning reproduces the textbook example") {
+    import spark.implicits._
+    // the classic BPE illustration: low×5, lower×2, newest×6, widest×3
+    val wf = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "freq")
+    val merges = Bpe.learnMerges(wf, rounds = 4)
+    // round 1: "es" appears in newest(6) + widest(3) = 9 — the known winner
+    assert(merges.head == ("e", "s", 9L), s"got ${merges.head}")
+    // round 2: "es"+"t" in the same words = 9
+    assert(merges(1) == ("es", "t", 9L), s"got ${merges(1)}")
+    // merged symbols must reproduce when replayed over the words
+    val toked = Bpe.applyMerges(wf, merges.take(2))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(toked("newest") == "n e w est")
+    assert(toked("widest") == "w i d est")
+    assert(toked("low") == "l o w")
+    // greedy left-to-right fuse on repeats: "a a a" with merge (a,a)
+    val rep = Seq(("aaa", 1L)).toDF("word", "freq")
+    val m2 = Bpe.learnMerges(rep, rounds = 1)
+    assert(m2.head == ("a", "a", 2L)) // both adjacent positions count
+    assert(Bpe.applyMerges(rep, m2).collect()(0).getString(2) == "aa a")
+  }
+
   test("snapshotDiff classifies all four change types, including removed") {
     import spark.implicits._
     val oldSnap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
