@@ -222,8 +222,14 @@ object Joins {
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
                    compareCols: Seq[String]): DataFrame = {
+    // xxhash64 leaves the running hash untouched for NULL children, so
+    // (NULL, 'x') and ('x', NULL) would collide — a moved value would read
+    // as 'unchanged'. Hash an explicit null flag next to each value so
+    // NULLs occupy a position of their own.
     def fp(df: DataFrame, side: String): DataFrame =
-      df.select(col(key), xxhash64(compareCols.map(col): _*).as(s"${side}_fp"))
+      df.select(col(key), xxhash64(compareCols.flatMap(c => Seq(
+        col(c).isNull.cast("int"),
+        coalesce(col(c).cast("string"), lit("")))): _*).as(s"${side}_fp"))
     fp(oldSnap, "old").join(fp(newSnap, "new"), Seq(key), "full_outer")
       .withColumn("change_type",
         when(col("old_fp").isNull, lit("added"))

@@ -172,13 +172,18 @@ object Vectors {
     * filter becomes partition pruning, so only nprobe/numClusters of the
     * corpus bytes are ever read (PlanSpec asserts the PartitionFilters).
     * Returns the centroids to query with. */
+  /** The one on-disk index row shape, shared by write and append so the
+    * two paths can never drift schemas inside one parquet directory. */
+  private def indexRows(df: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("nrm"),
+      assignCluster(col("embedding"), cents).as("cluster"))
+
   def ivfWriteIndex(corpus: DataFrame, path: String, numClusters: Int,
                     dim: Int): Array[Array[Float]] = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val cents = ivfCentroids(corpus, numClusters, dim)
-    corpus.select(col("vec_id"), col("embedding"),
-      sqrt(dotNative(col("embedding"), col("embedding"))).as("nrm"),
-      assignCluster(col("embedding"), cents).as("cluster"))
+    indexRows(corpus, cents)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
     cents
   }
@@ -195,9 +200,7 @@ object Vectors {
   def ivfAppendToIndex(batch: DataFrame, path: String,
                        cents: Array[Array[Float]]): Unit = {
     graft.plans.GraftFunctions.register(batch.sparkSession)
-    batch.select(col("vec_id"), col("embedding"),
-      sqrt(dotNative(col("embedding"), col("embedding"))).as("nrm"),
-      assignCluster(col("embedding"), cents).as("cluster"))
+    indexRows(batch, cents)
       .write.mode("append").partitionBy("cluster").parquet(path)
   }
 
@@ -291,11 +294,6 @@ object Vectors {
         .as("codes"))
   }
 
-  /** Approximate top-k via asymmetric distance computation (ADC): each
-    * probe precomputes its L2² distance to every sub-centroid (an m×k
-    * table, built once per probe), then a corpus vector's distance is m
-    * array lookups over its codes — no float math per corpus element. The
-    * probe side (with tables) broadcasts; the corpus side streams codes. */
   /** Probe-side ADC distance tables: per subspace, the probe's L2²
     * distance to each sub-centroid (an m×k array-of-arrays built once per
     * probe row, constant-folded centroids). */
@@ -316,6 +314,11 @@ object Vectors {
       (c, t) => element_at(t, c.cast("int") + 1)),
     lit(0.0), (acc, x) => acc + x)
 
+  /** Approximate top-k via asymmetric distance computation (ADC): each
+    * probe precomputes its L2² distance to every sub-centroid (an m×k
+    * table, built once per probe), then a corpus vector's distance is m
+    * array lookups over its codes — no float math per corpus element. The
+    * probe side (with tables) broadcasts; the corpus side streams codes. */
   def pqAdcTopK(corpusCodes: DataFrame, probes: DataFrame,
                 cents: Array[Array[Array[Float]]], k: Int,
                 dim: Int): DataFrame = {

@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Dedup
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis suite over `documents`: language ID (stopword heuristic),
@@ -592,9 +591,11 @@ object TextQueries {
         val toks = Tables.documents(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         // corpus token total as a broadcast one-row aggregate (the BM25
-        // pattern) — never a window over the whole vocab
-        val total = toks.agg(count(lit(1)).as("total"))
-        val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        // pattern) — derived from the vocab counts, so the corpus is never
+        // exploded a second time just for one number
+        val vocabCounts = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        val total = vocabCounts.agg(sum(col("tf")).as("total"))
+        val vocab = vocabCounts
           .crossJoin(broadcast(total))
           .withColumn("logprob",
             round(log(col("tf").cast("double") / col("total")), 4)

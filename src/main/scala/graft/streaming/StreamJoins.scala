@@ -20,15 +20,15 @@ object StreamJoins {
     * Both sides MUST carry the event-time range condition so Spark can
     * bound join state: each side's buffer holds at most
     * `watermarkDelay + windowSeconds` of data per user key — O(window),
-    * not O(stream). Columns: left keeps its names, right's `ts`/`event_id`
-    * are prefixed `r_`.
+    * not O(stream). Columns: left keeps its names; every right column
+    * except the `user_id` join key is prefixed `r_`, so same-named
+    * payload columns (event_type, value, …) never become ambiguous.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, windowSeconds: Long,
                    watermarkDelay: String): DataFrame = {
     val l = left.withWatermark("ts", watermarkDelay)
-    val r = right
-      .withColumnRenamed("ts", "r_ts")
-      .withColumnRenamed("event_id", "r_event_id")
+    val r = right.columns.filter(_ != "user_id")
+      .foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
       .withWatermark("r_ts", watermarkDelay)
     l.join(r,
       l("user_id") === r("user_id") &&

@@ -652,5 +652,15 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
       4L -> "removed", 5L -> "added"))
+    // NULL discipline: a value MOVING between columns (swapping with NULL)
+    // must read as changed — xxhash64 alone would skip the NULL child and
+    // collide the two fingerprints
+    val o2 = Seq((1L, Option.empty[String], Option("x")),
+      (2L, Option("y"), Option.empty[String])).toDF("k", "s", "v")
+    val n2 = Seq((1L, Option("x"), Option.empty[String]),
+      (2L, Option("y"), Option.empty[String])).toDF("k", "s", "v")
+    val got2 = Joins.snapshotDiff(o2, n2, "k", Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(1L -> "changed", 2L -> "unchanged"))
   }
 }

@@ -203,7 +203,7 @@ class PlanSpec extends SparkSpec {
     // first-occurrence window partitions by chunk text, reassembly
     // partial-aggregates on doc id — any third exchange is a regression
     val p = plan("d_chunk_dedup")
-    assert("(?m)^\\s*\\+?-? *Exchange".r.findAllIn(p).size == 2,
+    assert("(?m)^[\\s:+\\-|*]*Exchange".r.findAllIn(p).size == 2,
       s"expected exactly 2 exchanges:\n$p")
     // reassembly combines map-side before the doc exchange
     assert(p.contains("partial_count") || p.contains("ObjectHashAggregate"),
@@ -248,7 +248,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("t_corpus_stats")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"no map-side combine:\n$p")
-    assert("(?m)^\\s*\\+?-? *Exchange".r.findAllIn(p).size == 1,
+    assert("(?m)^[\\s:+\\-|*]*Exchange".r.findAllIn(p).size == 1,
       s"expected exactly 1 exchange:\n$p")
   }
 }
