@@ -441,6 +441,37 @@ object Vectors {
           size(col("err")), 9).as("mse"))
   }
 
+  /** Multi-probe LSH near-dup pairs: each vector ALSO probes the buckets
+    * one plane-flip away (the standard multi-probe trick — a vector near a
+    * hyperplane lands on either side run-to-run, so single-bucket LSH
+    * misses near-dups straddling a plane). Candidates = pairs sharing the
+    * true bucket of one side with a ≤1-bit-flip variant of the other; the
+    * exact-cosine verify pass then filters. Recall strictly dominates
+    * [[lshNearDupPairs]] at (numPlanes+1)× the candidate volume — still
+    * bucket-bounded, never n².
+    */
+  def lshMultiProbeNearDupPairs(df: DataFrame, dim: Int, numPlanes: Int,
+                                threshold: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val b = df.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, numPlanes).as("bucket"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("nrm"))
+    // probe side: the true bucket plus every 1-bit flip of it
+    val probed = b.withColumn("probe", explode(array(
+      (col("bucket") +: (0 until numPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*)))
+    probed.as("a").join(b.as("b"),
+      col("a.probe") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dotNative(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      // a pair can match through several probes — dedup before emitting
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+
   /** Same-bucket near-dup candidate pairs with exact cosine verification. */
   def lshNearDupPairs(df: DataFrame, dim: Int, numPlanes: Int,
                       threshold: Double): DataFrame = {

@@ -691,6 +691,33 @@ object EventMetricsQueries {
              |       max(dwell_us) AS max_dwell_us
              |FROM d WHERE dwell_us IS NOT NULL GROUP BY 1""".stripMargin)),
 
+    // Session-length distribution: how many sessions contain n events —
+    // the engagement histogram every usage dashboard ships. Composed from
+    // the ONE sessionizer + a second tiny agg over the per-session table.
+    GraftQuery("a_session_length_hist",
+      (s, dir) => Sessionize.sessionStats(
+        Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"),
+        GapSeconds)
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM events
+             |), s AS (
+             |  SELECT user_id, ts,
+             |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM g
+             |), b AS (
+             |  SELECT count(*) AS n_events
+             |  FROM s GROUP BY user_id, session_seq
+             |)
+             |SELECT n_events, count(*) AS n_sessions
+             |FROM b GROUP BY 1""".stripMargin)),
+
     // Concurrency curve: active sessions per hour bucket. NOT an interval
     // join against an hour spine (that plans as a broadcast nested loop) —
     // each session explodes into the hours it covers via sequence(), a pure

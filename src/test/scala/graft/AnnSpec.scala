@@ -95,6 +95,30 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall dominates single-bucket LSH, subset of exact pairs") {
+    val emb = Tables.embeddings(spark, testDataDir)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Vectors.lshNearDupPairs(emb, dim = 64,
+      numPlanes = 8, threshold = 0.95))
+    val multi = pairs(Vectors.lshMultiProbeNearDupPairs(emb, dim = 64,
+      numPlanes = 8, threshold = 0.95))
+    // same-bucket pairs are a subset of the multi-probe candidates
+    assert(single.subsetOf(multi),
+      s"multi-probe lost ${(single -- multi).size} single-bucket pairs")
+    // and every emitted pair is a true near-dup (the verify pass is exact):
+    // recompute cosine brute-force for each claimed pair
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    multi.foreach { case (i, j) =>
+      val (a, b) = (vecs(i), vecs(j))
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.map(k => x(k).toDouble * y(k).toDouble).sum
+      val cos = dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+      assert(cos >= 0.95 - 1e-9, s"pair ($i,$j) cos $cos below threshold")
+    }
+  }
+
   test("IVF index append under frozen centroids equals a one-shot write") {
     val emb = Tables.embeddings(spark, testDataDir)
     val probes = emb.filter(col("vec_id") < 10)
