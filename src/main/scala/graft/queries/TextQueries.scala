@@ -52,6 +52,52 @@ object TextQueries {
               |       ELSE 'fr' END AS predicted
               |FROM sc""".stripMargin)),
 
+    // Language-ID confusion matrix: declared vs predicted language counts
+    // plus per-cell share of the declared language's row — the eval
+    // cross-tab that tells you WHERE the classifier fails, not just how
+    // often. Same classifier as t_langid; one extra tiny agg + window over
+    // the |langs|² cells.
+    GraftQuery("t_langid_confusion",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        def score(stops: Seq[String]) =
+          size(filter(toks, t => t.isin(stops: _*)))
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, dir).select(col("lang"),
+          score(StopEn).as("s_en"), score(StopEs).as("s_es"),
+          score(StopDe).as("s_de"), score(StopFr).as("s_fr"))
+          .withColumn("predicted",
+            when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+              col("s_en") >= col("s_fr"), "en")
+              .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+              .when(col("s_de") >= col("s_fr"), "de")
+              .otherwise("fr"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("row_share", round(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(Window.partitionBy(col("lang"))), 6))
+      },
+      Some(s"""WITH d AS (SELECT lang, string_split(text, ' ') AS toks
+              |           FROM documents),
+              |sc AS (SELECT lang,
+              |  length(list_filter(toks, t -> t IN (${sqlList(StopEn)}))) AS s_en,
+              |  length(list_filter(toks, t -> t IN (${sqlList(StopEs)}))) AS s_es,
+              |  length(list_filter(toks, t -> t IN (${sqlList(StopDe)}))) AS s_de,
+              |  length(list_filter(toks, t -> t IN (${sqlList(StopFr)}))) AS s_fr
+              |  FROM d),
+              |p AS (SELECT lang,
+              |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+              |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+              |       WHEN s_de >= s_fr THEN 'de'
+              |       ELSE 'fr' END AS predicted
+              |  FROM sc),
+              |c AS (SELECT lang, predicted, count(*) AS n_docs
+              |      FROM p GROUP BY 1, 2)
+              |SELECT lang, predicted, n_docs,
+              |       round(n_docs::DOUBLE /
+              |             sum(n_docs) OVER (PARTITION BY lang), 6) AS row_share
+              |FROM c""".stripMargin)),
+
     // Quality scoring: token stats + stopword ratio → composite score.
     GraftQuery("t_quality",
       (s, dir) => {
