@@ -25,7 +25,8 @@ object Bench {
     "a_hll_partial_merge", // re-aggregable HLL sketch rollup
     "q3_shipping_priority",// selective-dim fact join + global top-k
     "t_top_ngrams",        // bigram explosion with map-side combine
-    "v_int8_quant")        // shuffle-free quantization projection
+    "v_int8_quant",        // shuffle-free quantization projection
+    "v_ivfpq_topk")        // composed ANN index: build + pruned ADC scan
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

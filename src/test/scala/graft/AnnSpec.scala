@@ -167,6 +167,18 @@ class AnnSpec extends SparkSpec {
     assert(recalls.sum / recalls.size > 0.2,
       s"mean recall ${recalls.sum / recalls.size}")
     assert(pruned.size == exact.size)
+    // the materialized index serves the SAME answers, with the cluster
+    // filter reaching the scan as partition pruning
+    val (coarse, books) = Vectors.ivfPqModel(emb, numClusters = 16,
+      m = 8, pqK = 16, dim = 64)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq").toString + "/index"
+    Vectors.ivfPqWriteIndex(emb, path, coarse, books, dim = 64)
+    val fromIndex = Vectors.ivfPqTopKFromIndex(spark, path, probes,
+      coarse, books, k = 5, nprobe = 4, dim = 64)
+    assert(fromIndex.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [cluster"))
+    assert(topkSet(fromIndex) == pruned)
   }
 
   test("hard negatives: labels always differ, scores dominated by unrestricted top-k") {
