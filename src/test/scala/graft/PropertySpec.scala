@@ -146,4 +146,45 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: int8 quantization error never exceeds half a step, any vector") {
+    val vecGen = Gen.choose(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e4f, 1e4f, 0f, Float.MinPositiveValue)))
+    check(Prop.forAll(Gen.nonEmptyListOf(vecGen)) { vecs =>
+      val df = spark.createDataFrame(
+        vecs.zipWithIndex.map { case (v, i) =>
+          Row(i.toLong, v.toArray)
+        }.asJava,
+        T.StructType(Seq(T.StructField("vec_id", T.LongType),
+          T.StructField("embedding", T.ArrayType(T.FloatType)))))
+      graft.operators.Vectors.int8Quantize(df).collect().forall { r =>
+        val (scale, maxErr) = (r.getDouble(1), r.getDouble(3))
+        val codes = r.getString(2).split(",").map(_.toInt)
+        codes.forall(c => c >= -127 && c <= 127) &&
+          maxErr <= scale / 254.0 + 1e-6
+      }
+    })
+  }
+
+  test("property: snapshotDiff matches a sequential map diff, any snapshots") {
+    val snapGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 15L),
+      Gen.option(Gen.alphaStr.map(_.take(3)))))
+    check(Prop.forAll(snapGen, snapGen) { (o, n) =>
+      val expected = (o.keySet ++ n.keySet).map { k =>
+        k -> ((o.get(k), n.get(k)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (a, b) if a == b => "unchanged"
+          case _ => "changed"
+        })
+      }.toMap
+      def df(m: Map[Long, Option[String]]) = spark.createDataFrame(
+        m.toSeq.map { case (k, v) => Row(k, v.orNull) }.asJava,
+        T.StructType(Seq(T.StructField("k", T.LongType),
+          T.StructField("v", T.StringType))))
+      val got = Joins.snapshotDiff(df(o), df(n), "k", Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got == expected
+    })
+  }
 }
