@@ -26,7 +26,10 @@ object Bench {
     "q3_shipping_priority",// selective-dim fact join + global top-k
     "t_top_ngrams",        // bigram explosion with map-side combine
     "v_int8_quant",        // shuffle-free quantization projection
-    "v_ivfpq_topk")        // composed ANN index: build + pruned ADC scan
+    "v_ivfpq_topk",        // serve from materialized IVF-PQ index (build amortized once)
+    "j3_closure_pairs",    // iterative BFS/path-doubling closure (multi-job)
+    "t_bpe_pairs",         // BPE pair-count round (distinct-word table)
+    "j1_equi_normalized")  // normalized-ID equi-join (J1 scale path)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

@@ -194,6 +194,31 @@ object MetricsApi {
   def interpretJson(spark: SparkSession, dir: String, json: String): DataFrame =
     interpret(spark, dir, parse(json))
 
+  /** The reference's `/metrics/filters` catalog route (`app.py:29-31`):
+    * the filter types the interpreter accepts together with their
+    * enumerable value domains — (filter_type, value) rows served from the
+    * materialized dimensions (node/portal) plus the event-type domain.
+    * Unbounded-domain filter types (dataset/user ids, time ranges) are
+    * validated by the interpreter rather than enumerated, like the
+    * reference's catalog. Domains are dimension-table-sized (a handful of
+    * rows each), so the whole catalog is a cheap union of distincts over
+    * already-checkpointed dims — no fact-table rescan beyond the
+    * event-type distinct. */
+  def filtersCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val node = IdentifierDim.nodeDim(spark, dir)
+    Tables.events(spark, dir)
+      .select(lit("eventType").as("filter_type"),
+        col("event_type").as("value")).distinct()
+      .unionByName(node.select(lit("repository").as("filter_type"),
+        col("node_id").as("value")).distinct())
+      .unionByName(node.select(lit("country").as("filter_type"),
+        col("country").as("value")).distinct())
+      .unionByName(IdentifierDim.portalDim(spark, dir)
+        .select(lit("portal").as("filter_type"),
+          concat(lit("portal-"), col("portal_id").cast("string")).as("value"))
+        .distinct())
+  }
+
   /** The reference's column-oriented response shape: one row of parallel
     * arrays ordered by period, plus the `resultDetails` totals
     * (`metricsreader.py:315-323,1609-1615,1810-1814`). */

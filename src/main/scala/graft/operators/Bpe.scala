@@ -24,9 +24,12 @@ object Bpe {
 
   /** Learn `rounds` merges from a (word, freq) table. Returns the ordered
     * merge list, each as (left symbol, right symbol, weighted count).
-    * Stops early when no adjacent pair remains. */
+    * Stops early when no adjacent pair remains. Words containing the
+    * internal separator byte (hostile/binary corpus text) are dropped up
+    * front — they would corrupt the pair encoding — so untrusted input
+    * degrades gracefully instead of crashing the driver loop. */
   def learnMerges(wordFreq: DataFrame, rounds: Int): Seq[(String, String, Long)] = {
-    var seqs = wordFreq.select(
+    var seqs = wordFreq.filter(!col("word").contains(Sep)).select(
       concat_ws(" ", expr(
         "transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
         .as("syms"),

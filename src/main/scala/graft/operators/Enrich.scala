@@ -207,6 +207,19 @@ object Enrich {
 
   def isDoiLike(id: Column): Column = id.rlike(DoiPattern)
 
+  /** Canonical DOI core — the J1 scale-path normalization (SURVEY.md
+    * §7.4.3): strip scheme/resolver/`doi:` decoration down to the
+    * lower-cased `10.<prefix>/<suffix>` registry form, so identifier
+    * matching becomes an EQUI-join on this value instead of the
+    * reference's substring containment scan (`metricsreader.py:440-462`).
+    * Uses only RE2-safe constructs so the identical pattern string drives
+    * both Spark and the DuckDB oracle. Non-DOI input yields `''` (Spark's
+    * regexp_extract no-match value) — filter those out before joining. */
+  val DoiCorePattern: String = "(10\\.\\d{4,}(?:\\.\\d+)*/\\S+)"
+
+  def normalizeDoi(id: Column): Column =
+    lower(regexp_extract(id, DoiCorePattern, 1))
+
   def canonicalId(rules: Seq[(Column, Column)], fallback: Column): Column =
     rules.foldRight(fallback) { case ((pred, value), acc) =>
       when(pred, value).otherwise(acc)

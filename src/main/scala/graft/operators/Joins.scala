@@ -201,11 +201,53 @@ object Joins {
     * the fact's `haystackExpr`. Executed as a broadcast-nested-loop join —
     * only valid because the probe side is a small dimension (citations per
     * request in the reference). At 100 TB the right fix is ID normalization
-    * to an equi-join (SURVEY.md §7.4.3); this is the exact-parity fallback.
+    * to an equi-join (SURVEY.md §7.4.3) — that scale path is
+    * [[idMatchJoin]] mode `"scale"`; this is its exact-parity fallback.
     */
   def thetaContainsJoin(facts: DataFrame, probes: DataFrame,
                         haystackExpr: Column, targetExpr: Column): DataFrame =
     facts.join(broadcast(probes), contains(lower(haystackExpr), lower(targetExpr)))
+
+  /** J1 with a conformance switch — the identifier-match join behind the
+    * citation lookup (`metricsreader.py:440-462`, the reference's #1
+    * per-request cost):
+    *
+    *  - `"parity"`: replay the reference's substring containment exactly
+    *    ([[thetaContainsJoin]]). O(facts × probes) broadcast nested loop —
+    *    correct for small per-request probe sets, a scale-killer beyond
+    *    that.
+    *  - `"scale"` (default): normalize BOTH id expressions to the canonical
+    *    DOI core ([[Enrich.normalizeDoi]]) and plan a hash EQUI-join on the
+    *    canonical id. One shuffle (or a broadcast hash join when the probe
+    *    side is small), never a nested loop — the plan that survives real
+    *    citation volumes at 100 TB.
+    *
+    * The two modes agree whenever id variance is prefix/case decoration
+    * around a DOI core (the reference's actual data: `doi:`, resolver
+    * URLs, case) — the conformance delta is that `"scale"` requires a
+    * well-formed DOI on both sides (non-DOI rows drop; substring matches
+    * into a LONGER suffix, e.g. target `10.1/ab` inside `10.1/abc`, no
+    * longer match, which for identifier semantics is the correct
+    * tightening).
+    *
+    * Output carries the canonical id as `canonical_id` plus every fact and
+    * probe column (probe columns must not collide with fact columns).
+    */
+  def idMatchJoin(facts: DataFrame, probes: DataFrame,
+                  factId: Column, probeId: Column,
+                  mode: String = "scale"): DataFrame = mode match {
+    case "parity" => thetaContainsJoin(facts, probes, factId, probeId)
+    case "scale" =>
+      require(!(facts.columns ++ probes.columns).contains("canonical_id"),
+        "idMatchJoin reserves the column name canonical_id")
+      val f = facts.withColumn("canonical_id", Enrich.normalizeDoi(factId))
+        .filter(col("canonical_id") =!= "")
+      val p = probes.withColumn("canonical_id", Enrich.normalizeDoi(probeId))
+        .filter(col("canonical_id") =!= "")
+      f.join(p, Seq("canonical_id"))
+    case other => throw new IllegalArgumentException(
+      s"idMatchJoin mode must be parity|scale, got $other")
+  }
 
   /** Snapshot diff (CDC between two loads of the same table): classify every
     * key as `added` / `removed` / `changed` / `unchanged` by full-outer-
@@ -219,6 +261,12 @@ object Joins {
     * This is the reference's nightly "what changed since the last harvest"
     * step (`metricsdatabase.py:607-668` diffs citation batches by natural
     * key) as one declarative operator.
+    *
+    * PRECONDITION: `key` must be unique within each snapshot (it is the
+    * CDC natural key). Duplicate keys make the full-outer join emit
+    * multiplied rows with potentially contradictory `change_type` values
+    * for the same key — pre-aggregate to one fingerprint per key (e.g.
+    * xxhash64 over the sorted per-key row hashes) before calling.
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
                    compareCols: Seq[String]): DataFrame = {

@@ -237,6 +237,30 @@ object ApiQueries {
              |       OR (event_type = 'click' AND starts_with(props, '{"k": 1')))
              |GROUP BY 1""".stripMargin)),
 
+    // The `/metrics/filters` catalog route (reference `app.py:29-31`): the
+    // accepted filter types with their enumerable value domains, served
+    // from the materialized node/portal dimensions plus the event-type
+    // domain. The oracle rebuilds each domain from the dim-generating
+    // formulas over the distinct identifier set.
+    GraftQuery("api_filters_catalog",
+      (s, dir) => MetricsApi.filtersCatalog(s, dir),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events)
+             |SELECT 'eventType' AS filter_type, event_type AS value
+             |FROM (SELECT DISTINCT event_type FROM events)
+             |UNION ALL
+             |SELECT DISTINCT 'repository',
+             |       (['urn:node:A','urn:node:B','urn:node:C','urn:node:D','urn:node:E'])
+             |         [(user_id % 5 + 1)::INT]
+             |FROM u
+             |UNION ALL
+             |SELECT DISTINCT 'country',
+             |       (['US','DE','FR','BR','JP','IN','GB','CA','AU','NL'])
+             |         [(user_id % 10 + 1)::INT]
+             |FROM u
+             |UNION ALL
+             |SELECT DISTINCT 'portal', 'portal-' || (user_id % 7)
+             |FROM u""".stripMargin)),
+
     // Multimodal feature extraction: typed binary media records through the
     // mapPartitions pass, rolled up by mime. The payload carries a GENUINE
     // image header (33-byte PNG sig+IHDR chunk / 12-byte JPEG SOI+SOF0) that the

@@ -224,7 +224,9 @@ object EventMetricsQueries {
     // (the reference's `_jsonparsefailure` → sessionId=-1 path,
     // `metricselasticsearch.py:964-976`). Graded as counts: every valid
     // event reaches bronze exactly once, every malformed line is kept (not
-    // silently dropped), and nothing leaks across the split.
+    // silently dropped), and nothing leaks across the split. The returned
+    // DataFrame computes BOTH counts itself (two one-row aggregates,
+    // broadcast cross join) — no driver-side actions in the query body.
     GraftQuery("s2_quarantine_split",
       (s, dir) => {
         val base = Scratch.dir("quarantine", dir)
@@ -248,10 +250,10 @@ object EventMetricsQueries {
             s, s"$base/src", ev, s"$base/bronze", s"$base/quarantine",
             s"$base/cp", Map("timestampFormat" -> fmt))
         }
-        val nBronze = s.read.parquet(s"$base/bronze").count()
-        val nQuarantined = s.read.text(s"$base/quarantine").count()
-        s.range(1).select(lit(nBronze).as("n_bronze"),
-          lit(nQuarantined).as("n_quarantined"))
+        s.read.parquet(s"$base/bronze")
+          .agg(count(lit(1)).as("n_bronze"))
+          .crossJoin(s.read.text(s"$base/quarantine")
+            .agg(count(lit(1)).as("n_quarantined")))
       },
       Some("""SELECT (SELECT count(*) FROM events) AS n_bronze,
              |       CAST(7 AS BIGINT) AS n_quarantined""".stripMargin)),

@@ -57,6 +57,48 @@ object JoinQueries {
              |WHERE contains(lower(s.s_name), CAST(t.s_suppkey AS VARCHAR))
              |GROUP BY 1""".stripMargin)),
 
+    // J1 scale path: the same citation-lookup shape as j1_theta_contains,
+    // but via canonical-DOI normalization to a hash EQUI-join
+    // (Joins.idMatchJoin mode "scale" — SURVEY §7.4.3). Fact ids carry
+    // `doi:` decoration, probe ids carry resolver-URL decoration; both
+    // normalize to the same `10.5063/fk2<key>` core. PlanSpec asserts the
+    // executed plan contains no BroadcastNestedLoopJoin — the property the
+    // parity fallback cannot offer at real citation volumes
+    // (`metricsreader.py:440-462` is the reference's #1 per-request cost).
+    GraftQuery("j1_equi_normalized",
+      (s, dir) => {
+        val facts = Tables.orders(s, dir)
+          .select(concat(lit("doi:10.5063/FK2"),
+            col("o_orderkey").cast("string")).as("fact_id"),
+            col("o_totalprice"))
+        val probes = Tables.orders(s, dir)
+          .filter(col("o_orderkey") < 100)
+          .select(concat(lit("https://doi.org/10.5063/FK2"),
+            col("o_orderkey").cast("string")).as("probe_id"))
+        Joins.idMatchJoin(facts, probes, col("fact_id"), col("probe_id"))
+          .groupBy(col("canonical_id"))
+          .agg(count(lit(1)).as("n_matches"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_value"))
+      },
+      Some("""WITH f AS (
+             |  SELECT lower(regexp_extract('doi:10.5063/FK2' || o_orderkey,
+             |           '(10\.\d{4,}(?:\.\d+)*/\S+)', 1)) AS canonical_id,
+             |         o_totalprice
+             |  FROM orders
+             |), p AS (
+             |  SELECT lower(regexp_extract(
+             |           'https://doi.org/10.5063/FK2' || o_orderkey,
+             |           '(10\.\d{4,}(?:\.\d+)*/\S+)', 1)) AS canonical_id
+             |  FROM orders WHERE o_orderkey < 100
+             |)
+             |SELECT canonical_id, count(*) AS n_matches,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |         AS total_value
+             |FROM f JOIN p USING (canonical_id)
+             |WHERE canonical_id <> ''
+             |GROUP BY 1""".stripMargin)),
+
     // J2: obsolescence-chain rollup — resolve every order to its chain head
     // by pointer jumping, then sum over the chain with "last wins" for the
     // terminal value (`metricsreader.py:633-670`). The resolve is

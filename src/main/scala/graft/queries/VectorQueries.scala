@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   /** Per-corpus-dir IVF-PQ models: pure JVM float arrays (KBs), no Spark
-    * blocks pinned — safe to hold for the process lifetime. */
+    * blocks pinned — safe to hold for the process lifetime. ASSUMES the
+    * corpus dir is immutable for the JVM lifetime (true for the driver's
+    * read-only testdata): regenerating the parquet under the same path
+    * in-process would serve a stale model/index. A mutable-corpus
+    * deployment keys this cache on a content fingerprint (file listing +
+    * mtimes) instead. */
   private val ivfPqModels = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Float]], Array[Array[Array[Float]]])]()
 

@@ -155,6 +155,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("j1 scale mode plans a hash equi-join, never a nested loop") {
+    // the normalized-ID scale path (Joins.idMatchJoin "scale") must plan
+    // as a hash join on the canonical DOI — a BroadcastNestedLoopJoin here
+    // would mean the O(facts × probes) parity fallback leaked into the
+    // 100 TB path
+    val p = plan("j1_equi_normalized")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"scale mode still a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join in the scale plan:\n$p")
+  }
+
   test("geoip range lookup runs as an equi-join, not a nested loop") {
     val p = plan("f_geoip_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"))
