@@ -218,6 +218,77 @@ object EventMetricsQueries {
              |            AS BIGINT) AS session_seq
              |FROM g""".stripMargin)),
 
+    // §2.9 stream-stream interval join in the hard gate: purchase and click
+    // feeds joined BY the streaming engine (StreamJoins.intervalJoin —
+    // watermark-bounded state, the reference's late-event repair loop
+    // `eventprocessor.py:244-367` as a declarative join), matched pairs
+    // appended to parquet, then rolled up per user. Oracle: the batch
+    // interval-join SQL (same shape as j12_interval_join's oracle).
+    GraftQuery("w_stream_interval",
+      (s, dir) => {
+        val base = Scratch.dir("stream_interval", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          dumpJsonl(ev.filter(col("event_type") === "purchase"),
+            s"$base/stageL", s"$base/left", "l_", fmt)
+          dumpJsonl(ev.filter(col("event_type") === "click"),
+            s"$base/stageR", s"$base/right", "r_", fmt)
+          graft.streaming.StreamJoins.streamIntervalJoinToParquet(
+            s, s"$base/left", s"$base/right", ev, s"$base/pairs",
+            s"$base/cp", windowSeconds = GapSeconds,
+            watermarkDelay = "1 hour",
+            readOptions = Map("timestampFormat" -> fmt))
+        }
+        s.read.parquet(s"$base/pairs")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("event_id")).as("purchase_id_sum"),
+            sum(col("r_event_id")).as("click_id_sum"))
+      },
+      Some("""SELECT l.user_id, count(*) AS n_pairs,
+             |       CAST(sum(l.event_id) AS BIGINT) AS purchase_id_sum,
+             |       CAST(sum(r.event_id) AS BIGINT) AS click_id_sum
+             |FROM events l JOIN events r
+             |  ON l.user_id = r.user_id
+             | AND r.ts >= l.ts - INTERVAL 1 HOUR
+             | AND r.ts <= l.ts
+             |WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+             |GROUP BY 1""".stripMargin)),
+
+    // Z-order clustered writes in the hard gate (Layout.writeZOrdered):
+    // the events table rewritten clustered by the Morton key of
+    // (user_id, value), then a two-column range slice answered FROM the
+    // clustered layout — the filter reaches the parquet reader as
+    // PushedFilters and the narrow per-file min/max ranges (asserted by
+    // BucketSpec) let it skip most files' row groups. Oracle: the same
+    // slice over the plain events table — clustering is a layout change,
+    // never a data change.
+    GraftQuery("s2_zorder_slice",
+      (s, dir) => {
+        val path = Scratch.dir("zorder", dir)
+        Scratch.buildOnce(path) {
+          graft.sources.Layout.writeZOrdered(
+            Tables.events(s, dir)
+              .select("event_id", "user_id", "event_type", "value"),
+            path, Seq("user_id", "value"), numFiles = 16)
+        }
+        s.read.parquet(path)
+          .filter(col("user_id").between(3, 7) &&
+            col("value").between(50.0, 200.0))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("user_id")).as("user_id_sum"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("value_sum"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(user_id) AS BIGINT) AS user_id_sum,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             |FROM events
+             |WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 50.0 AND 200.0
+             |GROUP BY 1""".stripMargin)),
+
     // §2.9 quarantine in the hard gate: the PERMISSIVE dead-letter split —
     // a feed of valid events plus deliberately malformed lines streams to
     // bronze, with the bad lines landing verbatim in the quarantine side

@@ -421,6 +421,63 @@ object VectorQueries {
               |       round(adc_dist, 6) AS adc_dist
               |FROM r WHERE rank <= 5""".stripMargin)),
 
+    // ANN approximation-QUALITY gate: recall@5 of the production two-stage
+    // serve — IVF-PQ ADC shortlist (top-100 from the materialized index,
+    // nprobe=4; a 20× rerank multiplier) exact-reranked by true cosine —
+    // measured against the brute-force exact top-5. Raw ADC alone holds ~0.32 mean
+    // recall on this (near-random, worst-case-for-ANN) synthetic corpus;
+    // IVF pruning itself retains 0.9 — the rerank recovers everything the
+    // cluster pruning kept, which is the point of shipping shortlist+rerank
+    // as the serving shape. The graded row asserts mean recall ≥ 0.8; the
+    // oracle pins TRUE, so a quality regression (bad codebooks, broken
+    // index pruning, rerank drift) turns the gate red — correctness of the
+    // index was already graded by v_ivfpq_topk, this grades its
+    // approximation quality.
+    GraftQuery("v_ivfpq_recall",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val (coarse, books) = ivfPqModels.computeIfAbsent(dir, _ =>
+          Vectors.ivfPqModel(emb, numClusters = 16, m = 8, pqK = 16, dim = 64))
+        val idx = Scratch.dir("ivfpq", dir)
+        Scratch.buildOnce(idx) {
+          Vectors.ivfPqWriteIndex(emb, idx, coarse, books, dim = 64)
+        }
+        val probes = emb.filter(col("vec_id") < 10)
+        val shortlist = Vectors.ivfPqTopKFromIndex(s, idx, probes,
+          coarse, books, k = 100, nprobe = 4, dim = 64)
+          .select(col("query_id"), col("neighbor_id"))
+        val withNrm = emb.select(col("vec_id"), col("embedding"),
+          sqrt(Vectors.dotNative(col("embedding"), col("embedding"))).as("nrm"))
+        val q = withNrm.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"))
+        val c = withNrm.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        val reranked = shortlist
+          .join(broadcast(q), Seq("query_id"))
+          .join(c, Seq("neighbor_id"))
+          .withColumn("cos", Vectors.dotNative(col("q_emb"), col("n_emb"))
+            / (col("q_nrm") * col("n_nrm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val exact = Vectors.bruteForceTopK(emb, probes, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(reranked, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        exact.select(col("query_id")).distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .agg(count(lit(1)).as("n_queries"),
+            (sum(col("n_hits")) >= count(lit(1)) * 5 * 0.8).as("recall_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     // Hard-negative mining for contrastive training: most-similar corpus
     // vectors with a different label, per probe. The oracle is the ANN
     // baseline SQL plus the label-inequality pair filter.

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Stream-stream joins — the §2.9 shape the batch interval join
   * (`Enrich.intervalJoin`) takes when both sides are unbounded.
@@ -35,5 +36,31 @@ object StreamJoins {
         col("r_ts") >= col("ts") - expr(s"interval $windowSeconds seconds") &&
         col("r_ts") <= col("ts"))
       .drop(r("user_id"))
+  }
+
+  /** End-to-end streaming interval join: two JSONL event feeds joined with
+    * [[intervalJoin]], matched pairs appended to a parquet sink,
+    * AvailableNow trigger — the graded-gate harness shape shared with
+    * `StreamingSessionize`. Inner-join matches emit in the micro-batch
+    * where both rows are present (the watermark only bounds join STATE,
+    * it never delays inner-join output), so no sentinel row is needed. */
+  def streamIntervalJoinToParquet(spark: SparkSession, leftDir: String,
+                                  rightDir: String, schemaSource: DataFrame,
+                                  outPath: String, checkpoint: String,
+                                  windowSeconds: Long, watermarkDelay: String,
+                                  readOptions: Map[String, String] = Map.empty): Unit = {
+    def feed(dir: String) = spark.readStream
+      .schema(schemaSource.schema)
+      .options(readOptions)
+      .json(dir)
+    val joined = intervalJoin(feed(leftDir), feed(rightDir),
+      windowSeconds, watermarkDelay)
+    joined.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
   }
 }

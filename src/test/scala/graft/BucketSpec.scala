@@ -90,4 +90,42 @@ class BucketSpec extends SparkSpec {
     assert(vSpread < vSortedSpread,
       s"z-order value spread $vSpread !< single-sort $vSortedSpread")
   }
+
+  test("graded z-order slice pushes both filters and can skip files") {
+    // run the graded query once — builds the 16-file z-ordered layout
+    val df = SparkEntry.queries("s2_zorder_slice")(spark, testDataDir)
+    assert(df.count() > 0)
+    // both range predicates must reach the parquet reader, where footer
+    // min/max stats turn them into row-group/file skips (read from the
+    // scan node's metadata — the rendered plan truncates the filter list)
+    // (sparkPlan, not executedPlan: AQE's adaptive root hides its inner
+    // tree from collect; pushdown is identical in both)
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(user_id,3)") &&
+      pushed.contains("LessThanOrEqual(user_id,7)"),
+      s"user_id range not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(value,50.0)") &&
+      pushed.contains("LessThanOrEqual(value,200.0)"),
+      s"value range not pushed: $pushed")
+    // and the layout makes those stats selective: fewer files overlap the
+    // two-column slice than were written — the reader skips the rest
+    // entirely (their min/max ranges exclude the predicate box)
+    val path = graft.queries.Scratch.dir("zorder", testDataDir)
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+        min(col("value")).as("vlo"), max(col("value")).as("vhi"))
+      .collect()
+    assert(perFile.length == 16, s"expected 16 files, got ${perFile.length}")
+    val overlapping = perFile.count(r =>
+      r.getLong(1) <= 7 && r.getLong(2) >= 3 &&
+        r.getDouble(3) <= 200.0 && r.getDouble(4) >= 50.0)
+    assert(overlapping < perFile.length,
+      s"slice overlaps all $overlapping/${perFile.length} files — no skip possible")
+    assert(overlapping <= perFile.length / 2,
+      s"slice overlaps $overlapping/${perFile.length} files — clustering too loose")
+  }
 }
