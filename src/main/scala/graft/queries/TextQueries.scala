@@ -18,6 +18,35 @@ object TextQueries {
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
 
+  /** Frozen BPE merge table: the export of `Bpe.learnMerges(corpus
+    * word-freq, 64)` over the sf0.01 documents corpus — the shipped model
+    * artifact the `t_bpe_tokenize` gate applies (train once, freeze the
+    * merges, apply everywhere). Regenerate by re-running the trainer if
+    * the corpus generator ever changes. */
+  private val FrozenBpeMerges: Seq[(String, String, Long)] = Seq(
+    ("e", "r", 4568L), ("i", "n", 2760L), ("o", "w", 2747L),
+    ("o", "r", 2696L), ("s", "t", 2676L), ("m", "er", 1852L),
+    ("a", "t", 1845L), ("l", "u", 1831L), ("a", "r", 1758L),
+    ("p", "ar", 1758L), ("j", "o", 964L), ("jo", "in", 964L),
+    ("a", "s", 947L), ("as", "h", 947L), ("h", "ash", 947L),
+    ("r", "ow", 943L), ("at", "c", 937L), ("atc", "h", 937L),
+    ("b", "atch", 937L), ("a", "n", 936L), ("c", "an", 936L),
+    ("s", "can", 936L), ("c", "o", 934L), ("c", "u", 934L),
+    ("co", "lu", 934L), ("colu", "m", 934L), ("colum", "n", 934L),
+    ("cu", "st", 934L), ("cust", "o", 934L), ("custo", "mer", 934L),
+    ("f", "i", 933L), ("fi", "l", 933L), ("fil", "t", 933L),
+    ("filt", "er", 933L), ("a", "l", 928L), ("al", "l", 928L),
+    ("m", "all", 928L), ("s", "mall", 928L), ("g", "e", 918L),
+    ("l", "ow", 918L), ("mer", "ge", 918L), ("s", "low", 918L),
+    ("c", "t", 912L), ("ct", "or", 912L), ("d", "er", 912L),
+    ("e", "ctor", 912L), ("or", "der", 912L), ("v", "ector", 912L),
+    ("in", "e", 910L), ("l", "ine", 910L), ("a", "b", 908L),
+    ("ab", "l", 908L), ("abl", "e", 908L), ("at", "a", 908L),
+    ("d", "ata", 908L), ("t", "able", 908L), ("u", "p", 904L),
+    ("a", "g", 901L), ("ag", "g", 901L), ("a", "lu", 897L),
+    ("alu", "e", 897L), ("v", "alue", 897L), ("e", "y", 896L),
+    ("k", "ey", 896L))
+
   val entries: Seq[GraftQuery] = Seq(
 
     // Language ID: per-language stopword hit counts, argmax with a fixed
@@ -625,6 +654,50 @@ object TextQueries {
              |FROM p GROUP BY 1
              |ORDER BY pair_count DESC, pair
              |LIMIT 50""".stripMargin)),
+
+    // BPE tokenization with a learned merge table through the SCALE apply
+    // path (Bpe.applyMergesScalable: one per-partition rank-priority pass,
+    // cost independent of the rule count — the replay path's per-rule
+    // regexp_replace fold cannot reach production rule counts). The merge
+    // table is the frozen export of Bpe.learnMerges(corpus word-freq, 64)
+    // — the model artifact a tokenizer ships (train once, freeze, apply
+    // everywhere), same frozen-constant discipline as the ANN oracle
+    // seeds; OperatorsSpec proves scalable == replay on the live-learned
+    // list. The oracle replays the merges in order over the spaced char
+    // sequence (two replace passes per rule: one pass misses every other
+    // occurrence of a back-to-back run because the shared separator space
+    // is consumed; alternation makes two passes complete).
+    GraftQuery("t_bpe_tokenize",
+      (s, dir) => {
+        val wc = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        graft.operators.Bpe.applyMergesScalable(wc, FrozenBpeMerges)
+      },
+      Some {
+        val spaced = "' ' || array_to_string(list_transform(" +
+          "generate_series(1, length(word)), i -> word[i]), ' ') || ' '"
+        // DuckDB's binder caps expression nesting at 128, so the 64-rule
+        // fold (2 replaces per rule) is staged through chained CTEs of 16
+        // rules each instead of one 128-deep expression
+        val stages = FrozenBpeMerges.grouped(16).toSeq.zipWithIndex.map {
+          case (group, gi) =>
+            val folded = group.foldLeft("t") { case (acc, (l, r, _)) =>
+              s"replace(replace($acc, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')"
+            }
+            val from = if (gi == 0) "s0" else s"s$gi"
+            s"s${gi + 1} AS (SELECT word, freq, $folded AS t FROM $from)"
+        }
+        val last = s"s${FrozenBpeMerges.grouped(16).size}"
+        s"""WITH w AS (
+           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+           |), wc AS (
+           |  SELECT word, count(*) AS freq FROM w GROUP BY 1
+           |), s0 AS (
+           |  SELECT word, freq, $spaced AS t FROM wc
+           |), ${stages.mkString(",\n")}
+           |SELECT word, freq, trim(t) AS tokens FROM $last""".stripMargin
+      }),
 
     // Unigram language-model scoring: corpus-trained token log-probs →
     // per-document mean surprisal, the classic LM-based quality filter
