@@ -14,7 +14,7 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamJoins {
 
-  /** Inner interval join of two event streams on `user_id`, keeping right
+  /** Interval join of two event streams on `user_id`, keeping right
     * rows within `[left.ts - windowSeconds, left.ts]` — the streaming
     * attribution shape ("purchase joined to the clicks that preceded it").
     *
@@ -24,9 +24,16 @@ object StreamJoins {
     * not O(stream). Columns: left keeps its names; every right column
     * except the `user_id` join key is prefixed `r_`, so same-named
     * payload columns (event_type, value, …) never become ambiguous.
+    *
+    * `joinType` "inner" (default) emits matches in the micro-batch where
+    * both rows are present; "left_outer" additionally emits unmatched
+    * left rows with null `r_` columns — but only once the watermark
+    * proves no matching right row can still arrive (state eviction), so
+    * outer results trail the watermark by design.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, windowSeconds: Long,
-                   watermarkDelay: String): DataFrame = {
+                   watermarkDelay: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermarkDelay)
     val r = right.columns.filter(_ != "user_id")
       .foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
@@ -34,7 +41,8 @@ object StreamJoins {
     l.join(r,
       l("user_id") === r("user_id") &&
         col("r_ts") >= col("ts") - expr(s"interval $windowSeconds seconds") &&
-        col("r_ts") <= col("ts"))
+        col("r_ts") <= col("ts"),
+      joinType)
       .drop(r("user_id"))
   }
 

@@ -665,6 +665,34 @@ class OperatorsSpec extends SparkSpec {
       toMap(Bpe.applyMerges(tricky, m2)))
   }
 
+  test("idMatchJoin scale mode agrees with parity mode on decorated DOIs") {
+    import spark.implicits._
+    // the reference's data shape: haystacks decorated with doi:/resolver
+    // prefixes, request targets carrying the bare DOI core; a trailing
+    // terminator keeps cores prefix-free so substring containment and
+    // exact-id equality select the SAME pairs — on that conforming data
+    // the two modes must produce identical matches (case included)
+    val facts = (1L to 500L)
+      .map(k => (s"doi:10.5063/FK${k}X", k)).toDF("fact_id", "payload")
+    val bareProbes = (1L to 500L by 7)
+      .map(k => (s"10.5063/FK${k}X", k)).toDF("probe_id", "pk")
+    val decoratedProbes = (1L to 500L by 7)
+      .map(k => (s"https://doi.org/10.5063/fk${k}x", k)).toDF("probe_id", "pk")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("payload"), col("pk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val parity = pairs(Joins.idMatchJoin(facts, bareProbes,
+      col("fact_id"), col("probe_id"), mode = "parity"))
+    val scale = pairs(Joins.idMatchJoin(facts, decoratedProbes,
+      col("fact_id"), col("probe_id")))
+    assert(parity.nonEmpty && parity.size == (1L to 500L by 7).size)
+    assert(scale == parity)
+    // and scale mode drops non-DOI rows instead of mismatching
+    val junk = Seq(("not-an-identifier", 0L)).toDF("probe_id", "pk")
+    assert(Joins.idMatchJoin(facts, junk,
+      col("fact_id"), col("probe_id")).isEmpty)
+  }
+
   test("snapshotDiff classifies all four change types, including removed") {
     import spark.implicits._
     val oldSnap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),

@@ -75,6 +75,37 @@ class StreamingSpec extends SparkSpec {
     assert(!batch.exists(t => t._1 == 1L && t._3 == 3L))
   }
 
+  test("left-outer interval join emits unmatched rows once the watermark passes") {
+    // "purchases with NO preceding click" — the outer attribution shape.
+    // Unmatched left rows may only emit after the watermark proves no
+    // matching right row can still arrive (state eviction), so the test
+    // pushes both sides' watermarks far past the fixture before asserting.
+    import graft.streaming.StreamJoins
+    import spark.implicits._
+    val pIn = MemoryStream[SessionEvent](spark)
+    val cIn = MemoryStream[SessionEvent](spark)
+    val out = StreamJoins.intervalJoin(pIn.toDS().toDF(), cIn.toDS().toDF(),
+      windowSeconds = 300L, watermarkDelay = "10 minutes",
+      joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("louter")
+      .outputMode("append").start()
+    // user 1's purchase has a click in-window; user 2's has none
+    pIn.addData(Seq(ev(1, base + 200, 100), ev(2, base + 200, 101)))
+    cIn.addData(Seq(ev(1, base + 100, 1)))
+    q.processAllAvailable()
+    // watermark-advancing rows on BOTH sides (far future), then drain
+    pIn.addData(Seq(ev(99, base + 900000, 900)))
+    cIn.addData(Seq(ev(99, base + 900000, 901)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("louter")
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("r_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(got == Set((1L, 100L, Some(1L)), (2L, 101L, None)))
+  }
+
   test("sessionWindowStats (batch mode) matches gap-based sessionStats") {
     import spark.implicits._
     val df = fixture.toDF()
