@@ -90,6 +90,74 @@ object VectorQueries {
               |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
               |SELECT i, j, round(cos, 6) AS cos FROM p WHERE cos >= 0.35""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: cluster the corpus (the IVF coarse
+    // quantizer doubles as the k-means step), then mark every vector that
+    // has a SMALLER-id within-cluster neighbor above the cosine threshold
+    // as a drop — near-duplicate pruning with pair comparisons bounded by
+    // cluster population instead of n² (at 100 TB the within-cluster join
+    // shuffles on cid; no cross-cluster pair is ever materialized, which
+    // is exactly the SemDeDup trade: duplicates straddling a cluster
+    // boundary are missed by design). The oracle replays the whole
+    // deterministic pipeline: seed selection, one Lloyd step, tie-broken
+    // assignment, and the keep decision.
+    GraftQuery("v_semantic_dedup",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val cents = Vectors.ivfCentroids(emb, numClusters = 16, dim = 64)
+        val assigned = emb.select(col("vec_id"), col("embedding"),
+          Vectors.assignCluster(col("embedding"), cents).as("cid"),
+          sqrt(Vectors.dotNative(col("embedding"), col("embedding"))).as("nrm"))
+        val dups = assigned.as("a").join(assigned.as("b"),
+          col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+          .filter(Vectors.dotNative(col("a.embedding"), col("b.embedding"))
+            / (col("a.nrm") * col("b.nrm")) >= 0.35)
+          .select(col("a.vec_id").as("vec_id")).distinct()
+        assigned.select(col("vec_id"), col("cid"))
+          .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid"),
+            coalesce(!col("dup"), lit(true)).as("keep"))
+      },
+      Some(s"""WITH pos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+              |seeds AS (
+              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent
+              |  FROM embeddings ORDER BY vec_id LIMIT 16),
+              |a0 AS (
+              |  SELECT e.vec_id, s.cid,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${dotSql("e.embedding", "s.cent")}
+              |                 * (1.0 / sqrt(${dotSql("s.cent", "s.cent")})) DESC,
+              |               s.cid DESC) AS rn
+              |  FROM embeddings e CROSS JOIN seeds s),
+              |members AS (SELECT vec_id, cid FROM a0 WHERE rn = 1),
+              |msum AS (
+              |  SELECT m.cid, p.pos, CAST(avg(e.embedding[p.pos]) AS FLOAT) AS mv
+              |  FROM members m JOIN embeddings e USING (vec_id) CROSS JOIN pos p
+              |  GROUP BY 1, 2),
+              |cents AS (
+              |  SELECT s.cid, list(coalesce(ms.mv, s.cent[p.pos]) ORDER BY p.pos) AS cent
+              |  FROM seeds s CROSS JOIN pos p
+              |  LEFT JOIN msum ms ON ms.cid = s.cid AND ms.pos = p.pos
+              |  GROUP BY s.cid),
+              |asg AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT e.vec_id, c.cid,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${dotSql("e.embedding", "c.cent")}
+              |                   * (1.0 / sqrt(${dotSql("c.cent", "c.cent")})) DESC,
+              |                 c.cid DESC) AS rn
+              |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+              |v AS (
+              |  SELECT a.vec_id, a.cid, e.embedding,
+              |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+              |  FROM asg a JOIN embeddings e USING (vec_id)),
+              |dup AS (
+              |  SELECT DISTINCT a.vec_id
+              |  FROM v a JOIN v b ON a.cid = b.cid AND b.vec_id < a.vec_id
+              |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35)
+              |SELECT v.vec_id, v.cid, (d.vec_id IS NULL) AS keep
+              |FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id""".stripMargin)),
+
     // IVF approximate top-k. The oracle replays the full deterministic index
     // build — lowest-id seeds, one Lloyd step with FLOAT-cast means (the cast
     // absorbs double summation-order ulps), argmax assignment with Spark's

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Joins, Sessionize}
+import graft.operators.{Bpe, Joins, Sessionize}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
@@ -163,6 +163,27 @@ class PropertySpec extends SparkSpec {
         codes.forall(c => c >= -127 && c <= 127) &&
           maxErr <= scale / 254.0 + 1e-6
       }
+    })
+  }
+
+  test("property: BPE scalable apply ≡ replay on random corpora, unseen words included") {
+    // the equivalence argument rests only on the LIST's training invariant
+    // (later rules reference symbols earlier rules created), not on the
+    // word being tokenized — so a list learned on one random corpus must
+    // tokenize a DIFFERENT random word set identically through both paths
+    import spark.implicits._
+    val word = Gen.choose(1, 9)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, word))
+    check(Prop.forAll(corpus, corpus) { (train, unseen) =>
+      val wf = train.groupBy(identity).toSeq
+        .map { case (w, ws) => (w, ws.size.toLong) }.toDF("word", "freq")
+      val merges = Bpe.learnMerges(wf, rounds = 6)
+      val target = unseen.distinct.map(w => (w, 1L)).toDF("word", "freq")
+      def toks(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      toks(Bpe.applyMerges(target, merges)) ==
+        toks(Bpe.applyMergesScalable(target, merges))
     })
   }
 
