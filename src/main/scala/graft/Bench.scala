@@ -29,7 +29,9 @@ object Bench {
     "v_ivfpq_topk",        // serve from materialized IVF-PQ index (build amortized once)
     "j3_closure_pairs",    // iterative BFS/path-doubling closure (multi-job)
     "t_bpe_pairs",         // BPE pair-count round (distinct-word table)
-    "j1_equi_normalized")  // normalized-ID equi-join (J1 scale path)
+    "j1_equi_normalized",  // normalized-ID equi-join (J1 scale path)
+    "t_bpe_tokenize",      // per-partition rank-priority BPE apply (mapPartitions)
+    "v_semantic_dedup")    // cluster-scoped semantic near-dup (SemDeDup shape)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a
