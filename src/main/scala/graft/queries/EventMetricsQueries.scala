@@ -256,6 +256,58 @@ object EventMetricsQueries {
              |WHERE l.event_type = 'purchase' AND r.event_type = 'click'
              |GROUP BY 1""".stripMargin)),
 
+    // §2.9 LEFT-OUTER stream-stream interval join: purchases with NO click
+    // in the trailing window must emit with a null match — which the
+    // streaming engine may only do once the watermark proves no matching
+    // click can still arrive (state eviction). Sentinel rows far past the
+    // event horizon on BOTH feeds (user_id −1) advance the final watermark
+    // past every real row, and the engine's no-data batch then flushes the
+    // unmatched rows; sentinels filter back out of the graded result.
+    // Oracle: the batch LEFT JOIN — matched and unmatched purchase counts
+    // per user must both be exact.
+    GraftQuery("w_stream_interval_outer",
+      (s, dir) => {
+        val base = Scratch.dir("stream_interval_outer", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          val sentinel = s.sql(
+            """SELECT CAST(-1 AS BIGINT) AS event_id,
+              |       TIMESTAMP '2024-12-31 00:00:00' AS ts,
+              |       CAST(-1 AS BIGINT) AS user_id,
+              |       'sentinel' AS event_type,
+              |       CAST(0.0 AS DOUBLE) AS value, '' AS props""".stripMargin)
+            .select(ev.columns.map(col).toSeq: _*)
+          dumpJsonl(ev.filter(col("event_type") === "purchase")
+            .unionByName(sentinel), s"$base/stageL", s"$base/left", "l_", fmt)
+          dumpJsonl(ev.filter(col("event_type") === "click")
+            .unionByName(sentinel), s"$base/stageR", s"$base/right", "r_", fmt)
+          graft.streaming.StreamJoins.streamIntervalJoinToParquet(
+            s, s"$base/left", s"$base/right", ev, s"$base/pairs",
+            s"$base/cp", windowSeconds = GapSeconds,
+            watermarkDelay = "1 hour",
+            readOptions = Map("timestampFormat" -> fmt),
+            joinType = "left_outer")
+        }
+        s.read.parquet(s"$base/pairs")
+          .filter(col("user_id") >= 0)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("r_event_id")).as("n_matched"),
+            sum(when(col("r_event_id").isNull, 1L).otherwise(0L))
+              .as("n_unmatched"))
+      },
+      Some("""SELECT l.user_id, count(*) AS n_rows,
+             |       CAST(count(r.event_id) AS BIGINT) AS n_matched,
+             |       CAST(sum(CASE WHEN r.event_id IS NULL THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_unmatched
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id
+             | AND r.ts >= l.ts - INTERVAL 1 HOUR
+             | AND r.ts <= l.ts
+             |GROUP BY 1""".stripMargin)),
+
     // Z-order clustered writes in the hard gate (Layout.writeZOrdered):
     // the events table rewritten clustered by the Morton key of
     // (user_id, value), then a two-column range slice answered FROM the

@@ -56,13 +56,14 @@ object StreamJoins {
                                   rightDir: String, schemaSource: DataFrame,
                                   outPath: String, checkpoint: String,
                                   windowSeconds: Long, watermarkDelay: String,
-                                  readOptions: Map[String, String] = Map.empty): Unit = {
+                                  readOptions: Map[String, String] = Map.empty,
+                                  joinType: String = "inner"): Unit = {
     def feed(dir: String) = spark.readStream
       .schema(schemaSource.schema)
       .options(readOptions)
       .json(dir)
     val joined = intervalJoin(feed(leftDir), feed(rightDir),
-      windowSeconds, watermarkDelay)
+      windowSeconds, watermarkDelay, joinType)
     joined.writeStream
       .format("parquet")
       .option("path", outPath)
