@@ -663,6 +663,84 @@ class OperatorsSpec extends SparkSpec {
     val m2 = Bpe.learnMerges(tricky, rounds = 8)
     assert(toMap(Bpe.applyMergesScalable(tricky, m2)) ==
       toMap(Bpe.applyMerges(tricky, m2)))
+    // and the driver-local trainer must agree with the distributed one on
+    // the same real corpus (cheap here; the 256-round proof is below)
+    assert(Bpe.learnMergesLocal(wc, rounds = 64) == merges)
+  }
+
+  test("driver-local BPE training equals the distributed loop at 256 rounds") {
+    import spark.implicits._
+    // seeded corpus rich enough to sustain 256 merge rounds, with
+    // multi-byte chars so the UTF-8 tie-break is exercised, squeezed into
+    // one partition so the 256-round DISTRIBUTED parity run stays cheap
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghij" + "éß中"
+    val wf = Seq.fill(400) {
+      (1 to (4 + rnd.nextInt(9)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.groupBy(identity).toSeq
+      .map { case (w, ws) => (w, ws.size.toLong) }
+      .toDF("word", "freq").repartition(1).cache()
+    val distributed = Bpe.learnMerges(wf, rounds = 256)
+    val local = Bpe.learnMergesLocal(wf, rounds = 256)
+    assert(distributed.size == 256, s"corpus exhausted at ${distributed.size}")
+    assert(local == distributed)
+    wf.unpersist()
+  }
+
+  test("BPE paths agree on non-BMP text (code points, not UTF-16 chars)") {
+    import spark.implicits._
+    // surrogate-pair words: a UTF-16 char split would shear these into
+    // lone surrogates and the scale paths would diverge from the replay
+    val wf = Seq(("😀😀", 5L), ("a😀b", 3L), ("😀a😀", 2L),
+      ("😀😀😀", 1L), ("ab", 4L), ("", 1L))
+      .toDF("word", "freq")
+    val distributed = Bpe.learnMerges(wf, rounds = 6)
+    assert(Bpe.learnMergesLocal(wf, rounds = 6) == distributed)
+    assert(distributed.head._1 == "😀") // whole emoji, not half
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    val replay = toMap(Bpe.applyMerges(wf, distributed))
+    assert(toMap(Bpe.applyMergesScalable(wf, distributed)) == replay)
+    // the empty word (split() yields them on consecutive separators) must
+    // tokenize to zero symbols on BOTH paths, not a phantom " " pair
+    assert(replay("") == "")
+  }
+
+  test("BPE duplicate-output-symbol merge lists: behavior pinned") {
+    import spark.implicits._
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // Two rules constructing the SAME output symbol "abc" via different
+    // splits — learnable-shaped (every operand is a char or an earlier
+    // rule's output). Exhaustive over all words up to length 6 on the
+    // rules' alphabet: rank-priority and in-order replay agree, because a
+    // pair's applicability depends only on the SYMBOL STRINGS present,
+    // never on which rule built them.
+    val dup = Seq(("a", "b", 9L), ("b", "c", 8L), ("ab", "c", 7L),
+      ("a", "bc", 6L), ("abc", "d", 5L))
+    val chars = "abcd"
+    val words = (1 to 6).flatMap { n =>
+      (0 until math.pow(chars.length, n).toInt).map { x =>
+        var v = x
+        (1 to n).map { _ =>
+          val c = chars(v % chars.length); v /= chars.length; c
+        }.mkString
+      }
+    }
+    val wf = words.map((_, 1L)).toDF("word", "freq").repartition(4)
+    assert(toMap(Bpe.applyMergesScalable(wf, dup)) ==
+      toMap(Bpe.applyMerges(wf, dup)))
+    // An INVARIANT-VIOLATING list (a rule references a symbol only a
+    // LATER rule creates) is where the paths legitimately part ways:
+    // replay has already passed rule 0 when rule 1 creates its operand,
+    // while rank-priority revisits it. Pinned: the scale path's
+    // rank-priority semantics (what production BPE tokenizers implement)
+    // is the canonical behavior; learnMerges can never emit such a list.
+    val violating = Seq(("ab", "c", 9L), ("a", "b", 8L))
+    val w = Seq(("abc", 1L)).toDF("word", "freq")
+    assert(toMap(Bpe.applyMerges(w, violating))("abc") == "ab c")
+    assert(toMap(Bpe.applyMergesScalable(w, violating))("abc") == "abc")
   }
 
   test("idMatchJoin scale mode agrees with parity mode on decorated DOIs") {
