@@ -31,14 +31,32 @@ object Bench {
     "t_bpe_pairs",         // BPE pair-count round (distinct-word table)
     "j1_equi_normalized",  // normalized-ID equi-join (J1 scale path)
     "t_bpe_tokenize",      // per-partition rank-priority BPE apply (mapPartitions)
-    "v_semantic_dedup")    // cluster-scoped semantic near-dup (SemDeDup shape)
+    "v_semantic_dedup",    // cluster-scoped semantic near-dup (SemDeDup shape)
+    "t_bpe_train",         // driver-local 256-round BPE training (scale path)
+    "w_stream_sessions")   // streaming sessionization (state-store path)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a
     * regression (sub-second queries were at the edge of n=1 noise). */
-  val timedRuns: Int = 3
+  def timedRuns: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(5)
+
+  /** Untimed executions before the timed runs. One is NOT enough: the
+    * heaviest queries (q5's 5-way join) still trip C2 compilation in
+    * timed run 1-2, and a median-of-3 then lands on a still-warming run —
+    * measured as a phantom 0.99→1.30 s "regression" in round 5 (the
+    * steady-state median over 15 runs was 0.978 s, identical to round 4).
+    * Two warmups + median-of-5 pins the steady state the resident engine
+    * actually serves. */
+  def warmupRuns: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_WARMUPS").map(_.toInt).getOrElse(2)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dev-only subset filter for isolating one query's cost from the set
+    // (regression attribution); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(headline)(s => headline.filter(s))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,15 +71,18 @@ object Bench {
       case t => Tables.table(spark, sfDir, t).count()
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val results = headline.map { name =>
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
-      // One untimed execution first: Catalyst analysis+optimization,
-      // whole-stage-codegen compilation, and materialized-dimension builds
-      // happen exactly once per JVM; the measured runs are the steady-state
-      // latency a resident engine serves (the reference amortizes the same
-      // way — long-lived gunicorn workers + daily-warmed response cache
-      // and sync-job dimensions, `metricscachehandler.py:64-237`).
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      // Untimed executions first: Catalyst analysis+optimization,
+      // whole-stage-codegen compilation, C2 JIT, and materialized-
+      // dimension builds happen before the clock starts; the measured
+      // runs are the steady-state latency a resident engine serves (the
+      // reference amortizes the same way — long-lived gunicorn workers +
+      // daily-warmed response cache and sync-job dimensions,
+      // `metricscachehandler.py:64-237`).
+      (1 to warmupRuns).foreach { _ =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      }
       // a failing query must surface as -1, never as a spuriously fast
       // time-to-exception that corrupts round-over-round comparisons
       val times = (1 to timedRuns).flatMap { _ =>
