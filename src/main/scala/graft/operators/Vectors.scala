@@ -539,6 +539,104 @@ object Vectors {
       .distinct()
   }
 
+  /** Cluster-path assignment with HOT-CLUSTER SUB-SPLITTING — the scale
+    * mitigation for SemDeDup-style semantic dedup. The within-cluster pair
+    * join is quadratic in cluster population, so any cluster above
+    * `maxClusterSize` is recursively split before pairing: its
+    * ceil(pop/cap) lowest-id members seed a sub-quantizer and members
+    * reassign to the nearest sub-seed (one deterministic pass — the split
+    * exists to BOUND the pair join, not to improve clustering, so no
+    * Lloyd refinement; every step is replayable by an ANSI-SQL oracle).
+    * Returns (vec_id, embedding, cid) where `cid` is the cluster PATH —
+    * "7" for an unsplit cluster, "7.2" after one split, "7.2.0" after two.
+    *
+    * Scale shape: each level is one vocab-sized population count
+    * (driver-bounded: one row per cluster), one bounded seed collect
+    * (Σ ceil(pop/cap) rows — model-artifact budget, same as the IVF
+    * centroids), and one pure constant-folded projection over the corpus;
+    * no level shuffles the corpus. A cluster of ALL-identical vectors can
+    * never separate (every member ties to the same sub-seed), so a path
+    * whose split makes no progress is frozen rather than recursed on
+    * forever — its quadratic pair join is the honest residual cost, and
+    * its dedup outcome is the trivial keep-lowest-id. Clusters still above
+    * the cap after `maxLevels` are likewise served as-is (best effort per
+    * level); raise `maxLevels`/`numClusters` when the corpus grows. */
+  def semanticClusterPaths(corpus: DataFrame, numClusters: Int, dim: Int,
+                           maxClusterSize: Long, maxLevels: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val cents = ivfCentroids(corpus, numClusters, dim)
+    var assigned = corpus.select(col("vec_id"), col("embedding"),
+      assignCluster(col("embedding"), cents).cast("string").as("cid"))
+    var prevPops = Map.empty[String, Long] // parent path -> population
+    var frozen = Set.empty[String]         // paths proven unsplittable
+    var level = 0
+    var done = false
+    while (level < maxLevels && !done) {
+      val over = assigned.groupBy(col("cid")).count()
+        .filter(col("count") > maxClusterSize)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      // no progress vs the parent (identical/indivisible members): freeze
+      frozen = frozen ++ over.collect {
+        case (p, n) if p.contains(".") &&
+          prevPops.get(p.substring(0, p.lastIndexOf("."))).contains(n) => p
+      }
+      val hot = over.filterNot { case (p, _) => frozen.contains(p) }
+      if (hot.isEmpty) done = true
+      else {
+        val fanout = hot.map { case (p, n) =>
+          p -> math.ceil(n.toDouble / maxClusterSize).toInt
+        }.toMap
+        val hotPaths = fanout.keys.toSeq
+        // lowest-id members of each hot cluster seed its sub-quantizer
+        val w = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
+        val maxFan = fanout.values.max
+        val seedRows = assigned.filter(col("cid").isin(hotPaths: _*))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= maxFan)
+          .select(col("cid"), col("rn"), col("embedding"))
+          .collect() // Σ fanout rows — bounded model artifact
+        val seeds: Map[String, Array[Array[Float]]] = seedRows
+          .groupBy(_.getString(0)).map { case (p, rows) =>
+            p -> rows.sortBy(_.getInt(1)).take(fanout(p))
+              .map(_.getSeq[Float](2).toArray)
+          }
+        // constant-folded per-path sub-assignment; non-hot paths unchanged
+        val subPath = hotPaths.foldLeft(lit(null).cast("string")) { (acc, p) =>
+          when(col("cid") === lit(p), concat(lit(p), lit("."),
+            assignCluster(col("embedding"), seeds(p)).cast("string")))
+            .otherwise(acc)
+        }
+        assigned = assigned.withColumn("cid", coalesce(subPath, col("cid")))
+        prevPops = hot.toMap
+        level += 1
+      }
+    }
+    assigned
+  }
+
+  /** SemDeDup keep/drop decision over [[semanticClusterPaths]]: a vector
+    * drops when a SMALLER-id member of its FINAL cluster is within the
+    * cosine threshold. Pair comparisons are bounded by `maxClusterSize`
+    * (up to frozen/over-budget residuals), so the join cost is
+    * O(clusters × cap²) instead of O(hottest-cluster²). */
+  def semanticDedup(corpus: DataFrame, numClusters: Int, dim: Int,
+                    threshold: Double, maxClusterSize: Long,
+                    maxLevels: Int): DataFrame = {
+    val a = semanticClusterPaths(corpus, numClusters, dim,
+      maxClusterSize, maxLevels)
+      .withColumn("nrm",
+        sqrt(dotNative(col("embedding"), col("embedding"))))
+    val dups = a.as("a").join(a.as("b"),
+      col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .filter(dotNative(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    a.select(col("vec_id"), col("cid"))
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(!col("dup"), lit(true)).as("keep"))
+  }
+
   /** Same-bucket near-dup candidate pairs with exact cosine verification. */
   def lshNearDupPairs(df: DataFrame, dim: Int, numPlanes: Int,
                       threshold: Double): DataFrame = {

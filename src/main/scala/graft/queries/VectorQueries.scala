@@ -158,6 +158,97 @@ object VectorQueries {
               |SELECT v.vec_id, v.cid, (d.vec_id IS NULL) AS keep
               |FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id""".stripMargin)),
 
+    // Semantic dedup under CLUSTER SKEW: 400 of the 500 vectors are pushed
+    // into one dense blob (8.0 + 0.25·x — exactly-representable float
+    // constants, so both engines do identical IEEE single-precision
+    // arithmetic), which lands them all in ONE coarse cluster. With a
+    // population cap of 150 the operator must sub-split that hot cluster
+    // (fanout = ceil(pop/cap)) before the quadratic pair join — the scale
+    // mitigation SCALE.md promises. The oracle replays the whole pipeline:
+    // skew transform, seed selection, one Lloyd step, tie-broken
+    // assignment, hot-cluster detection, lowest-id sub-seeds, tie-broken
+    // sub-assignment, and the keep decision over the FINAL cluster paths
+    // (dotted cids in the output are structural proof the split happened).
+    GraftQuery("v_semantic_dedup_split",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          when(col("vec_id") >= 100,
+            transform(col("embedding"), x => lit(8.0f) + lit(0.25f) * x))
+            .otherwise(col("embedding")).as("embedding"))
+        Vectors.semanticDedup(emb, numClusters = 16, dim = 64,
+          threshold = 0.9, maxClusterSize = 150, maxLevels = 1)
+      },
+      Some(s"""WITH pos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+              |emb0 AS (
+              |  SELECT vec_id, CASE WHEN vec_id >= 100
+              |    THEN list_transform(embedding,
+              |           x -> CAST(8.0 AS FLOAT) + CAST(0.25 AS FLOAT) * x)
+              |    ELSE embedding END AS embedding
+              |  FROM embeddings),
+              |seeds AS (
+              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent
+              |  FROM emb0 ORDER BY vec_id LIMIT 16),
+              |a0 AS (
+              |  SELECT e.vec_id, s.cid,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${dotSql("e.embedding", "s.cent")}
+              |                 * (1.0 / sqrt(${dotSql("s.cent", "s.cent")})) DESC,
+              |               s.cid DESC) AS rn
+              |  FROM emb0 e CROSS JOIN seeds s),
+              |members AS (SELECT vec_id, cid FROM a0 WHERE rn = 1),
+              |msum AS (
+              |  SELECT m.cid, p.pos, CAST(avg(e.embedding[p.pos]) AS FLOAT) AS mv
+              |  FROM members m JOIN emb0 e USING (vec_id) CROSS JOIN pos p
+              |  GROUP BY 1, 2),
+              |cents AS (
+              |  SELECT s.cid, list(coalesce(ms.mv, s.cent[p.pos]) ORDER BY p.pos) AS cent
+              |  FROM seeds s CROSS JOIN pos p
+              |  LEFT JOIN msum ms ON ms.cid = s.cid AND ms.pos = p.pos
+              |  GROUP BY s.cid),
+              |asg AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT e.vec_id, c.cid,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${dotSql("e.embedding", "c.cent")}
+              |                   * (1.0 / sqrt(${dotSql("c.cent", "c.cent")})) DESC,
+              |                 c.cid DESC) AS rn
+              |    FROM emb0 e CROSS JOIN cents c) WHERE rn = 1),
+              |pops AS (SELECT cid, count(*) AS n FROM asg GROUP BY 1),
+              |hot AS (SELECT cid, CAST(ceil(n / 150.0) AS BIGINT) AS fanout
+              |        FROM pops WHERE n > 150),
+              |subseeds AS (
+              |  SELECT a.cid,
+              |    row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id) - 1 AS sid,
+              |    e.embedding AS cent
+              |  FROM asg a JOIN emb0 e USING (vec_id) JOIN hot h ON h.cid = a.cid
+              |  QUALIFY row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id)
+              |            <= h.fanout),
+              |suba AS (
+              |  SELECT vec_id, cid, sid FROM (
+              |    SELECT a.vec_id, a.cid, s.sid,
+              |      row_number() OVER (PARTITION BY a.vec_id
+              |        ORDER BY ${dotSql("e.embedding", "s.cent")}
+              |                   * (1.0 / sqrt(${dotSql("s.cent", "s.cent")})) DESC,
+              |                 s.sid DESC) AS rn
+              |    FROM asg a JOIN emb0 e USING (vec_id)
+              |    JOIN subseeds s ON s.cid = a.cid) WHERE rn = 1),
+              |fin AS (
+              |  SELECT a.vec_id,
+              |    CASE WHEN sa.vec_id IS NOT NULL THEN a.cid || '.' || sa.sid
+              |         ELSE CAST(a.cid AS VARCHAR) END AS cid
+              |  FROM asg a LEFT JOIN suba sa ON sa.vec_id = a.vec_id),
+              |v AS (
+              |  SELECT f.vec_id, f.cid, e.embedding,
+              |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+              |  FROM fin f JOIN emb0 e USING (vec_id)),
+              |dup AS (
+              |  SELECT DISTINCT a.vec_id
+              |  FROM v a JOIN v b ON a.cid = b.cid AND b.vec_id < a.vec_id
+              |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.9)
+              |SELECT v.vec_id, v.cid, (d.vec_id IS NULL) AS keep
+              |FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id""".stripMargin)),
+
     // IVF approximate top-k. The oracle replays the full deterministic index
     // build — lowest-id seeds, one Lloyd step with FLOAT-cast means (the cast
     // absorbs double summation-order ulps), argmax assignment with Spark's

@@ -239,4 +239,72 @@ class AnnSpec extends SparkSpec {
         s"err ${r.getDouble(2)} vs step ${r.getDouble(0) / 127.0}")
     }
   }
+
+  private def keepSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.filter(col("keep")).select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("semantic dedup sub-split: keep-set invariant when no pair straddles") {
+    import spark.implicits._
+    // EXACT duplicates co-assign at every level (identical cosine to every
+    // seed + deterministic tie-break), so no duplicate pair can straddle a
+    // sub-cluster boundary — the keep decision must then be IDENTICAL with
+    // and without splitting, whatever the split does to the fillers.
+    // Seeded corpus: 60 distinct 16-dim vectors, each duplicated 1-5×;
+    // distinct random vectors stay far below the 0.95 threshold.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).flatMap { g =>
+      val v = Array.fill(16)(rnd.nextFloat() * 2f - 1f)
+      (0 to g % 5).map(_ => v)
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val emb = rows.toDF("vec_id", "embedding")
+    val unsplit = keepSet(Vectors.semanticDedup(emb, numClusters = 4,
+      dim = 16, threshold = 0.95, maxClusterSize = Long.MaxValue, maxLevels = 0))
+    val split = keepSet(Vectors.semanticDedup(emb, numClusters = 4,
+      dim = 16, threshold = 0.95, maxClusterSize = 12, maxLevels = 4))
+    assert(split == unsplit)
+    // sanity: the corpus actually contains drops, and a split happened
+    assert(unsplit.size < rows.size)
+    val paths = Vectors.semanticClusterPaths(emb, 4, 16, 12, 4)
+      .select("cid").distinct().collect().map(_.getString(0))
+    assert(paths.exists(_.contains(".")), "no split occurred")
+  }
+
+  test("semantic dedup sub-split: recursion bounds populations, freeze stops identical blobs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // two far-apart dense blobs + one blob of 40 IDENTICAL vectors: the
+    // identical blob can never separate (every member ties to the same
+    // sub-seed), so the operator must FREEZE it instead of recursing
+    // forever; the separable blobs must come out under the cap
+    def around(center: Array[Float], n: Int, spread: Float) =
+      (0 until n).map(_ => center.zipWithIndex.map { case (c, _) =>
+        c + (rnd.nextFloat() * 2f - 1f) * spread })
+    val c1 = Array.fill(8)(10f)
+    val c2 = Array.tabulate(8)(i => if (i % 2 == 0) -10f else 10f)
+    // orthogonal to BOTH blob centers, so no cross-blob near-dups at 0.99
+    val identical = Array.tabulate(8)(i => if (i < 4) 5f else -5f)
+    val vecs = around(c1, 30, 0.5f) ++ around(c2, 30, 0.5f) ++
+      Seq.fill(40)(identical)
+    val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val paths = Vectors.semanticClusterPaths(emb, numClusters = 2, dim = 8,
+      maxClusterSize = 15, maxLevels = 8) // levels >> needed: must terminate
+    val pops = paths.groupBy("cid").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every over-cap residual must be the frozen identical-vector blob
+    // (possibly with a straggler it stalled with), never an unsplit
+    // separable cluster
+    val over = pops.filter(_._2 > 15)
+    assert(over.nonEmpty, "expected the identical blob to stay over-cap")
+    assert(over.size == 1 && over.head._2 >= 40 && over.head._2 <= 45,
+      s"unexpected residuals: $over")
+    val frozenPath = over.head._1
+    val frozenIds = paths.filter(col("cid") === frozenPath)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((60L until 100L).forall(frozenIds), "identical blob not intact")
+    // and dedup over the frozen blob still keeps exactly its lowest id
+    val keep = keepSet(Vectors.semanticDedup(emb, 2, 8, 0.99, 15, 8))
+    val idsOfIdentical = (60L until 100L)
+    assert(keep.intersect(idsOfIdentical.toSet) == Set(60L))
+  }
 }
