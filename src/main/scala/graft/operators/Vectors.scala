@@ -414,6 +414,24 @@ object Vectors {
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
   }
 
+  /** Append a new vector batch to a materialized IVF-PQ index WITHOUT a
+    * rebuild — the PQ twin of [[ivfAppendToIndex]]: code the batch under
+    * the FROZEN model (coarse centroids + codebooks) and append parquet
+    * files into just the touched cluster partitions. One map-only pass
+    * over the batch; existing files are never rewritten; probes see
+    * old + new codes through the same partition-pruned scan. This is how
+    * the 100 TB serving layout absorbs a daily embedding delta —
+    * re-train models only when recall drifts (`v_ivfpq_recall` is the
+    * drift gate). Sharing [[ivfPqIndexRows]] with the writer means the
+    * two paths can never drift schemas inside one parquet directory. */
+  def ivfPqAppendToIndex(batch: DataFrame, path: String,
+                         coarse: Array[Array[Float]],
+                         books: Array[Array[Array[Float]]], dim: Int): Unit = {
+    graft.plans.GraftFunctions.register(batch.sparkSession)
+    ivfPqIndexRows(batch, coarse, books, dim)
+      .write.mode("append").partitionBy("cluster").parquet(path)
+  }
+
   /** Serve IVF-PQ top-k from a materialized index — the cluster filter
     * prunes parquet partitions at planning time. */
   def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,

@@ -27,10 +27,37 @@ private[graft] object Scratch {
     f.delete(); ()
   }
 
-  /** A per-(kind, sf-dir, process) scratch path, registered for cleanup. */
+  /** Content fingerprint of an input table path: recursive listing of
+    * (relative path, length, mtime), hashed — so a corpus with any file
+    * added, removed, resized, or rewritten in place gets a different
+    * print. This is what keys every derived artifact (scratch builds,
+    * ANN models): a bare directory-path key would serve stale state if
+    * the data under the path were regenerated within one JVM lifetime.
+    * (mtime granularity is filesystem-dependent — a same-size in-place
+    * rewrite inside one clock tick can alias; content hashing would close
+    * that at the cost of reading every byte, overkill for table inputs
+    * that are rewritten via fresh part files with fresh names.) */
+  def fingerprint(path: String): String = {
+    val root = new java.io.File(path)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(root).foreach { f =>
+      val rel = f.getAbsolutePath.stripPrefix(root.getAbsolutePath)
+      md.update(s"$rel|${f.length}|${f.lastModified}\n".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** A per-(kind, input-CONTENT, process) scratch path, registered for
+    * cleanup. Keyed on [[fingerprint]] of the input dir, not its path:
+    * regenerating the input within one JVM yields a fresh scratch dir,
+    * so [[buildOnce]] rebuilds instead of serving the stale artifact. */
   def dir(kind: String, sfDir: String): String = {
     val p = sys.props("java.io.tmpdir") +
-      s"/graft_${kind}_${sfDir.hashCode.toHexString}_$RunToken"
+      s"/graft_${kind}_${fingerprint(sfDir)}_$RunToken"
     dirs.add(p)
     p
   }

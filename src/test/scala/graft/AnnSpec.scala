@@ -143,6 +143,27 @@ class AnnSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/grown").count() == emb.count())
   }
 
+  test("IVF-PQ index append under a frozen model equals a one-shot write") {
+    graft.plans.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, testDataDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    // model trained on the first half, then FROZEN — the append batch is
+    // coded with it, exactly the daily-delta production shape
+    val firstHalf = emb.filter(col("vec_id") % 2 === 0)
+    val (coarse, books) = Vectors.ivfPqModel(firstHalf,
+      numClusters = 16, m = 8, pqK = 16, dim = 64)
+    Vectors.ivfPqWriteIndex(firstHalf, s"$base/grown", coarse, books, dim = 64)
+    Vectors.ivfPqAppendToIndex(emb.filter(col("vec_id") % 2 === 1),
+      s"$base/grown", coarse, books, dim = 64)
+    Vectors.ivfPqWriteIndex(emb, s"$base/oneshot", coarse, books, dim = 64)
+    def serve(p: String) = Vectors.ivfPqTopKFromIndex(spark, p, probes,
+      coarse, books, k = 5, nprobe = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(serve(s"$base/grown") == serve(s"$base/oneshot"))
+    assert(spark.read.parquet(s"$base/grown").count() == emb.count())
+  }
+
   test("IVF-PQ equals plain PQ-ADC when pruning is disabled, keeps recall when on") {
     val emb = Tables.embeddings(spark, testDataDir)
     val probes = emb.filter(col("vec_id") < 10)

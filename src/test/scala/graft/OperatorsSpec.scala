@@ -707,6 +707,29 @@ class OperatorsSpec extends SparkSpec {
     assert(replay("") == "")
   }
 
+  test("scratch builds and model caches invalidate when the corpus regenerates") {
+    import graft.queries.Scratch
+    val in = java.nio.file.Files.createTempDirectory("graft_fp_in").toString
+    def writeCorpus(n: Int): Unit = spark.range(n).toDF("id")
+      .coalesce(1).write.mode("overwrite").parquet(in + "/t.parquet")
+    writeCorpus(10)
+    val d1 = Scratch.dir("fpspec", in)
+    var builds = 0
+    Scratch.buildOnce(d1) { builds += 1 }
+    // same content → same scratch path → build served from cache
+    assert(Scratch.dir("fpspec", in) == d1)
+    Scratch.buildOnce(Scratch.dir("fpspec", in)) { builds += 1 }
+    assert(builds == 1)
+    // regenerating the corpus under the SAME path must yield a different
+    // fingerprint, hence a fresh scratch dir and a re-run build — the
+    // staleness trap a bare dir-path key would fall into
+    writeCorpus(20)
+    val d2 = Scratch.dir("fpspec", in)
+    assert(d2 != d1, "fingerprint did not change on regeneration")
+    Scratch.buildOnce(d2) { builds += 1 }
+    assert(builds == 2)
+  }
+
   test("BPE duplicate-output-symbol merge lists: behavior pinned") {
     import spark.implicits._
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
