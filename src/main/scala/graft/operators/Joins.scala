@@ -230,23 +230,30 @@ object Joins {
     * longer match, which for identifier semantics is the correct
     * tightening).
     *
-    * Output carries the canonical id as `canonical_id` plus every fact and
-    * probe column (probe columns must not collide with fact columns).
+    * BOTH modes output the canonical id as `canonical_id` plus every fact
+    * and probe column (probe columns must not collide with fact columns),
+    * so a caller flipping the conformance switch never sees a schema
+    * change. In `"scale"` it is the equi-join key; in `"parity"` it is the
+    * normalized PROBE id — `""` when the matched probe id is not a DOI,
+    * which parity's substring semantics still admits.
     */
   def idMatchJoin(facts: DataFrame, probes: DataFrame,
                   factId: Column, probeId: Column,
-                  mode: String = "scale"): DataFrame = mode match {
-    case "parity" => thetaContainsJoin(facts, probes, factId, probeId)
-    case "scale" =>
-      require(!(facts.columns ++ probes.columns).contains("canonical_id"),
-        "idMatchJoin reserves the column name canonical_id")
-      val f = facts.withColumn("canonical_id", Enrich.normalizeDoi(factId))
-        .filter(col("canonical_id") =!= "")
-      val p = probes.withColumn("canonical_id", Enrich.normalizeDoi(probeId))
-        .filter(col("canonical_id") =!= "")
-      f.join(p, Seq("canonical_id"))
-    case other => throw new IllegalArgumentException(
-      s"idMatchJoin mode must be parity|scale, got $other")
+                  mode: String = "scale"): DataFrame = {
+    require(!(facts.columns ++ probes.columns).contains("canonical_id"),
+      "idMatchJoin reserves the column name canonical_id")
+    mode match {
+      case "parity" => thetaContainsJoin(facts, probes, factId, probeId)
+        .withColumn("canonical_id", Enrich.normalizeDoi(probeId))
+      case "scale" =>
+        val f = facts.withColumn("canonical_id", Enrich.normalizeDoi(factId))
+          .filter(col("canonical_id") =!= "")
+        val p = probes.withColumn("canonical_id", Enrich.normalizeDoi(probeId))
+          .filter(col("canonical_id") =!= "")
+        f.join(p, Seq("canonical_id"))
+      case other => throw new IllegalArgumentException(
+        s"idMatchJoin mode must be parity|scale, got $other")
+    }
   }
 
   /** Snapshot diff (CDC between two loads of the same table): classify every

@@ -792,6 +792,43 @@ class OperatorsSpec extends SparkSpec {
     val junk = Seq(("not-an-identifier", 0L)).toDF("probe_id", "pk")
     assert(Joins.idMatchJoin(facts, junk,
       col("fact_id"), col("probe_id")).isEmpty)
+    // both modes expose the same output contract: canonical_id + all
+    // fact/probe columns — flipping the conformance switch is never a
+    // schema change for the caller
+    val parityCols = Joins.idMatchJoin(facts, bareProbes,
+      col("fact_id"), col("probe_id"), mode = "parity").columns.toSet
+    val scaleCols = Joins.idMatchJoin(facts, decoratedProbes,
+      col("fact_id"), col("probe_id")).columns.toSet
+    assert(parityCols == scaleCols && parityCols.contains("canonical_id"))
+  }
+
+  test("idMatchJoin conformance delta: prefix-id fixture where modes disagree") {
+    import spark.implicits._
+    // THE documented tightening (Joins.idMatchJoin scaladoc): substring
+    // containment matches a target into a LONGER identifier suffix;
+    // canonical-id equality does not. Target 10.5063/fk2ab vs haystack
+    // 10.5063/FK2ABC — parity matches (substring), scale correctly
+    // refuses (different identifiers). This pins the behavioral contract
+    // the conformance switch trades on, so it stops living in a comment.
+    val facts = Seq(("doi:10.5063/FK2ABC", 1L), ("doi:10.5063/FK2AB", 2L))
+      .toDF("fact_id", "payload")
+    val probes = Seq(("10.5063/fk2ab", 10L)).toDF("probe_id", "pk")
+    def pays(df: org.apache.spark.sql.DataFrame) =
+      df.select("payload").collect().map(_.getLong(0)).toSet
+    val parity = Joins.idMatchJoin(facts, probes,
+      col("fact_id"), col("probe_id"), mode = "parity")
+    val scale = Joins.idMatchJoin(facts, probes,
+      col("fact_id"), col("probe_id"))
+    // parity: target is a substring of BOTH 10.1/ab and 10.1/abc
+    assert(pays(parity) == Set(1L, 2L))
+    // scale: only the exact identifier matches
+    assert(pays(scale) == Set(2L))
+    // scale's canonical key is the normalized core; parity normalizes the
+    // probe id into the same column
+    assert(scale.select("canonical_id").collect()
+      .map(_.getString(0)).toSet == Set("10.5063/fk2ab"))
+    assert(parity.select("canonical_id").collect()
+      .map(_.getString(0)).toSet == Set("10.5063/fk2ab"))
   }
 
   test("snapshotDiff classifies all four change types, including removed") {
