@@ -33,7 +33,8 @@ object Bench {
     "t_bpe_tokenize",      // per-partition rank-priority BPE apply (mapPartitions)
     "v_semantic_dedup",    // cluster-scoped semantic near-dup (SemDeDup shape)
     "t_bpe_train",         // driver-local 256-round BPE training (scale path)
-    "w_stream_sessions")   // streaming sessionization (state-store path)
+    "w_stream_sessions",   // streaming sessionization (state-store path)
+    "v_semantic_dedup_split") // hot-cluster sub-split dedup (skewed corpus)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a
