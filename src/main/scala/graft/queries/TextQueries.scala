@@ -783,8 +783,14 @@ object TextQueries {
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
             // decimal sum → double FIRST, then one double division: both
-            // engines' decimal-division scale rules never enter the plan
-            round(sum(col("logprob")).cast("double") / count(lit(1)), 6)
+            // engines' decimal-division scale rules never enter the plan.
+            // Deliberately NO in-query round: the quotient can land on an
+            // exact decimal half (sf1 hit -3.4025375), where Spark rounds
+            // the binary double and DuckDB rounds at decimal precision —
+            // emitting the raw IEEE quotient keeps the two engines
+            // bit-identical and leaves rounding to the comparator, which
+            // applies one implementation to both sides
+            (sum(col("logprob")).cast("double") / count(lit(1)))
               .as("mean_logprob"))
       },
       Some("""WITH t AS (
@@ -797,8 +803,7 @@ object TextQueries {
              |  FROM t GROUP BY term
              |)
              |SELECT doc_id, count(*) AS n_tokens,
-             |       round(CAST(sum(logprob) AS DOUBLE) / count(*), 6)
-             |         AS mean_logprob
+             |       CAST(sum(logprob) AS DOUBLE) / count(*) AS mean_logprob
              |FROM t JOIN v USING (term)
              |GROUP BY 1""".stripMargin)),
 
