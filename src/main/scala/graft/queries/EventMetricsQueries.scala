@@ -790,7 +790,13 @@ object EventMetricsQueries {
           .filter(col("dwell_us").isNotNull)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_dwells"),
-            round(avg(col("dwell_us")) / 1000000.0, 6).as("avg_dwell_sec"),
+            // explicit sum/count (not avg() — engines may fold averages
+            // differently) and NO in-query round: an integer-average
+            // quotient can land on an exact decimal half, where the two
+            // engines' round() implementations disagree (see
+            // t_unigram_logprob) — the raw IEEE quotient is bit-identical
+            (sum(col("dwell_us")).cast("double") / count(lit(1)) / 1000000.0)
+              .as("avg_dwell_sec"),
             max(col("dwell_us")).as("max_dwell_us"))
       },
       Some("""WITH g AS (
@@ -812,7 +818,8 @@ object EventMetricsQueries {
              |  FROM s
              |)
              |SELECT event_type, count(*) AS n_dwells,
-             |       round(avg(dwell_us) / 1000000.0, 6) AS avg_dwell_sec,
+             |       CAST(sum(dwell_us) AS DOUBLE) / count(*) / 1000000.0
+             |         AS avg_dwell_sec,
              |       max(dwell_us) AS max_dwell_us
              |FROM d WHERE dwell_us IS NOT NULL GROUP BY 1""".stripMargin)),
 
@@ -1004,8 +1011,11 @@ object EventMetricsQueries {
           .filter(col("w_cnt") >= 2)
           .select(col("event_type"),
             date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
-            round(mean, 6).as("mean"),
-            round(z, 6).as("zscore"),
+            // raw quotients (mean is rational; z is rational whenever the
+            // window variance is a perfect square) — identical op order on
+            // both sides keeps the doubles bit-equal without rounding
+            mean.as("mean"),
+            z.as("zscore"),
             coalesce(abs(z) > 2, lit(false)).as("is_anomaly"))
       },
       Some("""WITH d AS (
@@ -1021,14 +1031,14 @@ object EventMetricsQueries {
              |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
              |)
              |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
-             |       round(CAST(w_sum AS DOUBLE) / w_cnt, 6) AS mean,
-             |       round(CASE WHEN (CAST(w_sumsq AS DOUBLE)
-             |                        - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / w_cnt)
-             |                       / (w_cnt - 1) > 0
-             |              THEN (CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / w_cnt)
-             |                   / sqrt((CAST(w_sumsq AS DOUBLE)
-             |                           - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / w_cnt)
-             |                          / (w_cnt - 1)) END, 6) AS zscore,
+             |       CAST(w_sum AS DOUBLE) / w_cnt AS mean,
+             |       CASE WHEN (CAST(w_sumsq AS DOUBLE)
+             |                  - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / w_cnt)
+             |                 / (w_cnt - 1) > 0
+             |            THEN (CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / w_cnt)
+             |                 / sqrt((CAST(w_sumsq AS DOUBLE)
+             |                         - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / w_cnt)
+             |                        / (w_cnt - 1)) END AS zscore,
              |       coalesce(abs((CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / w_cnt)
              |                    / sqrt((CAST(w_sumsq AS DOUBLE)
              |                            - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / w_cnt)
@@ -1050,10 +1060,12 @@ object EventMetricsQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         counts
           .withColumn("total", sum(col("n_rows")).over(Window.partitionBy()))
+          // raw count-ratio quotients, no in-query round: rational values
+          // can sit on exact decimal halves where engine round()s diverge
           .withColumn("share",
-            round(col("n_rows").cast("double") / col("total"), 6))
+            col("n_rows").cast("double") / col("total"))
           .withColumn("cum_share",
-            round(sum(col("n_rows")).over(cum).cast("double") / col("total"), 6))
+            sum(col("n_rows")).over(cum).cast("double") / col("total"))
           .withColumn("is_hot", col("n_rows") * 4 > col("total"))
           .select(col("event_type"), col("n_rows"), col("share"),
             col("cum_share"), col("is_hot"))
@@ -1068,8 +1080,8 @@ object EventMetricsQueries {
              |  FROM c
              |)
              |SELECT event_type, n_rows,
-             |       round(n_rows::DOUBLE / total, 6) AS share,
-             |       round(cum::DOUBLE / total, 6) AS cum_share,
+             |       n_rows::DOUBLE / total AS share,
+             |       cum::DOUBLE / total AS cum_share,
              |       n_rows * 4 > total AS is_hot
              |FROM t""".stripMargin)),
   )

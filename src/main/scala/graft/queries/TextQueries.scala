@@ -103,8 +103,8 @@ object TextQueries {
               .otherwise("fr"))
           .groupBy(col("lang"), col("predicted"))
           .agg(count(lit(1)).as("n_docs"))
-          .withColumn("row_share", round(col("n_docs").cast("double") /
-            sum(col("n_docs")).over(Window.partitionBy(col("lang"))), 6))
+          .withColumn("row_share", col("n_docs").cast("double") /
+            sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
       },
       Some(s"""WITH d AS (SELECT lang, string_split(text, ' ') AS toks
               |           FROM documents),
@@ -123,8 +123,8 @@ object TextQueries {
               |c AS (SELECT lang, predicted, count(*) AS n_docs
               |      FROM p GROUP BY 1, 2)
               |SELECT lang, predicted, n_docs,
-              |       round(n_docs::DOUBLE /
-              |             sum(n_docs) OVER (PARTITION BY lang), 6) AS row_share
+              |       n_docs::DOUBLE /
+              |         sum(n_docs) OVER (PARTITION BY lang) AS row_share
               |FROM c""".stripMargin)),
 
     // Quality scoring: token stats + stopword ratio → composite score.
@@ -138,9 +138,11 @@ object TextQueries {
           (aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
             nToks.cast("double")).as("avg_tok_len"),
           (stopHits.cast("double") / nToks.cast("double")).as("stop_ratio"))
+          // raw rational combination — no in-query round (exact-half
+          // boundary, see t_unigram_logprob); op order mirrors the oracle
           .withColumn("quality",
-            round(col("stop_ratio") * 0.5 +
-              least(col("n_tokens").cast("double") / 200.0, lit(1.0)) * 0.5, 6))
+            col("stop_ratio") * 0.5 +
+              least(col("n_tokens").cast("double") / 200.0, lit(1.0)) * 0.5)
       },
       Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
               |           FROM documents),
@@ -152,8 +154,8 @@ object TextQueries {
               |          / length(toks) AS stop_ratio
               |      FROM d)
               |SELECT doc_id, n_tokens, avg_tok_len, stop_ratio,
-              |       round(stop_ratio * 0.5 +
-              |             least(n_tokens::DOUBLE / 200.0, 1.0) * 0.5, 6) AS quality
+              |       stop_ratio * 0.5 +
+              |         least(n_tokens::DOUBLE / 200.0, 1.0) * 0.5 AS quality
               |FROM q""".stripMargin)),
 
     // Token counting: whitespace tokens + BPE-ish regex tokens + chars.
@@ -821,7 +823,8 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
           sum(col("n_chars")).as("total_chars"),
-          round(avg(col("n_tokens")), 6).as("avg_tokens"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1)))
+            .as("avg_tokens"),
           round(expr("percentile(n_tokens, 0.5)"), 6).as("median_tokens")),
       Some("""WITH d AS (
              |  SELECT lang, source,
@@ -831,7 +834,7 @@ object TextQueries {
              |SELECT lang, source, count(*) AS n_docs,
              |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
              |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-             |       round(avg(n_tokens), 6) AS avg_tokens,
+             |       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
              |       round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens
              |FROM d GROUP BY 1, 2""".stripMargin)),
   )
