@@ -263,4 +263,23 @@ class PlanSpec extends SparkSpec {
     assert("(?m)^[\\s:+\\-|*]*Exchange".r.findAllIn(p).size == 1,
       s"expected exactly 1 exchange:\n$p")
   }
+
+  test("semantic dedup sub-split: pair join hashes on the cluster path, no nested loop") {
+    val p = plan("v_semantic_dedup_split")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"pair join not hash-based:\n$p")
+    // the within-cluster pair join keys on the final cluster-path string
+    assert(p.contains("BroadcastHashJoin [cid") ||
+      p.contains("SortMergeJoin [cid") || p.contains("hashpartitioning(cid"),
+      s"no hash join/partitioning on cid:\n$p")
+  }
+
+  test("ivf-pq append serve prunes the merged index to the probes' clusters") {
+    val p = plan("v_ivfpq_append")
+    // the serve scan must read only the probes' nprobe clusters via
+    // partition pruning on the merged (built + appended) index
+    assert(p.contains("PartitionFilters: [cluster"),
+      s"no partition pruning on the appended index:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
