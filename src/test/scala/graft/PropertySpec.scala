@@ -172,19 +172,36 @@ class PropertySpec extends SparkSpec {
     // word being tokenized — so a list learned on one random corpus must
     // tokenize a DIFFERENT random word set identically through both paths
     import spark.implicits._
+    // atoms include a non-BMP code point so surrogate-pair handling is
+    // exercised across random rule lists, not just the fixed fixture
     val word = Gen.choose(1, 9)
-      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "😀"))
+        .map(_.mkString))
     val corpus = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, word))
     check(Prop.forAll(corpus, corpus) { (train, unseen) =>
       val wf = train.groupBy(identity).toSeq
         .map { case (w, ws) => (w, ws.size.toLong) }.toDF("word", "freq")
       val merges = Bpe.learnMerges(wf, rounds = 6)
+      // the driver-local trainer must emit the identical list
+      val localSame = Bpe.learnMergesLocal(wf, rounds = 6) == merges
       val target = unseen.distinct.map(w => (w, 1L)).toDF("word", "freq")
       def toks(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => r.getString(0) -> r.getString(2)).toMap
-      toks(Bpe.applyMerges(target, merges)) ==
-        toks(Bpe.applyMergesScalable(target, merges))
+      localSame && (toks(Bpe.applyMerges(target, merges)) ==
+        toks(Bpe.applyMergesScalable(target, merges)))
     })
+  }
+
+  test("learnMergesLocal refuses vocabularies over its driver-memory budget") {
+    import spark.implicits._
+    val wf = Seq(("aa", 1L), ("bb", 1L), ("cc", 1L), ("dd", 1L), ("ee", 1L))
+      .toDF("word", "freq")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.learnMergesLocal(wf, rounds = 4, maxDistinctWords = 3)
+    }
+    assert(e.getMessage.contains("distinct words"))
+    // under the cap the same input trains fine
+    assert(Bpe.learnMergesLocal(wf, rounds = 4, maxDistinctWords = 5).nonEmpty)
   }
 
   test("property: snapshotDiff matches a sequential map diff, any snapshots") {
