@@ -572,7 +572,11 @@ object Vectors {
     * (driver-bounded: one row per cluster), one bounded seed collect
     * (Σ ceil(pop/cap) rows — model-artifact budget, same as the IVF
     * centroids), and one pure constant-folded projection over the corpus;
-    * no level shuffles the corpus. A cluster of ALL-identical vectors can
+    * no level shuffles the corpus. Levels re-derive from the scan (the
+    * lineage is projection-only, so each level's count is one scan-bound
+    * pass); persist the returned frame before the pair join — or
+    * mid-recursion when cluster memory allows — to trade cache space for
+    * those re-reads. A cluster of ALL-identical vectors can
     * never separate (every member ties to the same sub-seed), so a path
     * whose split makes no progress is frozen rather than recursed on
     * forever — its quadratic pair join is the honest residual cost, and
