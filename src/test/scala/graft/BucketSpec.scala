@@ -60,8 +60,8 @@ class BucketSpec extends SparkSpec {
     val back = spark.read.parquet(out)
     // data parity: clustering is a layout change, never a data change
     assert(back.count() == ev.count())
-    assert(back.agg(sum("event_id")).head.getLong(0) ==
-      ev.agg(sum("event_id")).head.getLong(0))
+    assert(back.agg(sum("event_id")).head().getLong(0) ==
+      ev.agg(sum("event_id")).head().getLong(0))
 
     // per-file spread of each clustered column vs its global spread: a
     // z-ordered file covers a compact Morton range, so BOTH columns'
@@ -74,7 +74,7 @@ class BucketSpec extends SparkSpec {
         .collect().map(_.getDouble(1)).toSeq
     val global = ev.agg(
       (max(col("user_id")) - min(col("user_id"))).cast("double"),
-      (max(col("value")) - min(col("value"))).cast("double")).head
+      (max(col("value")) - min(col("value"))).cast("double")).head()
     val uSpread = spreads(back, "user_id").sum / 8 / global.getDouble(0)
     val vSpread = spreads(back, "value").sum / 8 / global.getDouble(1)
     assert(uSpread < 0.8, s"user_id avg file spread $uSpread of global")

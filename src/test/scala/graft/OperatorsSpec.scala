@@ -188,7 +188,7 @@ class OperatorsSpec extends SparkSpec {
   test("jaccard of arrays") {
     import spark.implicits._
     val r = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
-      .select(Dedup.jaccard(col("a"), col("b"))).head.getDouble(0)
+      .select(Dedup.jaccard(col("a"), col("b"))).head().getDouble(0)
     assert(math.abs(r - 0.5) < 1e-12)
   }
 

@@ -25,7 +25,7 @@ class VecDotSpec extends SparkSpec {
   test("vec_dot resolves via spark.sql.extensions injection") {
     // SparkSpec's session sets spark.sql.extensions=graft.plans.GraftExtensions
     val r = spark.sql("SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F))")
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(r == 11.0)
   }
 
