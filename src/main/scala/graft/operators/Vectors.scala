@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 
 /** Embedding-vector similarity operators: brute-force cosine top-k (exact
   * baseline) and random-hyperplane LSH bucketing (the scale path). Extends
@@ -571,12 +572,20 @@ object Vectors {
     * Scale shape: each level is one vocab-sized population count
     * (driver-bounded: one row per cluster), one bounded seed collect
     * (Σ ceil(pop/cap) rows — model-artifact budget, same as the IVF
-    * centroids), and one pure constant-folded projection over the corpus;
-    * no level shuffles the corpus. Levels re-derive from the scan (the
-    * lineage is projection-only, so each level's count is one scan-bound
-    * pass); persist the returned frame before the pair join — or
-    * mid-recursion when cluster memory allows — to trade cache space for
-    * those re-reads. A cluster of ALL-identical vectors can
+    * centroids), and one broadcast-hash-join reassignment over the corpus;
+    * no level shuffles the corpus. The sub-seeds travel as DATA (a
+    * broadcast (cid, subseeds) frame, argmin picked by `array_max` over a
+    * per-row `transform`), NOT as constant-folded literals — so plan and
+    * codegen size are O(1) in the number of simultaneously-hot clusters,
+    * where the former per-path `when`-chain grew O(hot × fanout × dim)
+    * literal nodes (the expression-growth ceiling class the BPE replay
+    * path hit at production scale). Levels re-derive from the scan (the
+    * lineage is projection+join-only, so each level's count is one
+    * scan-bound pass); set `persistLevels` to cache each level instead —
+    * the level-population count materializes the cache, so deep recursions
+    * on a slow store pay one scan total rather than one per level (the
+    * final level and its parent stay cached for the downstream pair join;
+    * unpersist when done). A cluster of ALL-identical vectors can
     * never separate (every member ties to the same sub-seed), so a path
     * whose split makes no progress is frozen rather than recursed on
     * forever — its quadratic pair join is the honest residual cost, and
@@ -584,8 +593,10 @@ object Vectors {
     * the cap after `maxLevels` are likewise served as-is (best effort per
     * level); raise `maxLevels`/`numClusters` when the corpus grows. */
   def semanticClusterPaths(corpus: DataFrame, numClusters: Int, dim: Int,
-                           maxClusterSize: Long, maxLevels: Int): DataFrame = {
-    graft.plans.GraftFunctions.register(corpus.sparkSession)
+                           maxClusterSize: Long, maxLevels: Int,
+                           persistLevels: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.register(spark)
     val cents = ivfCentroids(corpus, numClusters, dim)
     var assigned = corpus.select(col("vec_id"), col("embedding"),
       assignCluster(col("embedding"), cents).cast("string").as("cid"))
@@ -593,10 +604,16 @@ object Vectors {
     var frozen = Set.empty[String]         // paths proven unsplittable
     var level = 0
     var done = false
+    var parentCache: Option[DataFrame] = None // materialized by a past count
+    var freshCache: Option[DataFrame] = None  // persisted, not yet counted
     while (level < maxLevels && !done) {
       val over = assigned.groupBy(col("cid")).count()
         .filter(col("count") > maxClusterSize)
         .collect().map(r => r.getString(0) -> r.getLong(1))
+      // the count above materialized freshCache; its parent is now dead
+      parentCache.foreach(_.unpersist(blocking = false))
+      parentCache = freshCache
+      freshCache = None
       // no progress vs the parent (identical/indivisible members): freeze
       frozen = frozen ++ over.collect {
         case (p, n) if p.contains(".") &&
@@ -622,19 +639,47 @@ object Vectors {
             p -> rows.sortBy(_.getInt(1)).take(fanout(p))
               .map(_.getSeq[Float](2).toArray)
           }
-        // constant-folded per-path sub-assignment; non-hot paths unchanged
-        val subPath = hotPaths.foldLeft(lit(null).cast("string")) { (acc, p) =>
-          when(col("cid") === lit(p), concat(lit(p), lit("."),
-            assignCluster(col("embedding"), seeds(p)).cast("string")))
-            .otherwise(acc)
+        // Sub-seeds as a broadcast frame — one row per hot path, sub-seeds
+        // nested as (i, cent, invn) structs. Same score (vec_dot × driver
+        // invNorm) and tie-break (array_max over (s, i): highest score,
+        // then highest index) as [[assignCluster]], but data-driven.
+        val seedsDf = spark.createDataFrame(
+          java.util.Arrays.asList(seeds.toSeq.map { case (p, cs) =>
+            Row(p, cs.zipWithIndex.toSeq.map { case (c, i) =>
+              Row(i.toLong, c.toSeq,
+                1.0 / math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))
+            })
+          }: _*), subSeedSchema)
+        val best = array_max(transform(col("subseeds"), x =>
+          struct((dotNative(col("embedding"), x.getField("cent"))
+            * x.getField("invn")).as("s"), x.getField("i").as("i"))))
+          .getField("i")
+        assigned = assigned.join(broadcast(seedsDf), Seq("cid"), "left")
+          .select(col("vec_id"), col("embedding"),
+            when(col("subseeds").isNotNull,
+              concat(col("cid"), lit("."), best.cast("string")))
+              .otherwise(col("cid")).as("cid"))
+        if (persistLevels) {
+          assigned = assigned.persist()
+          freshCache = Some(assigned)
         }
-        assigned = assigned.withColumn("cid", coalesce(subPath, col("cid")))
         prevPops = hot.toMap
         level += 1
       }
     }
     assigned
   }
+
+  /** Schema of the per-level broadcast sub-seed frame: one row per hot
+    * cluster path, its sub-seeds as (index, centroid, 1/‖centroid‖). */
+  private val subSeedSchema = StructType(Seq(
+    StructField("cid", StringType, nullable = false),
+    StructField("subseeds", ArrayType(StructType(Seq(
+      StructField("i", LongType, nullable = false),
+      StructField("cent", ArrayType(FloatType, containsNull = false),
+        nullable = false),
+      StructField("invn", DoubleType, nullable = false))),
+      containsNull = false), nullable = false)))
 
   /** SemDeDup keep/drop decision over [[semanticClusterPaths]]: a vector
     * drops when a SMALLER-id member of its FINAL cluster is within the
@@ -643,9 +688,9 @@ object Vectors {
     * O(clusters × cap²) instead of O(hottest-cluster²). */
   def semanticDedup(corpus: DataFrame, numClusters: Int, dim: Int,
                     threshold: Double, maxClusterSize: Long,
-                    maxLevels: Int): DataFrame = {
+                    maxLevels: Int, persistLevels: Boolean = false): DataFrame = {
     val a = semanticClusterPaths(corpus, numClusters, dim,
-      maxClusterSize, maxLevels)
+      maxClusterSize, maxLevels, persistLevels)
       .withColumn("nrm",
         sqrt(dotNative(col("embedding"), col("embedding"))))
     val dups = a.as("a").join(a.as("b"),

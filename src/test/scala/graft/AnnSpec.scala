@@ -328,4 +328,55 @@ class AnnSpec extends SparkSpec {
     val idsOfIdentical = (60L until 100L)
     assert(keep.intersect(idsOfIdentical.toSet) == Set(60L))
   }
+
+  test("sub-split with 40 simultaneously-hot clusters: plan size stays O(1) in hot count") {
+    import spark.implicits._
+    // 40 one-hot directions × 20 members each, ids interleaved so the 40
+    // coarse seeds land one per direction; cap 10 makes ALL 40 clusters hot
+    // in the same level. The former per-hot-path when-chain would fold
+    // 40 × 2 × 64 float literals into the plan; the broadcast-join form
+    // must keep the reassignment expression constant-size.
+    val rows = for (m <- 0 until 20; g <- 0 until 40) yield {
+      val v = Array.fill(64)(0f)
+      v(g) = 10f + m * 0.01f      // same direction, distinct magnitudes
+      v((g + 1) % 64) += m * 0.001f // tiny off-axis spread (keeps members distinct)
+      ((m * 40 + g).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val paths = Vectors.semanticClusterPaths(emb, numClusters = 40, dim = 64,
+      maxClusterSize = 10, maxLevels = 1)
+    val cids = paths.select("cid").distinct().collect().map(_.getString(0))
+    val splitParents = cids.filter(_.contains(".")).map(_.takeWhile(_ != '.')).toSet
+    assert(splitParents.size >= 32,
+      s"expected >=32 simultaneously-hot clusters split, got ${splitParents.size}")
+    val p = paths.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"sub-assignment not a broadcast join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the reassignment is ONE case-branch per level, not one per hot path:
+    // plan text must not grow with hot-cluster count
+    val caseCount = "CASE WHEN".r.findAllIn(
+      paths.queryExecution.optimizedPlan.toString).size
+    assert(caseCount <= 2, s"per-hot-path branch growth: $caseCount CASE WHENs")
+  }
+
+  test("persistLevels caches each level and leaves results identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // dense blob that needs >=2 split levels under cap 12
+    def around(center: Array[Float], n: Int, spread: Float) =
+      (0 until n).map(_ => center.map(c => c + (rnd.nextFloat() * 2f - 1f) * spread))
+    val vecs = around(Array.fill(8)(10f), 80, 0.5f) ++
+      around(Array.tabulate(8)(i => if (i % 2 == 0) -10f else 10f), 20, 0.5f)
+    val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val plain = Vectors.semanticClusterPaths(emb, 2, 8, 12, 4)
+    val cached = Vectors.semanticClusterPaths(emb, 2, 8, 12, 4, persistLevels = true)
+    assert(snap(cached) == snap(plain))
+    // the knob actually cut the lineage: the final frame reads a cached level
+    assert(cached.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "persistLevels did not cache a level")
+    cached.unpersist()
+  }
 }
