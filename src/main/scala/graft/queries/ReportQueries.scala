@@ -167,6 +167,136 @@ object ReportQueries {
            |FROM n GROUP BY 1""".stripMargin
       }),
 
+    // S10 closed as a file-backed connector REPLAY: the Crossref
+    // event-data scholix envelope and the Crossref/DataCite works bodies
+    // (the ACTUAL wire shapes of `metricsdatabase.py:277-394,745-829`) are
+    // synthesized deterministically from `orders`, then the engine parses
+    // them back through `CitationHarvest` — explicit-schema from_json,
+    // link-package explode, ISO-day truncation, case-insensitive
+    // tracked-DOI semi-join (targets carry uppercase "DS.", the tracked
+    // dim lowercase "ds."), per-agency metadata mapping — into the
+    // CitationStaging contract. The oracle rebuilds the wire strings with
+    // identical templates and computes the staged rows directly, so a
+    // parse drift ANYWHERE (field path, truncation, agency branch, author
+    // fallback, verbatim report/metadata passthrough) hash-mismatches.
+    GraftQuery("c_harvest_staging",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+            year(col("o_orderdate")).as("y"))
+        val tgt = concat(lit("10.5063/DS."), col("k"))
+        val srcA = concat(lit("10.1002/w."), col("k"))
+        val srcB = concat(lit("10.18739/x."), col("k"))
+        def pkg(src: org.apache.spark.sql.Column) = concat(
+          lit("{\"Target\":{\"Identifier\":{\"ID\":\""), tgt,
+          lit("\",\"IDUrl\":\"https://doi.org/"), tgt,
+          lit("\"}},\"Source\":{\"Identifier\":{\"ID\":\""), src,
+          lit("\",\"IDUrl\":\"https://doi.org/"), src,
+          lit("\"}},\"LinkPublicationDate\":\""), col("d"),
+          lit("T00:00:00Z\"}"))
+        val scholix = o.select(concat(
+          lit("{\"message\":{\"link-packages\":["),
+          pkg(srcA), lit(","), pkg(srcB), lit("]}}")).as("raw"))
+        val crossrefBody = concat(
+          lit("{\"message\":{\"DOI\":\""), srcA,
+          lit("\",\"author\":[{\"given\":\"Ada\",\"family\":\"L"),
+          col("c") % 10,
+          lit("\"},{\"name\":\"Grp "), col("k") % 7,
+          lit("\"}],\"title\":[\"Work "), col("k"),
+          lit("\"],\"publisher\":\"Pub "), col("c") % 10,
+          lit("\",\"container-title\":[\"Journal "), col("c") % 5,
+          lit("\"],\"volume\":\""), col("c") % 9,
+          lit("\",\"page\":\"1-"), col("k") % 40,
+          lit("\",\"created\":{\"date-parts\":[["), col("y"),
+          lit(",1,1]]}}}"))
+        val dataciteBody = concat(
+          lit("{\"data\":{\"id\":\""), srcB,
+          lit("\",\"attributes\":{\"doi\":\""), srcB,
+          lit("\",\"author\":[{\"given\":\"Gia\",\"family\":\"F"),
+          col("c") % 10,
+          lit("\"},{\"literal\":\"Consortium "), col("k") % 5,
+          lit("\"}],\"title\":\"DWork "), col("k"),
+          lit("\",\"container-title\":\"DPub "), col("c") % 10,
+          lit("\",\"published\":\""), col("y"), lit("\"}}}"))
+        val works = o.select(crossrefBody.as("raw"))
+          .unionAll(o.select(dataciteBody.as("raw")))
+        val tracked = o.filter(col("k") % 3 =!= 0)
+          .select(concat(lit("10.5063/ds."), col("k")).as("doi"))
+        graft.sources.CitationHarvest.harvestStaging(scholix, works, tracked)
+      },
+      Some("""WITH src AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         strftime(o_orderdate, '%Y-%m-%d') AS d,
+             |         year(o_orderdate) AS y
+             |  FROM orders WHERE o_orderkey % 20 = 0),
+             |base AS (
+             |  SELECT k, c, d, y,
+             |    '10.5063/DS.' || k::VARCHAR AS tgt,
+             |    '10.1002/w.' || k::VARCHAR AS srca,
+             |    '10.18739/x.' || k::VARCHAR AS srcb
+             |  FROM src),
+             |env AS (
+             |  SELECT *,
+             |    '{"message":{"link-packages":['
+             |    || '{"Target":{"Identifier":{"ID":"' || tgt
+             |    || '","IDUrl":"https://doi.org/' || tgt
+             |    || '"}},"Source":{"Identifier":{"ID":"' || srca
+             |    || '","IDUrl":"https://doi.org/' || srca
+             |    || '"}},"LinkPublicationDate":"' || d || 'T00:00:00Z"}'
+             |    || ','
+             |    || '{"Target":{"Identifier":{"ID":"' || tgt
+             |    || '","IDUrl":"https://doi.org/' || tgt
+             |    || '"}},"Source":{"Identifier":{"ID":"' || srcb
+             |    || '","IDUrl":"https://doi.org/' || srcb
+             |    || '"}},"LinkPublicationDate":"' || d || 'T00:00:00Z"}'
+             |    || ']}}' AS report,
+             |    '{"message":{"DOI":"' || srca
+             |    || '","author":[{"given":"Ada","family":"L' || (c % 10)::VARCHAR
+             |    || '"},{"name":"Grp ' || (k % 7)::VARCHAR
+             |    || '"}],"title":["Work ' || k::VARCHAR
+             |    || '"],"publisher":"Pub ' || (c % 10)::VARCHAR
+             |    || '","container-title":["Journal ' || (c % 5)::VARCHAR
+             |    || '"],"volume":"' || (c % 9)::VARCHAR
+             |    || '","page":"1-' || (k % 40)::VARCHAR
+             |    || '","created":{"date-parts":[[' || y::VARCHAR
+             |    || ',1,1]]}}}' AS cross_meta,
+             |    '{"data":{"id":"' || srcb
+             |    || '","attributes":{"doi":"' || srcb
+             |    || '","author":[{"given":"Gia","family":"F' || (c % 10)::VARCHAR
+             |    || '"},{"literal":"Consortium ' || (k % 5)::VARCHAR
+             |    || '"}],"title":"DWork ' || k::VARCHAR
+             |    || '","container-title":"DPub ' || (c % 10)::VARCHAR
+             |    || '","published":"' || y::VARCHAR || '"}}}' AS dc_meta
+             |  FROM base),
+             |links AS (
+             |  SELECT tgt AS target_id, srca AS source_id,
+             |         'https://doi.org/' || srca AS source_url,
+             |         d AS link_publication_date,
+             |         'Ada L' || (c % 10)::VARCHAR || ', Grp '
+             |           || (k % 7)::VARCHAR AS origin,
+             |         'Work ' || k::VARCHAR AS title,
+             |         'Pub ' || (c % 10)::VARCHAR AS publisher,
+             |         'Journal ' || (c % 5)::VARCHAR AS journal,
+             |         (c % 9)::VARCHAR AS volume,
+             |         '1-' || (k % 40)::VARCHAR AS page,
+             |         y::INT AS year_of_publishing,
+             |         report, cross_meta AS metadata, k
+             |  FROM env
+             |  UNION ALL
+             |  SELECT tgt, srcb, 'https://doi.org/' || srcb, d,
+             |         'Gia F' || (c % 10)::VARCHAR || ', Consortium '
+             |           || (k % 5)::VARCHAR,
+             |         'DWork ' || k::VARCHAR,
+             |         'DPub ' || (c % 10)::VARCHAR,
+             |         NULL, NULL, NULL, y::INT, report, dc_meta, k
+             |  FROM env)
+             |SELECT target_id, source_id, source_url, link_publication_date,
+             |       origin, title, publisher, journal, volume, page,
+             |       year_of_publishing, report, metadata
+             |FROM links WHERE k % 3 <> 0""".stripMargin)),
+
     // S12 in the hard gate: the incremental gold build's recompute +
     // partition-overwrite + vanished-partition-delete protocol, graded
     // end-to-end. Run 1 builds gold for all five nodes; run 2 re-runs with
