@@ -252,6 +252,128 @@ object VectorQueries {
               |SELECT v.vec_id, v.cid, (d.vec_id IS NULL) AS keep
               |FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id""".stripMargin)),
 
+    // RECURSIVE sub-splitting graded past one level: a two-scale skew
+    // corpus — 400 of 500 vectors in one dense blob (8.0 + 0.25·x), and
+    // 350 of THOSE in a much tighter inner blob (8.0 + 2⁻⁷·x; both
+    // constants and the 2⁻⁷ product are exact in float32, so the engines
+    // do identical IEEE arithmetic). With cap 60 the coarse hot cluster
+    // splits at level 1 (fanout 7), but the inner blob co-assigns to a
+    // single sub-seed, leaving a ≥350-member level-1 path that must split
+    // AGAIN at level 2 — depth-2 dotted paths ("c.s.t") in the output are
+    // the structural proof. The oracle replays both levels: hot
+    // detection, lowest-id sub-seeds, tie-broken sub-assignment, each
+    // applied to the previous level's paths, then the keep decision over
+    // the final paths. (Freeze cannot fire here: every level-1 sub-seed
+    // keeps itself, so no child population equals its parent's.)
+    GraftQuery("v_semantic_dedup_split2",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          when(col("vec_id") >= 150,
+            transform(col("embedding"), x => lit(8.0f) + lit(0.0078125f) * x))
+            .when(col("vec_id") >= 100,
+              transform(col("embedding"), x => lit(8.0f) + lit(0.25f) * x))
+            .otherwise(col("embedding")).as("embedding"))
+        Vectors.semanticDedup(emb, numClusters = 16, dim = 64,
+          threshold = 0.9, maxClusterSize = 60, maxLevels = 2)
+      },
+      Some(s"""WITH pos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+              |emb0 AS (
+              |  SELECT vec_id, CASE
+              |    WHEN vec_id >= 150 THEN list_transform(embedding,
+              |      x -> CAST(8.0 AS FLOAT) + CAST(0.0078125 AS FLOAT) * x)
+              |    WHEN vec_id >= 100 THEN list_transform(embedding,
+              |      x -> CAST(8.0 AS FLOAT) + CAST(0.25 AS FLOAT) * x)
+              |    ELSE embedding END AS embedding
+              |  FROM embeddings),
+              |seeds AS (
+              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent
+              |  FROM emb0 ORDER BY vec_id LIMIT 16),
+              |a0 AS (
+              |  SELECT e.vec_id, s.cid,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${dotSql("e.embedding", "s.cent")}
+              |                 * (1.0 / sqrt(${dotSql("s.cent", "s.cent")})) DESC,
+              |               s.cid DESC) AS rn
+              |  FROM emb0 e CROSS JOIN seeds s),
+              |members AS (SELECT vec_id, cid FROM a0 WHERE rn = 1),
+              |msum AS (
+              |  SELECT m.cid, p.pos, CAST(avg(e.embedding[p.pos]) AS FLOAT) AS mv
+              |  FROM members m JOIN emb0 e USING (vec_id) CROSS JOIN pos p
+              |  GROUP BY 1, 2),
+              |cents AS (
+              |  SELECT s.cid, list(coalesce(ms.mv, s.cent[p.pos]) ORDER BY p.pos) AS cent
+              |  FROM seeds s CROSS JOIN pos p
+              |  LEFT JOIN msum ms ON ms.cid = s.cid AND ms.pos = p.pos
+              |  GROUP BY s.cid),
+              |asg AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT e.vec_id, c.cid,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${dotSql("e.embedding", "c.cent")}
+              |                   * (1.0 / sqrt(${dotSql("c.cent", "c.cent")})) DESC,
+              |                 c.cid DESC) AS rn
+              |    FROM emb0 e CROSS JOIN cents c) WHERE rn = 1),
+              |pops AS (SELECT cid, count(*) AS n FROM asg GROUP BY 1),
+              |hot AS (SELECT cid, CAST(ceil(n / 60.0) AS BIGINT) AS fanout
+              |        FROM pops WHERE n > 60),
+              |subseeds AS (
+              |  SELECT a.cid,
+              |    row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id) - 1 AS sid,
+              |    e.embedding AS cent
+              |  FROM asg a JOIN emb0 e USING (vec_id) JOIN hot h ON h.cid = a.cid
+              |  QUALIFY row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id)
+              |            <= h.fanout),
+              |suba AS (
+              |  SELECT vec_id, cid, sid FROM (
+              |    SELECT a.vec_id, a.cid, s.sid,
+              |      row_number() OVER (PARTITION BY a.vec_id
+              |        ORDER BY ${dotSql("e.embedding", "s.cent")}
+              |                   * (1.0 / sqrt(${dotSql("s.cent", "s.cent")})) DESC,
+              |                 s.sid DESC) AS rn
+              |    FROM asg a JOIN emb0 e USING (vec_id)
+              |    JOIN subseeds s ON s.cid = a.cid) WHERE rn = 1),
+              |fin AS (
+              |  SELECT a.vec_id,
+              |    CASE WHEN sa.vec_id IS NOT NULL THEN a.cid || '.' || sa.sid
+              |         ELSE CAST(a.cid AS VARCHAR) END AS cid
+              |  FROM asg a LEFT JOIN suba sa ON sa.vec_id = a.vec_id),
+              |pops2 AS (SELECT cid, count(*) AS n FROM fin GROUP BY 1),
+              |hot2 AS (SELECT cid, CAST(ceil(n / 60.0) AS BIGINT) AS fanout
+              |         FROM pops2 WHERE n > 60),
+              |subseeds2 AS (
+              |  SELECT f.cid,
+              |    row_number() OVER (PARTITION BY f.cid ORDER BY f.vec_id) - 1 AS sid,
+              |    e.embedding AS cent
+              |  FROM fin f JOIN emb0 e USING (vec_id) JOIN hot2 h ON h.cid = f.cid
+              |  QUALIFY row_number() OVER (PARTITION BY f.cid ORDER BY f.vec_id)
+              |            <= h.fanout),
+              |suba2 AS (
+              |  SELECT vec_id, cid, sid FROM (
+              |    SELECT f.vec_id, f.cid, s.sid,
+              |      row_number() OVER (PARTITION BY f.vec_id
+              |        ORDER BY ${dotSql("e.embedding", "s.cent")}
+              |                   * (1.0 / sqrt(${dotSql("s.cent", "s.cent")})) DESC,
+              |                 s.sid DESC) AS rn
+              |    FROM fin f JOIN emb0 e USING (vec_id)
+              |    JOIN subseeds2 s ON s.cid = f.cid) WHERE rn = 1),
+              |fin2 AS (
+              |  SELECT f.vec_id,
+              |    CASE WHEN sa.vec_id IS NOT NULL
+              |         THEN f.cid || '.' || CAST(sa.sid AS VARCHAR)
+              |         ELSE f.cid END AS cid
+              |  FROM fin f LEFT JOIN suba2 sa ON sa.vec_id = f.vec_id),
+              |v AS (
+              |  SELECT f.vec_id, f.cid, e.embedding,
+              |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+              |  FROM fin2 f JOIN emb0 e USING (vec_id)),
+              |dup AS (
+              |  SELECT DISTINCT a.vec_id
+              |  FROM v a JOIN v b ON a.cid = b.cid AND b.vec_id < a.vec_id
+              |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.9)
+              |SELECT v.vec_id, v.cid, (d.vec_id IS NULL) AS keep
+              |FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id""".stripMargin)),
+
     // IVF approximate top-k. The oracle replays the full deterministic index
     // build — lowest-id seeds, one Lloyd step with FLOAT-cast means (the cast
     // absorbs double summation-order ulps), argmax assignment with Spark's
