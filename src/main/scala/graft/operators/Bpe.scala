@@ -212,7 +212,11 @@ object Bpe {
     * two paths produce the SAME merge list at 256 live rounds. */
   def learnMergesLocal(wordFreq: DataFrame, rounds: Int,
                        maxDistinctWords: Int = 8 << 20): Seq[(String, String, Long)] = {
+    // freq <= 0 rows are dropped (mirroring the Sep filter): a
+    // non-positive weight could drive a still-occurring pair's count to
+    // zero, whose cleanup would orphan its occurrence set mid-training
     val rows = wordFreq.filter(!col("word").contains(Sep))
+      .filter(col("freq") > 0)
       .select(col("word").cast("string"), col("freq").cast("long"))
       .limit(maxDistinctWords + 1)
       .collect() // vocab-sized by contract; guarded right below
@@ -242,17 +246,21 @@ object Bpe {
     }
 
     // max-heap with lazy deletion: (count desc, pair-key utf8 asc); an
-    // entry is valid only if its count still matches the live map
-    case class Entry(count: Long, p: Pair)
+    // entry is valid only if its count still matches the live map. The
+    // tie-break compares the SAME Sep-joined key string the distributed
+    // path orders by — NOT left-then-right components, which disagree
+    // with the joined order when one left symbol is a strict prefix of
+    // another and the longer one's next byte sorts below Sep (0x01),
+    // i.e. a NUL — so the two trainers stay bit-identical even on
+    // NUL-containing corpora
+    case class Entry(count: Long, p: Pair, key: String)
     val heap = new java.util.PriorityQueue[Entry](math.max(16, counts.size),
       (a: Entry, b: Entry) => {
         if (a.count != b.count) java.lang.Long.compare(b.count, a.count)
-        else {
-          val c = utf8Compare(a.p._1, b.p._1)
-          if (c != 0) c else utf8Compare(a.p._2, b.p._2)
-        }
+        else utf8Compare(a.key, b.key)
       })
-    counts.forEach((p, n) => { heap.add(Entry(n, p)); () })
+    def entry(p: Pair, n: Long): Entry = Entry(n, p, p._1 + Sep + p._2)
+    counts.forEach((p, n) => { heap.add(entry(p, n)); () })
 
     val merges = Seq.newBuilder[(String, String, Long)]
     var round = 0
@@ -277,7 +285,10 @@ object Bpe {
         val newPairs = pairsOf(next).toSet
         for (p <- pairsOf(old)) { counts.merge(p, -f, _ + _); touched.add(p); () }
         for (p <- pairsOf(next)) { counts.merge(p, f, _ + _); touched.add(p); () }
-        for (p <- oldPairs diff newPairs) occ.get(p).clear(i)
+        for (p <- oldPairs diff newPairs) {
+          val o = occ.get(p) // defensive: absent when a count hit 0 earlier
+          if (o != null) o.clear(i)
+        }
         for (p <- newPairs diff oldPairs) addOcc(p, i)
         words(i) = next
         i = affected.nextSetBit(i + 1)
@@ -288,7 +299,7 @@ object Bpe {
       touched.forEach { p =>
         val n = counts.getOrDefault(p, 0L)
         if (n <= 0L) { counts.remove(p); occ.remove(p); () }
-        else { heap.add(Entry(n, p)); () }
+        else { heap.add(entry(p, n)); () }
       }
       round += 1
     }

@@ -230,12 +230,13 @@ object Joins {
     * longer match, which for identifier semantics is the correct
     * tightening).
     *
-    * BOTH modes output the canonical id as `canonical_id` plus every fact
-    * and probe column (probe columns must not collide with fact columns),
-    * so a caller flipping the conformance switch never sees a schema
-    * change. In `"scale"` it is the equi-join key; in `"parity"` it is the
-    * normalized PROBE id — `""` when the matched probe id is not a DOI,
-    * which parity's substring semantics still admits.
+    * BOTH modes output `canonical_id` FIRST, then every fact and probe
+    * column in input order (probe columns must not collide with fact
+    * columns), so a caller flipping the conformance switch never sees a
+    * schema change — names, types, AND positions. In `"scale"` it is the
+    * equi-join key; in `"parity"` it is the normalized PROBE id — `""`
+    * when the matched probe id is not a DOI, which parity's substring
+    * semantics still admits.
     */
   def idMatchJoin(facts: DataFrame, probes: DataFrame,
                   factId: Column, probeId: Column,
@@ -243,8 +244,12 @@ object Joins {
     require(!(facts.columns ++ probes.columns).contains("canonical_id"),
       "idMatchJoin reserves the column name canonical_id")
     mode match {
-      case "parity" => thetaContainsJoin(facts, probes, factId, probeId)
-        .withColumn("canonical_id", Enrich.normalizeDoi(probeId))
+      case "parity" =>
+        // canonical_id selected FIRST to match scale mode's join-key
+        // position — positional consumers see one schema across modes
+        val joined = thetaContainsJoin(facts, probes, factId, probeId)
+        joined.select(Enrich.normalizeDoi(probeId).as("canonical_id") +:
+          joined.columns.toIndexedSeq.map(col): _*)
       case "scale" =>
         val f = facts.withColumn("canonical_id", Enrich.normalizeDoi(factId))
           .filter(col("canonical_id") =!= "")

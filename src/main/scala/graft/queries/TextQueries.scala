@@ -707,21 +707,29 @@ object TextQueries {
     // loop — lazy-deletion max-heap + per-merge delta updates — trains
     // 256 rounds in milliseconds where the per-round-job distributed loop
     // takes minutes; OperatorsSpec proves the two paths emit the same
-    // list). Graded as a one-row self-check: the round-1 winner is
-    // independently recomputed by the oracle (argmax over weighted
-    // adjacent pairs — SQL-expressible), and the Spark side asserts the
-    // invariants SQL cannot replay: winner counts are non-increasing
-    // (a fused pair's successors can never outnumber it) and the learned
-    // tokenizer reconstructs every vocabulary word losslessly.
+    // list). The oracle independently REPLAYS THE FIRST 16 TRAINING
+    // ROUNDS — per round: weighted adjacent-pair counts over the current
+    // fused vocabulary, argmax with the (count DESC, Sep-joined pair key
+    // ASC) tie-break, then the two-pass alternating replace that fuses
+    // the winner (the binder-depth CTE staging trick proven by
+    // t_bpe_tokenize's 64-rule oracle) — and pins the merge-list prefix
+    // (left, right, count per round). The Spark side adds the invariants
+    // SQL cannot replay for the 240-round tail: winner counts are
+    // non-increasing (a fused pair's successors can never outnumber it)
+    // and the learned tokenizer reconstructs every vocabulary word
+    // losslessly.
     GraftQuery("t_bpe_train",
       (s, dir) => {
+        import s.implicits._
         val wc = Tables.documents(s, dir)
           .select(explode(split(col("text"), " ")).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("freq"))
         val merges = graft.operators.Bpe.learnMergesLocal(wc, rounds = 256)
-        val nonInc = merges.size < 2 ||
-          merges.sliding(2).forall(w => w(0)._3 >= w(1)._3)
-        graft.operators.Bpe.applyMergesScalable(wc, merges)
+        require(merges.size >= 16, s"t_bpe_train: corpus exhausted after " +
+          s"${merges.size} merges — the 16-round graded prefix needs a " +
+          "corpus with at least 16 mergeable pairs")
+        val nonInc = merges.sliding(2).forall(w => w(0)._3 >= w(1)._3)
+        val flags = graft.operators.Bpe.applyMergesScalable(wc, merges)
           .agg(
             bool_and(translate(col("tokens"), " ", "") === col("word"))
               .as("lossless"),
@@ -731,34 +739,51 @@ object TextQueries {
             (lit(merges.size == 256) ||
               bool_and(!col("tokens").contains(" ")))
               .as("trained_to_cap_or_exhausted"))
-          .select(
-            col("lossless"),
-            col("trained_to_cap_or_exhausted"),
-            lit(nonInc).as("counts_nonincreasing"),
-            lit(merges.head._1).as("first_left"),
-            lit(merges.head._2).as("first_right"),
-            lit(merges.head._3).as("first_count"))
+          .withColumn("counts_nonincreasing", lit(nonInc))
+        val prefix = merges.take(16).zipWithIndex.map {
+          case ((l, r, n), i) => (i + 1, l, r, n)
+        }.toDF("round", "m_left", "m_right", "m_count")
+        prefix.crossJoin(broadcast(flags))
       },
-      Some("""WITH w AS (
-             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
-             |), wc AS (
-             |  SELECT word, count(*) AS freq FROM w GROUP BY 1
-             |), p AS (
-             |  SELECT freq, unnest(list_transform(
-             |           generate_series(1, length(word) - 1),
-             |           i -> substr(word, i, 1) || chr(1) || substr(word, i + 1, 1)))
-             |         AS pair
-             |  FROM wc WHERE length(word) >= 2
-             |), top AS (
-             |  SELECT pair, sum(freq) AS n FROM p GROUP BY 1
-             |  ORDER BY n DESC, pair LIMIT 1
-             |)
-             |SELECT TRUE AS lossless, TRUE AS trained_to_cap_or_exhausted,
-             |       TRUE AS counts_nonincreasing,
-             |       string_split(pair, chr(1))[1] AS first_left,
-             |       string_split(pair, chr(1))[2] AS first_right,
-             |       CAST(n AS BIGINT) AS first_count
-             |FROM top""".stripMargin)),
+      Some {
+        val spaced = "' ' || array_to_string(list_transform(" +
+          "generate_series(1, length(word)), i -> word[i]), ' ') || ' '"
+        def stage(i: Int): String = {
+          val l = "string_split(w.pair, chr(1))[1]"
+          val r = "string_split(w.pair, chr(1))[2]"
+          // MATERIALIZED: each round references its predecessor twice
+          // (pair count + fuse) — inlining would double the scan tree per
+          // round, 2^16 reads of the base table by round 16
+          s"""p$i AS (
+             |  SELECT freq, unnest(list_transform(generate_series(1, len(tk) - 1),
+             |           j -> tk[j] || chr(1) || tk[j + 1])) AS pair
+             |  FROM (SELECT freq, string_split(trim(t), ' ') AS tk FROM s${i - 1})),
+             |w$i AS MATERIALIZED (SELECT pair, sum(freq) AS n FROM p$i GROUP BY 1
+             |        ORDER BY n DESC, pair LIMIT 1),
+             |s$i AS MATERIALIZED (
+             |  SELECT word, freq,
+             |    replace(replace(t,
+             |        ' ' || $l || ' ' || $r || ' ', ' ' || $l || $r || ' '),
+             |        ' ' || $l || ' ' || $r || ' ', ' ' || $l || $r || ' ') AS t
+             |  FROM s${i - 1} CROSS JOIN w$i w)"""
+        }
+        val unions = (1 to 16).map(i =>
+          s"SELECT $i AS round, string_split(pair, chr(1))[1] AS m_left, " +
+            s"string_split(pair, chr(1))[2] AS m_right, " +
+            s"CAST(n AS BIGINT) AS m_count FROM w$i")
+          .mkString(" UNION ALL ")
+        s"""WITH w AS (
+           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+           |), wc AS (
+           |  SELECT word, count(*) AS freq FROM w GROUP BY 1
+           |), s0 AS (
+           |  SELECT word, freq, $spaced AS t FROM wc
+           |), ${(1 to 16).map(stage).mkString(",\n")}
+           |SELECT round, m_left, m_right, m_count,
+           |       TRUE AS lossless, TRUE AS trained_to_cap_or_exhausted,
+           |       TRUE AS counts_nonincreasing
+           |FROM ($unions)""".stripMargin
+      }),
 
     // Unigram language-model scoring: corpus-trained token log-probs →
     // per-document mean surprisal, the classic LM-based quality filter

@@ -818,14 +818,14 @@ class OperatorsSpec extends SparkSpec {
     val junk = Seq(("not-an-identifier", 0L)).toDF("probe_id", "pk")
     assert(Joins.idMatchJoin(facts, junk,
       col("fact_id"), col("probe_id")).isEmpty)
-    // both modes expose the same output contract: canonical_id + all
-    // fact/probe columns — flipping the conformance switch is never a
-    // schema change for the caller
+    // both modes expose the same output contract: canonical_id FIRST,
+    // then fact/probe columns in input order — flipping the conformance
+    // switch is never a schema change for the caller, positions included
     val parityCols = Joins.idMatchJoin(facts, bareProbes,
-      col("fact_id"), col("probe_id"), mode = "parity").columns.toSet
+      col("fact_id"), col("probe_id"), mode = "parity").columns.toSeq
     val scaleCols = Joins.idMatchJoin(facts, decoratedProbes,
-      col("fact_id"), col("probe_id")).columns.toSet
-    assert(parityCols == scaleCols && parityCols.contains("canonical_id"))
+      col("fact_id"), col("probe_id")).columns.toSeq
+    assert(parityCols == scaleCols && parityCols.head == "canonical_id")
   }
 
   test("idMatchJoin conformance delta: prefix-id fixture where modes disagree") {
