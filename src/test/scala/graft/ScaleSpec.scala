@@ -59,4 +59,56 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
     assert(p.contains("partial_sum"))
   }
+
+  test("sf1: AQE splits an UNSALTED hot-key join — OptimizeSkewedJoin fires") {
+    assume(sf1.nonEmpty, "set SPARK_GRAFT_SF1_DIR to run the scale-shift check")
+    // j_salted_join proves MANUAL salting; this proves the engine's
+    // unsalted path degrades gracefully on a hot key: ~30% of 6M lineitem
+    // rows collapse onto one join key, broadcast is disabled so the join
+    // must shuffle, and the FINAL adaptive plan must show the skewed
+    // partition split (SortMergeJoin/ShuffledHashJoin marked skew=true)
+    // instead of one straggler task. Skew thresholds are lowered to match
+    // the test corpus's absolute partition sizes — the assertion is that
+    // the optimization ENGAGES on this shape, not the production defaults.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val li = Tables.lineitem(spark, sf1.get)
+      val facts = li.select(
+        when(col("l_orderkey") % 10 < 3, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"))
+      // orders is ALREADY unique on o_orderkey — a distinct() here would
+      // wedge a HashAggregate between the shuffle and the join, and
+      // OptimizeSkewedJoin only matches joins reading shuffle stages
+      // directly (exactly as at production scale, where the dim is a
+      // stored table, not a derived aggregate)
+      val dim = Tables.table(spark, sf1.get, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("w"))
+      val joined = facts.join(dim, Seq("k"))
+        .agg(sum(col("l_extendedprice")).as("s"), count(lit(1)).as("n"))
+      val row = joined.collect().head
+      assert(row.getLong(1) == li.count(), "unique-key dim changed row count")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire on a 30%-hot key:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

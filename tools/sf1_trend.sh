@@ -1,0 +1,23 @@
+#!/bin/sh
+# Per-round sf1 TREND artifact (VERDICT r6 #4): the light ~3-minute slice
+# of the full 35-minute sf1 gate — plan-shape specs (ScaleSpec, incl. the
+# AQE skew-join proof) plus heavy-query timings at sf1, written to
+# BENCH_sf1_r<N>.json next to the driver's sf0.1 bench so an sf1-only
+# plan regression (a join flipping to BNLJ, a 10x time blowup) can never
+# ride a round unnoticed. Full oracle verification at sf1 stays in
+# tools/sf1_gate.sh.
+#
+# Usage: sh tools/sf1_trend.sh <round-number> [sf1-dir]
+set -e
+ROUND=${1:?usage: sh tools/sf1_trend.sh <round-number> [sf1-dir]}
+SF1=${2:-/tmp/graft_sf1}
+cd "$(dirname "$0")/.."
+if [ ! -f "$SF1/lineitem.parquet" ]; then
+  python3 tools/gen_sf1.py /root/testdata/sf0.1 "$SF1"
+fi
+SPARK_GRAFT_SF1_DIR="$SF1" sbt -batch "testOnly graft.ScaleSpec"
+HEAVY="q5_star_join,j3_closure_pairs,v_ivfpq_topk,d_minhash_lsh,q3_shipping_priority,j1_equi_normalized,a4_session_rollup,d_chunk_dedup,t_top_ngrams,q1_pricing_summary"
+SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_BENCH_ONLY="$HEAVY" SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
+  > "BENCH_sf1_r${ROUND}.json"
+cat "BENCH_sf1_r${ROUND}.json"
