@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   * shuffle it genuinely needs — exact dedup shuffles on the content hash,
   * LSH shuffles on band keys (candidates only; never the full n² cross
   * join), SimHash emits one 64-bit value per doc. The pairwise Jaccard
-  * verifier runs only on LSH candidates.
+  * verifier runs only on LSH candidates. The LSH band machinery runs on
+  * one representative per DISTINCT shingle set ([[minhashLshGrouped]]),
+  * so candidate volume is invariant to duplicate multiplicity — the
+  * dominant skew in real crawl corpora; group-level consumers
+  * ([[nearDupComponents]]) never materialize per-doc pairs at all.
   */
 object Dedup {
 
@@ -74,9 +78,11 @@ object Dedup {
     * band-key self-join, then exact Jaccard verification on shingle sets,
     * keeping pairs with jaccard >= threshold.
     *
-    * Plan: shingle+signature projection (codegen, no shuffle) → explode
-    * bands → self-join shuffled on band_key (candidates only) → distinct →
-    * two broadcast-or-shuffle joins to fetch shingle sets → verify filter.
+    * Plan: shingle+signature projection (codegen, no shuffle) → collapse
+    * identical shingle sets to one representative → explode bands →
+    * self-join shuffled on band_key (REPRESENTATIVE candidates only) →
+    * distinct → two joins to fetch shingle sets → verify filter → expand
+    * group members back into pairs.
     */
   /** Word n-gram shingles as exploded rows (doc_id, s), built with
     * posexplode + window `lead` — fully codegen'd, ~8× faster than the
@@ -125,30 +131,116 @@ object Dedup {
       }: _*)).as("band_key"))
   }
 
-  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
-                      shingleSize: Int = 3, numHashes: Int = 8,
-                      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+  /** Collapsed MinHash+LSH core. Signature, band keys, and Jaccard are all
+    * pure functions of the shingle SET, so docs with identical sets
+    * collapse to ONE representative (the group's min doc_id) before the
+    * quadratic machinery: a duplicate group of multiplicity m contributes
+    * 1 row to the band self-join / distinct / verify instead of m²
+    * candidate pairs (the measured sf10 blowup — 100× replicated docs
+    * drove 27M candidates; collapsed, candidates track UNIQUE content).
+    *
+    * Returns (members, repPairs): `members` = (fp, doc_id) shingle-set
+    * membership; `repPairs` = (fp_i, fp_j, i, j, jac) verified pairs of
+    * DISTINCT shingle sets, where i/j are the groups' representative doc
+    * ids (i < j). [[minhashLshPairs]] expands these to per-doc pairs;
+    * group-level consumers ([[nearDupComponents]]) stay at rep
+    * cardinality, which is invariant to duplicate multiplicity. */
+  def minhashLshGrouped(df: DataFrame, id: Column, text: Column,
+                        shingleSize: Int = 3, numHashes: Int = 8,
+                        bands: Int = 4, threshold: Double = 0.5)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
         s"trailing hashes would be silently ignored")
     require(numHashes <= MinhashA.length,
       s"at most ${MinhashA.length} hash functions are defined")
-    // materialized once: consumed by the band explode and by both sides of
-    // the verification join
     val perDoc = perDocSignatures(df, id, text, shingleSize, numHashes)
+      .withColumn("fp", md5(to_json(sort_array(col("sh")))))
       .localCheckpoint()
-    val withBands = bandKeyRows(perDoc, numHashes, bands)
+    val members = perDoc.select(col("fp"), col("doc_id"))
+    // one representative per fingerprint (min doc_id); materialized once,
+    // consumed by the band explode and by both sides of the verify join
+    val reps = perDoc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint()
+    val withBands = bandKeyRows(reps, numHashes, bands)
     val cands = withBands.as("a")
       .join(withBands.as("b"), col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val si = perDoc.select(col("doc_id").as("i"), col("sh").as("sh_i"))
-    val sj = perDoc.select(col("doc_id").as("j"), col("sh").as("sh_j"))
-    cands.join(si, "i").join(sj, "j")
+    val si = reps.select(col("doc_id").as("i"), col("fp").as("fp_i"),
+      col("sh").as("sh_i"))
+    val sj = reps.select(col("doc_id").as("j"), col("fp").as("fp_j"),
+      col("sh").as("sh_j"))
+    val repPairs = cands.join(si, "i").join(sj, "j")
       .withColumn("jac", jaccard(col("sh_i"), col("sh_j")))
       .filter(col("jac") >= threshold)
-      .select(col("i"), col("j"), col("jac"))
+      .select(col("fp_i"), col("fp_j"), col("i"), col("j"), col("jac"))
+    (members, repPairs)
+  }
+
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+                      shingleSize: Int = 3, numHashes: Int = 8,
+                      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val (members, repPairs) =
+      minhashLshGrouped(df, id, text, shingleSize, numHashes, bands, threshold)
+    // expansion is generate-side only (equi-joins on the group key): the
+    // quadratic pair count materializes in the OUTPUT, never in a join
+    // input or a distinct. Intra-group pairs have jaccard = 1 by
+    // construction; cross-group pairs inherit their representatives' jac.
+    val cross = repPairs.select(col("fp_i"), col("fp_j"), col("jac"))
+      .join(members.select(col("fp").as("fp_i"), col("doc_id").as("di")), "fp_i")
+      .join(members.select(col("fp").as("fp_j"), col("doc_id").as("dj")), "fp_j")
+      .select(least(col("di"), col("dj")).as("i"),
+        greatest(col("di"), col("dj")).as("j"), col("jac"))
+    val intra = members.as("x")
+      .join(members.as("y"), col("x.fp") === col("y.fp") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        lit(1.0).as("jac"))
+      .filter(lit(1.0) >= threshold)
+    cross.union(intra)
+  }
+
+  /** Near-dup connected components at GROUP cardinality: equivalent to
+    * `connectedComponents(minhashLshPairs(...))` but the label propagation
+    * runs on the representative graph — O(distinct shingle sets), never
+    * the m²-per-duplicate-group expanded edge list. Components then map
+    * back to every member through the (fp, doc_id) membership frame.
+    *
+    * Exactness: a doc is a node iff its set has multiplicity ≥ 2 (an
+    * intra-group pair exists) or its set is in a verified rep pair; the
+    * expanded component's label is its min doc id, which is the min over
+    * its groups' representatives — i.e. the rep-graph component label
+    * (every rep IS its group's min), or the lone rep itself for a
+    * multiplicity-only group with no cross edge. */
+  def nearDupComponents(df: DataFrame, id: Column, text: Column,
+                        shingleSize: Int = 3, numHashes: Int = 8,
+                        bands: Int = 4, threshold: Double = 0.5,
+                        maxRounds: Int = 16): DataFrame = {
+    val (members, repPairs) =
+      minhashLshGrouped(df, id, text, shingleSize, numHashes, bands, threshold)
+    val repOf = members.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
+    val comps = connectedComponents(repPairs.select(col("i"), col("j")),
+      maxRounds)
+    val pairedFps = repPairs.select(col("fp_i").as("fp"))
+      .union(repPairs.select(col("fp_j").as("fp"))).distinct()
+    // multiplicity-only groups are nodes via their intra pairs, which the
+    // expanded form drops when threshold > 1 — mirror that gate
+    val nodeFps =
+      if (threshold <= 1.0)
+        repOf.filter(col("m") >= 2).select(col("fp")).union(pairedFps).distinct()
+      else pairedFps
+    nodeFps.join(repOf, "fp")
+      .join(comps.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+      .select(col("fp"), coalesce(col("component"), col("rep")).as("component"))
+      .join(members, "fp")
+      .select(col("doc_id").as("node"), col("component"))
   }
 
   /** Incremental ingest dedup — the production shape at 100 TB: flag each

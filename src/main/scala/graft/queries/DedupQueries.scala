@@ -246,11 +246,9 @@ object DedupQueries {
     // every clustered doc labelled with its group's canonical (min) id.
     // The oracle closes the same pair set with a recursive CTE.
     GraftQuery("d_dedup_groups",
-      (s, dir) => Dedup.connectedComponents(
-        Dedup.minhashLshPairs(Tables.documents(s, dir),
-          col("doc_id"), col("text"),
-          shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
-          .select(col("i"), col("j")))
+      (s, dir) => Dedup.nearDupComponents(Tables.documents(s, dir),
+        col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
         .select(col("node").as("doc_id"), col("component")),
       Some(s"""WITH RECURSIVE $MinhashComponentsCte
               |SELECT a AS doc_id, least(a, min(b)) AS component
@@ -261,11 +259,9 @@ object DedupQueries {
     // pipeline actually materializes.
     GraftQuery("d_dedup_corpus",
       (s, dir) => {
-        val groups = Dedup.connectedComponents(
-          Dedup.minhashLshPairs(Tables.documents(s, dir),
-            col("doc_id"), col("text"),
-            shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
-            .select(col("i"), col("j")))
+        val groups = Dedup.nearDupComponents(Tables.documents(s, dir),
+          col("doc_id"), col("text"),
+          shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
         Tables.documents(s, dir)
           .join(groups, col("doc_id") === col("node"), "left")
           .filter(col("component").isNull || col("component") === col("doc_id"))

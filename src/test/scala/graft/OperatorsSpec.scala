@@ -222,6 +222,73 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("minhashLshPairs under duplicate multiplicity equals the uncollapsed reference") {
+    // the sf10 shape: every doc replicated many times with fresh ids. The
+    // collapsed pipeline (one representative per shingle set through the
+    // band join / verify, pairs re-expanded afterwards) must emit exactly
+    // the pair set the per-doc reference does — including all intra-group
+    // pairs at jaccard 1.0 and cross-group pairs at the representative's
+    // jaccard — while the quadratic machinery only ever sees unique sets.
+    import spark.implicits._
+    val base = Tables.documents(spark, testDataDir)
+      .filter(col("doc_id") < 8).select(col("doc_id"), col("text"))
+    val replicated = (0 until 12).map(c =>
+      base.select((col("doc_id") + lit(c * 1000)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+    val got = Dedup.minhashLshPairs(replicated, col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // uncollapsed reference: per-doc band keys, all-pairs on shared bands,
+    // exact jaccard — small enough here (96 docs) to run directly
+    val sh = replicated.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val bk = sh.select(col("doc_id"), explode(Dedup.bandKeys(
+      Dedup.minhashSignature(col("sh"), 8), 4, 2)).as("band_key"))
+    val cands = bk.as("a").join(bk.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val want = cands
+      .join(sh.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+      .withColumn("jac", Dedup.jaccard(col("sh_i"), col("sh_j")))
+      .filter(col("jac") >= 0.3)
+      .select(col("i"), col("j"), col("jac"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty, "reference produced no pairs — corpus too small")
+    assert(got == want)
+    // and the dup groups really did collapse: intra-group pairs all at 1.0
+    val intra = got.filter { case (i, j, _) => i % 1000 == j % 1000 }
+    assert(intra.size == 8 * 12 * 11 / 2)
+    assert(intra.forall(_._3 == 1.0))
+  }
+
+  test("nearDupComponents equals components over the expanded pair list") {
+    // group-level label propagation (rep graph only) must produce the
+    // same (node, component) set as running connectedComponents on the
+    // full per-doc pair expansion — including multiplicity-only groups
+    // (nodes via intra pairs, no cross edge) and chained cross groups
+    import spark.implicits._
+    val base = Tables.documents(spark, testDataDir)
+      .filter(col("doc_id") < 30).select(col("doc_id"), col("text"))
+    val replicated = base.union(
+      base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 5000).as("doc_id"), col("text")))
+    val viaGroups = Dedup.nearDupComponents(replicated,
+        col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.3)
+      .as[(Long, Long)].collect().toSet
+    val viaExpansion = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(replicated, col("doc_id"), col("text"),
+          shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.3)
+          .select(col("i"), col("j")))
+      .as[(Long, Long)].collect().toSet
+    assert(viaExpansion.nonEmpty, "corpus produced no components")
+    assert(viaGroups == viaExpansion)
+    // the duplicated docs really are nodes labeled by their originals
+    assert(viaGroups.exists { case (n, c) => n >= 5000 && c < 5000 })
+  }
+
   test("simhashPairs banding is pigeonhole-complete vs brute-force hamming") {
     import spark.implicits._
     val sigs = Tables.documents(spark, testDataDir).limit(200)
