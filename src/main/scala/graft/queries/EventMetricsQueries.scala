@@ -19,18 +19,8 @@ object EventMetricsQueries {
     * dir, then move the part files in under a batch prefix (the file stream
     * source tracks files by name; a fresh directory write would collide). */
   private def dumpJsonl(df: org.apache.spark.sql.DataFrame, stage: String,
-                        dest: String, prefix: String, fmt: String): Unit = {
-    df.write.mode("overwrite").option("timestampFormat", fmt).json(stage)
-    val destDir = new java.io.File(dest)
-    destDir.mkdirs()
-    new java.io.File(stage).listFiles()
-      .filter(_.getName.endsWith(".json"))
-      .foreach { f =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(destDir, prefix + f.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-  }
+                        dest: String, prefix: String, fmt: String): Unit =
+    Scratch.dumpJsonl(df, stage, dest, prefix, fmt)
 
   val entries: Seq[GraftQuery] = Seq(
 

@@ -67,6 +67,26 @@ private[graft] object Scratch {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Write `df` as JSONL into a staging dir, then move the part files into
+    * `dest` under `prefix` — the feed-builder for every streaming graded
+    * query (a file source needs files appearing IN a directory; Spark's
+    * JSON writer wants to own the directory it writes, hence the
+    * stage-then-move). Prefixes order the feed deterministically when a
+    * later stage must arrive after an earlier one. */
+  def dumpJsonl(df: org.apache.spark.sql.DataFrame, stage: String,
+                dest: String, prefix: String, fmt: String): Unit = {
+    df.write.mode("overwrite").option("timestampFormat", fmt).json(stage)
+    val destDir = new java.io.File(dest)
+    destDir.mkdirs()
+    new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(destDir, prefix + f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+  }
+
   /** Run `build` once per JVM for `key` (a scratch DIRECTORY path);
     * same-key callers wait on a per-key latch — an in-flight multi-minute
     * stream build must not block unrelated keys. Only a COMPLETED build is

@@ -546,6 +546,32 @@ class OperatorsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("video frame sampling bounds the sample and gets the seek offsets right") {
+    val docs = Tables.documents(spark, testDataDir)
+    val frames = Multimodal.sampleVideoFrames(spark, docs).collect()
+    val byClip = frames.groupBy(_.getLong(0))
+    assert(byClip.nonEmpty)
+    for ((_, fs) <- byClip) {
+      assert(fs.length <= 8) // maxFrames bound holds per clip
+      val idx = fs.map(_.getLong(1)).sorted
+      assert(idx.head == 0L) // first frame always sampled
+      // uniform stride: consecutive sampled indices are equidistant
+      val gaps = idx.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+      assert(gaps.distinct.size <= 1)
+      // timestamp is the index at the fixed 40 ms frame interval
+      assert(fs.forall(r => r.getLong(2) == r.getLong(1) * 40))
+    }
+    // probe byte replays the proportional-seek arithmetic on a known clip
+    val doc = docs.filter(col("doc_id") % 3 === 2).limit(1)
+      .select("doc_id", "text", "n_chars").head()
+    val (id, text, nChars) = (doc.getLong(0), doc.getString(1), doc.getLong(2))
+    val nFrames = nChars * 100 / 40
+    for (r <- byClip(id)) {
+      val pos = (r.getLong(1) * text.length / nFrames).toInt
+      assert(r.getInt(3) == text.charAt(pos).toInt)
+    }
+  }
+
   test("resize geometry preserves aspect ratio and never upscales") {
     assert(Multimodal.fitBox(448, 224, 224, 224) == (224, 112))
     assert(Multimodal.fitBox(100, 100, 224, 224) == (100, 100)) // no upscale

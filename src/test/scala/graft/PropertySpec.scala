@@ -204,6 +204,18 @@ class PropertySpec extends SparkSpec {
     assert(Bpe.learnMergesLocal(wf, rounds = 4, maxDistinctWords = 5).nonEmpty)
   }
 
+  test("learnMergesLocal refuses corpora whose pair diversity blows the occ budget") {
+    import spark.implicits._
+    // 3 words but 6 distinct pairs — the word cap passes, the pair cap must
+    // catch it (pair diversity is what multiplies the occ-index heap term)
+    val wf = Seq(("abc", 5L), ("def", 3L), ("ghi", 2L)).toDF("word", "freq")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.learnMergesLocal(wf, rounds = 4, maxDistinctPairs = 4)
+    }
+    assert(e.getMessage.contains("distinct pairs"))
+    assert(Bpe.learnMergesLocal(wf, rounds = 4, maxDistinctPairs = 6).nonEmpty)
+  }
+
   test("property: snapshotDiff matches a sequential map diff, any snapshots") {
     val snapGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 15L),
       Gen.option(Gen.alphaStr.map(_.take(3)))))
