@@ -89,4 +89,78 @@ object Sampling {
       rates, defaultRate = 0.0)
     (sampled, rates)
   }
+
+  /** Token-budget corpus selection: rank documents by a quality score
+    * (descending, id-tiebroken) and keep the best prefix whose cumulative
+    * token count stays within `total × numer/denom` — the "pick the best
+    * N-billion-token subset" step of a training-data pipeline.
+    *
+    * The naive form is a single global-order cumulative-sum window — one
+    * partition holding the whole corpus. This is the distributed exact
+    * prefix sum instead: rows bucket by coarse score range, per-bucket
+    * token totals (a tiny aggregate — the bucket domain is score-range /
+    * `bucketWidth`, independent of corpus size) turn into exclusive
+    * bucket offsets via a window over that tiny frame, and each bucket
+    * then cumulates internally IN PARALLEL (window partitioned by
+    * bucket). `offset + within-bucket running sum` is exactly the global
+    * running sum, because buckets partition the score range monotonically
+    * and equal scores always land in the same bucket. All arithmetic is
+    * integral (counts, `div`) so the oracle replays bit-exactly.
+    *
+    * Requires an integral score (vocabulary counts, length classes,
+    * quantized quality) — float scores would need an order-safe
+    * quantization first. */
+  def budgetSelect(df: DataFrame, id: Column, score: Column, tokens: Column,
+                   budgetNumer: Long, budgetDenom: Long,
+                   bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetNumer >= 0 && budgetDenom > 0 && bucketWidth > 0,
+      "budgetSelect: budget fraction and bucket width must be positive")
+    val base = df.select(id.as("doc_id"), score.as("score"),
+      tokens.cast("long").as("tok"))
+    // one-row corpus total, cross-joined so the budget stays in-plan
+    val total = base.agg(sum(col("tok")).as("total_tok"))
+    val bucketed = base.withColumn("bucket",
+      floor(col("score") / bucketWidth).cast("long"))
+    // exclusive prefix over DESC buckets = tokens in strictly-better
+    // buckets; the frame is bucket-domain-sized, so the unpartitioned
+    // window is a driver-bounded constant, not a corpus-sized sort
+    val offW = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("tok")).as("btok"))
+      .withColumn("boffset", coalesce(sum(col("btok")).over(offW), lit(0L)))
+      .select(col("bucket"), col("boffset"))
+    val inW = Window.partitionBy(col("bucket"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    bucketed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tok", col("boffset") + sum(col("tok")).over(inW))
+      .crossJoin(broadcast(total))
+      .filter(col("cum_tok") <=
+        expr(s"total_tok * ${budgetNumer}L div ${budgetDenom}L"))
+      .select(col("doc_id"), col("score"), col("tok"), col("cum_tok"))
+  }
+
+  /** Deterministic epoch shuffle: the global training-order randomization
+    * pass. Each row gets a pseudo-random 60-bit key from (id, epoch seed),
+    * a shard = key mod `numShards`, and a position within its shard —
+    * together a reproducible random permutation of the corpus, different
+    * per epoch, stable under retries. One hash-partition shuffle on the
+    * shard key; every shard orders independently in parallel (row_number
+    * partitioned by shard) — there is NO global sort, which is what makes
+    * the permutation feasible at 100 TB (a true global order would
+    * funnel the corpus through one partition's sort). Readers stream
+    * shards in (shard, pos) order; cross-shard interleave is the reader's
+    * round-robin, as in real training loaders. */
+  def epochShuffle(df: DataFrame, id: Column, epochSeed: String,
+                   numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, "epochShuffle: numShards must be positive")
+    val key = Dedup.hash60(concat(id.cast("string"), lit(":" + epochSeed)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+    df.select(id.as("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard", col("shuffle_key") % numShards.toLong)
+      .withColumn("pos", row_number().over(w))
+  }
 }

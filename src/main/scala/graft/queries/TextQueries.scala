@@ -315,6 +315,56 @@ object TextQueries {
              |        / 1152921504606846976.0
              |      < least(n_chars / 600.0, 1.0)""".stripMargin)),
 
+    // Token-budget corpus selection: keep the highest-vocabulary-richness
+    // documents whose running token count fits 2/5 of the corpus — exact,
+    // but WITHOUT the single-partition global cumsum window (distributed
+    // two-level prefix sum: tiny bucket-offset frame + parallel
+    // within-bucket windows). The oracle is the naive global window, so
+    // any bucket-boundary off-by-one in the offsets hash-mismatches.
+    GraftQuery("t_budget_select",
+      (s, dir) => graft.operators.Sampling.budgetSelect(
+        Tables.documents(s, dir),
+        col("doc_id"),
+        size(array_distinct(split(col("text"), " "))),
+        size(split(col("text"), " ")),
+        budgetNumer = 2, budgetDenom = 5, bucketWidth = 8),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |         len(list_distinct(string_split(text, ' '))) AS score,
+             |         len(string_split(text, ' ')) AS tok
+             |  FROM documents
+             |), t AS (
+             |  SELECT doc_id, score, tok,
+             |         CAST(sum(tok) OVER (
+             |           ORDER BY score DESC, doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           AS BIGINT) AS cum_tok
+             |  FROM b
+             |)
+             |SELECT doc_id, score, tok, cum_tok FROM t
+             |WHERE cum_tok <= (SELECT CAST(sum(tok) * 2 // 5 AS BIGINT)
+             |                  FROM b)""".stripMargin)),
+
+    // Deterministic epoch shuffle: reproducible per-epoch random training
+    // order — hash key from (doc_id, epoch seed), shard = key mod 16,
+    // position within shard. One shard-key shuffle, per-shard parallel
+    // ordering, no global sort.
+    GraftQuery("t_shard_shuffle",
+      (s, dir) => graft.operators.Sampling.epochShuffle(
+        Tables.documents(s, dir), col("doc_id"),
+        epochSeed = "ep1", numShards = 16),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         ('0x' || substring(md5(doc_id::VARCHAR || ':ep1'),
+             |                            1, 15))::BIGINT AS shuffle_key
+             |  FROM documents
+             |)
+             |SELECT doc_id, shuffle_key, shuffle_key % 16 AS shard,
+             |       CAST(row_number() OVER (
+             |         PARTITION BY shuffle_key % 16
+             |         ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+             |FROM t""".stripMargin)),
+
     // TF-IDF relevance scoring over the corpus vocabulary: one explode +
     // two aggregations (term rows shuffle once on term for document
     // frequency, once on (doc, term) for term frequency). The probe terms

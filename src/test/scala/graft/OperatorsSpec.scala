@@ -974,4 +974,47 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got2 == Map(1L -> "changed", 2L -> "unchanged"))
   }
+
+  test("budgetSelect's bucketed prefix sum matches the naive global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // scores collide across ids and straddle bucket boundaries (width 8
+    // ⇒ 7→8 and 15→16 cross buckets); both paths tiebreak by id
+    val docs = (1L to 300L).map(i => (i, (i * 7919) % 40, 10L + (i * 31) % 90))
+      .toDF("id", "score", "tok")
+    val got = Sampling.budgetSelect(docs, col("id"), col("score"),
+        col("tok"), budgetNumer = 1, budgetDenom = 3, bucketWidth = 8)
+      .orderBy("doc_id").collect().toSeq
+    val naive = docs
+      .withColumn("cum_tok", sum(col("tok")).over(
+        Window.orderBy(col("score").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(docs.agg(sum(col("tok")).as("total_tok")))
+      .filter(col("cum_tok") <= expr("total_tok * 1L div 3L"))
+      .select(col("id").as("doc_id"), col("score"), col("tok"),
+        col("cum_tok"))
+      .orderBy("doc_id").collect().toSeq
+    assert(naive.nonEmpty && got == naive)
+  }
+
+  test("epochShuffle is a reproducible per-epoch permutation with dense shard positions") {
+    import spark.implicits._
+    val docs = spark.range(1, 501).toDF("id")
+    val a = Sampling.epochShuffle(docs, col("id"), "e1", numShards = 8)
+    assert(a.count() == 500 &&
+      a.select("doc_id").distinct().count() == 500) // a permutation
+    // positions are 1..n within every shard — a reader can stream each
+    // shard densely with no gaps
+    assert(a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+    // stable under re-execution, different under a different epoch seed
+    val again = Sampling.epochShuffle(docs, col("id"), "e1", numShards = 8)
+    assert(a.collect().toSet == again.collect().toSet)
+    val b = Sampling.epochShuffle(docs, col("id"), "e2", numShards = 8)
+    val assign = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("doc_id", "shard", "pos").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(assign(a) != assign(b))
+  }
 }

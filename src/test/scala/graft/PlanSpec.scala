@@ -282,4 +282,23 @@ class PlanSpec extends SparkSpec {
       s"no partition pruning on the appended index:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("budget select cumulates per score bucket; only the offset frame is global") {
+    val p = plan("t_budget_select")
+    // the corpus-sized running sum must run as windows partitioned by
+    // bucket (parallel) — the single-partition exchange is allowed only
+    // for the bucket-domain offset frame, never for the corpus
+    assert(p.contains("hashpartitioning(bucket"),
+      s"corpus cumsum not bucket-partitioned:\n$p")
+    assert(p.contains("BroadcastExchange"), // offsets + total join broadcast
+      s"offset/total frames not broadcast:\n$p")
+  }
+
+  test("epoch shuffle orders within shards, never through a global sort") {
+    val p = plan("t_shard_shuffle")
+    assert(p.contains("hashpartitioning(shard"),
+      s"shard window not hash-partitioned:\n$p")
+    // no stage funnels the corpus into one partition
+    assert(!p.contains("SinglePartition"), s"global funnel in plan:\n$p")
+  }
 }
