@@ -34,7 +34,9 @@ object Bench {
     "v_semantic_dedup",    // cluster-scoped semantic near-dup (SemDeDup shape)
     "t_bpe_train",         // driver-local 256-round BPE training (scale path)
     "w_stream_sessions",   // streaming sessionization (state-store path)
-    "v_semantic_dedup_split") // hot-cluster sub-split dedup (skewed corpus)
+    "v_semantic_dedup_split", // hot-cluster sub-split dedup (skewed corpus)
+    "t_budget_select",     // token-budget selection (distributed prefix sum)
+    "t_shard_shuffle")     // deterministic epoch shuffle (per-shard windows)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a
