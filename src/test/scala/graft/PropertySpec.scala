@@ -237,4 +237,60 @@ class PropertySpec extends SparkSpec {
       got == expected
     })
   }
+
+  test("property: budgetSelect matches a sequential prefix fold, any bucket width") {
+    // bucket width varies across one-score-per-bucket, boundary-straddling,
+    // and everything-in-one-bucket regimes — the offsets must be exact in
+    // all of them
+    val caseGen = for {
+      n <- Gen.choose(5, 40)
+      scores <- Gen.listOfN(n, Gen.choose(0L, 30L))
+      toks <- Gen.listOfN(n, Gen.choose(1L, 50L))
+      width <- Gen.oneOf(1L, 4L, 16L, 64L)
+    } yield (scores.zip(toks).zipWithIndex.map { case ((s, t), i) =>
+      (i.toLong, s, t)
+    }, width)
+    check(Prop.forAll(caseGen) { case (rows, width) =>
+      val total = rows.map(_._3).sum
+      var cum = 0L
+      val expected = rows.sortBy { case (id, s, _) => (-s, id) }
+        .map { case (id, s, t) => cum += t; (id, s, t, cum) }
+        .takeWhile(_._4 <= total / 2).toSet
+      val df = spark.createDataFrame(
+        rows.map { case (id, s, t) => Row(id, s, t) }.asJava,
+        T.StructType(Seq(T.StructField("id", T.LongType),
+          T.StructField("score", T.LongType), T.StructField("tok", T.LongType))))
+      val got = graft.operators.Sampling.budgetSelect(df, col("id"),
+          col("score"), col("tok"), 1, 2, width)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      got == expected
+    })
+  }
+
+  test("property: epochShuffle matches a sequential hash-order oracle") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val caseGen = for {
+      ids <- Gen.containerOf[Set, Long](Gen.choose(0L, 500L)).suchThat(_.nonEmpty)
+      shards <- Gen.choose(1, 9)
+      seed <- Gen.identifier.map(_.take(6))
+    } yield (ids.toSeq, shards, seed)
+    check(Prop.forAll(caseGen) { case (ids, shards, seed) =>
+      val keyed = ids.map(i => (i, h60(s"$i:$seed")))
+      val expected = keyed.groupBy(_._2 % shards).flatMap { case (sh, g) =>
+        g.sortBy { case (id, k) => (k, id) }.zipWithIndex.map {
+          case ((id, k), p) => id -> (k, sh, p + 1)
+        }
+      }
+      val df = spark.createDataFrame(
+        ids.map(Row(_)).asJava,
+        T.StructType(Seq(T.StructField("id", T.LongType))))
+      val got = graft.operators.Sampling.epochShuffle(df, col("id"), seed, shards)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+      got == expected
+    })
+  }
 }
