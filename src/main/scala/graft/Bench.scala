@@ -36,7 +36,9 @@ object Bench {
     "w_stream_sessions",   // streaming sessionization (state-store path)
     "v_semantic_dedup_split", // hot-cluster sub-split dedup (skewed corpus)
     "t_budget_select",     // token-budget selection (distributed prefix sum)
-    "t_shard_shuffle")     // deterministic epoch shuffle (per-shard windows)
+    "t_shard_shuffle",     // deterministic epoch shuffle (per-shard windows)
+    "t_bigram_logprob",    // bigram LM score (corpus-wide dictionary join)
+    "t_rag_chunks")        // sliding-window RAG chunking (scan-speed explode)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

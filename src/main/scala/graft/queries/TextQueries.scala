@@ -912,5 +912,131 @@ object TextQueries {
              |       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
              |       round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens
              |FROM d GROUP BY 1, 2""".stripMargin)),
+
+    // Bigram language-model scoring with add-1 smoothing: corpus-trained
+    // transition log-probs → per-document mean bigram surprisal, the
+    // context-aware upgrade of t_unigram_logprob (a doc of common words in
+    // impossible ORDER scores badly here but fine there). Per-bigram
+    // logprobs use the unigram gate's determinism contract: round to 4dp,
+    // sum in DECIMAL (partial-agg order can never move the result), emit
+    // the raw IEEE quotient and let the comparator round. Scale shape: the
+    // bigram dictionary is built from ONE explode (two partial-agg
+    // shuffles over (w1,w2)/(w1) term rows), then joined back on the
+    // (w1,w2) equi-key — broadcast at this SF, shuffle join at 100 TB;
+    // vocab size V rides in as a broadcast one-row aggregate.
+    GraftQuery("t_bigram_logprob",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ws = split(col("text"), " ")
+        val bg = docs.select(col("doc_id"), ws.as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+              struct(element_at(col("w"), i).as("w1"),
+                element_at(col("w"), i + 1).as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1"), col("p.w2"))
+        val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val vocab = docs.select(explode(ws).as("term"))
+          .agg(countDistinct(col("term")).cast("double").as("v"))
+        val dict = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+          .select(col("w1"), col("w2"),
+            round(log((col("c2") + 1.0) / (col("c1") + col("v"))), 4)
+              .cast("decimal(18,4)").as("lp"))
+        bg.join(dict, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("lp")).cast("double") / count(lit(1)))
+              .as("mean_logprob"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), bgz AS (
+             |  SELECT doc_id, unnest(list_zip(w, w[2:])) AS p FROM d
+             |), bg AS (
+             |  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bgz
+             |  WHERE p[2] IS NOT NULL
+             |), c2 AS (
+             |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+             |), c1 AS (
+             |  SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+             |), v AS (
+             |  SELECT count(DISTINCT term) AS v
+             |  FROM (SELECT unnest(w) AS term FROM d)
+             |), dict AS (
+             |  SELECT w1, w2,
+             |         CAST(round(ln((c2 + 1.0) / (c1 + (SELECT v FROM v))), 4)
+             |              AS DECIMAL(18,4)) AS lp
+             |  FROM c2 JOIN c1 USING (w1)
+             |)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |       CAST(sum(lp) AS DOUBLE) / count(*) AS mean_logprob
+             |FROM bg JOIN dict USING (w1, w2)
+             |GROUP BY 1""".stripMargin)),
+
+    // Sliding-window RAG chunking: overlapping 32-token windows every 24
+    // tokens (8-token overlap), stopping at the first window that covers
+    // the document tail — the retrieval/embedding prep pass. Pure
+    // projection + explode, zero shuffles (the 100 TB shape: runs at scan
+    // speed; see operators/Chunking.scala).
+    GraftQuery("t_rag_chunks",
+      (s, dir) => graft.operators.Chunking.slidingChunks(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        window = 32, stride = 24),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), s AS (
+             |  SELECT doc_id, w,
+             |         unnest(generate_series(0, len(w) - 1, 24)) AS start
+             |  FROM d
+             |)
+             |SELECT doc_id, start // 24 AS chunk_idx,
+             |       CAST(least(32, len(w) - start) AS BIGINT) AS chunk_tokens,
+             |       array_to_string(w[start + 1:start + 32], ' ') AS chunk_text
+             |FROM s WHERE start = 0 OR start + 8 < len(w)""".stripMargin)),
+
+    // CCNet-style quality bucketing: per-language head/middle/tail
+    // terciles by token "commonness" (mean corpus frequency of the doc's
+    // tokens — the exact-rational stand-in for the LM-perplexity ranking
+    // CCNet uses, chosen because sum(tf)/n is bit-identical across
+    // engines, so the tercile ORDERING can never flip on a float ulp).
+    // One explode + tf join + per-doc agg, then one per-language window —
+    // the window state is one ntile counter per partition, safe at 100 TB.
+    GraftQuery("t_freq_bucket",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        val stats = toks.join(tf, Seq("term"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            (sum(col("tf")).cast("double") / count(lit(1)))
+              .as("commonness"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("commonness").desc, col("doc_id"))
+        stats.select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("commonness"),
+          when(ntile(3).over(w) === 1, "head")
+            .when(ntile(3).over(w) === 2, "middle")
+            .otherwise("tail").as("bucket"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT term, count(*) AS tf FROM d GROUP BY 1
+             |), s AS (
+             |  SELECT doc_id, lang, count(*) AS n_tokens,
+             |         CAST(sum(tf) AS DOUBLE) / count(*) AS commonness
+             |  FROM d JOIN tf USING (term) GROUP BY 1, 2
+             |)
+             |SELECT doc_id, lang, n_tokens, commonness,
+             |       CASE ntile(3) OVER (PARTITION BY lang
+             |                           ORDER BY commonness DESC, doc_id)
+             |         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+             |       END AS bucket
+             |FROM s""".stripMargin)),
   )
 }

@@ -301,4 +301,28 @@ class PlanSpec extends SparkSpec {
     // no stage funnels the corpus into one partition
     assert(!p.contains("SinglePartition"), s"global funnel in plan:\n$p")
   }
+
+  test("rag chunking runs at scan speed: a pure explode, zero shuffles") {
+    val p = plan("t_rag_chunks")
+    assert(!p.contains("Exchange"), s"chunking pass shuffles:\n$p")
+    assert(p.contains("Generate explode"), s"no explode in plan:\n$p")
+  }
+
+  test("bigram lm joins the dictionary on the equi-key, never a nested loop") {
+    val p = plan("t_bigram_logprob")
+    // the scored join and both dictionary aggs are hash-based; the only
+    // nested-loop is the one-row vocab-size broadcast (the BM25 pattern)
+    assert(p.contains("HashJoin"), s"no hash join in plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"more than the one-row stats NLJ:\n$p")
+    assert(p.contains("partial_count"), s"dictionary aggs not partial:\n$p")
+  }
+
+  test("freq buckets window per language, never through a global sort") {
+    val p = plan("t_freq_bucket")
+    assert(p.contains("hashpartitioning(lang"),
+      s"tercile window not language-partitioned:\n$p")
+    assert(!p.contains("SinglePartition"), s"global funnel in plan:\n$p")
+  }
 }
