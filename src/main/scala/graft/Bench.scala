@@ -66,14 +66,26 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same pinned timezone as Verify/tests: the NTZ→TIMESTAMP cast in
+      // Tables.events and the sessionize/watermark arithmetic must compute
+      // identical values regardless of the host machine's timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JIT/codegen/parquet-footer paths so per-query numbers are
-    // attributable to the query, not to whichever ran first.
-    Tables.all.foreach {
-      case "events" => Tables.events(spark, sfDir).count()
-      case t => Tables.table(spark, sfDir, t).count()
+    // attributable to the query, not to whichever ran first. A broken
+    // loader here must NOT kill the whole run (round 7: one stale events
+    // loader turned 35 per-query numbers into rc=1 with no artifact) —
+    // the per-query harness below already degrades failures to -1.
+    Tables.all.foreach { t =>
+      try {
+        if (t == "events") Tables.events(spark, sfDir).count()
+        else Tables.table(spark, sfDir, t).count()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup of table $t FAILED: ${e.getMessage}")
+      }
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val results = selected.map { name =>

@@ -39,26 +39,40 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** The events fact table. Stored with nanosecond parquet timestamps which
-    * Spark 4 refuses to read natively; we read `ts` as nanos-since-epoch
-    * (legacy long mode) and rebuild a microsecond TimestampType column —
-    * identical to what DuckDB 1.x yields when it coerces TIMESTAMP_NS to
-    * its microsecond TIMESTAMP, so oracle comparisons line up exactly.
+  /** The events fact table. The on-disk `ts` physical type has drifted
+    * across test-data generations (nanosecond TIMESTAMP_NS early on, plain
+    * microsecond timestamp now), so the loader is SCHEMA-ADAPTIVE rather
+    * than pinned to one layout:
+    *
+    *  - `ts` surfaces as `LongType` (TIMESTAMP_NS under the legacy
+    *    `nanosAsLong` conf, or a raw INT64 nanos column): rebuild a
+    *    microsecond TimestampType via integer division — `/` would
+    *    round-trip through double and lose sub-µs precision on
+    *    1.7e18-scale nanos. Matches DuckDB's TIMESTAMP_NS→TIMESTAMP
+    *    coercion, so oracle comparisons line up exactly.
+    *  - anything else (TIMESTAMP_NTZ from µs-no-tz parquet, or already
+    *    TimestampType): cast to TIMESTAMP. The NTZ→TIMESTAMP cast is
+    *    value-identical under the pinned UTC session timezone and is
+    *    REQUIRED — `unix_micros` (Sessionize) and streaming watermarks
+    *    reject TIMESTAMP_NTZ inputs.
     *
     * KNOWN SIDE EFFECT: `nanosAsLong` is a session-wide conf consulted at
     * both schema resolution and scan execution, so it cannot be scoped to
     * this one (lazy) read — after the first `events` call, any OTHER
     * TIMESTAMP_NS parquet source in the session would also surface as
     * long. No such source exists in this engine (every table loads through
-    * this object and only `events` carries nanos); production ingest lands
-    * through the bronze writer, which stores microseconds.
+    * this object and only `events` may carry nanos); production ingest
+    * lands through the bronze writer, which stores microseconds.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // harmless for µs data; required to even resolve a TIMESTAMP_NS schema
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      // integer division — `/` would round-trip through double and lose
-      // sub-µs precision on 1.7e18-scale nanos
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(spark, dir, "events")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000"))
+      case _                                   => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", tsCol)
   }
 
   /** Typed edge: schema-validated events. `.as[Event]` fails analysis on

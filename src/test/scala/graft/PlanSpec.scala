@@ -36,17 +36,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vec_dot")) // native expression in the fused projection
   }
 
-  test("api landing page: time filter sits on the derived ts (bronze is the pushdown path)") {
-    // The driver events table stores nanosecond timestamps Spark can't read
-    // natively; `ts` is rebuilt from a long, so a range predicate on it can
-    // NOT reach the parquet scan. This documents that limitation — the
-    // engine's own bronze layout (Ingest.writeBronze, partitioned by
-    // event_date) restores pruning, asserted in IngestReportSpec.
-    val p = SparkEntry.queries("api_landing_page")(spark, testDataDir)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("timestamp_micros")) // range evaluates post-scan
-    assert(!p.contains("GreaterThanOrEqual(ts")) // ...not in PushedFilters
-    // the numeric user-id In-filter DOES push down
+  test("api landing page: time-range pushdown matches the on-disk ts layout") {
+    // Tables.events is schema-adaptive (TablesSchemaSpec). The time-range
+    // plan shape follows the layout: with µs-stored timestamps the cast is
+    // transparent to filter pushdown and the range MUST reach the scan;
+    // with the legacy nanos-as-long layout `ts` is rebuilt from a long so
+    // the range can only evaluate post-scan (the engine's own bronze
+    // layout — Ingest.writeBronze partitioned by event_date — restores
+    // pruning there, asserted in IngestReportSpec).
+    // the long user_id In-list otherwise truncates PushedFilters before
+    // the range entries appear in the plan string
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val p =
+      try SparkEntry.queries("api_landing_page")(spark, testDataDir)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    val nanosLayout = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$testDataDir/events.parquet")
+        .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    }
+    if (nanosLayout) {
+      assert(p.contains("timestamp_micros")) // range evaluates post-scan
+      assert(!p.contains("GreaterThanOrEqual(ts")) // ...not in PushedFilters
+    } else {
+      assert(p.contains("GreaterThanOrEqual(ts"), // range reaches the scan
+        s"ts range filter not pushed down:\n$p")
+    }
+    // the numeric user-id In-filter pushes down under either layout
     assert(p.contains("In(user_id"))
   }
 
