@@ -21,6 +21,7 @@ object Bench {
     "r_sushi_reports",     // sessionize → COUNTER → JSON report assembly
     "s2_bronze_slice",     // bronze write + partition-pruned slice read
     "d_chunk_dedup",       // chunk-grain substring dedup (window + regroup)
+    "d_cdc_chunk_dedup",   // content-defined chunking (alignment-free cuts)
     "t_repetition",        // within-row repetition battery (shuffle-free)
     "a_hll_partial_merge", // re-aggregable HLL sketch rollup
     "q3_shipping_priority",// selective-dim fact join + global top-k

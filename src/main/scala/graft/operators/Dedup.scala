@@ -448,17 +448,68 @@ object Dedup {
     */
   def chunkDedup(df: DataFrame, id: Column, text: Column,
       chunkWords: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ws = split(text, " ")
     val nChunks = ceil(size(ws).cast("double") / chunkWords).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1), j =>
       struct(j.as("chunk_idx"),
         array_join(slice(ws, j * chunkWords + 1, lit(chunkWords)), " ")
           .as("chunk")))
+    firstKeepReassemble(
+      df.select(id.as("doc_id"), explode(chunks).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk")))
+  }
+
+  /** Content-defined chunking (CDC) dedup — closes [[chunkDedup]]'s known
+    * miss class: a duplicated span whose word offset differs between two
+    * docs straddles the fixed-window phase, so none of its fixed chunks
+    * hash-match. Here the chunk boundary is a property of the CONTENT —
+    * a word `w` closes its chunk when `hash60(w) % divisor == 0` (the
+    * FastCDC/gear-hash cut rule at word granularity) — so identical spans
+    * cut into identical chunks regardless of where they sit in the doc:
+    * after the first shared boundary the chunk streams of two copies align
+    * exactly. Chunk length is geometric with mean `divisor` words.
+    *
+    * Chunk construction is ONE per-row `aggregate` fold over the word
+    * array — pure codegen'd column arithmetic, zero shuffles — and the
+    * shuffle budget is identical to [[chunkDedup]] (the same shared tail).
+    * `hash60` keeps the boundary rule bit-replayable by the DuckDB oracle;
+    * production swaps in `xxhash64` (same plan shape, cheaper per word).
+    */
+  def cdcChunkDedup(df: DataFrame, id: Column, text: Column,
+      divisor: Int): DataFrame = {
+    val ws = split(text, " ")
+    val folded = aggregate(
+      ws,
+      struct(array().cast("array<array<string>>").as("chunks"),
+        array().cast("array<string>").as("cur")),
+      (acc, w) => {
+        val cur2 = concat(acc.getField("cur"), array(w))
+        val cut = pmod(hash60(w), lit(divisor.toLong)) === 0
+        struct(
+          when(cut, concat(acc.getField("chunks"), array(cur2)))
+            .otherwise(acc.getField("chunks")).as("chunks"),
+          when(cut, array().cast("array<string>"))
+            .otherwise(cur2).as("cur"))
+      },
+      acc => when(size(acc.getField("cur")) > 0,
+          concat(acc.getField("chunks"), array(acc.getField("cur"))))
+        .otherwise(acc.getField("chunks")))
+    val chunkTexts = transform(folded, a => array_join(a, " "))
+    firstKeepReassemble(
+      df.select(id.as("doc_id"), posexplode(chunkTexts).as(Seq("chunk_idx", "chunk"))))
+  }
+
+  /** Shared tail of the chunk-dedup family: keep the globally-first
+    * occurrence of each chunk text (ordered by doc id, then position),
+    * reassemble docs from surviving chunks. One high-cardinality skew-free
+    * shuffle on chunk text for the first-occurrence window, one
+    * partial-agg shuffle on doc id for reassembly; state per key is one
+    * row number — never pairs. */
+  private def firstKeepReassemble(exploded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val firstWin = Window.partitionBy(col("chunk"))
       .orderBy(col("doc_id"), col("chunk_idx"))
-    df.select(id.as("doc_id"), explode(chunks).as("c"))
-      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"))
+    exploded
       .withColumn("keep", row_number().over(firstWin) === 1)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("total_chunks"),

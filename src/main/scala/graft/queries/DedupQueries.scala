@@ -319,6 +319,53 @@ object DedupQueries {
              |         ORDER BY chunk_idx), '') AS dedup_text
              |FROM k GROUP BY 1""".stripMargin)),
 
+    // CDC (content-defined chunking) dedup, graded on a corpus with
+    // PLANTED STRADDLING duplicates: a copy of each doc_id<60 doc is
+    // re-inserted behind a 3-word prefix, so the duplicated span sits at
+    // word offset 3 (≢ 0 mod 8) — invisible to the fixed-window chunker
+    // by construction, caught here because chunk boundaries are decided
+    // by word content (hash60 % 8 == 0), not position. Oracle replays the
+    // boundary rule exactly: boundary flag per word, exclusive prefix sum
+    // as chunk id, regroup. Graded value-exact incl. reassembled text.
+    GraftQuery("d_cdc_chunk_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val shifted = Tables.documents(s, dir).filter(col("doc_id") < 60)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("straddle offset pad "), col("text")).as("text"))
+        Dedup.cdcChunkDedup(docs.unionAll(shifted),
+          col("doc_id"), col("text"), divisor = 8)
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, 'straddle offset pad ' || text
+             |  FROM documents WHERE doc_id < 60),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+             |t AS (SELECT doc_id, ws[j] AS word, j AS pos,
+             |        CASE WHEN (('0x' || substring(md5(ws[j]), 1, 15))::BIGINT
+             |          % 8) = 0 THEN 1 ELSE 0 END AS b
+             |      FROM w, unnest(generate_series(1, len(ws))) AS t(j)),
+             |c AS (SELECT doc_id, word, pos,
+             |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS chunk_idx
+             |      FROM t),
+             |g AS (SELECT doc_id, chunk_idx,
+             |        string_agg(word, ' ' ORDER BY pos) AS chunk
+             |      FROM c GROUP BY 1, 2),
+             |k AS (SELECT doc_id, chunk_idx, chunk,
+             |        row_number() OVER (PARTITION BY chunk
+             |          ORDER BY doc_id, chunk_idx) = 1 AS keep
+             |      FROM g)
+             |SELECT doc_id,
+             |       CAST(count(*) AS BIGINT) AS total_chunks,
+             |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS kept_chunks,
+             |       coalesce(string_agg(CASE WHEN keep THEN chunk END, ' '
+             |         ORDER BY chunk_idx), '') AS dedup_text
+             |FROM k GROUP BY 1""".stripMargin)),
+
     // Streaming exact dedup (§2.9 × the dedup family): the events feed
     // replayed as JSONL with every event_id ≡ 0 (mod 7) row duplicated
     // into a SECOND feed file, streamed through

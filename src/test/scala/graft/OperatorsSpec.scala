@@ -618,6 +618,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == ((2L, 2L, "p q r s")))
   }
 
+  test("cdcChunkDedup catches duplicates that straddle fixed-window phase") {
+    import spark.implicits._
+    // doc 1 is doc 0's text behind a 3-word prefix: every fixed 8-word
+    // window of the copy is phase-shifted, so fixed-window chunkDedup
+    // drops NOTHING from it; CDC boundaries depend only on word content,
+    // so the copy's chunk stream re-aligns with the original after the
+    // first shared cut and the duplicated span collapses.
+    val body = (1 to 64).map(i => s"w$i").mkString(" ")
+    val df = Seq(0L -> body, 1L -> s"pad1 pad2 pad3 $body").toDF("doc_id", "text")
+
+    val fixed = Dedup.chunkDedup(df, col("doc_id"), col("text"), chunkWords = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fixed(1L)._1 == fixed(1L)._2, // the documented miss class
+      s"fixed-window unexpectedly caught the straddling duplicate: $fixed")
+
+    val cdc = Dedup.cdcChunkDedup(df, col("doc_id"), col("text"), divisor = 8)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val (total, kept, text1) = cdc(1L)
+    assert(kept < total, s"CDC failed to catch the straddling duplicate: $cdc")
+    // only the head of the copy (prefix + words before the first shared
+    // cut) may survive; every later chunk matches doc 0's and is dropped
+    assert(text1.startsWith("pad1 pad2 pad3"))
+    assert(cdc(0L)._1 == cdc(0L)._2) // the original keeps everything
+    // alignment property: surviving text never reaches into the tail of
+    // the body once a shared boundary has occurred
+    assert(!text1.contains("w64") || total == kept)
+  }
+
   test("t_repetition metrics are internally consistent") {
     val rows = SparkEntry.queries("t_repetition")(spark, testDataDir).collect()
     assert(rows.nonEmpty)
