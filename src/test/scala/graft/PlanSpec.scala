@@ -239,6 +239,17 @@ class PlanSpec extends SparkSpec {
       s"no partial aggregation before the regroup:\n$p")
   }
 
+  test("CDC chunk dedup keeps the same 2-exchange budget; the fold never shuffles") {
+    // the content-defined cut rule and chunk construction are one per-row
+    // aggregate fold — all the extra work vs the fixed-window chunker must
+    // stay inside the scan stage, never as a third exchange
+    val p = plan("d_cdc_chunk_dedup")
+    assert("(?m)^[\\s:+\\-|*]*Exchange".r.findAllIn(p).size == 2,
+      s"expected exactly 2 exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"union of base + shifted corpus must stay a plain union:\n$p")
+  }
+
   test("hll partial merge keeps sketch partial-aggregation map-side") {
     val p = plan("a_hll_partial_merge")
     assert(p.contains("partial_hllsketchagg") || p.contains("partial_hll"),
