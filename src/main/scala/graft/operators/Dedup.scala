@@ -317,6 +317,57 @@ object Dedup {
       .withColumn("contaminated", col("n_shared_ngrams") > 0)
   }
 
+  /** [[decontaminationFlags]] for the regime where the benchmark shingle
+    * set is too big to broadcast EXACTLY — a deduplicated eval suite of
+    * hundreds of millions of n-grams is gigabytes as strings, but its
+    * Bloom sketch is megabytes at 1% false positives. Three stages, the
+    * same contract as the exact path:
+    *
+    *  1. build — Spark's own `BloomFilterAggregate` (the runtime-filter
+    *     kernel) over `xxhash64(shingle)`: partial sketches per partition,
+    *     OR-merged at the aggregator; the driver only ever holds the final
+    *     `numBits/8`-byte array (same bounded-artifact discipline as the
+    *     ANN centroids).
+    *  2. probe — `BloomFilterMightContain` on the corpus shingle stream as
+    *     a codegen'd FILTER BEFORE ANY SHUFFLE, sketch inlined as a binary
+    *     literal (one broadcast of megabytes, not gigabytes).
+    *  3. confirm — an exact semi-join of the surviving trickle against the
+    *     true benchmark set removes bloom false positives, so the output
+    *     is bit-identical to [[decontaminationFlags]]; false negatives
+    *     cannot occur. Only the trickle shuffles.
+    *
+    * @param numBits sketch size; ~10 bits/item ≈ 1% FP. Caller sizes it
+    *   from the benchmark shingle estimate (a count on the SMALL side).
+    */
+  def bloomDecontaminationFlags(corpus: DataFrame, benchmark: DataFrame,
+                                id: Column, text: Column, n: Int,
+                                numBits: Long = 1L << 20): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    // array-based shingling (not the windowed shingleRows): scan → explode
+    // is NARROW, so the bloom probe filters before any exchange at all
+    val bench = benchmark.select(explode(shingles(text, n)).as("s")).distinct()
+    val sketch = bench
+      .agg(call_function("graft_bloom_agg", xxhash64(col("s")),
+        lit(numBits / 10), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val corpusShingles =
+      corpus.select(id.as("doc_id"), explode(shingles(text, n)).as("s"))
+    val survivors =
+      if (sketch == null) corpusShingles.limit(0) // empty benchmark
+      else corpusShingles.where(
+        call_function("graft_bloom_contains", lit(sketch), xxhash64(col("s"))))
+    val shared = survivors
+      .join(bench, Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shared_ngrams"))
+    corpus.select(id.as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"))
+      .withColumn("contaminated", col("n_shared_ngrams") > 0)
+  }
+
   /** SimHash near-dup PAIRS: band the 60-bit signature into `bands`
     * equal bit-slices — two docs within Hamming distance < bands must
     * share at least one identical band (pigeonhole), so band-key equality

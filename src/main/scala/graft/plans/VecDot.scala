@@ -94,7 +94,27 @@ object GraftFunctions {
       (children: Seq[Expression]) => VecDot(children.head, children(1))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHash60(children.head)))
+      (children: Seq[Expression]) => SimHash60(children.head)),
+    // Spark's own runtime-filter machinery, exposed as callable functions:
+    // the distributed bloom build (partial sketches merged at the
+    // aggregator, never a driver-side item collect) and the codegen'd
+    // probe. Both operate on xxhash64(value) longs. Used by
+    // `Dedup.bloomDecontaminationFlags` for the benchmark-too-big-to-
+    // broadcast decontamination path.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
 
   def register(spark: SparkSession): Unit = all.foreach {
     case (ident, info, builder) =>

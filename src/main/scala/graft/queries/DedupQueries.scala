@@ -183,6 +183,43 @@ object DedupQueries {
            |WHERE d.doc_id % 61 <> 0""".stripMargin
       }),
 
+    // Bloom-prefiltered decontamination — the same hygiene pass for the
+    // regime where the benchmark shingle set is too big to broadcast
+    // exactly: distributed BloomFilterAggregate build, codegen'd
+    // might_contain probe on the narrow corpus shingle stream, exact
+    // confirm semi-join on the surviving trickle. Output is bit-identical
+    // to the exact path (FPs removed by the confirm join; FNs impossible),
+    // so the oracle is the plain exact SQL.
+    GraftQuery("d_bloom_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.bloomDecontaminationFlags(
+          corpus = docs.filter(col("doc_id") % 53 =!= 0),
+          benchmark = docs.filter(col("doc_id") % 53 === 0),
+          col("doc_id"), col("text"), n = 8)
+      },
+      Some {
+        val gram8 = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           |           FROM documents),
+           |sh AS (SELECT doc_id,
+           |         unnest(list_distinct(CASE WHEN length(w) >= 8
+           |           THEN list_transform(generate_series(1, length(w) - 7),
+           |                  i -> $gram8)
+           |           ELSE [] END)) AS s
+           |       FROM d),
+           |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 53 = 0),
+           |hits AS (SELECT doc_id, count(*) AS n
+           |         FROM sh JOIN bench USING (s)
+           |         WHERE doc_id % 53 <> 0
+           |         GROUP BY 1)
+           |SELECT d.doc_id,
+           |       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_shared_ngrams,
+           |       coalesce(hits.n, 0) > 0 AS contaminated
+           |FROM d LEFT JOIN hits USING (doc_id)
+           |WHERE d.doc_id % 53 <> 0""".stripMargin
+      }),
+
     // SimHash: one 60-bit signature per doc (no shuffle at all) — hamming
     // clustering then finds near-dups without any pairwise text compare.
     GraftQuery("d_simhash",

@@ -22,6 +22,39 @@ object JoinQueries {
 
   val entries: Seq[GraftQuery] = Seq(
 
+    // Co-located fact-fact join via bucketing: both sides pre-bucketed on
+    // the join key into catalog tables, so the recurring orders⋈lineitem
+    // join reads matching buckets with NO per-query exchange on either
+    // side (plan shape pinned in BucketSpec) — the 100 TB answer when the
+    // big-big join repeats across a workload. Values are layout-invariant,
+    // so the oracle is the plain join SQL.
+    GraftQuery("j_bucketed_join",
+      (s, dir) => {
+        val base = Scratch.dir("bucketed", dir)
+        val suffix = new java.io.File(base).getName
+          .stripPrefix("graft_").replace('-', '_')
+        val (ot, lt) = (s"orders_$suffix", s"lineitem_$suffix")
+        Scratch.buildOnce(base) {
+          s.sql(s"DROP TABLE IF EXISTS $ot")
+          s.sql(s"DROP TABLE IF EXISTS $lt")
+          Tables.orders(s, dir).write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$base/orders").saveAsTable(ot)
+          Tables.lineitem(s, dir).write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$base/lineitem").saveAsTable(lt)
+        }
+        s.table(ot)
+          .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"), col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT o_orderpriority, l_returnflag,
+             |       sum(l_quantity) AS sum_qty, count(*) AS n_lines
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1, 2""".stripMargin)),
+
     // J4/J6: broadcast dimension lookup join — PID→family / nodeId→name
     // lookups (`metricsreader.py:1259-1343`, `metricsreporter.py:678-703`).
     GraftQuery("j4_broadcast_lookup",
