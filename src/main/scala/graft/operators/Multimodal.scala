@@ -181,6 +181,37 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** ViT-style patch tiling of the image slice: decode (w, h) out of the
+    * genuine PNG/JPEG headers (the real parse, not the claimed metadata),
+    * then emit one row per `patch`×`patch` tile with its pixel box, edge
+    * tiles clipped. The grid is pure column arithmetic + two narrow
+    * explodes — NO shuffle at any corpus size; a vision-pretraining
+    * pipeline feeds each row's (media_id, byte box) to the decoder
+    * downstream. Output: (media_id, patch_x, patch_y, x0, y0, pw, ph).
+    */
+  def patchGrid(spark: SparkSession, docs: DataFrame,
+                patch: Int = 32): DataFrame = {
+    import spark.implicits._
+    val dims = mediaFromDocuments(spark, docs)
+      .filter(col("mime").startsWith("image/"))
+      .mapPartitions { it => // real header walk, decoder-amortized shape
+        it.flatMap { m =>
+          val bytes = if (m.bytes == null) Array.emptyByteArray else m.bytes
+          decodeImageDims(bytes).map { case (w, h, _) => (m.media_id, w, h) }
+        }
+      }.toDF("media_id", "w", "h")
+    def nTiles(c: Column) =
+      floor((c + lit(patch - 1)) / lit(patch)).cast("int")
+    dims
+      .withColumn("patch_x", explode(sequence(lit(0), nTiles(col("w")) - 1)))
+      .withColumn("patch_y", explode(sequence(lit(0), nTiles(col("h")) - 1)))
+      .select(col("media_id"), col("patch_x"), col("patch_y"),
+        (col("patch_x") * patch).as("x0"),
+        (col("patch_y") * patch).as("y0"),
+        least(lit(patch), col("w") - col("patch_x") * patch).as("pw"),
+        least(lit(patch), col("h") - col("patch_y") * patch).as("ph"))
+  }
+
   /** Real WAV/RIFF header decode, no native deps: verifies the
     * RIFF....WAVE container, then walks the chunk stream (id + u32le size,
     * word-aligned) to the `fmt ` chunk (channels u16le@+2, sample rate

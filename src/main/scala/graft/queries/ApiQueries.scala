@@ -305,6 +305,29 @@ object ApiQueries {
              |       16 AS bits_max
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // ViT patch tiling: 32×32 grid over the image slice, dimensions
+    // decoded from the genuine embedded headers, edge tiles clipped. The
+    // oracle replays the grid arithmetic from the dimension-generating
+    // formulas, so a parse error, a ceil slip, or a clip off-by-one
+    // hash-mismatches on thousands of tiles.
+    GraftQuery("m_image_patches",
+      (s, dir) => Multimodal.patchGrid(s, Tables.documents(s, dir)),
+      Some("""WITH img AS (SELECT doc_id AS media_id,
+             |               (doc_id % 640 + 64)::INT AS w,
+             |               (doc_id % 480 + 48)::INT AS h
+             |             FROM documents WHERE doc_id % 3 <= 1),
+             |g AS (SELECT media_id, w, h,
+             |        unnest(generate_series(0, (w + 31) // 32 - 1)) AS px
+             |      FROM img),
+             |p AS (SELECT media_id, w, h, px,
+             |        unnest(generate_series(0, (h + 31) // 32 - 1)) AS py
+             |      FROM g)
+             |SELECT media_id, px::INT AS patch_x, py::INT AS patch_y,
+             |       (px * 32)::INT AS x0, (py * 32)::INT AS y0,
+             |       least(32, w - px * 32)::INT AS pw,
+             |       least(32, h - py * 32)::INT AS ph
+             |FROM p""".stripMargin)),
+
     // Video frame sampling: ≤ 8 uniformly-strided frame indices per clip
     // at a 40 ms frame interval, each with its timestamp and a probe byte
     // read at the frame's proportional payload offset. The oracle replays

@@ -158,6 +158,38 @@ object TextQueries {
               |         least(n_tokens::DOUBLE / 200.0, 1.0) * 0.5 AS quality
               |FROM q""".stripMargin)),
 
+    // Model-based quality filtering: the fastText-shaped hashed linear
+    // classifier (unigram + bigram feature hashing, mean-margin keep
+    // rule) — a pure projection, zero shuffles at any corpus size. The
+    // oracle replays bucket, scramble, and integer milliweight sum
+    // exactly, so a hash, modulus, or fold slip on either side
+    // hash-mismatches.
+    GraftQuery("t_quality_classifier",
+      (s, dir) => graft.operators.Classifier.score(
+        Tables.documents(s, dir), col("doc_id"), col("text")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |           FROM documents),
+             |f AS (SELECT doc_id,
+             |        list_transform(w, t ->
+             |          (('0x' || substring(md5(t), 1, 15))::BIGINT % 512)
+             |            * 2654435761 % 2001 - 1000) AS uw,
+             |        CASE WHEN length(w) >= 2 THEN
+             |          list_transform(generate_series(1, length(w) - 1), i ->
+             |            (('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 15))::BIGINT % 512)
+             |              * 2654435761 % 2001 - 1000)
+             |        ELSE [] END AS bw
+             |      FROM d),
+             |q AS (SELECT doc_id,
+             |        (length(uw) + length(bw))::BIGINT AS n_features,
+             |        (list_reduce(uw, (a, b) -> a + b) +
+             |         CASE WHEN length(bw) > 0
+             |              THEN list_reduce(bw, (a, b) -> a + b) ELSE 0 END)::DOUBLE
+             |          / ((length(uw) + length(bw)) * 1000) AS quality_score
+             |      FROM f)
+             |SELECT doc_id, n_features, quality_score,
+             |       quality_score > 0 AS keep
+             |FROM q""".stripMargin)),
+
     // Token counting: whitespace tokens + BPE-ish regex tokens + chars.
     GraftQuery("t_token_count",
       (s, dir) => Tables.documents(s, dir).select(col("doc_id"),

@@ -506,6 +506,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("patch grid tiles every image exactly, edges clipped") {
+    val docs = Tables.documents(spark, testDataDir)
+    val grid = Multimodal.patchGrid(spark, docs, patch = 32)
+      .collect().groupBy(_.getLong(0))
+    val nImages = docs.filter(col("doc_id") % 3 <= 1).count()
+    assert(grid.size == nImages)
+    for ((id, tiles) <- grid.take(2000)) {
+      val (w, h) = ((id % 640 + 64).toInt, (id % 480 + 48).toInt)
+      val nx = (w + 31) / 32
+      val ny = (h + 31) / 32
+      assert(tiles.length == nx * ny, s"media $id tile count")
+      // the patch_y=0 row of tiles covers the full width, no gap/overlap
+      val row0 = tiles.filter(_.getInt(2) == 0).sortBy(_.getInt(1))
+      assert(row0.map(_.getInt(5)).sum == w, s"media $id width coverage")
+      // every tile box stays inside the image
+      assert(tiles.forall(t =>
+        t.getInt(3) + t.getInt(5) <= w && t.getInt(4) + t.getInt(6) <= h))
+      assert(tiles.forall(t => t.getInt(5) > 0 && t.getInt(6) > 0))
+    }
+    // the tiling never shuffles
+    val plan = Multimodal.patchGrid(spark, docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("decodeImageDims parses real PNG and JPEG headers") {
     def png(w: Int, h: Int): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(37)
