@@ -243,6 +243,37 @@ object Dedup {
       .select(col("doc_id").as("node"), col("component"))
   }
 
+  /** Leakage-safe train/valid/test split: assign each document a split by
+    * hashing its near-dup GROUP representative, not its own id — so a
+    * near-duplicate family can never straddle the eval boundary (the
+    * classic contamination mode of naive random splits: a test doc whose
+    * twin sat in train). Docs outside any dup group are their own
+    * representative. Costs exactly the component pipeline plus one
+    * projection; the hash split itself shuffles nothing.
+    *
+    * @return (doc_id, rep, split) with split ∈ train/valid/test at
+    *   `trainPct`/`validPct`/remainder, by md5 of "grp:<rep>".
+    */
+  def leakageSafeSplit(df: DataFrame, id: Column, text: Column,
+                       shingleSize: Int = 3, numHashes: Int = 8,
+                       bands: Int = 4, threshold: Double = 0.5,
+                       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      "leakageSafeSplit: percentages must leave room for a test slice")
+    val groups = nearDupComponents(df, id, text,
+      shingleSize, numHashes, bands, threshold)
+    val bucket = pmod(
+      hash60(concat(lit("grp:"), col("rep").cast("string"))), lit(100L))
+    df.select(id.as("doc_id"))
+      .join(groups.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("rep"))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+
   /** Incremental ingest dedup — the production shape at 100 TB: flag each
     * document of a NEW batch against an EXISTING corpus instead of
     * re-deduping everything pairwise. The corpus side is an INDEX (content

@@ -311,6 +311,29 @@ object DedupQueries {
               |FROM documents d LEFT JOIN comp c USING (doc_id)
               |WHERE c.component IS NULL OR c.component = d.doc_id""".stripMargin)),
 
+    // Leakage-safe splitting: train/valid/test assigned by hash of the
+    // near-dup GROUP representative, so a duplicate family can never
+    // straddle the eval boundary — the contamination mode of naive random
+    // splits. The oracle replays components + the md5 bucket arithmetic.
+    GraftQuery("d_leakage_split",
+      (s, dir) => Dedup.leakageSafeSplit(Tables.documents(s, dir),
+        col("doc_id"), col("text"),
+        shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5),
+      Some(s"""WITH RECURSIVE $MinhashComponentsCte,
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+              |         FROM reach GROUP BY a),
+              |r AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+              |      FROM documents d LEFT JOIN comp c USING (doc_id)),
+              |b AS (SELECT doc_id, rep,
+              |        ('0x' || substring(md5('grp:' || rep), 1, 15))::BIGINT
+              |          % 100 AS bucket
+              |      FROM r)
+              |SELECT doc_id, rep,
+              |       CASE WHEN bucket < 80 THEN 'train'
+              |            WHEN bucket < 90 THEN 'valid'
+              |            ELSE 'test' END AS split
+              |FROM b""".stripMargin)),
+
     // Bounded pairwise n-gram Jaccard — the exact (quadratic) baseline the
     // LSH pipeline approximates; bounded probe set like the reference's
     // per-request citation loops.

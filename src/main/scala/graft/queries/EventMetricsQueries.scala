@@ -301,6 +301,25 @@ object EventMetricsQueries {
     // Z-order clustered writes in the hard gate (Layout.writeZOrdered):
     // the events table rewritten clustered by the Morton key of
     // (user_id, value), then a two-column range slice answered FROM the
+    // Compaction planning: deterministic sequential bin-packing of the
+    // object inventory (documents standing in as the file listing,
+    // n_chars as the size) into ~2000-byte bins via the two-level
+    // distributed prefix sum — the OPTIMIZE maintenance job's planner.
+    // The oracle replays the running sum with one window.
+    GraftQuery("s2_compaction_plan",
+      (s, dir) => graft.sources.Layout.compactionPlan(
+        Tables.documents(s, dir), col("doc_id"), col("n_chars"),
+        targetBytes = 2000L, idRange = 64),
+      Some("""WITH f AS (SELECT doc_id AS file_id, n_chars AS bytes
+             |           FROM documents),
+             |c AS (SELECT file_id, bytes,
+             |        coalesce(sum(bytes) OVER (ORDER BY file_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0)::BIGINT AS cum_before
+             |      FROM f)
+             |SELECT file_id, bytes, (cum_before // 2000)::BIGINT AS bin
+             |FROM c""".stripMargin)),
+
     // clustered layout — the filter reaches the parquet reader as
     // PushedFilters and the narrow per-file min/max ranges (asserted by
     // BucketSpec) let it skip most files' row groups. Oracle: the same

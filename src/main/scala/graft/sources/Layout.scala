@@ -38,6 +38,44 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Small-file compaction planning — the recurring lakehouse maintenance
+    * job (Delta/Iceberg OPTIMIZE bin-packing): assign each input object a
+    * compaction bin of ~`targetBytes` by deterministic sequential packing
+    * in id order (bin = exclusive running size ÷ target; the file that
+    * straddles a boundary spills into the earlier bin, as streaming
+    * packers do). The running sum is the two-level distributed prefix sum
+    * from `Sampling.budgetSelect` — per-id-range totals become exclusive
+    * offsets via a window over the TINY range domain, then each range
+    * cumulates internally in parallel — so no corpus-sized single-
+    * partition sort exists at any inventory size. All-integer arithmetic;
+    * the oracle replays it with one window.
+    *
+    * @return (file_id, bytes, bin).
+    */
+  def compactionPlan(files: DataFrame, id: Column, bytes: Column,
+                     targetBytes: Long, idRange: Long = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetBytes > 0 && idRange > 0,
+      "compactionPlan: target and id range must be positive")
+    val base = files.select(id.cast("long").as("file_id"),
+      bytes.cast("long").as("bytes"))
+    val ranged = base.withColumn("rng", expr(s"file_id div ${idRange}L"))
+    val offW = Window.orderBy(col("rng").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("rng"))
+      .agg(sum(col("bytes")).as("rtot"))
+      .withColumn("roffset", coalesce(sum(col("rtot")).over(offW), lit(0L)))
+      .select(col("rng"), col("roffset"))
+    val inW = Window.partitionBy(col("rng"))
+      .orderBy(col("file_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offsets), Seq("rng"))
+      .withColumn("cum_before",
+        col("roffset") + coalesce(sum(col("bytes")).over(inW), lit(0L)))
+      .select(col("file_id"), col("bytes"),
+        expr(s"cum_before div ${targetBytes}L").as("bin"))
+  }
+
   /** Write `df` clustered by the Z-order of `clusterCols` into `numFiles`
     * range-partitioned, internally sorted files. Each output file covers a
     * compact Morton range, so its footer min/max on every clustered column

@@ -48,6 +48,22 @@ class BloomSpec extends SparkSpec {
     assert(out.forall(r => r._2 == 0L && !r._3))
   }
 
+  test("leakage-safe split never separates a near-dup family") {
+    val docs = Tables.documents(spark, testDataDir)
+    val split = Dedup.leakageSafeSplit(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(split.length == docs.count())
+    // every member of a rep-group carries the same split
+    val byRep = split.groupBy(_._2)
+    assert(byRep.forall { case (_, ms) => ms.map(_._3).distinct.length == 1 })
+    // and the planted dup families actually exercise the invariant
+    assert(byRep.exists(_._2.length > 1), "no multi-doc group in corpus")
+    // all three slices exist and train dominates
+    val frac = split.groupBy(_._3).view.mapValues(_.length.toDouble / split.length)
+    assert(frac.keySet == Set("train", "valid", "test"), frac.toString)
+    assert(frac("train") > 0.6 && frac("train") < 0.95, frac.toString)
+  }
+
   test("probe is a codegen'd filter below the first exchange") {
     val docs = Tables.documents(spark, testDataDir)
     val corpus = docs.filter(col("doc_id") % 7 =!= 0)

@@ -128,4 +128,32 @@ class BucketSpec extends SparkSpec {
     assert(overlapping <= perFile.length / 2,
       s"slice overlaps $overlapping/${perFile.length} files — clustering too loose")
   }
+
+  test("compaction plan matches a sequential fold, any id-range width") {
+    import graft.sources.Layout
+    val docs = Tables.documents(spark, testDataDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // reference: one sequential pass
+    val target = 2000L
+    var cum = 0L
+    val want = docs.map { case (id, sz) =>
+      val bin = cum / target; cum += sz; (id, bin)
+    }.toMap
+    // the distributed plan must agree for ANY range width (the two-level
+    // decomposition is an implementation detail, not a semantic knob)
+    for (rng <- Seq(1L, 7L, 64L, 100000L)) {
+      val got = Layout.compactionPlan(
+        Tables.documents(spark, testDataDir), col("doc_id"), col("n_chars"),
+        targetBytes = target, idRange = rng)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == want, s"idRange=$rng diverges from sequential fold")
+    }
+    // bins are contiguous and only ever overflow by one straddling file
+    val sizes = docs.map { case (id, sz) => (want(id), sz) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val maxFile = docs.map(_._2).max
+    assert(sizes.values.forall(_ < target + maxFile))
+    assert(sizes.keys.max.toInt + 1 == sizes.size) // no empty bin
+  }
 }
