@@ -551,34 +551,46 @@ object Dedup {
     * after the first shared boundary the chunk streams of two copies align
     * exactly. Chunk length is geometric with mean `divisor` words.
     *
-    * Chunk construction is ONE per-row `aggregate` fold over the word
-    * array — pure codegen'd column arithmetic, zero shuffles — and the
-    * shuffle budget is identical to [[chunkDedup]] (the same shared tail).
+    * Chunk construction is pure per-row column arithmetic — zero
+    * shuffles — and the shuffle budget is identical to [[chunkDedup]] (the
+    * same shared tail). It is deliberately NOT an `aggregate` fold that
+    * appends to an accumulated chunks array: that copies the whole
+    * accumulator per word (O(words²) per doc — measured 12 s at sf1).
+    * Instead the cut POSITIONS are computed first (`filter` over the index
+    * sequence, O(1) `element_at` probes), then each chunk is one `slice`
+    * between consecutive boundaries — O(words) total per doc.
     * `hash60` keeps the boundary rule bit-replayable by the DuckDB oracle;
     * production swaps in `xxhash64` (same plan shape, cheaper per word).
     */
   def cdcChunkDedup(df: DataFrame, id: Column, text: Column,
       divisor: Int): DataFrame = {
-    val ws = split(text, " ")
-    val folded = aggregate(
-      ws,
-      struct(array().cast("array<array<string>>").as("chunks"),
-        array().cast("array<string>").as("cur")),
-      (acc, w) => {
-        val cur2 = concat(acc.getField("cur"), array(w))
-        val cut = pmod(hash60(w), lit(divisor.toLong)) === 0
-        struct(
-          when(cut, concat(acc.getField("chunks"), array(cur2)))
-            .otherwise(acc.getField("chunks")).as("chunks"),
-          when(cut, array().cast("array<string>"))
-            .otherwise(cur2).as("cur"))
-      },
-      acc => when(size(acc.getField("cur")) > 0,
-          concat(acc.getField("chunks"), array(acc.getField("cur"))))
-        .otherwise(acc.getField("chunks")))
-    val chunkTexts = transform(folded, a => array_join(a, " "))
+    // Each intermediate is MATERIALIZED as a projected column before
+    // reuse: Column expressions are trees, not DAGs, so referencing the
+    // cut-position array twice inside the chunk transform would re-run
+    // the O(words) md5 filter once per chunk — measured 46 s at sf0.1
+    // (CollapseProject keeps non-cheap multi-use aliases in their own
+    // Project, so each stage below evaluates exactly once per row).
+    val ws = col("__ws")
+    val n = size(ws) // >= 1 for any non-null text (split never returns [])
+    val cuts = col("__cuts")
+    val ends = col("__ends")
+    val staged = df
+      .select(id.as("doc_id"), split(text, " ").as("__ws"))
+      // 1-based positions of chunk-closing words
+      .withColumn("__cuts", filter(sequence(lit(1), n), i =>
+        pmod(hash60(element_at(ws, i)), lit(divisor.toLong)) === lit(0L)))
+      // span ends: every cut, plus n when a partial chunk trails the last
+      // cut (try_: ANSI element_at throws on the empty-cuts probe)
+      .withColumn("__ends",
+        when(coalesce(try_element_at(cuts, lit(-1)), lit(0)) === n, cuts)
+          .otherwise(concat(cuts, array(n))))
+    val chunkTexts = transform(sequence(lit(1), size(ends)), j => {
+      val start = when(j === 1, lit(0)).otherwise(element_at(ends, j - 1))
+      array_join(slice(ws, start + 1, element_at(ends, j) - start), " ")
+    })
     firstKeepReassemble(
-      df.select(id.as("doc_id"), posexplode(chunkTexts).as(Seq("chunk_idx", "chunk"))))
+      staged.select(col("doc_id"),
+        posexplode(chunkTexts).as(Seq("chunk_idx", "chunk"))))
   }
 
   /** Shared tail of the chunk-dedup family: keep the globally-first

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sketches}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis suite over `documents`: language ID (stopword heuristic),
@@ -1070,5 +1070,33 @@ object TextQueries {
              |         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
              |       END AS bucket
              |FROM s""".stripMargin)),
+
+    // Heavy hitters over word trigrams: count-min-sketch prefilter
+    // (Sketches.heavyHitters), exact verification pass. The sketch phase
+    // is internal — output equals the plain GROUP BY/HAVING oracle
+    // exactly, which is the point: at 100 TB the sketch turns "shuffle
+    // every distinct n-gram" into "shuffle only near-threshold n-grams"
+    // without changing a single output row.
+    GraftQuery("t_heavy_hitters",
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        val grams = when(size(ws) >= 3,
+          transform(sequence(lit(1), size(ws) - 2),
+            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+              element_at(ws, i + 2))))
+          .otherwise(array().cast("array<string>"))
+        Sketches.heavyHitters(
+          Tables.documents(s, dir).select(explode(grams).as("g")),
+          col("g"), threshold = 5L)
+          .select(col("item").as("ngram"), col("cnt"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |), t AS (
+             |  SELECT ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS ngram
+             |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS u(j)
+             |)
+             |SELECT ngram, count(*) AS cnt
+             |FROM t GROUP BY 1 HAVING count(*) >= 5""".stripMargin)),
   )
 }

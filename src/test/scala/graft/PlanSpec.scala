@@ -240,14 +240,33 @@ class PlanSpec extends SparkSpec {
   }
 
   test("CDC chunk dedup keeps the same 2-exchange budget; the fold never shuffles") {
-    // the content-defined cut rule and chunk construction are one per-row
-    // aggregate fold — all the extra work vs the fixed-window chunker must
-    // stay inside the scan stage, never as a third exchange
+    // the content-defined cut rule and chunk construction are per-row
+    // column arithmetic — all the extra work vs the fixed-window chunker
+    // must stay inside the scan stage, never as a third exchange
     val p = plan("d_cdc_chunk_dedup")
     assert("(?m)^[\\s:+\\-|*]*Exchange".r.findAllIn(p).size == 2,
       s"expected exactly 2 exchanges:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"union of base + shifted corpus must stay a plain union:\n$p")
+  }
+
+  test("asof join is join-free: one window shuffle, no row amplification") {
+    // union + running-last formulation — a range-join/argmax plan would
+    // show a join operator and per-fact row amplification
+    val p = plan("j_asof_join")
+    assert(!p.contains("Join"), s"asof must not plan a join:\n$p")
+    assert("(?m)^[\\s:+\\-|*]*Exchange".r.findAllIn(p).size == 2,
+      s"expected dim-dedup + window exchanges only:\n$p")
+  }
+
+  test("heavy hitters: sketch probe is pure arithmetic before the only exchange") {
+    // the CMS literal-array probe must stay a map-side filter; the only
+    // shuffle is the exact count of surviving candidates
+    val p = plan("t_heavy_hitters")
+    assert(!p.contains("Join"), s"sketch probe must not be a join:\n$p")
+    assert("(?m)^[\\s:+\\-|*]*Exchange".r.findAllIn(p).size == 1,
+      s"expected only the exact-count exchange:\n$p")
+    assert(p.contains("partial_count")) // map-side combine on candidates
   }
 
   test("hll partial merge keeps sketch partial-aggregation map-side") {
