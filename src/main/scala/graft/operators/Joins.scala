@@ -299,53 +299,4 @@ object Joins {
       .select(col(key), col("change_type"))
   }
 
-  /** As-of (point-in-time) join: every `fact` row picks up the payload of
-    * the most recent `dim` row with the same `key` whose `time` is at or
-    * before the fact's `time` (left semantics — facts with no prior dim
-    * row keep null payload). The reference resolves "state at event time"
-    * with per-request dictionary walks (`pid_resolution.py` resolves the
-    * obsolescence state CURRENT at query time); this is the event-time
-    * generalization a training-data pipeline needs (join each sample to
-    * the feature/config snapshot that was live when it was produced).
-    *
-    * NOT a range join: a `f.time >= d.time` theta join explodes to every
-    * earlier dim row per fact and needs a per-fact argmax on top. Instead
-    * both sides union on (key, time) and a running `last(payload ignore
-    * nulls)` window carries each dim row forward to the facts that follow
-    * it — ONE hash shuffle on `key`, zero row amplification, no
-    * broadcast-size limit on either side. Ties (fact.time == dim.time)
-    * order the dim row first, so an exactly-simultaneous state counts as
-    * visible. The dim payload travels as a single struct so a legitimately
-    * NULL payload field cannot inherit a stale value from an older row.
-    *
-    * At 100 TB: per-key state in the window is one row (running last), so
-    * the only pressure point is a skewed key — same mitigation as any
-    * keyed window (salt into time sub-ranges and stitch, Skew.scala).
-    *
-    * PRECONDITION: (key, time) unique within `dim` (pre-aggregate
-    * otherwise — which of two same-instant states wins would be
-    * nondeterministic). Fact columns pass through unchanged; dim payload
-    * columns and `asof_ts` (the matched dim time) are appended.
-    */
-  def asofJoin(fact: DataFrame, dim: DataFrame, key: String,
-               time: String): DataFrame = {
-    val payload = dim.columns.filterNot(c => c == key || c == time).toSeq
-    require(payload.nonEmpty, "dim must carry at least one payload column")
-    require(payload.intersect(fact.columns).isEmpty && !fact.columns.contains("asof_ts"),
-      "dim payload column names must not clash with fact columns")
-    val dimPacked = dim.select(col(key), col(time),
-      struct(col(time).as("__t") +: payload.map(col): _*).as("__asof"))
-    val u = fact.withColumn("__side", lit(1))
-      .unionByName(dimPacked.withColumn("__side", lit(0)),
-        allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(time).asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = u
-      .withColumn("__carried", last(col("__asof"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .withColumn("asof_ts", col("__carried.__t"))
-    payload.foldLeft(filled)((d, c) => d.withColumn(c, col(s"__carried.$c")))
-      .drop("__side", "__asof", "__carried")
-  }
 }

@@ -433,34 +433,35 @@ object JoinQueries {
              |SELECT change_type, count(*) AS n_keys
              |FROM d GROUP BY 1""".stripMargin)),
 
-    // As-of (point-in-time) join: every purchase event picks up the
-    // user's most recent signup state at or before the purchase instant
-    // (Joins.asofJoin — union + running-last window, one shuffle on the
-    // key, zero row amplification). The oracle replays it with DuckDB's
-    // native ASOF LEFT JOIN, so the inequality/tie semantics are graded
-    // against an independent implementation, not our own formulation.
-    GraftQuery("j_asof_join",
+    // Row-level as-of grading: j11_asof_join grades Joins.asofJoin
+    // through a per-user aggregate, which could mask a wrong MATCHED
+    // INSTANT as long as sums balance; this emits every (fact, matched
+    // dim ts, matched value) row raw — including asof_ts, carried in the
+    // payload struct — against DuckDB's native ASOF LEFT JOIN, so the
+    // inequality/tie/matched-row semantics are graded row-exactly against
+    // an independent implementation.
+    GraftQuery("j_asof_row",
       (s, dir) => {
         val ev = Tables.events(s, dir)
         // (key, time)-unique dim: simultaneous signups collapse to max
         val dim = ev.filter(col("event_type") === "signup")
           .groupBy(col("user_id"), col("ts"))
-          .agg(max(col("value")).as("asof_value"))
+          .agg(max(col("value")).as("value"))
         val fact = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"))
-        Joins.asofJoin(fact, dim, "user_id", "ts")
+        Joins.asofJoin(fact, dim, "user_id", "ts", Seq("ts", "value"))
           .select(col("event_id"), col("user_id"), col("ts"),
             col("asof_ts"), col("asof_value"))
       },
       Some("""WITH dim AS (
-             |  SELECT user_id, ts, max(value) AS asof_value
+             |  SELECT user_id, ts, max(value) AS value
              |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
              |), fact AS (
              |  SELECT event_id, user_id, ts
              |  FROM events WHERE event_type = 'purchase'
              |)
              |SELECT f.event_id, f.user_id, f.ts,
-             |       d.ts AS asof_ts, d.asof_value
+             |       d.ts AS asof_ts, d.value AS asof_value
              |FROM fact f ASOF LEFT JOIN dim d
              |  ON f.user_id = d.user_id AND f.ts >= d.ts""".stripMargin)),
   )

@@ -1072,35 +1072,6 @@ class OperatorsSpec extends SparkSpec {
     assert(assign(a) != assign(b))
   }
 
-  test("asofJoin picks the latest at-or-before dim row, null when none") {
-    import spark.implicits._
-    val fact = Seq((100L, 1L, 10L), (101L, 1L, 25L), (102L, 1L, 5L),
-      (103L, 2L, 50L)).toDF("event_id", "k", "t")
-    val dim = Seq((1L, 10L, "s10"), (1L, 20L, "s20"), (3L, 1L, "sX"))
-      .toDF("k", "t", "state")
-    val out = Joins.asofJoin(fact, dim, "k", "t")
-      .collect().map(r => r.getLong(0) ->
-        ((Option(r.get(3)), Option(r.get(4))))).toMap
-    // tie at t=10 counts (dim sorts first); t=25 sees the t=20 state;
-    // t=5 predates every dim row; key 2 has no dim rows at all
-    assert(out(100L) == ((Some(10L), Some("s10"))))
-    assert(out(101L) == ((Some(20L), Some("s20"))))
-    assert(out(102L) == ((None, None)))
-    assert(out(103L) == ((None, None)))
-  }
-
-  test("asofJoin: a NULL payload field does not inherit an older value") {
-    import spark.implicits._
-    val fact = Seq((1L, 1L, 30L)).toDF("event_id", "k", "t")
-    val dim = Seq((1L, 10L, Some("old")), (1L, 20L, Option.empty[String]))
-      .toDF("k", "t", "state")
-    val r = Joins.asofJoin(fact, dim, "k", "t").collect().head
-    // latest state (t=20) has state=NULL; a per-column running last
-    // would leak "old" — the struct-packed payload must not
-    assert(r.getAs[Long]("asof_ts") == 20L)
-    assert(r.getAs[String]("state") == null)
-  }
-
   test("heavyHitters equals exact GROUP BY/HAVING even under forced collisions") {
     import spark.implicits._
     val rows = Seq.fill(20)("hot1") ++ Seq.fill(7)("hot2") ++

@@ -253,7 +253,7 @@ class PlanSpec extends SparkSpec {
   test("asof join is join-free: one window shuffle, no row amplification") {
     // union + running-last formulation — a range-join/argmax plan would
     // show a join operator and per-fact row amplification
-    val p = plan("j_asof_join")
+    val p = plan("j_asof_row")
     assert(!p.contains("Join"), s"asof must not plan a join:\n$p")
     assert("(?m)^[\\s:+\\-|*]*Exchange".r.findAllIn(p).size == 2,
       s"expected dim-dedup + window exchanges only:\n$p")
