@@ -29,6 +29,7 @@ object Bench {
     "v_int8_quant",        // shuffle-free quantization projection
     "v_ivfpq_topk",        // serve from materialized IVF-PQ index (build amortized once)
     "j3_closure_pairs",    // iterative BFS/path-doubling closure (multi-job)
+    "j_pagerank",          // iterative integer PageRank (10-round fixpoint)
     "t_bpe_pairs",         // BPE pair-count round (distinct-word table)
     "j1_equi_normalized",  // normalized-ID equi-join (J1 scale path)
     "t_bpe_tokenize",      // per-partition rank-priority BPE apply (mapPartitions)

