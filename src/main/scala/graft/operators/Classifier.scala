@@ -29,9 +29,9 @@ object Classifier {
   /** Feature-hash buckets. */
   val NumBuckets = 512
 
-  /** md5-derived 60-bit hash (oracle-reproducible; prod: xxhash64). */
-  private def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** md5-derived 60-bit hash (oracle-reproducible; prod: xxhash64) —
+    * shared native expression, bit-parity-tested in Hash60Spec. */
+  private def hash60(c: Column): Column = graft.operators.Dedup.hash60(c)
 
   /** Integer weight in [-1000, 1000] for the feature bucket of `c`:
     * bucket = hash60 % 512, then a Knuth multiplicative scramble stands

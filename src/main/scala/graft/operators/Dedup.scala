@@ -25,9 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 60-bit positive hash reproducible in ANSI SQL: md5 → 15 hex chars → long. */
+  /** 60-bit positive hash reproducible in ANSI SQL (md5 → first 15 hex
+    * nibbles → long), computed by the native [[graft.plans.Hash60Expr]] —
+    * bit-identical to `conv(substring(md5(c), 1, 15), 16, 10)` (parity
+    * spec: Hash60Spec) without the hex-encode/substring/radix-parse the
+    * composed form pays per shingle. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftShims.column(
+      graft.plans.Hash60Expr(org.apache.spark.sql.GraftShims.expression(c)))
 
   /** Distinct word n-gram shingles of a whitespace-tokenized text column.
     * Guarded for short docs (Spark's `sequence(1,0)` counts *down*). */

@@ -95,6 +95,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash60(children.head)),
+    (FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60Expr].getName, "graft_hash60"),
+      (children: Seq[Expression]) => Hash60Expr(children.head)),
     // Spark's own runtime-filter machinery, exposed as callable functions:
     // the distributed bloom build (partial sketches merged at the
     // aggregator, never a driver-side item collect) and the codegen'd

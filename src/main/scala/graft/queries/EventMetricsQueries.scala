@@ -70,6 +70,39 @@ object EventMetricsQueries {
              |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Schema evolution on the bronze layer: two writer generations land in
+    // one table directory — batch v1 (doc_id, text) predates the lang and
+    // n_chars columns, batch v2 carries them — and a mergeSchema read must
+    // union the schemas with nulls where a generation lacked the column.
+    // The lakehouse reality at 100 TB: producers upgrade on their own
+    // schedule, the table NEVER rewrites history to catch up (a backfill
+    // of 100 TB per added column is the anti-pattern this exists to
+    // avoid). The oracle replays the generation split logically from the
+    // documents table, so the merged READ semantics are what's graded.
+    GraftQuery("s2_schema_evolution",
+      (s, dir) => {
+        val base = Scratch.dir("schema_evo", dir)
+        Scratch.buildOnce(base) {
+          val docs = Tables.documents(s, dir)
+          docs.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("text"))
+            .write.mode("overwrite").parquet(s"$base/batch=v1")
+          docs.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+            .write.mode("overwrite").parquet(s"$base/batch=v2")
+        }
+        s.read.option("mergeSchema", "true").parquet(base)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            length(col("text")).cast("long").as("text_len"),
+            col("batch"))
+      },
+      Some("""SELECT doc_id,
+             |       CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+             |       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
+             |       CAST(length(text) AS BIGINT) AS text_len,
+             |       CASE WHEN doc_id % 2 = 1 THEN 'v2' ELSE 'v1' END AS batch
+             |FROM documents""".stripMargin)),
+
     // S3 + §2.9 in the hard gate: streaming JSONL ingest with a RESTART in
     // the middle — run 1 streams the pre-cutoff slice to bronze and
     // terminates; the full feed (100% overlap with run 1 plus the tail) is

@@ -1098,5 +1098,53 @@ object TextQueries {
              |)
              |SELECT ngram, count(*) AS cnt
              |FROM t GROUP BY 1 HAVING count(*) >= 5""".stripMargin)),
+
+    // Character-entropy quality signal — the classic near-gibberish /
+    // near-repetition detector (CCNet and RefinedWeb gate on compression
+    // ratio; Shannon char entropy is its declarative stand-in: low bits ≈
+    // repetitive, high bits ≈ random noise). Computed SHUFFLE-FREE per
+    // row: distinct chars × an occurrence count via nested higher-order
+    // functions — O(len × alphabet) inside codegen, no (doc, char)
+    // explosion — where the oracle replays the textbook explode+group
+    // formulation, so the fused plan is graded against the naive one.
+    // Intermediates materialize as columns before reuse (the tree-not-DAG
+    // lesson from cdcChunkDedup).
+    GraftQuery("t_char_entropy",
+      (s, dir) => {
+        val staged = Tables.documents(s, dir)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), split(col("text"), "").as("__chars"))
+          .withColumn("__n", size(col("__chars")))
+        val entropyBits = expr(
+          """-aggregate(
+            |   transform(array_distinct(__chars),
+            |             c -> size(filter(__chars, x -> x = c))),
+            |   cast(0.0 as double),
+            |   (acc, k) -> acc + (k / cast(__n as double))
+            |                     * ln(k / cast(__n as double)))
+            | / ln(2.0)""".stripMargin)
+        staged.select(col("doc_id"), col("__n").cast("long").as("n_chars"),
+          round(entropyBits, 6).as("entropy_bits"))
+          .withColumn("keep",
+            col("entropy_bits") >= 2.0 && col("entropy_bits") <= 5.5)
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, substring(text, j, 1) AS ch
+             |  FROM documents, unnest(generate_series(1, length(text))) AS u(j)
+             |  WHERE length(text) > 0
+             |), g AS (
+             |  SELECT doc_id, ch, count(*) AS k FROM c GROUP BY 1, 2
+             |), n AS (
+             |  SELECT doc_id, sum(k) AS n FROM g GROUP BY 1
+             |), e AS (
+             |  SELECT g.doc_id, CAST(max(n.n) AS BIGINT) AS n_chars,
+             |         round(-sum((g.k / CAST(n.n AS DOUBLE))
+             |                    * ln(g.k / CAST(n.n AS DOUBLE))) / ln(2), 6)
+             |           AS entropy_bits
+             |  FROM g JOIN n USING (doc_id) GROUP BY 1
+             |)
+             |SELECT doc_id, n_chars, entropy_bits,
+             |       entropy_bits >= 2.0 AND entropy_bits <= 5.5 AS keep
+             |FROM e""".stripMargin)),
   )
 }

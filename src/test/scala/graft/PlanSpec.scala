@@ -269,6 +269,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count")) // map-side combine on candidates
   }
 
+  test("dynamic partition pruning fires when a dim filter implies partitions") {
+    // the bronze table partitions by event_date; joining it to a dim
+    // filtered at runtime must inject a DPP subquery so only the dim's
+    // partitions are scanned — at 100 TB this is the difference between
+    // scanning 2 partitions and scanning all of them when the partition
+    // predicate only exists in dim data, not as a literal
+    SparkEntry.queries("s2_bronze_slice")(spark, testDataDir).count() // latch build
+    val bronze = graft.sources.Ingest.readBronze(
+      spark, graft.queries.Scratch.dir("bronze_slice", testDataDir))
+    // dim must be a real scan with a selective predicate — a literal
+    // LocalRelation gets its filter constant-folded away and DPP sees
+    // nothing selective to derive a pruning subquery from
+    val dim = Tables.events(spark, testDataDir)
+      .filter(col("event_type") === "signup" && col("value") > 99.5)
+      .select(to_date(col("ts")).as("d")).distinct()
+    val q = bronze.join(dim, bronze("event_date") === dim("d"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a DPP subquery on the bronze scan:\n$p")
+  }
+
   test("hll partial merge keeps sketch partial-aggregation map-side") {
     val p = plan("a_hll_partial_merge")
     assert(p.contains("partial_hllsketchagg") || p.contains("partial_hll"),
