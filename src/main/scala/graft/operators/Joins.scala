@@ -375,4 +375,53 @@ object Joins {
     nodes.join(hint(sp), nodes("node") === sp("node"), "left")
       .select(nodes("node"), coalesce(col("pr"), lit(teleportMicro)).as("pr"))
   }
+
+  /** Slowly-changing-dimension (Type 2) build from an attribute change
+    * log: per key, collapse consecutive duplicate states, then stamp each
+    * surviving state with its validity interval `[valid_from, valid_to)`
+    * and a current-row flag. The reference's identifier dimension carries
+    * exactly this lineage need (obsolescence chains resolve "which
+    * metadata version was live when this event landed" —
+    * `metricsreader.py` obsoletes/obsoletedBy handling); the warehouse
+    * formulation is the standard SCD2 dimension every as-of join
+    * ([[asofJoin]]) probes.
+    *
+    * Determinism: rows are ordered by (ts, tieBreak) — a bare event-time
+    * ordering would make the collapse ambiguous when one key changes
+    * state twice in the same instant. With the total order fixed, the
+    * output is a pure function of the input set (arrival-order and
+    * partitioning invariant), so a SQL oracle can replay it exactly.
+    *
+    * Scale: ONE shuffle on `key`. Both window passes (the lag collapse
+    * and the lead interval stamp) declare the same partitioning and
+    * ordering, so Catalyst plans a single exchange and runs the second
+    * window on the first's output partitions; there is no join and no
+    * driver-side state. At 100 TB the change log would be date-partitioned
+    * and the build runs per key-range independently.
+    *
+    * @param log      change events: one row per observation.
+    * @param key      dimension key column (e.g. user_id).
+    * @param state    the tracked attribute column.
+    * @param ts       event-time column.
+    * @param tieBreak total-order tiebreak within (key, ts).
+    * @return (key, state, valid_from, valid_to, version, is_current);
+    *         valid_to is NULL on each key's current row.
+    */
+  def scd2Build(log: DataFrame, key: String, state: String,
+                ts: String, tieBreak: String): DataFrame = {
+    val byTime = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    val changes = log
+      .select(col(key), col(state), col(ts), col(tieBreak))
+      .withColumn("prev_state", lag(col(state), 1).over(byTime))
+      .withColumn("prev_tie", lag(col(tieBreak), 1).over(byTime))
+      // keep the first observation and every row whose state differs from
+      // the previous observation; <=> makes NULL states collapse too
+      .filter(col("prev_tie").isNull || !(col(state) <=> col("prev_state")))
+    changes
+      .withColumn("valid_to", lead(col(ts), 1).over(byTime))
+      .withColumn("version", row_number().over(byTime))
+      .select(col(key), col(state),
+        col(ts).as("valid_from"), col("valid_to"), col("version"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

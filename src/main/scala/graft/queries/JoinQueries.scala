@@ -465,6 +465,36 @@ object JoinQueries {
              |FROM fact f ASOF LEFT JOIN dim d
              |  ON f.user_id = d.user_id AND f.ts >= d.ts""".stripMargin)),
 
+    // SCD Type-2 dimension build (Joins.scd2Build): the per-user
+    // event_type stream read as an attribute change log — consecutive
+    // duplicates collapse, each surviving state gets its validity
+    // interval and a current-row flag. One shuffle on the key; both
+    // window passes share the exchange. The oracle replays the collapse
+    // and the interval stamp with the same (ts, event_id) total order,
+    // so a tie-break slip or an off-by-one row in the collapse
+    // hash-mismatches row-level.
+    GraftQuery("j_scd2_dimension",
+      (s, dir) => Joins.scd2Build(Tables.events(s, dir),
+        key = "user_id", state = "event_type",
+        ts = "ts", tieBreak = "event_id")
+        .withColumnRenamed("event_type", "state"),
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type AS state, ts, event_id,
+             |         lag(event_type) OVER w AS prev_state,
+             |         lag(event_id) OVER w AS prev_id
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), c AS (
+             |  SELECT user_id, state, ts, event_id FROM o
+             |  WHERE prev_id IS NULL OR state IS DISTINCT FROM prev_state
+             |)
+             |SELECT user_id, state, ts AS valid_from,
+             |       lead(ts) OVER w2 AS valid_to,
+             |       CAST(row_number() OVER w2 AS INTEGER) AS version,
+             |       (lead(ts) OVER w2 IS NULL) AS is_current
+             |FROM c
+             |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
     // Iterative link-authority scoring (Joins.pageRank) over the
     // co-purchase graph: part A links to part B when B follows A within
     // an order's line sequence. Integer micro-unit arithmetic makes the

@@ -1146,5 +1146,134 @@ object TextQueries {
              |SELECT doc_id, n_chars, entropy_bits,
              |       entropy_bits >= 2.0 AND entropy_bits <= 5.5 AS keep
              |FROM e""".stripMargin)),
+
+    // ES significant_terms parity (JLH heuristic): terms overrepresented
+    // in a foreground slice (lang='de') vs the whole corpus, by DOC
+    // frequency — the ES aggregation family the reference's backend
+    // exposes next to composite/date-histogram (S5/A1 cluster). JLH =
+    // (fg% - bg%) × (fg% / bg%). DETERMINISM: every input is an exact
+    // BIGINT cast to double (< 2^53, lossless), and the score is three
+    // IEEE ops evaluated in one fixed shape on both engines — exactly
+    // rounded, so the doubles (and the top-50 cut they order) are
+    // bit-identical. Scale: the explode is absorbed by map-side partial
+    // agg (one shuffle on term), the two totals are broadcast one-row
+    // frames, and the top-50 is a TakeOrderedAndProject — no global sort.
+    GraftQuery("t_significant_terms",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val docTerms = docs.select(col("lang"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+        val totals = docs.agg(
+          count(lit(1)).as("bg_total"),
+          count(when(col("lang") === "de", lit(1))).as("fg_total"))
+        docTerms
+          .groupBy(col("term"))
+          .agg(count(when(col("lang") === "de", lit(1))).as("fg_df"),
+            count(lit(1)).as("bg_df"))
+          .filter(col("fg_df") >= 3)
+          .crossJoin(broadcast(totals))
+          .withColumn("fg_pct",
+            col("fg_df").cast("double") / col("fg_total").cast("double"))
+          .withColumn("bg_pct",
+            col("bg_df").cast("double") / col("bg_total").cast("double"))
+          .filter(col("fg_pct") > col("bg_pct"))
+          .select(col("term"), col("fg_df"), col("bg_df"),
+            ((col("fg_pct") - col("bg_pct")) *
+              (col("fg_pct") / col("bg_pct"))).as("jlh"))
+          .orderBy(col("jlh").desc, col("term"))
+          .limit(50)
+      },
+      Some("""WITH dt AS (
+             |  SELECT lang, unnest(list_distinct(string_split(text, ' ')))
+             |           AS term
+             |  FROM documents
+             |), tot AS (
+             |  SELECT count(*) AS bg_total,
+             |         count(*) FILTER (WHERE lang = 'de') AS fg_total
+             |  FROM documents
+             |), pt AS (
+             |  SELECT term,
+             |         CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT)
+             |           AS fg_df,
+             |         CAST(count(*) AS BIGINT) AS bg_df
+             |  FROM dt GROUP BY 1
+             |), sc AS (
+             |  SELECT term, fg_df, bg_df,
+             |         CAST(fg_df AS DOUBLE) / CAST(fg_total AS DOUBLE)
+             |           AS fg_pct,
+             |         CAST(bg_df AS DOUBLE) / CAST(bg_total AS DOUBLE)
+             |           AS bg_pct
+             |  FROM pt, tot WHERE fg_df >= 3
+             |)
+             |SELECT term, fg_df, bg_df,
+             |       (fg_pct - bg_pct) * (fg_pct / bg_pct) AS jlh
+             |FROM sc WHERE fg_pct > bg_pct
+             |ORDER BY jlh DESC, term
+             |LIMIT 50""".stripMargin)),
+
+    // PMI collocation mining (word2phrase-style): adjacent word pairs
+    // whose observed frequency beats independence — the phrase-vocabulary
+    // pass that runs before tokenizer training ("new york" → one token).
+    // Scored by lift = P(ab) / (P(a)·P(b)) = (c_ab·N) / (c_a·c_b), the
+    // monotone log-free form of PMI — same ranking, no transcendental in
+    // the compare path. All inputs exact BIGINTs cast to double; one
+    // multiply and one divide per side in a fixed shape → bit-identical.
+    // Scale: bigram explosion absorbed map-side (distinct bigrams on the
+    // wire), unigram dictionary is vocab-sized (broadcast here, shuffle
+    // equi-join at 100 TB), token total is a broadcast one-row frame.
+    GraftQuery("t_pmi_collocations",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(split(col("text"), " ").as("toks"))
+        val uni = toks.select(explode(col("toks")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val total = uni.agg(sum(col("c")).as("n"))
+        val bi = toks.filter(size(col("toks")) >= 2)
+          .select(explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        bi
+          .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+          .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+          .crossJoin(broadcast(total))
+          .select(col("w1"), col("w2"), col("c_ab"),
+            ((col("c_ab").cast("double") * col("n").cast("double")) /
+              (col("c_a").cast("double") * col("c_b").cast("double")))
+              .as("lift"))
+          .orderBy(col("lift").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      Some("""WITH d AS (
+             |  SELECT string_split(text, ' ') AS toks FROM documents
+             |), uc AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(toks) AS w FROM d) GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(sum(c) AS BIGINT) AS n FROM uc
+             |), bc AS (
+             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+             |  FROM (SELECT
+             |          unnest(list_transform(
+             |            generate_series(1, length(toks) - 1),
+             |            i -> toks[i])) AS w1,
+             |          unnest(list_transform(
+             |            generate_series(1, length(toks) - 1),
+             |            i -> toks[i + 1])) AS w2
+             |        FROM d WHERE length(toks) >= 2)
+             |  GROUP BY 1, 2 HAVING count(*) >= 5
+             |)
+             |SELECT bc.w1, bc.w2, c_ab,
+             |       (CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)) /
+             |       (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS lift
+             |FROM bc
+             |JOIN uc a ON bc.w1 = a.w
+             |JOIN uc b ON bc.w2 = b.w
+             |CROSS JOIN tot
+             |ORDER BY lift DESC, w1, w2
+             |LIMIT 50""".stripMargin)),
   )
 }

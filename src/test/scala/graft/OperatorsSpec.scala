@@ -1110,4 +1110,47 @@ class OperatorsSpec extends SparkSpec {
       assert(got == expect, s"width=$w: $got")
     }
   }
+
+  test("scd2Build collapses runs, chains intervals, flags the current row") {
+    import spark.implicits._
+    def t(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + sec))
+    val log = Seq(
+      (1L, "a", t(0), 10L), (1L, "a", t(10), 11L), // run of a → one row
+      (1L, "b", t(20), 12L),
+      (1L, "a", t(30), 13L), // back to a = a NEW version, not merged
+      (2L, "x", t(5), 20L)) // single-observation key
+      .toDF("user_id", "state", "ts", "event_id")
+    val got = Joins.scd2Build(log, "user_id", "state", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getInt(4),
+        r.getBoolean(5))).toSet
+    assert(got == Set(
+      (1L, "a", t(0), Some(t(20)), 1, false),
+      (1L, "b", t(20), Some(t(30)), 2, false),
+      (1L, "a", t(30), None, 3, true),
+      (2L, "x", t(5), None, 1, true)))
+  }
+
+  test("scd2Build: same-instant changes order by tie-break, nulls collapse") {
+    import spark.implicits._
+    def t(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + sec))
+    // two states at the same instant: event_id fixes which one wins the
+    // interval (the later id becomes the surviving current state); NULL
+    // states must collapse like values (<=>), not restart every row
+    val log = Seq(
+      (1L, Some("a"), t(0), 1L), (1L, Some("b"), t(0), 2L),
+      (2L, None: Option[String], t(0), 3L), (2L, None, t(10), 4L),
+      (2L, Some("c"), t(20), 5L))
+      .toDF("user_id", "state", "ts", "event_id")
+    val got = Joins.scd2Build(log, "user_id", "state", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getTimestamp(2), r.getInt(4), r.getBoolean(5))).toSet
+    assert(got == Set(
+      (1L, Some("a"), t(0), 1, false), // valid_to = same instant t(0)
+      (1L, Some("b"), t(0), 2, true),
+      (2L, None, t(0), 1, false), // one collapsed null run
+      (2L, Some("c"), t(20), 2, true)))
+  }
 }

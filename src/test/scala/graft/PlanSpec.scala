@@ -394,4 +394,29 @@ class PlanSpec extends SparkSpec {
       s"tercile window not language-partitioned:\n$p")
     assert(!p.contains("SinglePartition"), s"global funnel in plan:\n$p")
   }
+
+  test("SCD2 build: both window passes share ONE key exchange, no join") {
+    // the lag collapse and the lead/version stamp declare the same
+    // partitioning+ordering — a second hashpartitioning(user_id) exchange
+    // (or any join) would mean the dimension log moves twice
+    val p = plan("j_scd2_dimension")
+    assert(!p.contains("Join"), s"scd2 must be join-free:\n$p")
+    assert("(?m)^[\\s:+\\-|*]*Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one key exchange:\n$p")
+  }
+
+  test("significant terms / PMI: top-50 is a heap, totals broadcast one-row") {
+    for (name <- Seq("t_significant_terms", "t_pmi_collocations")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: top-k must be a heap, not a global sort:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: cartesian in plan:\n$p")
+      // the only nested-loop allowed is the broadcast one-row totals frame
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+        s"$name: more than the one-row stats NLJ:\n$p")
+      assert(p.contains("partial_count"),
+        s"$name: term counts not partially aggregated:\n$p")
+    }
+  }
 }
