@@ -500,6 +500,43 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
+  /** Directed shingle-containment pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    * over the RARE-shingle universe — the asymmetric near-dup measure
+    * Jaccard can't express (a short quote inside a long document scores
+    * near 1.0 on containment but near 0 on Jaccard, so MinHash/LSH —
+    * tuned for Jaccard — misses it; this is the quote/subset detector of
+    * a training-data pipeline, next to [[decontaminationFlags]] which is
+    * the same measure against a fixed benchmark side).
+    *
+    * Scale: candidates come from an inverted shingle index self-join, NOT
+    * an all-pairs doc join — and shingles with document frequency above
+    * `dfCap` are dropped first (boilerplate n-grams shared by thousands
+    * of docs carry no containment signal but would quadratically dominate
+    * the join). With the cap, join fanout is Σ_s df(s)² ≤ dfCap × |rows|:
+    * linear in the corpus for a fixed cap. Both the cap and the rare-set
+    * denominator are part of the contract (documented, replayed by the
+    * oracle) — containment is measured over discriminative shingles only.
+    *
+    * @return (i, j, shared, n_rare, containment): doc i is `containment`-
+    *         contained in doc j, for pairs at or above `threshold`.
+    */
+  def containmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
+                       dfCap: Long, threshold: Double): DataFrame = {
+    val rows = shingleRows(df, id, text, n).distinct() // multiset → set
+    val rare = rows.join(
+      rows.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select(col("s")), Seq("s"))
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    rare.as("a").join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("i"), col("n_rare")), Seq("i"))
+      .withColumn("containment",
+        col("shared").cast("double") / col("n_rare").cast("double"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** SimHash (60-bit, md5-derived): per bit position, sum +1/-1 over token
     * hashes; the bit is set when the sum is positive. One value per doc, no
     * shuffle — near-dup candidates then cluster by hamming distance.

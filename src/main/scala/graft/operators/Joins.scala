@@ -376,6 +376,42 @@ object Joins {
       .select(nodes("node"), coalesce(col("pr"), lit(teleportMicro)).as("pr"))
   }
 
+  /** MERGE INTO semantics (Delta/Iceberg-style upsert apply) as a pure
+    * batch operator: fold a CDC change batch into a base snapshot —
+    * latest change per key wins, `D` deletes, anything else upserts the
+    * change's payload; untouched base rows pass through. This is the
+    * reference's PG upsert sink (S8, `metricsdatabase.py` ON CONFLICT
+    * batches) generalized to full MERGE classes, and the batch twin of
+    * [[snapshotDiff]] (diff detects, this applies).
+    *
+    * Scale: the change batch collapses to one row per key via a window
+    * (partial shuffle on key), then ONE co-partitioned full-outer join
+    * against the base — both sides hash on the key, so at 100 TB this is
+    * the standard copy-on-write MERGE shuffle; no broadcast assumption,
+    * no driver state. Deterministic: ties on `seqCol` are broken by the
+    * change payload hash never being consulted — callers must supply a
+    * total order (the CDC log's LSN/offset), which is what every real
+    * change feed carries.
+    *
+    * @param base    current snapshot; one row per key.
+    * @param changes change rows: key, seqCol (total order), opCol
+    *                ('D' = delete, else upsert), and base's payload cols.
+    * @return the merged snapshot, same schema as base.
+    */
+  def mergeApply(base: DataFrame, changes: DataFrame, key: String,
+                 seqCol: String, opCol: String): DataFrame = {
+    val latest = changes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+      .filter(col("__rn") === 1)
+    val payload = base.columns.filterNot(_ == key).toSeq
+    base.as("b").join(latest.as("c"), Seq(key), "full_outer")
+      .filter(col(opCol).isNull || col(opCol) =!= "D")
+      .select(col(key) +: payload.map(p =>
+        when(col(opCol).isNotNull, col(s"c.$p"))
+          .otherwise(col(s"b.$p")).as(p)): _*)
+  }
+
   /** Slowly-changing-dimension (Type 2) build from an attribute change
     * log: per key, collapse consecutive duplicate states, then stamp each
     * surviving state with its validity interval `[valid_from, valid_to)`

@@ -354,6 +354,46 @@ object DedupQueries {
               |      FROM f a JOIN f b ON a.doc_id < b.doc_id)
               |SELECT i, j, jac FROM p WHERE jac >= 0.3""".stripMargin)),
 
+    // Directed containment (Dedup.containmentPairs): quote/subset
+    // detection — every 50th doc's 40-word prefix planted as a synthetic
+    // "quote" doc (id + 100000). Containment flags quote→source at ~1.0
+    // where Jaccard (and so MinHash LSH) scores them near zero; the
+    // df-capped inverted-index candidates keep the join linear. Oracle
+    // replays the planted quotes, the df cap, and the rare-set
+    // denominator exactly.
+    GraftQuery("d_containment_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val quotes = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 40)).as("text"))
+        Dedup.containmentPairs(docs.unionByName(quotes),
+          col("doc_id"), col("text"), n = 3, dfCap = 100L, threshold = 0.8)
+      },
+      Some(s"""WITH ${shingleCte(
+               """SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 |  UNION ALL
+                 |  SELECT doc_id + 100000 AS doc_id,
+                 |         (string_split(text, ' '))[1:40] AS w
+                 |  FROM documents WHERE doc_id % 50 = 0""".stripMargin)},
+              |r AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+              |rr AS (SELECT r.doc_id, r.sg FROM r
+              |       JOIN (SELECT sg, count(*) AS df FROM r GROUP BY 1
+              |             HAVING count(*) <= 100) f USING (sg)),
+              |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rare
+              |       FROM rr GROUP BY 1),
+              |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+              |        CAST(count(*) AS BIGINT) AS shared
+              |      FROM rr a JOIN rr b ON a.sg = b.sg
+              |                         AND a.doc_id <> b.doc_id
+              |      GROUP BY 1, 2)
+              |SELECT i, j, shared, n_rare,
+              |       CAST(shared AS DOUBLE) / CAST(n_rare AS DOUBLE)
+              |         AS containment
+              |FROM p JOIN sz ON sz.doc_id = p.i
+              |WHERE CAST(shared AS DOUBLE) / CAST(n_rare AS DOUBLE) >= 0.8"""
+        .stripMargin)),
+
     // Chunk-level exact-substring dedup: non-overlapping 8-word windows,
     // global first occurrence kept, docs reassembled from surviving
     // chunks. Graded value-exact including the reassembled text.
@@ -458,5 +498,50 @@ object DedupQueries {
       Some("""SELECT event_id, user_id, event_type,
              |       epoch_us(ts) AS ts_us
              |FROM events""".stripMargin)),
+
+    // CHAINED stateful streaming (§2.9): dedup → tumbling-day histogram in
+    // ONE streaming query (multiple stateful operators, append mode) —
+    // the full ingest shape: redelivered events suppressed by the first
+    // state store, the surviving rows rolled into the reference's
+    // date-histogram by the second, no intermediate table between them.
+    // Feed: all events, then every event_id ≡ 0 (mod 7) replayed in a
+    // LATER micro-batch (cross-batch dedup state), then a far-future
+    // sentinel that advances the watermark past every real window end so
+    // append mode flushes them all. The 60-day delay keeps the replay
+    // batch inside the watermark (events span one month) while letting
+    // the sentinel finalize; the sentinel's own window is filtered out.
+    // Oracle: event_id is unique at the source, so the whole pipeline
+    // must reproduce the plain per-day histogram exactly.
+    GraftQuery("w_stream_dedup_agg",
+      (s, dir) => {
+        val base = Scratch.dir("stream_dedup_agg", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          Scratch.dumpJsonl(ev, s"$base/stage1", s"$base/src", "ev_", fmt)
+          Scratch.dumpJsonl(ev.filter(col("event_id") % 7 === 0),
+            s"$base/stage2", s"$base/src", "mm_dup_", fmt)
+          val sentinel = s.sql(
+            """SELECT CAST(-1 AS BIGINT) AS event_id,
+              |       TIMESTAMP '2024-12-31 00:00:00' AS ts,
+              |       CAST(-1 AS BIGINT) AS user_id,
+              |       'sentinel' AS event_type,
+              |       CAST(0.0 AS DOUBLE) AS value, '' AS props""".stripMargin)
+            .select(ev.columns.map(col).toSeq: _*)
+          Scratch.dumpJsonl(sentinel, s"$base/stage3", s"$base/src", "zz_", fmt)
+          graft.streaming.StreamDedup.streamDedupAggToParquet(
+            s, s"$base/src", ev, s"$base/out", s"$base/cp",
+            Seq("event_id"), watermarkDelay = "60 days",
+            windowLength = "1 day",
+            readOptions = Map("timestampFormat" -> fmt))
+        }
+        s.read.parquet(s"$base/out")
+          .filter(col("event_type") =!= "sentinel")
+          .select(unix_micros(col("window_start")).as("window_start_us"),
+            col("event_type"), col("n_events"))
+      },
+      Some("""SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+             |       event_type, count(*) AS n_events
+             |FROM events GROUP BY 1, 2""".stripMargin)),
   )
 }

@@ -465,6 +465,51 @@ object JoinQueries {
              |FROM fact f ASOF LEFT JOIN dim d
              |  ON f.user_id = d.user_id AND f.ts >= d.ts""".stripMargin)),
 
+    // MERGE INTO apply (Joins.mergeApply): a synthesized CDC batch —
+    // modulo-folded keys force multiple changes per key (latest-by-seq
+    // wins) and all four MERGE classes: update (key in base), insert
+    // (key absent), delete ('D' op), pass-through. Graded row-level on
+    // the merged snapshot; the oracle replays the latest-change window
+    // and the full-outer fold, so a seq-ordering slip, a delete leak, or
+    // a payload taken from the wrong side hash-mismatches.
+    GraftQuery("j_merge_apply",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val base = orders
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val changes = orders
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .select((col("o_orderkey") % 4000).as("o_orderkey"),
+            col("o_orderkey").as("seq"),
+            when(col("o_orderkey") % 13 === 0, lit("D"))
+              .otherwise(lit("U")).as("op"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("M").as("o_orderstatus"))
+        Joins.mergeApply(base, changes, "o_orderkey", "seq", "op")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_totalprice, o_orderstatus
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+             |), ch AS (
+             |  SELECT o_orderkey % 4000 AS k, o_orderkey AS seq,
+             |         CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END
+             |           AS op,
+             |         o_totalprice * 2 AS p, 'M' AS st
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+             |), latest AS (
+             |  SELECT k, op, p, st FROM ch
+             |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+             |    = 1
+             |)
+             |SELECT coalesce(b.o_orderkey, c.k) AS o_orderkey,
+             |       CASE WHEN c.k IS NOT NULL THEN c.p
+             |            ELSE b.o_totalprice END AS o_totalprice,
+             |       CASE WHEN c.k IS NOT NULL THEN c.st
+             |            ELSE b.o_orderstatus END AS o_orderstatus
+             |FROM base b FULL OUTER JOIN latest c ON b.o_orderkey = c.k
+             |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin)),
+
     // SCD Type-2 dimension build (Joins.scd2Build): the per-user
     // event_type stream read as an attribute change log — consecutive
     // duplicates collapse, each surviving state gets its validity

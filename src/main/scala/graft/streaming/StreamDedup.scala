@@ -36,6 +36,57 @@ object StreamDedup {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** CHAINED stateful pipeline: dedup → tumbling-window aggregation in
+    * ONE streaming query (Spark's multiple-stateful-operators support,
+    * append mode). This is the reference's ingest shape end-to-end —
+    * suppress redelivered events, then maintain the date-histogram
+    * rollup — without landing an intermediate table between the two
+    * stateful stages. The dedup stage emits first-arrivals immediately;
+    * the window stage holds each (window, group) until the watermark
+    * passes the window end, then emits it exactly once.
+    *
+    * Scale: two state stores, both hash-partitioned and watermark-
+    * bounded — dedup state is O(keys in horizon), window state is
+    * O(open windows × groups). No shuffle beyond the two stateful
+    * exchanges; partial aggregation runs before the window exchange.
+    */
+  def dedupThenWindowCounts(events: DataFrame, keyCols: Seq[String],
+                            watermarkDelay: String,
+                            windowLength: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    dedupStream(events, keyCols, watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"))
+  }
+
+  /** Feed-to-parquet harness for [[dedupThenWindowCounts]] — same JSONL
+    * feed shape as [[streamDedupToParquet]]. Append mode means only
+    * windows the final watermark has passed land in the sink; the caller
+    * advances it with a far-future sentinel row (the
+    * `w_stream_sessions` discipline). */
+  def streamDedupAggToParquet(spark: SparkSession, srcDir: String,
+                              schemaSource: DataFrame, outPath: String,
+                              checkpoint: String, keyCols: Seq[String],
+                              watermarkDelay: String, windowLength: String,
+                              readOptions: Map[String, String] = Map.empty): Unit = {
+    val stream = spark.readStream
+      .schema(schemaSource.schema)
+      .option("mode", "DROPMALFORMED")
+      .option("maxFilesPerTrigger", "1")
+      .options(readOptions)
+      .json(srcDir)
+    dedupThenWindowCounts(stream, keyCols, watermarkDelay, windowLength)
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+  }
+
   /** End-to-end harness shape shared with `StreamingSessionize`: a JSONL
     * feed directory → watermarked streaming dedup → parquet sink,
     * AvailableNow trigger. `maxFilesPerTrigger 1` forces every feed file

@@ -1111,6 +1111,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("mergeApply: latest change wins; all four MERGE classes behave") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val changes = Seq(
+      (1L, 10L, "U", "a1"), (1L, 20L, "U", "a2"), // two updates: seq 20 wins
+      (2L, 5L, "U", "b1"), (2L, 6L, "D", "-"), // update then delete: gone
+      (5L, 1L, "U", "e"), // insert (key not in base)
+      (6L, 1L, "D", "-")) // delete of a missing key: no-op
+      .toDF("k", "seq", "op", "v")
+    val got = Joins.mergeApply(base, changes, "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2", 3L -> "c", 4L -> "d", 5L -> "e"))
+  }
+
+  test("containmentPairs: asymmetric quote detection, df cap honored") {
+    import spark.implicits._
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 12).map(i => s"w$i").mkString(" ") // strict prefix
+    // doc 3 shares nothing; with dfCap=1 every shingle shared by the
+    // quote pair has df=2 and is dropped, so NO pairs survive
+    val df = Seq((1L, long), (2L, quote), (3L, "x y z q r s t u v"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, col("doc_id"), col("text"),
+      n = 3, dfCap = 10L, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // quote fully contained in long (10/10 rare shingles); reverse
+    // direction 10/58 stays far below threshold
+    assert(pairs == Set((2L, 1L)))
+    assert(Dedup.containmentPairs(df, col("doc_id"), col("text"),
+      n = 3, dfCap = 1L, threshold = 0.1).count() == 0)
+  }
+
   test("scd2Build collapses runs, chains intervals, flags the current row") {
     import spark.implicits._
     def t(sec: Long) = java.sql.Timestamp.from(

@@ -405,6 +405,12 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one key exchange:\n$p")
   }
 
+  test("containment pairs: inverted-index equi-join, never an all-pairs product") {
+    val p = plan("d_containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"containment candidates must come from the shingle index:\n$p")
+  }
+
   test("significant terms / PMI: top-50 is a heap, totals broadcast one-row") {
     for (name <- Seq("t_significant_terms", "t_pmi_collocations")) {
       val p = plan(name)
