@@ -40,7 +40,10 @@ object Bench {
     "t_budget_select",     // token-budget selection (distributed prefix sum)
     "t_shard_shuffle",     // deterministic epoch shuffle (per-shard windows)
     "t_bigram_logprob",    // bigram LM score (corpus-wide dictionary join)
-    "t_rag_chunks")        // sliding-window RAG chunking (scan-speed explode)
+    "t_rag_chunks",        // sliding-window RAG chunking (scan-speed explode)
+    "j_scd2_dimension",    // SCD2 build (two window passes, one exchange)
+    "j_merge_apply",       // MERGE apply (co-partitioned full-outer fold)
+    "t_significant_terms") // keyness agg (explode absorbed map-side + heap)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a
