@@ -311,6 +311,38 @@ object DedupQueries {
               |FROM documents d LEFT JOIN comp c USING (doc_id)
               |WHERE c.component IS NULL OR c.component = d.doc_id""".stripMargin)),
 
+    // Quality-aware survivor selection: within each near-dup group keep
+    // the BEST document (longest n_chars, id-tiebroken) instead of the
+    // smallest-id canonical — the "keep the most complete version"
+    // policy real pipelines use when duplicates differ by truncation.
+    // One WindowGroupLimit argmax over the (tiny) grouped table; the
+    // corpus itself never re-shuffles beyond the components pipeline.
+    GraftQuery("d_best_of_group",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val groups = Dedup.nearDupComponents(docs,
+          col("doc_id"), col("text"),
+          shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        docs.join(groups, col("doc_id") === col("node"), "left")
+          .withColumn("rep", coalesce(col("component"), col("doc_id")))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("rep"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rk") === 1)
+          .select(col("rep").as("group_rep"),
+            col("doc_id").as("kept_doc"), col("n_chars"))
+      },
+      Some(s"""WITH RECURSIVE $MinhashComponentsCte,
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+              |         FROM reach GROUP BY a),
+              |r AS (SELECT d.doc_id, d.n_chars,
+              |        coalesce(c.component, d.doc_id) AS rep
+              |      FROM documents d LEFT JOIN comp c USING (doc_id))
+              |SELECT rep AS group_rep, doc_id AS kept_doc, n_chars
+              |FROM (SELECT *, row_number() OVER (PARTITION BY rep
+              |        ORDER BY n_chars DESC, doc_id) AS rk FROM r)
+              |WHERE rk = 1""".stripMargin)),
+
     // Leakage-safe splitting: train/valid/test assigned by hash of the
     // near-dup GROUP representative, so a duplicate family can never
     // straddle the eval boundary — the contamination mode of naive random

@@ -241,6 +241,54 @@ object EventMetricsQueries {
              |            AS BIGINT) AS session_seq
              |FROM g""".stripMargin)),
 
+    // Streaming incremental MERGE materialization (StreamMerge ×
+    // Joins.mergeApply): the events feed split into three date-range
+    // files — three micro-batches, each folded into a copy-on-write gold
+    // snapshot via foreachBatch MERGE (the "streaming upsert into a
+    // lakehouse table" production shape; the reference's S12 bulk-mutate
+    // sync). Latest-per-user state must survive three sequential folds;
+    // the oracle is one batch window over the raw events, so a stale
+    // batch winning, a version read from the wrong snapshot, or a
+    // within-batch dedup slip all hash-mismatch row-level.
+    GraftQuery("w_stream_merge_gold",
+      (s, dir) => {
+        val base = Scratch.dir("stream_merge_gold", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          // key-progress-ordered feed: each user's later events land in
+          // later files (the CDC-offset ordering the contract requires)
+          val d = (lo: String, hi: String) =>
+            col("ts") >= lit(lo).cast("timestamp") &&
+              col("ts") < lit(hi).cast("timestamp")
+          dumpJsonl(ev.filter(d("2024-01-01", "2024-01-11")),
+            s"$base/stage1", s"$base/src", "b1_", fmt)
+          dumpJsonl(ev.filter(d("2024-01-11", "2024-01-21")),
+            s"$base/stage2", s"$base/src", "b2_", fmt)
+          dumpJsonl(ev.filter(d("2024-01-21", "2024-02-01")),
+            s"$base/stage3", s"$base/src", "b3_", fmt)
+          val finalGold = graft.streaming.StreamMerge.streamMergeGold(
+            s, s"$base/src", ev, s"$base/gold", s"$base/cp",
+            key = "user_id", seqCol = "seq", opCol = "op",
+            changesOf = b => b.select(col("user_id"),
+              struct(col("ts"), col("event_id")).as("seq"),
+              lit("U").as("op"),
+              col("event_type").as("last_type"),
+              col("value").as("last_value"),
+              unix_micros(col("ts")).as("last_ts_us"),
+              col("event_id").as("last_event_id")),
+            readOptions = Map("timestampFormat" -> fmt))
+          s.read.parquet(finalGold)
+            .write.mode("overwrite").parquet(s"$base/final")
+        }
+        s.read.parquet(s"$base/final")
+      },
+      Some("""SELECT user_id, event_type AS last_type, value AS last_value,
+             |       epoch_us(ts) AS last_ts_us, event_id AS last_event_id
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC, event_id DESC) = 1""".stripMargin)),
+
     // §2.9 stream-stream interval join in the hard gate: purchase and click
     // feeds joined BY the streaming engine (StreamJoins.intervalJoin —
     // watermark-bounded state, the reference's late-event repair loop
@@ -816,6 +864,74 @@ object EventMetricsQueries {
              |SELECT coalesce(attributed, 'none') AS channel,
              |       count(*) AS n_purchases
              |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin)),
+
+    // Linear multi-touch attribution — the fractional-credit counterpart
+    // of a_last_touch: every purchase splits ONE unit of credit equally
+    // across ALL its preceding touches, per channel. Credit lives in
+    // integer micro-units (1e6 DIV n, the PageRank discipline) so the
+    // partial-agg sum is exact BIGINT arithmetic — a float 1/n would make
+    // the cross-partition sum order-dependent. One user-key exchange;
+    // the per-channel running counts stack on the same window partitions.
+    GraftQuery("a_linear_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val channels = Seq("view", "click", "signup", "error")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pre = channels.foldLeft(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"))) { (df, c) =>
+          df.withColumn(s"pre_$c",
+            count(when(col("event_type") === c, lit(1))).over(w))
+        }
+        val purchases = pre.filter(col("event_type") === "purchase")
+          .withColumn("n_pre",
+            channels.map(c => col(s"pre_$c")).reduce(_ + _))
+          .filter(col("n_pre") > 0)
+          .withColumn("unit_ppm", expr("1000000 DIV n_pre"))
+        purchases
+          .select(channels.map(c =>
+            sum(col(s"pre_$c") * col("unit_ppm")).as(s"credit_$c")): _*)
+          .select(expr(
+            s"stack(${channels.size}, " + channels.map(c =>
+              s"'$c', credit_$c").mkString(", ") + ") AS (channel, credit_ppm)"))
+      },
+      Some("""WITH pre AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w
+             |      AS pre_view,
+             |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w
+             |      AS pre_click,
+             |    count(CASE WHEN event_type = 'signup' THEN 1 END) OVER w
+             |      AS pre_signup,
+             |    count(CASE WHEN event_type = 'error' THEN 1 END) OVER w
+             |      AS pre_error
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |), p AS (
+             |  SELECT pre_view, pre_click, pre_signup, pre_error,
+             |         pre_view + pre_click + pre_signup + pre_error AS n_pre,
+             |         1000000 // (pre_view + pre_click + pre_signup
+             |                    + pre_error) AS unit_ppm
+             |  FROM pre
+             |  WHERE event_type = 'purchase'
+             |    AND pre_view + pre_click + pre_signup + pre_error > 0
+             |)
+             |SELECT 'view' AS channel,
+             |       CAST(sum(pre_view * unit_ppm) AS BIGINT) AS credit_ppm
+             |FROM p
+             |UNION ALL
+             |SELECT 'click', CAST(sum(pre_click * unit_ppm) AS BIGINT)
+             |FROM p
+             |UNION ALL
+             |SELECT 'signup', CAST(sum(pre_signup * unit_ppm) AS BIGINT)
+             |FROM p
+             |UNION ALL
+             |SELECT 'error', CAST(sum(pre_error * unit_ppm) AS BIGINT)
+             |FROM p""".stripMargin)),
 
     // Dwell-time analytics: time to the next event within the same session,
     // rolled up per event type — the "time on page" metric, composed from

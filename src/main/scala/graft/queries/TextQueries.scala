@@ -1275,5 +1275,54 @@ object TextQueries {
              |CROSS JOIN tot
              |ORDER BY lift DESC, w1, w2
              |LIMIT 50""".stripMargin)),
+
+    // Per-group keyword extraction: top-5 TF-IDF terms PER SOURCE — the
+    // corpus-card / topic-fingerprint pass (what does each ingest feed
+    // talk about?). Unlike the global heaps above, the cut is per-group:
+    // row_number over (source | score desc, term) plans a
+    // WindowGroupLimit, so every partition pre-prunes to 5 rows per
+    // source before the final window — the per-group top-k never sees a
+    // global sort. Ranking runs on the 6dp-ROUNDED score (the t_tfidf
+    // discipline), term-tiebroken, so the cut is engine-reproducible.
+    GraftQuery("t_keywords_per_source",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val stats = docs.agg(count(lit(1)).cast("double").as("n"))
+        val terms = docs.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        val dfreq = terms.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val scored = terms.groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .join(dfreq, "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("score", round(col("tf") * log(col("n") / col("df")), 6))
+        scored
+          .withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("score").desc, col("term"))))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("rank"), col("term"),
+            col("tf"), col("df"), col("score"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+             |  FROM documents
+             |), dfreq AS (
+             |  SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1
+             |), tf AS (
+             |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM t GROUP BY 1, 2
+             |), sc AS (
+             |  SELECT source, tf.term AS term, tf, CAST(df AS BIGINT) AS df,
+             |         round(tf * ln((SELECT count(*) FROM documents)::DOUBLE
+             |                       / df), 6) AS score
+             |  FROM tf JOIN dfreq ON tf.term = dfreq.term
+             |)
+             |SELECT source, CAST(rank AS INTEGER) AS rank, term, tf, df,
+             |       score
+             |FROM (SELECT *, row_number() OVER (PARTITION BY source
+             |        ORDER BY score DESC, term) AS rank FROM sc)
+             |WHERE rank <= 5""".stripMargin)),
   )
 }

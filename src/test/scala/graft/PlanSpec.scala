@@ -405,6 +405,13 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one key exchange:\n$p")
   }
 
+  test("keywords per source: the per-group cut pre-prunes via WindowGroupLimit") {
+    val p = plan("t_keywords_per_source")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group top-5 must pre-prune per partition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
   test("containment pairs: inverted-index equi-join, never an all-pairs product") {
     val p = plan("d_containment_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

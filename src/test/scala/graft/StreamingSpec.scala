@@ -272,4 +272,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted == Seq(1L, 2L, 3L, 4L))
     assert(got.length == 4) // each key exactly once — no double emission
   }
+
+  test("streaming MERGE fold: per-batch dedup, delete, and version chain") {
+    import graft.streaming.StreamMerge
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streammerge").toString
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    def put(name: String, body: String, mtime: Long): Unit = {
+      val f = new java.io.File(src, name)
+      java.nio.file.Files.writeString(f.toPath, body)
+      f.setLastModified(mtime); ()
+    }
+    // batch 1: k=1 changed twice (in-batch latest-wins), k=2 inserted;
+    // batch 2 (strictly later mtime): k=1 updated again, k=2 DELETED,
+    // k=3 inserted — the fold must thread state across both versions
+    put("a.json",
+      """{"k":1,"seq":1,"op":"U","v":"a1"}
+        |{"k":1,"seq":2,"op":"U","v":"a2"}
+        |{"k":2,"seq":1,"op":"U","v":"b1"}
+        |""".stripMargin, 1700000000000L)
+    put("b.json",
+      """{"k":1,"seq":3,"op":"U","v":"a3"}
+        |{"k":2,"seq":2,"op":"D","v":"-"}
+        |{"k":3,"seq":1,"op":"U","v":"c1"}
+        |""".stripMargin, 1700000002000L)
+    val schemaDf = Seq((1L, 1L, "U", "x")).toDF("k", "seq", "op", "v")
+    val finalPath = StreamMerge.streamMergeGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", key = "k", seqCol = "seq", opCol = "op",
+      changesOf = b => b.select(col("k"), col("seq"), col("op"), col("v")))
+    val got = spark.read.parquet(finalPath).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a3", 3L -> "c1"))
+    // copy-on-write protocol: each batch wrote its OWN version dir
+    assert(new java.io.File(s"$dir/gold/v0").exists())
+    assert(finalPath != s"$dir/gold/v0")
+  }
 }
