@@ -90,6 +90,65 @@ object SetOpQueries {
              |                 WHERE o_custkey = c_custkey), 0) AS citations
              |FROM customer WHERE c_custkey < 150""".stripMargin)),
 
+    // Data-quality audit report (dbt-test style): referential integrity,
+    // uniqueness, null-rate, and domain checks across the warehouse in
+    // ONE union-of-aggregates frame — the assertion pass a pipeline runs
+    // before promoting a load (the reference's ingest drops + handled-
+    // flag reconciliation, generalized). Each check is an independent
+    // anti-join or filter-agg subplan; the union is of one-row frames,
+    // so the whole report is a handful of parallel scans, no cross-check
+    // shuffle. Anti-joins broadcast the dim side at this SF and AQE-plan
+    // at scale — the j9/J10 machinery reused as assertions.
+    GraftQuery("a_dq_report",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val cust = Tables.customer(s, dir)
+        val li = Tables.lineitem(s, dir)
+        val ev = Tables.events(s, dir)
+        val docs = Tables.documents(s, dir)
+        def chk(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_bad"))
+            .select(lit(name).as("check_name"), col("n_bad"))
+        chk("orders_orphan_custkey",
+          orders.join(cust, orders("o_custkey") === cust("c_custkey"),
+            "left_anti"))
+          .unionByName(chk("lineitem_orphan_orderkey",
+            li.join(orders, li("l_orderkey") === orders("o_orderkey"),
+              "left_anti")))
+          .unionByName(chk("events_dup_event_id",
+            ev.groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+              .filter(col("n") > 1)))
+          .unionByName(chk("events_null_user",
+            ev.filter(col("user_id").isNull)))
+          .unionByName(chk("documents_empty_text",
+            docs.filter(length(col("text")) === 0)))
+          .unionByName(chk("orders_nonpositive_price",
+            orders.filter(col("o_totalprice") <= 0)))
+      },
+      Some("""SELECT 'orders_orphan_custkey' AS check_name,
+             |       count(*) AS n_bad
+             |FROM orders o
+             |WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |                  WHERE c.c_custkey = o.o_custkey)
+             |UNION ALL
+             |SELECT 'lineitem_orphan_orderkey', count(*)
+             |FROM lineitem l
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_orderkey = l.l_orderkey)
+             |UNION ALL
+             |SELECT 'events_dup_event_id', count(*)
+             |FROM (SELECT event_id FROM events GROUP BY 1
+             |      HAVING count(*) > 1)
+             |UNION ALL
+             |SELECT 'events_null_user', count(*)
+             |FROM events WHERE user_id IS NULL
+             |UNION ALL
+             |SELECT 'documents_empty_text', count(*)
+             |FROM documents WHERE length(text) = 0
+             |UNION ALL
+             |SELECT 'orders_nonpositive_price', count(*)
+             |FROM orders WHERE o_totalprice <= 0""".stripMargin)),
+
     // A14: null-key normalization (`metricsreader.py:1684-1686` country
     // NULL→"US"): synthesize nulls via nullif, then coalesce-normalize.
     GraftQuery("a14_normalize_null",

@@ -1324,5 +1324,38 @@ object TextQueries {
              |FROM (SELECT *, row_number() OVER (PARTITION BY source
              |        ORDER BY score DESC, term) AS rank FROM sc)
              |WHERE rank <= 5""".stripMargin)),
+
+    // Positional phrase search: find documents containing the exact token
+    // sequence "fast table" by POSTINGS-INTERSECTION — each phrase term's
+    // (doc, position) postings are filtered AT THE SCAN (selective
+    // predicate on the exploded term), then an equi-join on
+    // (doc, adjusted position) checks adjacency. This is the positional
+    // inverted-index query plan: work scales with the phrase terms'
+    // posting lists, not the corpus — a LIKE '%fast table%' scan (the
+    // naive plan) reads every byte of every document instead. The oracle
+    // replays token positions, so tokenization-boundary bugs (substring
+    // false hits like "breakfast table") can't pass.
+    GraftQuery("t_phrase_search",
+      (s, dir) => {
+        val pos = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val p1 = pos.filter(col("tok") === "fast")
+          .select(col("doc_id"), col("pos"))
+        val p2 = pos.filter(col("tok") === "table")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        p1.join(p2, Seq("doc_id", "pos"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_matches"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), hits AS (
+             |  SELECT doc_id, i FROM t,
+             |    unnest(generate_series(1, length(w) - 1)) AS u(i)
+             |  WHERE w[i] = 'fast' AND w[i + 1] = 'table'
+             |)
+             |SELECT doc_id, count(*) AS n_matches
+             |FROM hits GROUP BY 1""".stripMargin)),
   )
 }

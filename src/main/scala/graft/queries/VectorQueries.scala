@@ -44,6 +44,12 @@ object VectorQueries {
     s"list_reduce(list_transform(generate_series(1, 8), " +
       s"p -> $emb[$mi * 8 + p]::DOUBLE * $emb[$mi * 8 + p]::DOUBLE), (x, y) -> x + y)"
 
+  /** Oracle fragment: dot over only the first `d` dims of two full-width
+    * lists (Matryoshka truncation — prefix slices ARE the reduced vectors). */
+  private def dotPrefixSql(a: String, b: String, d: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $d), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+
   val entries: Seq[GraftQuery] = Seq(
 
     // Brute-force exact cosine top-k: the ANN baseline. Probe side broadcast,
@@ -961,5 +967,66 @@ object VectorQueries {
              |       round(list_reduce(list_transform(err, x -> x * x),
              |                         (a, b) -> a + b) / length(err), 9) AS mse
              |FROM e""".stripMargin)),
+
+    // Matryoshka truncation eval: recall@5 of 16-dim PREFIX cosine
+    // against the full 64-dim truth, per probe — the dimension-budget
+    // decision table for MRL-style embeddings (serve the prefix, keep
+    // the tail for rerank). Both rankings run through the same
+    // bruteForceTopK machinery (broadcast probes, native vec_dot,
+    // per-probe heap); the oracle replays full and prefix dots with the
+    // same (cos desc, neighbor_id) tie-break, so a slice off-by-one or a
+    // ranking drift shows as a recall mismatch.
+    GraftQuery("v_matryoshka_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.filter(col("vec_id") < 10)
+        val full = Vectors.bruteForceTopK(emb, probes, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        def prefix(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+        val trunc = Vectors.bruteForceTopK(prefix(emb), prefix(probes), k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val overlap = full.join(trunc, Seq("query_id", "neighbor_id"),
+          "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+        probes.select(col("vec_id").as("query_id"))
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)) / lit(5.0))
+              .as("recall_at_5"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+              |             sqrt(${dotSql("embedding", "embedding")}) AS qn,
+              |             sqrt(${dotPrefixSql("embedding", "embedding", 16)})
+              |               AS qn16
+              |           FROM embeddings WHERE vec_id < 10),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS ne,
+              |        sqrt(${dotSql("embedding", "embedding")}) AS nn,
+              |        sqrt(${dotPrefixSql("embedding", "embedding", 16)})
+              |          AS nn16
+              |      FROM embeddings),
+              |p AS (SELECT query_id, neighbor_id,
+              |        ${dotSql("qe", "ne")} / (qn * nn) AS cos_full,
+              |        ${dotPrefixSql("qe", "ne", 16)} / (qn16 * nn16)
+              |          AS cos_16
+              |      FROM q, c WHERE query_id <> neighbor_id),
+              |rf AS (SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |           ORDER BY cos_full DESC, neighbor_id) AS rk
+              |       FROM p),
+              |rt AS (SELECT query_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY query_id
+              |           ORDER BY cos_16 DESC, neighbor_id) AS rk
+              |       FROM p),
+              |ov AS (SELECT rf.query_id,
+              |         CAST(count(*) AS BIGINT) AS n_overlap
+              |       FROM rf JOIN rt ON rf.query_id = rt.query_id
+              |                      AND rf.neighbor_id = rt.neighbor_id
+              |       WHERE rf.rk <= 5 AND rt.rk <= 5
+              |       GROUP BY 1)
+              |SELECT q.query_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+              |       coalesce(ov.n_overlap, 0) / 5.0 AS recall_at_5
+              |FROM q LEFT JOIN ov ON q.query_id = ov.query_id""".stripMargin)),
   )
 }
