@@ -483,6 +483,8 @@ object Dedup {
           coalesce(col("jl"), hooked("label")).as("label"),
           (hooked("moved") ||
             coalesce(col("jl"), hooked("label")) < hooked("label")).as("moved"))
+        // eager: the moved-scan is a short-circuit isEmpty — see
+        // resolveRoots' round-barrier note
         .localCheckpoint()
       converged = next.filter(col("moved")).isEmpty
       labels = next.drop("moved")

@@ -92,6 +92,10 @@ object Joins {
             // an ancestor absent from the mapping has no parent row ⇒ root
             coalesce(col(s"js$i"), lit(true)).as("settled"))
       }
+      // EAGER on purpose: the settled-scan below is isEmpty (short-circuit
+      // take(1)) — under a lazy checkpoint it would materialize only a
+      // partition prefix, and every later round would recompute the rest
+      // from the full lineage (measured 2.5x blowup on j3's sibling loop)
       m = cur.localCheckpoint() // truncate lineage; also the round barrier
       // exit as soon as every ancestor is proven a root (cheap scan of the
       // checkpointed blocks, short-circuits on first unsettled row)
@@ -135,6 +139,8 @@ object Joins {
         .select(col("node"), col("_aanc").as("ancestor"),
           (col("_d1") + col("_d2")).as("depth"))
         .filter(col("depth") <= maxDepth)
+        // eager: the isEmpty probe below short-circuits and would leave a
+        // lazy checkpoint partially materialized (recomputed every union)
         .localCheckpoint()
       acc = acc.union(ext)
       // the doubled exact-span pairs are ext's deepest slice
@@ -324,7 +330,12 @@ object Joins {
     * conservatively sort-merge-join the (usually tiny) rank table every
     * round. Hinting plus carrying ranks sparsely measured 4.8 s → 3.2 s
     * at sf0.1 (the remainder is fixed per-round job overhead, the same
-    * profile as resolveRoots' jumpsPerRound note). Default false
+    * profile as resolveRoots' jumpsPerRound note). Round 8: LAZY rank
+    * checkpoints (each round's broadcast collect fully materializes the
+    * blocks, so truncation needs no dedicated pass — safe here, unlike
+    * the isEmpty-probed loops, see resolveRoots) plus folding the tiny
+    * rank table to 4 reduce partitions in broadcast mode measured
+    * another 4.7 s → 3.8 s isolated at sf0.1. Default false
     * broadcasts the rank table (node count ≪ edge count, the common
     * web/citation shape); set true past broadcast capacity (~100 M+
     * nodes) for co-partitioned shuffle joins.
@@ -342,9 +353,11 @@ object Joins {
     def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
     val e = edges.select(col("src"), col("dst"))
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outd")), "src")
-      .localCheckpoint()
+      .localCheckpoint(false) // materialized by round 1, reused by all
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false) // only the final join reads it — no
+    // dedicated upfront job; reads the e checkpoint, not the raw scan
     val teleportMicro = (1000L - dampingMilli) * 1000L
     // Ranks are carried SPARSELY: only nodes with in-edges have a stored
     // value; every other node's rank is a per-iteration constant
@@ -359,16 +372,24 @@ object Joins {
         case Some(sp) => e.join(hint(sp), e("src") === sp("node"), "left")
           .withColumn("pr", coalesce(col("pr"), lit(defaultPr)))
       }
-      val next = withPr
+      val next0 = withPr
         .select(col("dst"), expr("pr div outd").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           (lit(teleportMicro) +
             expr(s"($dampingMilli * s) div 1000")).as("pr"))
+      // broadcast mode declares the rank table tiny (node count ≪ edges):
+      // fold the reducers down so the per-round checkpoint/broadcast jobs
+      // don't pay shuffle-partition-count task overhead on a frame of a
+      // few thousand rows; coalesce merges into the agg stage, no shuffle
+      val next = if (hugeGraph) next0 else next0.coalesce(4)
       // checkpoint every other round: enough to keep lineage (and the
       // number of materialization jobs) bounded — placement never
-      // changes values, only job count
-      sparse = Some(if (k % 2 == 0 || k == iterations) next.localCheckpoint()
+      // changes values, only job count. LAZY (eager=false): the next
+      // round's broadcast/join materializes the checkpoint as part of
+      // its own job, so truncation costs no dedicated pass
+      sparse = Some(if (k % 2 == 0 || k == iterations)
+        next.localCheckpoint(false)
         else next)
     }
     val sp = sparse.get

@@ -293,4 +293,80 @@ class PropertySpec extends SparkSpec {
       got == expected
     })
   }
+
+  test("property: scd2Build matches a sequential fold, any arrival order") {
+    // random per-key change logs with ts collisions and null states; the
+    // oracle folds each key's (ts, tieBreak)-sorted log sequentially —
+    // row-shuffling the input must never change the output
+    val logGen = Gen.listOf(for {
+      k <- Gen.choose(0L, 3L)
+      ts <- Gen.choose(0L, 6L)
+      st <- Gen.option(Gen.oneOf("a", "b", "c"))
+    } yield (k, ts, st)).map(_.zipWithIndex
+      .map { case ((k, ts, st), i) => (k, ts, i.toLong, st) })
+    check(Prop.forAll(logGen) { rows0 =>
+      val rows = scala.util.Random.shuffle(rows0)
+      val expected = rows0.groupBy(_._1).flatMap { case (k, rs) =>
+        val ordered = rs.sortBy(r => (r._2, r._3))
+        val collapsed = ordered.foldLeft(
+          List.empty[(Long, Long, Option[String])]) { case (acc, r) =>
+          if (acc.nonEmpty && acc.head._3 == r._4) acc
+          else (r._2, r._3, r._4) :: acc
+        }.reverse
+        collapsed.zipWithIndex.map { case ((ts, _, st), i) =>
+          (k, st, ts, i + 1) ->
+            (if (i == collapsed.size - 1) None else Some(collapsed(i + 1)._1))
+        }
+      }
+      val df = spark.createDataFrame(
+        rows.map { case (k, ts, id, st) => Row(k,
+          new java.sql.Timestamp(ts * 1000), id, st.orNull) }.asJava,
+        T.StructType(Seq(T.StructField("k", T.LongType),
+          T.StructField("ts", T.TimestampType),
+          T.StructField("id", T.LongType),
+          T.StructField("st", T.StringType))))
+      val got = Joins.scd2Build(df, "k", "st", "ts", "id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+          r.getTimestamp(2).getTime / 1000, r.getInt(4)) ->
+          Option(r.getTimestamp(3)).map(_.getTime / 1000)).toMap
+      got == expected
+    })
+  }
+
+  test("property: mergeApply matches a sequential map fold and is idempotent") {
+    val baseGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 9L),
+      Gen.alphaStr.map(_.take(2))))
+    val changeGen = Gen.listOf(for {
+      k <- Gen.choose(0L, 12L)
+      op <- Gen.frequency(3 -> Gen.const("U"), 1 -> Gen.const("D"))
+      v <- Gen.alphaStr.map(_.take(2))
+    } yield (k, op, v)).map(_.zipWithIndex
+      .map { case ((k, op, v), i) => (k, i.toLong, op, v) })
+    check(Prop.forAll(baseGen, changeGen) { (base, changes) =>
+      // latest change per key wins; D removes, U upserts
+      val expected = changes.groupBy(_._1).foldLeft(base) {
+        case (acc, (k, rs)) =>
+          val last = rs.maxBy(_._2)
+          if (last._3 == "D") acc - k else acc.updated(k, last._4)
+      }
+      def baseDf(m: Map[Long, String]) = spark.createDataFrame(
+        m.toSeq.map { case (k, v) => Row(k, v) }.asJava,
+        T.StructType(Seq(T.StructField("k", T.LongType),
+          T.StructField("v", T.StringType))))
+      val chDf = spark.createDataFrame(
+        changes.map { case (k, seq, op, v) => Row(k, seq, op, v) }.asJava,
+        T.StructType(Seq(T.StructField("k", T.LongType),
+          T.StructField("seq", T.LongType),
+          T.StructField("op", T.StringType),
+          T.StructField("v", T.StringType))))
+      val merged = Joins.mergeApply(baseDf(base), chDf, "k", "seq", "op")
+      val got = merged.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // replaying the SAME batch onto the merged snapshot is a no-op
+      // (CDC redelivery safety) — deletes of absent keys stay absent,
+      // upserts rewrite the value they already wrote
+      val replayed = Joins.mergeApply(merged, chDf, "k", "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got == expected && replayed == expected
+    })
+  }
 }
