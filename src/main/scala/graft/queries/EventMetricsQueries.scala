@@ -865,6 +865,102 @@ object EventMetricsQueries {
              |       count(*) AS n_purchases
              |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin)),
 
+    // Time-weighted average (gauge semantics): each event's value holds
+    // until the user's next event; TWA = Σ value·duration / total span —
+    // the metric for anything sampled irregularly (queue depth, price,
+    // battery level). DETERMINISM: value·duration accumulates in DECIMAL
+    // (exact, order-independent partial sums — a double product would
+    // drift under partial-agg reordering); the one IEEE division runs on
+    // exact inputs at the end. One user-key exchange shared by the lead()
+    // window and the aggregate.
+    GraftQuery("a_time_weighted_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("dur_us",
+            unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .filter(col("dur_us").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dur_us")).as("span_us"),
+            sum(col("value").cast("decimal(18,6)") * col("dur_us"))
+              .as("vsum"))
+          .select(col("user_id"), col("n_intervals"), col("span_us"),
+            (col("vsum").cast("double") / col("span_us").cast("double"))
+              .as("twa"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, value,
+             |         epoch_us(lead(ts) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+             |  FROM events
+             |)
+             |SELECT user_id, count(*) AS n_intervals,
+             |       CAST(sum(dur_us) AS BIGINT) AS span_us,
+             |       CAST(sum(CAST(value AS DECIMAL(18,6)) * dur_us)
+             |            AS DOUBLE)
+             |         / CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE) AS twa
+             |FROM d WHERE dur_us IS NOT NULL
+             |GROUP BY 1""".stripMargin)),
+
+    // Sequence-pattern matching over sessions (MATCH_RECOGNIZE-lite):
+    // each session's ordered event-type string probed with a regex —
+    // "a view leading to a purchase with only clicks between" =
+    // /vc*p/. The per-session sequence builds from ONE sorted-struct
+    // aggregation on the sessionizer's partitions (collect_list order is
+    // not guaranteed; array_sort over (ts, event_id, ch) structs is, and
+    // replays identically in the oracle's ORDER BY string_agg). Regex
+    // constructs restricted to the Java∩RE2 common core (literals +
+    // star), the PII-battery discipline. Scale: per-session state is the
+    // session's own events; the pattern probe is a map-side rlike.
+    GraftQuery("a_pattern_match",
+      (s, dir) => {
+        val sess = Sessionize.withSessionSeqAuto(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("event_id"), GapSeconds)
+        sess
+          .withColumn("ch",
+            when(col("event_type") === "view", lit("v"))
+              .when(col("event_type") === "click", lit("c"))
+              .when(col("event_type") === "purchase", lit("p"))
+              .when(col("event_type") === "signup", lit("s"))
+              .otherwise(lit("e")))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("ch")))),
+            e => e.getField("ch")), "").as("seq"))
+          .select(col("user_id"), col("session_seq"), col("seq"),
+            col("seq").rlike("vc*p").as("converted"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM events
+             |), sess AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         sum(is_new) OVER (PARTITION BY user_id
+             |                           ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS seq
+             |  FROM g
+             |), strs AS (
+             |  SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
+             |         string_agg(CASE event_type WHEN 'view' THEN 'v'
+             |                      WHEN 'click' THEN 'c'
+             |                      WHEN 'purchase' THEN 'p'
+             |                      WHEN 'signup' THEN 's'
+             |                      ELSE 'e' END, ''
+             |                    ORDER BY ts, event_id) AS seq
+             |  FROM sess GROUP BY 1, 2
+             |)
+             |SELECT user_id, session_seq, seq,
+             |       regexp_matches(seq, 'vc*p') AS converted
+             |FROM strs""".stripMargin)),
+
     // Linear multi-touch attribution — the fractional-credit counterpart
     // of a_last_touch: every purchase splits ONE unit of credit equally
     // across ALL its preceding touches, per channel. Credit lives in
