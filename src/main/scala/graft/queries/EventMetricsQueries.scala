@@ -382,6 +382,31 @@ object EventMetricsQueries {
     // Z-order clustered writes in the hard gate (Layout.writeZOrdered):
     // the events table rewritten clustered by the Morton key of
     // (user_id, value), then a two-column range slice answered FROM the
+    // Rendezvous-hash shard assignment (Layout.rendezvousShard): every
+    // doc's serving shard at N=4 and N=5 side by side — graded row-level,
+    // so the oracle's md5 replay pins the exact argmax arithmetic, and
+    // the `moved` column exposes HRW's minimal-movement contract (a moved
+    // doc can only move TO the added shard; OperatorsSpec asserts that
+    // plus the ~1/(N+1) movement rate). Zero shuffles — constant-folded
+    // hashes + array_max per row.
+    GraftQuery("s2_consistent_hash",
+      (s, dir) => Tables.documents(s, dir).select(col("doc_id"),
+        graft.sources.Layout.rendezvousShard(col("doc_id"), 4).as("shard_4"),
+        graft.sources.Layout.rendezvousShard(col("doc_id"), 5).as("shard_5"))
+        .withColumn("moved", col("shard_4") =!= col("shard_5")),
+      Some {
+        def h(k: Int) =
+          s"('0x' || substring(md5(doc_id || ':' || $k), 1, 15))::BIGINT"
+        def pick(n: Int) = (0 until n).map(k =>
+          s"WHEN greatest(${(0 until n).map(h).mkString(", ")}) = ${h(k)} " +
+            s"THEN $k").mkString("CASE ", " ", " END")
+        s"""SELECT doc_id,
+           |       CAST(${pick(4)} AS INTEGER) AS shard_4,
+           |       CAST(${pick(5)} AS INTEGER) AS shard_5,
+           |       ${pick(4)} <> ${pick(5)} AS moved
+           |FROM documents""".stripMargin
+      }),
+
     // Compaction planning: deterministic sequential bin-packing of the
     // object inventory (documents standing in as the file listing,
     // n_chars as the size) into ~2000-byte bins via the two-level

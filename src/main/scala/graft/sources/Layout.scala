@@ -95,4 +95,26 @@ object Layout {
       .select(df.columns.map(col): _*)
       .write.mode("overwrite").parquet(outPath)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: the key goes to
+    * the shard whose `hash(key:shard)` scores highest. The property that
+    * makes this THE serving-layout hash (vs `key % N`): growing N → N+1
+    * moves only the keys the NEW shard wins — expected 1/(N+1) of them —
+    * where modulo reshuffles nearly everything. That is the index-shard /
+    * cache-node assignment every serving tier in front of this engine
+    * needs (the reference spreads load with fixed HTTP fan-out widths;
+    * rendezvous is the principled version).
+    *
+    * Pure constant-folded column arithmetic — N hashes + an array_max per
+    * row, zero shuffles, codegen'd via the native [[graft.operators.Dedup.hash60]].
+    * md5-derived so an ANSI-SQL oracle replays the exact assignment.
+    * Ties are md5 collisions — ignored by construction. */
+  def rendezvousShard(id: Column, numShards: Int): Column = {
+    require(numShards >= 1)
+    val scored = array((0 until numShards).map(sh =>
+      struct(graft.operators.Dedup.hash60(
+        concat(id.cast("string"), lit(":"), lit(sh))).as("h"),
+        lit(sh).as("shard"))): _*)
+    array_max(scored).getField("shard")
+  }
 }

@@ -1111,6 +1111,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("rendezvousShard: minimal movement — moved keys only go TO the new shard") {
+    import spark.implicits._
+    import graft.sources.Layout
+    val ids = (0L until 1000L).toDF("id")
+    val rows = ids.select(col("id"),
+      Layout.rendezvousShard(col("id"), 4).as("s4"),
+      Layout.rendezvousShard(col("id"), 5).as("s5"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(rows.forall { case (s4, s5) => s4 == s5 || s5 == 4 },
+      "HRW violated: a key moved to an OLD shard when shard 4 was added")
+    val movedRate = rows.count { case (s4, s5) => s4 != s5 } / 1000.0
+    assert(movedRate > 0.1 && movedRate < 0.3, // expected 1/5 = 0.2
+      s"movement rate $movedRate far from 1/(N+1)")
+    // every shard gets a reasonable share (hash balance, not modulo runs)
+    val byShard = rows.groupBy(_._2).view.mapValues(_.size)
+    assert(byShard.size == 5 && byShard.values.forall(n => n > 100 && n < 300))
+  }
+
   test("mergeApply: latest change wins; all four MERGE classes behave") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))

@@ -395,6 +395,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global funnel in plan:\n$p")
   }
 
+  test("TWA: lead window and aggregate share the one user-key exchange") {
+    val p = plan("a_time_weighted_avg")
+    assert(!p.contains("Join"), s"TWA must be join-free:\n$p")
+    assert("(?m)^[\\s:+\\-|*]*Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one user-key exchange:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+  }
+
   test("SCD2 build: both window passes share ONE key exchange, no join") {
     // the lag collapse and the lead/version stamp declare the same
     // partitioning+ordering — a second hashpartitioning(user_id) exchange
