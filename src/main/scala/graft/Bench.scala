@@ -43,7 +43,8 @@ object Bench {
     "t_rag_chunks",        // sliding-window RAG chunking (scan-speed explode)
     "j_scd2_dimension",    // SCD2 build (two window passes, one exchange)
     "j_merge_apply",       // MERGE apply (co-partitioned full-outer fold)
-    "t_significant_terms") // keyness agg (explode absorbed map-side + heap)
+    "t_significant_terms",// keyness agg (explode absorbed map-side + heap)
+    "q8_market_share")     // 7-table join-order stress (Q8 shape)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

@@ -39,6 +39,70 @@ object TpchQueries {
              |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
              |GROUP BY 1, 2""".stripMargin)),
 
+    // TPC-H Q8 shape: 7-table national-market-share join — the join-order
+    // stress test (part→lineitem→supplier→orders→customer→nation×2→
+    // region) the single-fact star (q5) doesn't exercise. Catalyst gets
+    // selective dims first (PROMO parts, ASIA region, the date slice) and
+    // broadcasts every dim at this SF; at scale AQE re-plans the
+    // fact-side joins to sort-merge. Money in exact DECIMAL to the end
+    // (q1 discipline); the share is one IEEE division on exact inputs.
+    GraftQuery("q8_market_share",
+      (s, dir) => {
+        val vol = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        Tables.part(s, dir).filter(col("p_type") === "PROMO")
+          .join(Tables.lineitem(s, dir), col("p_partkey") === col("l_partkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <= lit("1996-12-31").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, dir).as("n1"),
+            col("c_nationkey") === col("n1.n_nationkey"))
+          .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+            col("n1.n_regionkey") === col("r_regionkey"))
+          .join(Tables.nation(s, dir).as("n2"),
+            col("s_nationkey") === col("n2.n_nationkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("n2.n_name") === "NATION_1", vol)
+              .otherwise(lit(0).cast("decimal(18,2)"))).as("nv"),
+            sum(vol).as("tv"))
+          .select(col("o_year"),
+            col("nv").cast("double").as("nation_volume"),
+            col("tv").cast("double").as("total_volume"),
+            (col("nv").cast("double") / col("tv").cast("double"))
+              .as("mkt_share"))
+      },
+      Some("""WITH j AS (
+             |  SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+             |         CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |           (CAST(1 AS DECIMAL(18,2)) -
+             |            CAST(l_discount AS DECIMAL(18,2))) AS vol
+             |  FROM part
+             |  JOIN lineitem ON p_partkey = l_partkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |  JOIN region ON n1.n_regionkey = r_regionkey
+             |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+             |    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+             |                        AND TIMESTAMP '1996-12-31'
+             |)
+             |SELECT o_year,
+             |       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+             |                     ELSE CAST(0 AS DECIMAL(18,2)) END)
+             |            AS DOUBLE) AS nation_volume,
+             |       CAST(sum(vol) AS DOUBLE) AS total_volume,
+             |       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+             |                     ELSE CAST(0 AS DECIMAL(18,2)) END)
+             |            AS DOUBLE)
+             |         / CAST(sum(vol) AS DOUBLE) AS mkt_share
+             |FROM j GROUP BY 1""".stripMargin)),
+
     // A8: ROLLUP materialized view (`02-metrics-materialized-views.sql:1-21`)
     // — year/month subtotal rows with NULL grouping keys.
     GraftQuery("a8_rollup_view",
