@@ -333,9 +333,13 @@ object Joins {
     * profile as resolveRoots' jumpsPerRound note). Round 8: LAZY rank
     * checkpoints (each round's broadcast collect fully materializes the
     * blocks, so truncation needs no dedicated pass — safe here, unlike
-    * the isEmpty-probed loops, see resolveRoots) plus folding the tiny
-    * rank table to 4 reduce partitions in broadcast mode measured
-    * another 4.7 s → 3.8 s isolated at sf0.1. Default false
+    * the isEmpty-probed loops, see resolveRoots) measured 4.7 s → 3.9 s
+    * isolated at sf0.1 and neutral at sf1 (8.1 vs 8.0 s — per-round job
+    * overhead shrinks relative to real agg work as data grows). A
+    * coalesce(4) on the rank table was tried and REJECTED: negligible at
+    * sf0.1, −2.6 s regression at sf1 (it caps the contribution-agg's
+    * reduce parallelism, which is corpus-sized work, not rank-sized).
+    * Default false
     * broadcasts the rank table (node count ≪ edge count, the common
     * web/citation shape); set true past broadcast capacity (~100 M+
     * nodes) for co-partitioned shuffle joins.
@@ -372,17 +376,12 @@ object Joins {
         case Some(sp) => e.join(hint(sp), e("src") === sp("node"), "left")
           .withColumn("pr", coalesce(col("pr"), lit(defaultPr)))
       }
-      val next0 = withPr
+      val next = withPr
         .select(col("dst"), expr("pr div outd").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           (lit(teleportMicro) +
             expr(s"($dampingMilli * s) div 1000")).as("pr"))
-      // broadcast mode declares the rank table tiny (node count ≪ edges):
-      // fold the reducers down so the per-round checkpoint/broadcast jobs
-      // don't pay shuffle-partition-count task overhead on a frame of a
-      // few thousand rows; coalesce merges into the agg stage, no shuffle
-      val next = if (hugeGraph) next0 else next0.coalesce(4)
       // checkpoint every other round: enough to keep lineage (and the
       // number of materialization jobs) bounded — placement never
       // changes values, only job count. LAZY (eager=false): the next
