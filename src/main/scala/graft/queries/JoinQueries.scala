@@ -390,6 +390,43 @@ object JoinQueries {
              |  ON a.blk = b.blk AND a.p_name < b.p_name
              |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin)),
 
+    // Entity resolution end-to-end: the fuzzy-pair machinery composed
+    // with Hash-Min components — blocked levenshtein candidates become
+    // undirected edges, every connected spelling cluster collapses to a
+    // canonical entity (its lexicographic min). This is the operator-
+    // composition story: the SAME connectedComponents that clusters
+    // near-dup documents resolves name variants, with string node ids
+    // (least/min are total orders on strings too). Oracle: recursive CTE
+    // over the replayed pair list.
+    GraftQuery("j_entity_resolution",
+      (s, dir) => {
+        val names = Tables.part(s, dir).select(col("p_name")).distinct()
+          .withColumn("blk", split(col("p_name"), " ").getItem(0))
+        val pairs = names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk")
+            && col("a.p_name") < col("b.p_name"))
+          .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+          .select(col("a.p_name").as("i"), col("b.p_name").as("j"))
+        graft.operators.Dedup.connectedComponents(pairs)
+          .select(col("node").as("name"), col("component").as("entity"))
+      },
+      Some("""WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+             |pb AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk
+             |       FROM n),
+             |p AS (SELECT a.p_name AS i, b.p_name AS j
+             |      FROM pb a JOIN pb b
+             |        ON a.blk = b.blk AND a.p_name < b.p_name
+             |      WHERE levenshtein(a.p_name, b.p_name) <= 3),
+             |u AS (SELECT i AS a, j AS b FROM p
+             |      UNION SELECT j, i FROM p),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM u
+             |  UNION
+             |  SELECT r.a, u.b FROM reach r JOIN u ON r.b = u.a
+             |)
+             |SELECT a AS name, least(a, min(b)) AS entity
+             |FROM reach GROUP BY a""".stripMargin)),
+
     // Snapshot diff (CDC): two loads of `orders` — the later one wider by a
     // year and with every 97th price restated — classified added / removed /
     // changed / unchanged per key via fingerprint compare. The oracle
