@@ -267,6 +267,42 @@ object Joins {
     }
   }
 
+  /** Blocked fuzzy-match pairs: distinct names, grouped by a blocking key,
+    * candidate pairs within each block filtered by Levenshtein distance —
+    * the author/identifier reconciliation shape (reference
+    * `metricsdatabase.py:1203-1262` matches citation DOIs/names). The
+    * block turns an n² similarity join into a per-block equi-join.
+    *
+    * Scale guard — the [[Dedup.containmentPairs]] df-cap discipline applied
+    * to blocking: blocks with population above `blockCap` are DROPPED
+    * before the self-join. A hot block (thousands of names sharing
+    * "data"/"the"/"untitled" as their first token) would otherwise
+    * degenerate to O(|block|²) Levenshtein pairs; an over-cap block key is
+    * by construction non-discriminative — a stopword of the blocking
+    * scheme — and carries no match signal worth a quadratic blowup.
+    * With the cap, join fanout is Σ_b n_b² ≤ blockCap × |names|: linear in
+    * the corpus for a fixed cap. The cap is part of the contract
+    * (documented, replayable); production tightens recall loss by
+    * swapping first-token for phonetic/q-gram blocking keys, not by
+    * raising the cap.
+    *
+    * @return (name_a, name_b, dist) with name_a < name_b, dist <= maxDist.
+    */
+  def blockedFuzzyPairs(names: DataFrame, name: Column, blockKey: Column,
+                        maxDist: Int,
+                        blockCap: Long = 10000L): DataFrame = {
+    val n = names.select(name.as("nm"), blockKey.as("blk")).distinct()
+    val keep = n.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= blockCap).select(col("blk"))
+    val capped = n.join(keep, Seq("blk"))
+    capped.as("a").join(capped.as("b"),
+        col("a.blk") === col("b.blk") && col("a.nm") < col("b.nm"))
+      .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.nm").as("name_a"), col("b.nm").as("name_b"),
+        col("dist"))
+  }
+
   /** Snapshot diff (CDC between two loads of the same table): classify every
     * key as `added` / `removed` / `changed` / `unchanged` by full-outer-
     * joining the snapshots on `key` and comparing an xxhash64 fingerprint of
@@ -414,8 +450,11 @@ object Joins {
     * change feed carries.
     *
     * @param base    current snapshot; one row per key.
-    * @param changes change rows: key, seqCol (total order), opCol
-    *                ('D' = delete, else upsert), and base's payload cols.
+    * @param changes change rows: key, seqCol (total order, NON-NULL on
+    *                every change row — it is also the change-presence
+    *                marker after the full-outer join), opCol ('D' =
+    *                delete, anything else INCLUDING NULL upserts), and
+    *                base's payload cols.
     * @return the merged snapshot, same schema as base.
     */
   def mergeApply(base: DataFrame, changes: DataFrame, key: String,
@@ -425,11 +464,52 @@ object Joins {
         Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
       .filter(col("__rn") === 1)
     val payload = base.columns.filterNot(_ == key).toSeq
+    // change presence = the change-side seq (non-null on every change row
+    // by the total-order contract), NOT opCol nullity: a NULL op on a
+    // real change row must upsert, not silently no-op for present keys /
+    // null-pad for absent ones (r8 ADVICE)
+    val isChange = col(s"c.$seqCol").isNotNull
     base.as("b").join(latest.as("c"), Seq(key), "full_outer")
-      .filter(col(opCol).isNull || col(opCol) =!= "D")
+      .filter(!isChange || col(opCol).isNull || col(opCol) =!= "D")
       .select(col(key) +: payload.map(p =>
-        when(col(opCol).isNotNull, col(s"c.$p"))
-          .otherwise(col(s"b.$p")).as(p)): _*)
+        when(isChange, col(s"c.$p")).otherwise(col(s"b.$p")).as(p)): _*)
+  }
+
+  /** [[mergeApply]] with a version guard: gold carries `seqCol`, and a
+    * change applies only when its seq EXCEEDS the gold row's — a stale or
+    * out-of-order change batch becomes a no-op instead of corruption.
+    * This lifts mergeApply's cross-batch key-progress-ordering
+    * requirement: the feed only needs per-key seq uniqueness (the LSN/
+    * offset every CDC log carries); arrival order across batches — and
+    * across sibling part files of one extract — is free. Same one-window
+    * + one co-partitioned full-outer plan as [[mergeApply]]; the guard is
+    * a rowwise compare, no extra exchange.
+    *
+    * `base`: key + seqCol + payload. `changes`: key + seqCol + opCol +
+    * payload. Deletes drop the key without a tombstone, so a change for a
+    * deleted key arriving with a seq SMALLER than the delete's would
+    * re-insert — keep tombstones upstream if the feed can replay
+    * pre-delete changes that late.
+    *
+    * @return merged snapshot, same schema as base (seqCol included).
+    */
+  def mergeApplyVersioned(base: DataFrame, changes: DataFrame, key: String,
+                          seqCol: String, opCol: String): DataFrame = {
+    val latest = changes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
+      .filter(col("__rn") === 1)
+    val payload = base.columns
+      .filterNot(c => c == key || c == seqCol).toSeq
+    val applies = col(s"c.$seqCol").isNotNull &&
+      (col(s"b.$seqCol").isNull || col(s"c.$seqCol") > col(s"b.$seqCol"))
+    base.as("b").join(latest.as("c"), Seq(key), "full_outer")
+      .filter(!applies || col(opCol).isNull || col(opCol) =!= "D")
+      .select(col(key) +:
+        when(applies, col(s"c.$seqCol"))
+          .otherwise(col(s"b.$seqCol")).as(seqCol) +:
+        payload.map(p =>
+          when(applies, col(s"c.$p")).otherwise(col(s"b.$p")).as(p)): _*)
   }
 
   /** Slowly-changing-dimension (Type 2) build from an attribute change

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The core aggregation kernel of the metrics engine — the Spark rebuild of
@@ -152,5 +153,82 @@ object MetricsKernel {
       }
     funnelStates(events, user, tsMicros, stageCol, stages)
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** RFM segmentation (per-user recency/frequency/monetary quartiles →
+    * segment populations) with a parity/scale conformance switch, same
+    * discipline as [[Joins.idMatchJoin]]:
+    *
+    *  - `"parity"`: quartiles via `ntile(4)` over the per-user aggregate —
+    *    the equal-population cut, replayable in ANSI SQL so the oracle can
+    *    grade it exactly. The three ntile windows are UNPARTITIONED: every
+    *    user funnels through one task per window. Fine at oracle scale, a
+    *    straggler by construction at billions of users.
+    *  - `"scale"` (default): quartile THRESHOLDS via one
+    *    `approx_percentile([0.25, 0.5, 0.75])` aggregate per dimension,
+    *    broadcast back as threshold compares — ZERO unpartitioned windows
+    *    anywhere in the plan (PlanSpec-pinned). Population balance is
+    *    approximate under ties (a tied run of values lands wholly in one
+    *    quartile), which is the correct segmentation semantics at scale.
+    *
+    * The modes agree exactly when quartile boundaries are untied and the
+    * user count divides by 4 (OperatorsSpec pins this on constructed
+    * data); on tied data they differ only in which side of a boundary a
+    * tied run lands.
+    *
+    * In BOTH modes the global "now" anchor (max last_ts) is a broadcast
+    * one-row frame, not an unpartitioned window — result-identical and
+    * shuffle-free either way.
+    *
+    * Output: (r_quartile, f_quartile, m_quartile, n_users, segment_value).
+    */
+  def rfmSegments(events: DataFrame, user: Column, ts: Column,
+                  value: Column, mode: String = "scale"): DataFrame = {
+    val perUser = events
+      .groupBy(user.as("user_id"))
+      .agg(max(ts).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(value.cast("decimal(18,6)")).as("monetary"))
+    val gmax = perUser.agg(max(col("last_ts")).as("gmax"))
+    val withRec = perUser.crossJoin(broadcast(gmax))
+      .withColumn("recency_us",
+        unix_micros(col("gmax")) - unix_micros(col("last_ts")))
+    val seg = mode match {
+      case "parity" =>
+        withRec
+          .withColumn("r_quartile", ntile(4).over(
+            Window.orderBy(col("recency_us"), col("user_id"))))
+          .withColumn("f_quartile", ntile(4).over(
+            Window.orderBy(col("frequency").desc, col("user_id"))))
+          .withColumn("m_quartile", ntile(4).over(
+            Window.orderBy(col("monetary").desc, col("user_id"))))
+      case "scale" =>
+        val qs = array(lit(0.25), lit(0.5), lit(0.75))
+        val th = withRec.agg(
+          percentile_approx(col("recency_us"), qs, lit(10000)).as("r_th"),
+          percentile_approx(col("frequency"), qs, lit(10000)).as("f_th"),
+          percentile_approx(col("monetary").cast("double"), qs,
+            lit(10000)).as("m_th"))
+        // ascending dimension (small recency = best): v <= p25 → 1, …
+        def ascQ(v: Column, t: Column): Column =
+          when(v <= t.getItem(0), 1).when(v <= t.getItem(1), 2)
+            .when(v <= t.getItem(2), 3).otherwise(4)
+        // descending dimension (large frequency/monetary = best):
+        // v > p75 → 1, … — strict compares so untied boundaries match
+        // parity's ntile cut exactly
+        def descQ(v: Column, t: Column): Column =
+          when(v > t.getItem(2), 1).when(v > t.getItem(1), 2)
+            .when(v > t.getItem(0), 3).otherwise(4)
+        withRec.crossJoin(broadcast(th))
+          .withColumn("r_quartile", ascQ(col("recency_us"), col("r_th")))
+          .withColumn("f_quartile", descQ(col("frequency"), col("f_th")))
+          .withColumn("m_quartile",
+            descQ(col("monetary").cast("double"), col("m_th")))
+      case other => throw new IllegalArgumentException(
+        s"rfmSegments mode must be parity|scale, got $other")
+    }
+    seg.groupBy(col("r_quartile"), col("f_quartile"), col("m_quartile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary")).cast("double").as("segment_value"))
   }
 }

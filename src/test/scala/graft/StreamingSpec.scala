@@ -300,11 +300,30 @@ class StreamingSpec extends SparkSpec {
     val finalPath = StreamMerge.streamMergeGold(spark, src, schemaDf,
       s"$dir/gold", s"$dir/cp", key = "k", seqCol = "seq", opCol = "op",
       changesOf = b => b.select(col("k"), col("seq"), col("op"), col("v")))
-    val got = spark.read.parquet(finalPath).collect()
+    val got = spark.read.parquet(finalPath)
+      .select("k", "v").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a3", 3L -> "c1"))
     // copy-on-write protocol: each batch wrote its OWN version dir
     assert(new java.io.File(s"$dir/gold/v0").exists())
     assert(finalPath != s"$dir/gold/v0")
+    // restart with a surviving checkpoint and no new files: every batch
+    // is already committed, so zero folds run — the gold pointer must
+    // RECOVER from the newest version dir, not report "no batches" (and
+    // a fold after recovery must start from the recovered base, which
+    // the version guard makes order-safe; r8 ADVICE)
+    val recovered = StreamMerge.streamMergeGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", key = "k", seqCol = "seq", opCol = "op",
+      changesOf = b => b.select(col("k"), col("seq"), col("op"), col("v")))
+    assert(recovered == finalPath)
+    // a STALE replay file folded after restart is a no-op under the guard
+    put("c.json", """{"k":1,"seq":2,"op":"U","v":"STALE"}
+                    |""".stripMargin, 1700000004000L)
+    val after = StreamMerge.streamMergeGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", key = "k", seqCol = "seq", opCol = "op",
+      changesOf = b => b.select(col("k"), col("seq"), col("op"), col("v")))
+    val after2 = spark.read.parquet(after).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after2 == Map(1L -> "a3", 3L -> "c1"))
   }
 }
