@@ -22,6 +22,9 @@ object Bench {
     "s2_bronze_slice",     // bronze write + partition-pruned slice read
     "d_chunk_dedup",       // chunk-grain substring dedup (window + regroup)
     "d_cdc_chunk_dedup",   // content-defined chunking (alignment-free cuts)
+    "d_cdc_prod_hash",     // same CDC pipeline, xxhash64 cut rule (prices the oracle hash)
+    "d_byte_cdc_dedup",    // char-grain CDC, md5-window cut rule (oracle mode)
+    "d_byte_cdc_gear",     // char-grain CDC, native gear rolling hash (prices the window)
     "t_repetition",        // within-row repetition battery (shuffle-free)
     "a_hll_partial_merge", // re-aggregable HLL sketch rollup
     "q3_shipping_priority",// selective-dim fact join + global top-k

@@ -498,6 +498,179 @@ object DedupQueries {
              |         ORDER BY chunk_idx), '') AS dedup_text
              |FROM k GROUP BY 1""".stripMargin)),
 
+    // Production-hash conformance gate (hashMode "prod" = xxhash64 on the
+    // shingle/band/CDC paths): real duplicate signal must be hash-family-
+    // invariant — LSH verification is exact Jaccard on shingle sets and
+    // chunk dedup matches exact chunk text, so the hash only steers
+    // candidate generation / cut placement. The row carries the ORACLE-
+    // mode pair count (replayed exactly by DuckDB) plus self-judged
+    // booleans: (a) Jaccard overlap of the two modes' verified LSH pair
+    // sets ≥ 0.8 (a borderline-jaccard pair may be banded by one family
+    // only; planted dups land in both), and (b) per-mode recall of the
+    // planted straddling clones under CDC chunking ≥ 0.85 (doc-level
+    // "shares a chunk" flags are NOT hash-invariant on templated text —
+    // cut placement decides which incidental phrase collisions surface —
+    // but a straddling clone must lose chunks under ANY cut family unless
+    // the doc draws no cut word at all, measured 55/60 oracle, 60/60
+    // prod at sf0.01).
+    GraftQuery("d_prod_hash_parity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val aug = docs.select(col("doc_id"), col("text")).unionAll(
+          docs.filter(col("doc_id") < 60)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              concat(lit("straddle offset pad "), col("text")).as("text")))
+        def lshPairs(mode: String) =
+          Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+            shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5,
+            hashMode = mode)
+            .select(concat_ws("_", col("i"), col("j")).as("p"))
+        def cdcCloneRecall(mode: String, out: String) =
+          Dedup.cdcChunkDedup(aug,
+            col("doc_id"), col("text"), divisor = 8, hashMode = mode)
+            .filter(col("doc_id") >= 100000L)
+            .agg((sum(when(col("kept_chunks") < col("total_chunks"), 1)
+              .otherwise(0)).cast("double") / count(lit(1))).as(out))
+        val lshO = lshPairs("oracle")
+        val lshP = lshPairs("prod")
+        val lshOv = lshO.intersect(lshP)
+          .agg(count(lit(1)).as("lsh_int"))
+          .crossJoin(lshO.union(lshP).distinct()
+            .agg(count(lit(1)).as("lsh_uni")))
+          .select((col("lsh_int").cast("double") / col("lsh_uni"))
+            .as("lsh_ov"))
+        lshO.agg(count(lit(1)).as("n_pairs_oracle"))
+          .crossJoin(lshOv)
+          .crossJoin(cdcCloneRecall("oracle", "cdc_r_o"))
+          .crossJoin(cdcCloneRecall("prod", "cdc_r_p"))
+          .select(col("n_pairs_oracle"),
+            (col("lsh_ov") >= 0.8).as("lsh_modes_agree"),
+            (col("cdc_r_o") >= 0.85 && col("cdc_r_p") >= 0.85)
+              .as("cdc_modes_agree"))
+      },
+      Some(s"""WITH $MinhashBandsCte,
+              |c AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              |      FROM bk a JOIN bk b ON a.band_key = b.band_key
+              |                         AND a.doc_id < b.doc_id),
+              |v AS (SELECT i, j,
+              |        length(list_intersect(si.sh, sj.sh))::DOUBLE /
+              |          length(list_distinct(si.sh || sj.sh)) AS jac
+              |      FROM c JOIN s si ON si.doc_id = c.i
+              |             JOIN s sj ON sj.doc_id = c.j)
+              |SELECT CAST(count(*) AS BIGINT) AS n_pairs_oracle,
+              |       TRUE AS lsh_modes_agree, TRUE AS cdc_modes_agree
+              |FROM v WHERE jac >= 0.5""".stripMargin)),
+
+    // Bench twin of d_cdc_chunk_dedup in production-hash mode: the same
+    // augmented corpus, cut rule xxhash64 % 8 — BENCH_r compares the two
+    // entries head-to-head to price the oracle hash (one md5 per word).
+    // Output is the hash-invariant part: corpus size (exact) and "the
+    // planted duplicates actually deduplicated" (true under any family).
+    GraftQuery("d_cdc_prod_hash",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val shifted = Tables.documents(s, dir).filter(col("doc_id") < 60)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("straddle offset pad "), col("text")).as("text"))
+        Dedup.cdcChunkDedup(docs.unionAll(shifted),
+          col("doc_id"), col("text"), divisor = 8, hashMode = "prod")
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("kept_chunks")) < sum(col("total_chunks")))
+              .as("dedup_effective"))
+      },
+      Some("""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) +
+             |       (SELECT count(*) FROM documents WHERE doc_id < 60)
+             |         AS n_docs,
+             |       TRUE AS dedup_effective""".stripMargin)),
+
+    // Char-granularity CDC dedup — the class the WORD chunker cannot
+    // touch: for each doc_id<40 doc, TWO space-stripped copies are
+    // planted behind different-length junk prefixes. Word tokenization
+    // sees each copy as a single giant token (one chunk, globally unique
+    // → zero dedup); char-level content-defined cuts realign the two
+    // copies after their first shared boundary, so the later copy's
+    // chunks all hash-match the earlier one's. Oracle replays the
+    // md5-sliding-window cut rule (hash60 of the 16-char window, % 64)
+    // per character, exactly — graded value-exact incl. reassembled
+    // text.
+    GraftQuery("d_byte_cdc_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val noSp = translate(col("text"), " ", "")
+        val clones = (200000L, "Za") :: (300000L, "Qxxb") :: Nil
+        val aug = clones.foldLeft(docs) { case (acc, (off, pfx)) =>
+          acc.unionAll(Tables.documents(s, dir).filter(col("doc_id") < 40)
+            .select((col("doc_id") + off).as("doc_id"),
+              concat(lit(pfx), noSp).as("text")))
+        }
+        Dedup.byteCdcChunkDedup(aug, col("doc_id"), col("text"),
+          divisor = 64, window = 16)
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, 'Za' || replace(text, ' ', '')
+             |  FROM documents WHERE doc_id < 40
+             |  UNION ALL
+             |  SELECT doc_id + 300000, 'Qxxb' || replace(text, ' ', '')
+             |  FROM documents WHERE doc_id < 40),
+             |t AS (SELECT doc_id, i, substring(text, i, 1) AS ch,
+             |        CASE WHEN i >= 16 AND
+             |          (('0x' || substring(md5(substring(text, i - 15, 16)),
+             |            1, 15))::BIGINT % 64) = 0
+             |        THEN 1 ELSE 0 END AS b
+             |      FROM aug,
+             |        unnest(generate_series(1, greatest(len(text), 1)))
+             |          AS u(i)),
+             |c AS (SELECT doc_id, ch, i AS pos,
+             |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS chunk_idx
+             |      FROM t),
+             |g AS (SELECT doc_id, chunk_idx,
+             |        string_agg(ch, '' ORDER BY pos) AS chunk
+             |      FROM c GROUP BY 1, 2),
+             |k AS (SELECT doc_id, chunk_idx, chunk,
+             |        row_number() OVER (PARTITION BY chunk
+             |          ORDER BY doc_id, chunk_idx) = 1 AS keep
+             |      FROM g)
+             |SELECT doc_id,
+             |       CAST(count(*) AS BIGINT) AS total_chunks,
+             |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS kept_chunks,
+             |       coalesce(string_agg(CASE WHEN keep THEN chunk END, ''
+             |         ORDER BY chunk_idx), '') AS dedup_text
+             |FROM k GROUP BY 1""".stripMargin)),
+
+    // Gear-mode twin (native FastCDC rolling hash, graft_cdc_gear_cuts):
+    // the cut FAMILY differs from the oracle mode, so conformance is
+    // self-judged on the planted no-space clone pairs — the later copy
+    // must lose at least half its chunks for ≥ 90% of pairs (it shares
+    // ~everything with the earlier copy under ANY content-defined
+    // family). n_clones is exact. Also the bench entry pricing the
+    // rolling loop against the md5-per-char oracle rule.
+    GraftQuery("d_byte_cdc_gear",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val noSp = translate(col("text"), " ", "")
+        val clones = (200000L, "Za") :: (300000L, "Qxxb") :: Nil
+        val aug = clones.foldLeft(docs) { case (acc, (off, pfx)) =>
+          acc.unionAll(Tables.documents(s, dir).filter(col("doc_id") < 40)
+            .select((col("doc_id") + off).as("doc_id"),
+              concat(lit(pfx), noSp).as("text")))
+        }
+        Dedup.byteCdcChunkDedup(aug, col("doc_id"), col("text"),
+          divisor = 64, window = 16, hashMode = "prod")
+          .filter(col("doc_id") >= 300000L)
+          .agg(count(lit(1)).as("n_clones"),
+            (sum(when(col("kept_chunks") * 2 <= col("total_chunks"), 1)
+              .otherwise(0)).cast("double") / count(lit(1)) >= 0.9)
+              .as("clone_recall_ok"))
+      },
+      Some("""SELECT (SELECT count(*) FROM documents WHERE doc_id < 40)
+             |         AS n_clones,
+             |       TRUE AS clone_recall_ok""".stripMargin)),
+
     // Streaming exact dedup (§2.9 × the dedup family): the events feed
     // replayed as JSONL with every event_id ≡ 0 (mod 7) row duplicated
     // into a SECOND feed file, streamed through

@@ -1144,6 +1144,49 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> "a2", 3L -> "c", 4L -> "d", 5L -> "e"))
   }
 
+  test("mergeApply: NULL op on a real change row upserts, never no-ops") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq(
+      (1L, 10L, None: Option[String], "a9"), // null op, key present
+      (3L, 10L, None: Option[String], "c9")) // null op, key absent
+      .toDF("k", "seq", "op", "v")
+    val got = Joins.mergeApply(base, changes, "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the old opCol-nullity change detection silently dropped the k=1
+    // update and emitted k=3 with a NULL payload (r8 ADVICE)
+    assert(got == Map(1L -> "a9", 2L -> "b", 3L -> "c9"))
+  }
+
+  test("mergeApplyVersioned: stale changes are no-ops, any arrival order converges") {
+    import spark.implicits._
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "seq", "v")
+    val stale = Seq((1L, 5L, "U", "OLD"), (2L, 19L, "D", "-"))
+      .toDF("k", "seq", "op", "v")
+    val fresh = Seq((1L, 11L, "U", "a2"), (3L, 1L, "U", "c"))
+      .toDF("k", "seq", "op", "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+    // stale batch: both changes lose to gold's seq — snapshot unchanged
+    assert(snap(Joins.mergeApplyVersioned(base, stale, "k", "seq", "op")) ==
+      Set((1L, 10L, "a"), (2L, 20L, "b")))
+    // fresh-then-stale equals stale-then-fresh: order-free convergence
+    val fs = Joins.mergeApplyVersioned(
+      Joins.mergeApplyVersioned(base, fresh, "k", "seq", "op"),
+      stale, "k", "seq", "op")
+    val sf = Joins.mergeApplyVersioned(
+      Joins.mergeApplyVersioned(base, stale, "k", "seq", "op"),
+      fresh, "k", "seq", "op")
+    val want = Set((1L, 11L, "a2"), (2L, 20L, "b"), (3L, 1L, "c"))
+    assert(snap(fs) == want)
+    assert(snap(sf) == want)
+    // a delete that IS newest wins and drops the key
+    val del = Seq((2L, 21L, "D", "-")).toDF("k", "seq", "op", "v")
+    assert(snap(Joins.mergeApplyVersioned(base, del, "k", "seq", "op")) ==
+      Set((1L, 10L, "a")))
+  }
+
   test("containmentPairs: asymmetric quote detection, df cap honored") {
     import spark.implicits._
     val long = (1 to 60).map(i => s"w$i").mkString(" ")
@@ -1203,5 +1246,96 @@ class OperatorsSpec extends SparkSpec {
       (1L, Some("b"), t(0), 2, true),
       (2L, None, t(0), 1, false), // one collapsed null run
       (2L, Some("c"), t(20), 2, true)))
+  }
+
+  test("byteCdcChunkDedup catches duplicates word tokenization cannot split") {
+    import spark.implicits._
+    // two no-space copies of the same ~500-char payload behind different-
+    // length junk prefixes: the WORD chunker sees each as one giant token
+    // (one globally-unique chunk each — zero dedup); char-level CDC
+    // realigns the copies after their first shared cut in BOTH hash modes
+    val payload = (1 to 40).map(i => s"seg${i}content").mkString
+    val docs = Seq((1L, "Za" + payload), (2L, "Qxxb" + payload))
+      .toDF("doc_id", "text")
+    val word = Dedup.cdcChunkDedup(docs, col("doc_id"), col("text"),
+        divisor = 8)
+      .filter(col("doc_id") === 2L).collect()(0)
+    assert(word.getLong(1) == word.getLong(2), // total == kept: blind
+      s"word chunker unexpectedly deduped: $word")
+    for (mode <- Seq("oracle", "prod")) {
+      val r = Dedup.byteCdcChunkDedup(docs, col("doc_id"), col("text"),
+          divisor = 64, window = 16, hashMode = mode)
+        .filter(col("doc_id") === 2L).collect()(0)
+      assert(r.getLong(2) * 2 <= r.getLong(1),
+        s"$mode mode missed the no-space clone: $r")
+      // char-mode reassembly concatenates chunks back byte-exactly: the
+      // FIRST copy is untouched and must round-trip
+      val d1 = Dedup.byteCdcChunkDedup(docs, col("doc_id"), col("text"),
+          divisor = 64, window = 16, hashMode = mode)
+        .filter(col("doc_id") === 1L).collect()(0)
+      assert(d1.getString(3) == "Za" + payload, s"$mode round-trip broke")
+    }
+    // gear divisor must be a power of two (mask construction)
+    intercept[IllegalArgumentException] {
+      graft.plans.CdcGearCutsExpr(
+        org.apache.spark.sql.GraftShims.expression(col("text")), 48)
+    }
+  }
+
+  test("blockedFuzzyPairs drops a hot block instead of going quadratic") {
+    import spark.implicits._
+    // one stopword-ish block ("data …") shared by 10k names — uncapped,
+    // that's ~5·10⁷ Levenshtein pairs; with the cap it must vanish while
+    // the discriminative small blocks still match
+    val hot = (0 until 10000).map(i => f"data set $i%05d")
+    val cold = Seq("zircon alpha", "zircon alphb", "zircon zzzzzzzz",
+      "quartz one", "quartz onf")
+    val names = (hot ++ cold).toDF("p_name")
+    val got = Joins.blockedFuzzyPairs(names, col("p_name"),
+        split(col("p_name"), " ").getItem(0), maxDist = 3,
+        blockCap = 1000L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // zzzzzzzz sits in the surviving zircon block but matches nothing
+    assert(got == Set(
+      ("quartz one", "quartz onf"),
+      ("zircon alpha", "zircon alphb")))
+    // and with the cap above the hot block size, hot pairs come back
+    val uncapped = Joins.blockedFuzzyPairs(names, col("p_name"),
+      split(col("p_name"), " ").getItem(0), maxDist = 3,
+      blockCap = 100000L)
+    assert(uncapped.filter(col("name_a").startsWith("data")).limit(1)
+      .count() == 1L)
+  }
+
+  test("rfmSegments: parity and scale modes agree on untied data") {
+    import spark.implicits._
+    // 8 users (divisible by 4), all three dimensions untied: user u has u
+    // events (frequency u), last event at base+u*60s (recency strictly
+    // decreasing in u), per-event value u*0.5 (monetary u²*0.5). Under
+    // these conditions ntile's equal-population cut and the
+    // approx_percentile threshold compare must pick identical quartiles.
+    val base = 1700000000L
+    val events = (1 to 8).flatMap { u =>
+      (0 until u).map { i =>
+        (u.toLong,
+          java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(base + u * 60L - i)),
+          u * 0.5)
+      }
+    }.toDF("user_id", "ts", "value")
+    def run(mode: String) =
+      MetricsKernel.rfmSegments(events, col("user_id"), col("ts"),
+        col("value"), mode)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getDouble(4)))
+        .toSet
+    val parity = run("parity")
+    val scale = run("scale")
+    assert(parity == scale, s"parity=$parity scale=$scale")
+    assert(parity.toSeq.map(_._4).sum == 8L) // every user lands somewhere
+    // spot-pin one anchor: user 8 (most frequent, most recent, biggest
+    // spender) is (1,1,1); users 7,8 share it → n_users 2, value 32+24.5
+    assert(parity.contains((1, 1, 1, 2L, 56.5)))
   }
 }

@@ -30,6 +30,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count(distinct"))
   }
 
+  test("prod hash mode changes the hash expression, not the plan shape") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, testDataDir)
+    def cdcPlan(mode: String) = Dedup.cdcChunkDedup(docs,
+        col("doc_id"), col("text"), divisor = 8, hashMode = mode)
+      .queryExecution.executedPlan.toString
+    val oracle = cdcPlan("oracle"); val prod = cdcPlan("prod")
+    def exchanges(p: String) =
+      "(?m)^[\\s:+\\-|*]*Exchange".r.findAllIn(p).size
+    // the hash is a cost knob, not a semantics knob: flipping it must
+    // leave every exchange in place — same shuffle budget, cheaper scan
+    assert(exchanges(oracle) == exchanges(prod),
+      s"exchange count drifted between hash modes:\n$oracle\n----\n$prod")
+    assert(prod.contains("xxhash64") && !prod.contains("graft_hash60"))
+    assert(oracle.contains("graft_hash60") && !oracle.contains("xxhash64"))
+  }
+
+  test("rfm scale mode: no unpartitioned WindowExec anywhere in the plan") {
+    import graft.operators.MetricsKernel
+    val events = Tables.events(spark, testDataDir)
+    val scale = MetricsKernel.rfmSegments(events, col("user_id"),
+      col("ts"), col("value"), mode = "scale")
+      .queryExecution.executedPlan.toString
+    // the scale path replaces all three ntile windows with an
+    // approx_percentile aggregate + broadcast threshold compare: the plan
+    // must contain NO window operator at all, and the threshold/gmax
+    // frames must come back as broadcasts, not shuffles
+    assert(!scale.contains("Window"), s"scale mode still windows:\n$scale")
+    assert(scale.contains("BroadcastNestedLoopJoin") ||
+      scale.contains("BroadcastExchange"),
+      s"thresholds not broadcast:\n$scale")
+    // parity mode keeps the oracle-graded ntile cut — and is the ONLY
+    // place the unpartitioned window is allowed to exist
+    val parity = MetricsKernel.rfmSegments(events, col("user_id"),
+      col("ts"), col("value"), mode = "parity")
+      .queryExecution.executedPlan.toString
+    assert(parity.contains("Window"), "parity mode lost its ntile windows")
+  }
+
   test("ann top-k: per-partition group limit runs before the shuffle") {
     val p = plan("v_ann_topk")
     assert(p.contains("WindowGroupLimit"))
