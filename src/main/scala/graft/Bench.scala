@@ -47,7 +47,8 @@ object Bench {
     "j_scd2_dimension",    // SCD2 build (two window passes, one exchange)
     "j_merge_apply",       // MERGE apply (co-partitioned full-outer fold)
     "t_significant_terms",// keyness agg (explode absorbed map-side + heap)
-    "q8_market_share")     // 7-table join-order stress (Q8 shape)
+    "q8_market_share",     // 7-table join-order stress (Q8 shape)
+    "j_pagerank_incremental") // warm-start re-converge, 3 rounds (prev ranks amortized once)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

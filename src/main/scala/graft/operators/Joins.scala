@@ -388,7 +388,55 @@ object Joins {
     */
   def pageRank(edges: DataFrame, iterations: Int = 10,
                dampingMilli: Long = 850L,
-               hugeGraph: Boolean = false): DataFrame = {
+               hugeGraph: Boolean = false): DataFrame =
+    pageRankFrom(edges, init = None, iterations, dampingMilli, hugeGraph)
+
+  /** Incremental (warm-start) PageRank: re-converge the FULL edge set —
+    * base graph plus a delta of appended edges — starting from a prior
+    * run's ranks instead of the uniform init. This is the production
+    * shape for daily link-graph growth (the same frozen-model append
+    * pattern as `Vectors.ivfPqAppendToIndex`): PageRank error decays
+    * geometrically from the starting point, and yesterday's ranks are
+    * already near the new fixpoint when the delta is a small fraction of
+    * the graph, so a short warm budget replaces most of the cold one.
+    * Measured on a skewed hub graph with a ~2% appended delta
+    * (OperatorsSpec): 3 warm rounds strictly dominate 3 cold rounds on
+    * both max and L1 error and beat a 6-round cold budget on L1 —
+    * every round saved is one fewer join+shuffle pass over the
+    * corpus-sized edge list per daily refresh. How far the gap widens
+    * is graph-dependent: the closer yesterday's ranks sit to the new
+    * fixpoint (smaller deltas), the more cold rounds the warm start
+    * absorbs.
+    *
+    * Semantics (deterministic, oracle-replayable): round 1 reads
+    * `coalesce(prev.pr, 1_000_000)` — nodes present in `prevRanks` keep
+    * their prior rank, nodes introduced by the delta start at the
+    * uniform 1.0; all subsequent rounds are bit-identical to
+    * [[pageRank]]'s integer recurrence on the full graph. Out-degrees
+    * and the node set are recomputed from the full edge set, so a delta
+    * that adds out-edges to an OLD node correctly dilutes its per-edge
+    * contribution from round 1.
+    *
+    * @param prevRanks (node, pr) in micro-units — a previous
+    *                  [[pageRank]]/[[pageRankIncremental]] output over
+    *                  the pre-delta graph.
+    * @param edges     the FULL post-delta edge set (base ∪ delta).
+    * @param iterations warm rounds; small (3–5) when the delta is small.
+    */
+  def pageRankIncremental(prevRanks: DataFrame, edges: DataFrame,
+                          iterations: Int = 3,
+                          dampingMilli: Long = 850L,
+                          hugeGraph: Boolean = false): DataFrame =
+    pageRankFrom(edges,
+      // lazy checkpoint: cuts the prior run's lineage off the warm
+      // loop's plans; materialized by round 1's own broadcast/join job
+      init = Some(prevRanks.select(col("node"), col("pr"))
+        .localCheckpoint(false)),
+      iterations, dampingMilli, hugeGraph)
+
+  private def pageRankFrom(edges: DataFrame, init: Option[DataFrame],
+                           iterations: Int, dampingMilli: Long,
+                           hugeGraph: Boolean): DataFrame = {
     require(iterations >= 1 && dampingMilli >= 0 && dampingMilli <= 1000)
     def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
     val e = edges.select(col("src"), col("dst"))
@@ -404,7 +452,9 @@ object Joins {
     // (1,000,000 before round 1, teleport-only forever after), supplied
     // via coalesce at the contribution join. That halves the per-round
     // join/broadcast count vs re-joining the full node list every round.
-    var sparse: Option[DataFrame] = None // (node, pr) for in-degree > 0
+    // Warm start supplies the prior ranks as the initial sparse table —
+    // round 1's default then covers only delta-new nodes.
+    var sparse: Option[DataFrame] = init // (node, pr)
     for (k <- 1 to iterations) {
       val defaultPr = if (k == 1) 1000000L else teleportMicro
       val withPr = sparse match {

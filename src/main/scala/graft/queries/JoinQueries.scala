@@ -612,5 +612,82 @@ object JoinQueries {
            |$levels
            |SELECT node AS part, pr AS rank_micro FROM r10""".stripMargin
       }),
+
+    // Incremental (warm-start) PageRank (Joins.pageRankIncremental): the
+    // co-purchase graph split into a base (15/16 of orders) and an
+    // appended delta (orders with l_orderkey % 16 = 0 — whole new orders,
+    // the daily-growth shape). Ranks the base cold (10 rounds), then
+    // re-converges the FULL graph in 3 warm rounds starting from those
+    // ranks — delta-new nodes init at uniform 1.0, everything else keeps
+    // its prior rank. The integer recurrence keeps the warm path
+    // bit-replayable too: the oracle unrolls 10 cold levels over the base
+    // graph, seeds w0 = coalesce(base rank, 1000000) over the full node
+    // set, and unrolls 3 warm levels over the full graph — so a wrong
+    // init default, a stale out-degree (a delta edge must dilute an old
+    // node's contribution from warm round 1), or an extra/missing round
+    // all hash-mismatch row-level. The convergence claim (3 warm rounds
+    // strictly dominate the same cold budget and beat a 6-round cold
+    // budget — corpus-sized join+agg passes saved per refresh) is graded
+    // separately in OperatorsSpec against a 40-round fixpoint.
+    GraftQuery("j_pagerank_incremental",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"))
+        val all = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+          .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+        // whole-order split AFTER the per-order lead: the delta is
+        // complete new orders, so base edges are unchanged by the split
+        val edgesAll = all.select(col("l_partkey").as("src"), col("dst"))
+        // the base graph's cold ranks are "yesterday's" artifact —
+        // materialized once (same amortization as v_ivfpq_topk's index
+        // build), so the timed path is exactly the daily refresh: read
+        // prior ranks + 3 warm rounds over the full graph
+        val base = Scratch.dir("pagerank_prev", dir)
+        Scratch.buildOnce(base) {
+          val edgesOld = all.filter(col("l_orderkey") % 16 =!= 0)
+            .select(col("l_partkey").as("src"), col("dst"))
+          Joins.pageRank(edgesOld, iterations = 10)
+            .write.mode("overwrite").parquet(s"$base/prev")
+        }
+        val prev = s.read.parquet(s"$base/prev")
+        Joins.pageRankIncremental(prev, edgesAll, iterations = 3)
+          .select(col("node").as("part"), col("pr").as("rank_micro"))
+      },
+      Some {
+        def level(k: Int, prev: String, e: String, d: String, n: String) =
+          s"""$prev$k AS (
+             |  SELECT n.node,
+             |         CAST(150000 + (850 * coalesce(s.s, 0)) // 1000
+             |           AS BIGINT) AS pr
+             |  FROM $n n LEFT JOIN (
+             |    SELECT e.dst AS node, sum(p.pr // d.outd) AS s
+             |    FROM $e e JOIN $d d USING (src)
+             |           JOIN $prev${k - 1} p ON p.node = e.src
+             |    GROUP BY 1) s USING (node))"""
+        val cold = (1 to 10).map(level(_, "r", "eo", "dold", "nold"))
+          .mkString(",\n")
+        val warm = (1 to 3).map(level(_, "w", "e", "d", "n")).mkString(",\n")
+        s"""WITH e0 AS (
+           |  SELECT l_orderkey, l_partkey,
+           |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+           |                               ORDER BY l_linenumber, l_partkey) AS dst
+           |  FROM lineitem),
+           |e1 AS (SELECT l_orderkey, l_partkey AS src, dst FROM e0
+           |       WHERE dst IS NOT NULL AND dst <> l_partkey),
+           |e AS (SELECT src, dst FROM e1),
+           |eo AS (SELECT src, dst FROM e1 WHERE l_orderkey % 16 <> 0),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |nold AS (SELECT src AS node FROM eo UNION SELECT dst FROM eo),
+           |d AS (SELECT src, count(*) AS outd FROM e GROUP BY 1),
+           |dold AS (SELECT src, count(*) AS outd FROM eo GROUP BY 1),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nold),
+           |$cold,
+           |w0 AS (SELECT n.node, CAST(coalesce(r10.pr, 1000000) AS BIGINT) AS pr
+           |       FROM n LEFT JOIN r10 USING (node)),
+           |$warm
+           |SELECT node AS part, pr AS rank_micro FROM w3""".stripMargin
+      }),
   )
 }

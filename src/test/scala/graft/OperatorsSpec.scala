@@ -1093,6 +1093,59 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) > got(4L))
   }
 
+  test("pageRankIncremental: warm loop is the cold recurrence; 3 warm rounds beat 10 cold") {
+    import spark.implicits._
+    // base graph: 500 nodes × 2 out-edges (a self-loop-free scramble
+    // edge plus a hub edge into nodes 0..19; hubs link to the next hub)
+    // — the skewed in-degree shape of real link graphs, where the
+    // fixpoint sits FAR from the uniform init (hubs at millions of
+    // micro) and a cold start genuinely needs its full round budget.
+    // Delta: ~2% appended edges, all sourced from brand-new nodes
+    // (500..509) pointing at old targets — a bounded perturbation of the
+    // fixpoint, the daily-append shape. (Old-node out-degree dilution is
+    // pinned bit-exactly by j_pagerank_incremental's oracle instead.)
+    val base = (0L until 500L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 500), (i, if (i < 20) (i + 1) % 20 else i % 20)))
+    val delta = (500L until 510L).flatMap(i =>
+      Seq((i, (i * 11) % 500), (i, i % 20)))
+    val all = base ++ delta
+    val allDf = all.toDF("src", "dst")
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identity: warm-starting from the uniform init IS the cold run,
+    // bit-for-bit — pins that the warm path shares the exact recurrence
+    val uniform = all.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => (n, 1000000L)).toDF("node", "pr")
+    assert(ranks(Joins.pageRankIncremental(uniform, allDf, iterations = 10)) ==
+      ranks(Joins.pageRank(allDf, iterations = 10)))
+    // convergence: the maintained ranks (a converged prior — what a
+    // daily-refresh loop carries) are near the post-delta fixpoint, so a
+    // 3-round warm budget must (a) strictly dominate the SAME cold
+    // budget and (b) match a cold budget twice its size — the
+    // rounds-saved claim (≥3 corpus-sized join+agg passes per refresh)
+    val fix = ranks(Joins.pageRank(allDf, iterations = 40))
+    val prev = Joins.pageRank(base.toDF("src", "dst"), iterations = 30)
+    val warm3 = ranks(Joins.pageRankIncremental(prev, allDf, iterations = 3))
+    val cold3 = ranks(Joins.pageRank(allDf, iterations = 3))
+    val cold6 = ranks(Joins.pageRank(allDf, iterations = 6))
+    def maxErr(m: Map[Long, Long]): Long =
+      fix.map { case (n, p) => math.abs(m.getOrElse(n, 150000L) - p) }.max
+    def l1Err(m: Map[Long, Long]): Long =
+      fix.map { case (n, p) => math.abs(m.getOrElse(n, 150000L) - p) }.sum
+    info(s"vs 40-round fixpoint: warm3 max=${maxErr(warm3)} l1=${l1Err(warm3)}, " +
+      s"cold3 max=${maxErr(cold3)} l1=${l1Err(cold3)}, " +
+      s"cold6 max=${maxErr(cold6)} l1=${l1Err(cold6)}, fixMax=${fix.values.max}")
+    assert(maxErr(warm3) <= maxErr(cold3) && l1Err(warm3) <= l1Err(cold3),
+      s"equal budget: warm3 (max=${maxErr(warm3)}, l1=${l1Err(warm3)}) not within " +
+        s"cold3 (max=${maxErr(cold3)}, l1=${l1Err(cold3)})")
+    assert(l1Err(warm3) <= l1Err(cold6),
+      s"rounds saved: warm3 l1=${l1Err(warm3)} > cold6 l1=${l1Err(cold6)}")
+    // and the warm result is genuinely near the fixpoint, not merely
+    // less wrong: every node within 2% of the largest converged rank
+    assert(maxErr(warm3) < fix.values.max / 50,
+      s"warm3 err ${maxErr(warm3)} vs fixMax ${fix.values.max}")
+  }
+
   test("heavyHitters equals exact GROUP BY/HAVING even under forced collisions") {
     import spark.implicits._
     val rows = Seq.fill(20)("hot1") ++ Seq.fill(7)("hot2") ++
