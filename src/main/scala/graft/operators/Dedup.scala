@@ -466,61 +466,146 @@ object Dedup {
     * near-dup PAIRS into dedup GROUPS: every node ends labelled with the
     * minimum doc id reachable from it (the group's canonical survivor).
     *
-    * Hash-Min label propagation with Shiloach–Vishkin-style pointer-jump
-    * compression: each round every node takes the min of its own label and
-    * its neighbours' labels (one hop of flooding), then labels are replaced
-    * by their label's label (doubling the distance already-flooded
-    * information travels). Compression keeps the reachability invariant —
-    * l(v) is always the id of a node reachable from v — and the joint
-    * fixpoint is provably the component minimum, reached in O(log diameter)
-    * rounds: the default budget of 16 covers diameters to ~2^16, so even
-    * adversarial path graphs settle (property-tested). Each round is two
-    * joins + one min-aggregation, all shuffled on node id — at 100 TB the
-    * pair list is candidate-sized (LSH output), orders of magnitude smaller
-    * than the corpus. THROWS if `maxRounds` is reached before the fixpoint
-    * (a true pathology, not a long chain).
+    * Alternating large-star / small-star contraction (the Two-Phase
+    * algorithm of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each half-round every node hooks its larger
+    * (large-star) or not-larger (small-star) neighbours onto the minimum
+    * of its neighbourhood, monotonically rewiring the edge set toward a
+    * set of stars centred at each component's minimum id. Convergence is
+    * PROVEN O(log² n) rounds worst-case (observed ~log n) and — unlike
+    * Hash-Min with pointer-jump compression, which this replaced in r9 —
+    * it is independent of how node ids are laid out on the graph: the
+    * compression heuristic only accelerates when id order correlates with
+    * graph distance, and a scrambled-id path of depth ~200 already blew
+    * a 16-round budget (OperatorsSpec pins exactly that graph now; the
+    * ordered-id 2048-path the old spec used converges under both).
+    * Each round is two groupBy-min aggregations + two equi-joins over the
+    * shrinking edge list, all shuffled on node id — at 100 TB the pair
+    * list is candidate-sized (LSH output), orders of magnitude smaller
+    * than the corpus. THROWS if `maxRounds` is reached before the
+    * fixpoint (a true pathology, not a long chain).
     *
-    * @param pairs (i, j) undirected candidate edges.
+    * @param pairs (i, j) undirected candidate edges; self-pairs ignored.
     * @return (node, component) for every node that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
-    val und = pairs.select(col("i").as("a"), col("j").as("b"))
-      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+    // canonical (a < b) edge SET — contraction is monotone on this set
+    var e = pairs.select(least(col("i"), col("j")).as("a"),
+        greatest(col("i"), col("j")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint()
-    var labels = und.groupBy(col("a"))
-      .agg(min(col("b")).as("nmin"))
-      .select(col("a").as("node"), least(col("a"), col("nmin")).as("label"))
-      .localCheckpoint()
+    var eCount = e.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val nbr = und.join(labels, und("b") === labels("node"))
-        .groupBy(und("a").as("nbr_node")).agg(min(col("label")).as("nbr_min"))
-      val hooked = labels.join(nbr, labels("node") === col("nbr_node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (coalesce(col("nbr_min"), col("label")) < col("label")).as("moved"))
-      // pointer-jump compression: label <- label(label). Every label is a
-      // node id (the initial least(a, min-neighbor) is, and jumps preserve
-      // it), so the self-join always resolves; left join guards regardless.
-      val jump = hooked.select(col("node").as("jn"), col("label").as("jl"))
-      val next = hooked.join(jump, hooked("label") === col("jn"), "left")
-        .select(hooked("node").as("node"),
-          coalesce(col("jl"), hooked("label")).as("label"),
-          (hooked("moved") ||
-            coalesce(col("jl"), hooked("label")) < hooked("label")).as("moved"))
-        // eager: the moved-scan is a short-circuit isEmpty — see
-        // resolveRoots' round-barrier note
+      // large-star: every node u hooks its LARGER neighbours v > u onto
+      // m = min(N(u) ∪ {u}) — needs both orientations to see all of N(u)
+      val both = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = both.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      val ls = both.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star: orient every edge toward its larger endpoint u; all
+      // neighbours are < u, so m = min(N(u)); hook N(u) ∪ {u} onto m
+      val smaller = ls.select(col("b").as("u"), col("a").as("v"))
+      val ssMin = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = smaller.join(ssMin, "u")
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .union(ssMin.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        // eager: the fixpoint probe below is an isEmpty short-circuit —
+        // see resolveRoots' round-barrier note
         .localCheckpoint()
-      converged = next.filter(col("moved")).isEmpty
-      labels = next.drop("moved")
+      // fixpoint: the edge set is unchanged. Both frames are distinct
+      // sets, so equal count + empty one-sided difference ⇒ equal sets.
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.exceptAll(e).isEmpty
+      e = next
+      eCount = nextCount
       round += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds " +
-          s"(component diameter exceeds the budget); raise maxRounds")
-    labels.select(col("node"), col("label").as("component"))
+          s"(star contraction still moving); raise maxRounds")
+    // fixpoint edges are stars (m, v) centred at the component min
+    e.select(col("b").as("node"), col("a").as("component"))
+      .union(e.select(col("a").as("node"), col("a").as("component"))
+        .distinct())
+  }
+
+  /** Incremental connected components — fold a delta of candidate pairs
+    * into yesterday's dedup-group labels WITHOUT re-running label
+    * propagation over the historical pair set. The daily-growth twin of
+    * `Joins.pageRankIncremental`, but EXACT: the result is bit-identical
+    * to a full recompute over (old ∪ new) pairs.
+    *
+    * Mechanism: contraction. Prior labels are component-minimum doc ids,
+    * so each prior component collapses to one supernode (its label);
+    * every new pair maps its endpoints through the prior labels (identity
+    * for nodes never seen before), self-edges inside an untouched
+    * component drop out, and [[connectedComponents]] runs on the
+    * contracted DELTA-sized edge list only. The merged supernode label is
+    * min(prior component minima, new node ids) = the union component's
+    * true global minimum — which is why contraction is lossless here.
+    * Old labels then remap through the merged labels in ONE node-sized
+    * join (components untouched by the delta pass through), and delta
+    * endpoints absent from the prior labels get their merged label
+    * directly.
+    *
+    * Scale: the historical PAIR list (corpus-sized, the expensive part of
+    * every full recompute) is never read — only the label table (one row
+    * per clustered node) and the delta pairs. Rounds scale with the
+    * diameter of the CONTRACTED graph, which collapses yesterday's
+    * long chains to single supernodes.
+    *
+    * @param prevLabels (node, component) — a previous
+    *                   [[connectedComponents]] / incremental output;
+    *                   components labelled by their min node id.
+    * @param newPairs   (i, j) delta edges: new↔new and new↔old candidate
+    *                   pairs (old↔old pairs are already folded into
+    *                   `prevLabels`).
+    * @return (node, component) for every node in `prevLabels` or
+    *         `newPairs` — the same frame a full recompute would emit.
+    */
+  def incrementalComponents(prevLabels: DataFrame, newPairs: DataFrame,
+                            maxRounds: Int = 16): DataFrame = {
+    // read repeatedly (two endpoint maps, remap join, anti-join): cut the
+    // upstream lineage once; lazy — the first consumer materializes it
+    val prev = prevLabels.select(col("node"), col("component"))
+      .localCheckpoint(false)
+    val pairs = newPairs.select(col("i"), col("j")).localCheckpoint(false)
+    val mapI = prev.select(col("node").as("__ni"), col("component").as("__ci"))
+    val mapJ = prev.select(col("node").as("__nj"), col("component").as("__cj"))
+    val contracted = pairs
+      .join(mapI, pairs("i") === col("__ni"), "left")
+      .join(mapJ, pairs("j") === col("__nj"), "left")
+      .select(coalesce(col("__ci"), pairs("i")).as("i"),
+        coalesce(col("__cj"), pairs("j")).as("j"))
+      .filter(col("i") =!= col("j"))
+    val merged = connectedComponents(contracted, maxRounds)
+    val updatedOld = prev
+      .join(merged, prev("component") === merged("node"), "left")
+      .select(prev("node"),
+        coalesce(merged("component"), prev("component")).as("component"))
+    // delta endpoints never seen before (brand-new docs, or old docs that
+    // had no pair yesterday): their contracted id is themselves, so they
+    // are nodes of the merged graph — read their label directly
+    val freshNodes = pairs.select(col("i").as("node"))
+      .union(pairs.select(col("j").as("node"))).distinct()
+      .join(prev.select(col("node").as("__pn")),
+        col("node") === col("__pn"), "left_anti")
+    val freshLabeled = freshNodes
+      .join(merged.withColumnRenamed("node", "__mn"),
+        col("node") === col("__mn"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+    updatedOld.union(freshLabeled)
   }
 
   /** Exact Jaccard similarity of two set-valued (distinct-element) arrays. */

@@ -291,6 +291,42 @@ object DedupQueries {
               |SELECT a AS doc_id, least(a, min(b)) AS component
               |FROM reach GROUP BY a""".stripMargin)),
 
+    // Incremental dedup GROUPS (Dedup.incrementalComponents): yesterday's
+    // component labels + today's delta pairs → updated labels, EXACTLY
+    // equal to a full recompute — the oracle is the same full-closure
+    // recursive CTE as d_dedup_groups, so any contraction slip (a wrong
+    // supernode min, a dropped fresh node, an old component leaking a
+    // stale label) hash-mismatches row-level. The corpus splits by
+    // doc_id % 8 = 0 (the "appended" eighth); pair(i,j) is a pure
+    // signature predicate, so the old↔old subset of the full verified
+    // pair set IS yesterday's pair set. Yesterday's labels and the delta
+    // pairs are materialized once (Scratch), so the timed path prices
+    // exactly the daily fold: two node-sized label joins + label
+    // propagation on the contracted, delta-sized edge list.
+    GraftQuery("d_incremental_components",
+      (s, dir) => {
+        val base = Scratch.dir("incr_components", dir)
+        Scratch.buildOnce(base) {
+          val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir),
+            col("doc_id"), col("text"),
+            shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
+            .select(col("i"), col("j")).localCheckpoint()
+          val isNew = (c: org.apache.spark.sql.Column) => c % 8 === 0
+          Dedup.connectedComponents(
+            pairs.filter(!isNew(col("i")) && !isNew(col("j"))))
+            .write.mode("overwrite").parquet(s"$base/prev_labels")
+          pairs.filter(isNew(col("i")) || isNew(col("j")))
+            .write.mode("overwrite").parquet(s"$base/new_pairs")
+        }
+        Dedup.incrementalComponents(
+          s.read.parquet(s"$base/prev_labels"),
+          s.read.parquet(s"$base/new_pairs"))
+          .select(col("node").as("doc_id"), col("component"))
+      },
+      Some(s"""WITH RECURSIVE $MinhashComponentsCte
+              |SELECT a AS doc_id, least(a, min(b)) AS component
+              |FROM reach GROUP BY a""".stripMargin)),
+
     // The SHIPPED corpus after near-dup dedup: each group's canonical doc
     // survives, every unpaired doc passes through — the output a training
     // pipeline actually materializes.

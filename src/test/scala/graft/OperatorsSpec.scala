@@ -106,6 +106,36 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("incrementalComponents equals full recompute on every merge class") {
+    import spark.implicits._
+    // yesterday: {1,2,3} (path), {5,6}, {8,9} — labels by min id
+    val oldPairs = Seq((2L, 1L), (3L, 2L), (5L, 6L), (8L, 9L)).toDF("i", "j")
+    val prev = Dedup.connectedComponents(oldPairs)
+    // delta exercises each class: a new node joining an old component
+    // (10-3), a pair MERGING two old components (2-5), a brand-new
+    // component (11-12), and an old doc that had no pair yesterday
+    // joining an old component (7-9) — with an id BELOW the component's
+    // prior minimum, so {8,9}'s label itself must move to 7
+    val delta = Seq((10L, 3L), (2L, 5L), (11L, 12L), (7L, 9L)).toDF("i", "j")
+    val got = Dedup.incrementalComponents(prev, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(oldPairs.union(delta))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 1L, 8L -> 7L, 9L -> 7L, 7L -> 7L, 11L -> 11L, 12L -> 11L))
+    // scrambled 400-edge graph, ~25% of edges as the delta: still exact
+    val all = (0L until 400L).map(i => (i, (i * 37 + 11) % 400))
+      .filter { case (a, b) => a != b }
+    val (o, d) = all.partition { case (a, b) => a % 4 != 0 && b % 4 != 0 }
+    val prev2 = Dedup.connectedComponents(o.toDF("i", "j"))
+    val got2 = Dedup.incrementalComponents(prev2, d.toDF("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full2 = Dedup.connectedComponents(all.toDF("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == full2)
+  }
+
   test("connectedComponents throws when diameter exceeds the round budget") {
     import spark.implicits._
     val longPath = (1L until 12L).map(i => (i + 1, i)).toDF("i", "j")
@@ -120,14 +150,37 @@ class OperatorsSpec extends SparkSpec {
 
   test("connectedComponents settles an adversarial path graph within default budget") {
     import spark.implicits._
-    // a 2048-node path has diameter 2047 — plain hash-min would need 2047
-    // rounds; pointer-jump compression must settle it in O(log d) ≈ 10,
+    // a 2048-node path has diameter 2047 — one-hop flooding would need
+    // 2047 rounds; star contraction must settle it in ~log n rounds,
     // well inside the default 16-round budget, without raising
     val n = 2048L
     val path = (1L until n).map(i => (i + 1, i)).toDF("i", "j")
     val labels = Dedup.connectedComponents(path)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == n && labels.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents is independent of id layout (scrambled paths and cycles)") {
+    import spark.implicits._
+    // REGRESSION (r9): the previous Hash-Min + pointer-jump core
+    // converged in O(log d) only when id order correlated with graph
+    // distance — compression chains follow LABELS, which on a
+    // scrambled-id graph point to random positions, degrading to
+    // one-hop flooding. This exact 199-node path (position p holds id
+    // (p*173+37) mod 199) blew the 16-round budget; star contraction
+    // must settle it, and the scrambled 80-cycles, within the default.
+    val ids = (0L until 199L).map(p => (p * 173 + 37) % 199)
+    val path = (0 until 198).map(p => (ids(p), ids(p + 1))).toDF("i", "j")
+    val got = Dedup.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 199 && got.values.forall(_ == 0L))
+    // permutation graph x -> 37x+11 mod 400: four 80-cycles + five
+    // 16-cycles with interleaved ids
+    val cyc = (0L until 400L).map(i => (i, (i * 37 + 11) % 400))
+      .filter { case (a, b) => a != b }.toDF("i", "j")
+    val gotC = Dedup.connectedComponents(cyc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotC.size == 400 && gotC.values.toSet.size == 9)
   }
 
   test("deterministic sampling is reproducible and rate-monotone") {
