@@ -49,7 +49,8 @@ object Bench {
     "t_significant_terms",// keyness agg (explode absorbed map-side + heap)
     "q8_market_share",     // 7-table join-order stress (Q8 shape)
     "j_pagerank_incremental", // warm-start re-converge, 3 rounds (prev ranks amortized once)
-    "d_incremental_components") // daily dedup-group fold (contracted star contraction)
+    "d_incremental_components", // daily dedup-group fold (contracted star contraction)
+    "a_exact_quantiles")   // exact order statistics, no global sort (histogram quickselect)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

@@ -57,4 +57,114 @@ object Sketches {
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
   }
+
+  /** EXACT order statistics without a global sort — distributed
+    * quickselect by iterative histogram refinement. The oracle's natural
+    * formulation (`row_number() OVER (ORDER BY v)`) funnels 100 TB
+    * through one sort partition; `approx_percentile` avoids that but is
+    * approximate. This is the third point: exact values, and every pass
+    * is ONE narrow aggregation — per row, at most one (rank, bin) struct,
+    * partially aggregated map-side to ≤ ranks × `bins` cells, collected
+    * to the driver (bounded model artifact, same policy as the CMS cells
+    * above). Each pass shrinks every rank's candidate value range by
+    * ×`bins`, so a full 2^62 span pins down in ≤ ceil(62/log2 bins) = 6
+    * passes (data-dependent spans finish sooner); the input column is
+    * re-scanned per pass — at scale that is a single-column parquet scan,
+    * the standard trade against materializing a sorted copy.
+    *
+    * The production use is threshold computation: quality-score cutoffs,
+    * RFM-style segment boundaries, budget knees — computed EXACTLY over
+    * the full corpus, then broadcast back as plain compares.
+    *
+    * @param ranks 1-based order statistics to return (1 = min, n = max).
+    * @param bins  histogram resolution per pass (driver holds
+    *              ranks × bins cells).
+    * @return (rank, value) — `value` is the rank-th smallest, duplicates
+    *         counted; input values must be integral (cast upstream;
+    *         decimals scale to long, doubles need an order-preserving
+    *         long mapping).
+    */
+  def orderStatistics(df: DataFrame, value: Column, ranks: Seq[Long],
+                      bins: Int = 4096): DataFrame = {
+    require(ranks.nonEmpty, "no ranks requested")
+    require(bins >= 2 && ranks.distinct.size.toLong * bins <= (1 << 22),
+      "ranks × bins exceeds the driver-artifact budget")
+    val spark = df.sparkSession
+    val v = df.select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val head = v.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+      max(col("v")).as("hi")).head()
+    val n = head.getLong(0)
+    require(n > 0, "orderStatistics over an empty input")
+    ranks.foreach(r => require(r >= 1 && r <= n,
+      s"rank $r outside [1, $n]"))
+    val (lo0, hi0) = (head.getLong(1), head.getLong(2))
+    require(BigInt(hi0) - BigInt(lo0) <= (BigInt(1) << 62),
+      "value span exceeds 2^62 — pre-scale the column")
+    // per-rank state: candidate range [lo, hi] and the count of rows
+    // strictly below lo (already accounted for)
+    val distinctRanks = ranks.distinct.sorted
+    var state = distinctRanks.map(r => r -> ((lo0, hi0, 0L))).toMap
+    // every pass shrinks a span by ×bins, so a 2^62 span needs at most
+    // ceil(62 / log2 bins) passes; +2 slack for the ceil'd widths
+    val maxPasses = math.ceil(62.0 / (math.log(bins) / math.log(2.0)))
+      .toInt + 2
+    var guard = 0
+    while (state.values.exists { case (lo, hi, _) => lo < hi }) {
+      guard += 1
+      require(guard <= maxPasses, "orderStatistics failed to converge")
+      val active = state.toSeq.filter { case (_, (lo, hi, _)) => lo < hi }
+        .sortBy(_._1)
+      val widths = active.map { case (_, (lo, hi, _)) =>
+        (hi - lo) / bins + 1 } // ceil((hi-lo+1)/bins), span ≤ 2^62 safe
+      // one struct per row per COVERING active range (ranges can overlap
+      // for nearby ranks); explode + count = one partial-agg shuffle
+      // `div` (integral) — Column./ is DOUBLE division, which silently
+      // loses exactness past 2^53; lo/width are driver longs, safe to
+      // inline as SQL literals
+      val cells = v.select(explode(array(active.zipWithIndex.map {
+          case ((_, (lo, hi, _)), idx) =>
+            expr(s"CASE WHEN v >= $lo AND v <= $hi THEN " +
+              s"named_struct('rid', $idx, " +
+              s"'bin', (v - ${lo}L) div ${widths(idx)}L) END")
+        }: _*)).as("c"))
+        .filter(col("c").isNotNull)
+        .groupBy(col("c.rid").as("rid"), col("c.bin").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+      val hist = cells.groupBy(_.getAs[Int]("rid"))
+      state = state ++ active.zipWithIndex.map { case ((r, (lo, hi, below)), idx) =>
+        val w = widths(idx)
+        val byBin = hist.getOrElse(idx, Array.empty)
+          .map(c => c.getAs[Long]("bin") -> c.getAs[Long]("cnt"))
+          .sortBy(_._1)
+        var cum = below
+        val (bin, before) = byBin.iterator.map { case (b, cnt) =>
+          val pre = cum; cum += cnt; (b, pre, cum)
+        }.collectFirst { case (b, pre, c) if c >= r => (b, pre) }
+          .getOrElse(throw new IllegalStateException(
+            s"rank $r not found in histogram — non-deterministic input?"))
+        val nlo = lo + bin * w
+        r -> ((nlo, math.min(hi, nlo + w - 1), before))
+      }.toMap
+    }
+    import spark.implicits._
+    ranks.map(r => (r, state(r)._1)).toDF("rank", "value")
+  }
+
+  /** Discrete quantiles on top of [[orderStatistics]] — rank =
+    * ceil(q × n), DuckDB `quantile_disc` / SQL `PERCENTILE_DISC`
+    * semantics. Returns (q, value). */
+  def quantilesDisc(df: DataFrame, value: Column,
+                    qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0))
+    val spark = df.sparkSession
+    val n = df.select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull).count()
+    val ranks = qs.map(q => math.ceil(q * n).toLong.max(1L))
+    val got = orderStatistics(df, value, ranks)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    qs.zip(ranks).map { case (q, r) => (q, got(r)) }.toDF("q", "value")
+  }
 }

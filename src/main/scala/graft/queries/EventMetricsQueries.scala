@@ -1350,5 +1350,42 @@ object EventMetricsQueries {
              |       cum::DOUBLE / total AS cum_share,
              |       n_rows * 4 > total AS is_hot
              |FROM t""".stripMargin)),
+
+    // Exact order statistics / discrete quantiles WITHOUT a global sort
+    // (Sketches.orderStatistics — distributed quickselect by iterative
+    // histogram refinement): min, p25/p50/p90/p99, and max of the price
+    // column in integer cents. The oracle funnels everything through one
+    // row_number() sort — the formulation whose single sort partition is
+    // exactly what the operator exists to avoid at 100 TB — so every
+    // refinement-pass boundary, the below-count bookkeeping, and the
+    // ceil(q*n) rank rule are graded value-exact. Production use: quality
+    // cutoffs / segment thresholds computed exactly, then broadcast back
+    // as plain compares (the scale mode a_rfm_segments approximates with
+    // approx_percentile).
+    GraftQuery("a_exact_quantiles",
+      (s, dir) => {
+        val cents = (col("l_extendedprice") * 100).cast("long")
+        val li = Tables.lineitem(s, dir)
+        val n = li.select(cents.as("v")).filter(col("v").isNotNull).count()
+        val ranks = Seq(1L, math.ceil(0.25 * n).toLong,
+          math.ceil(0.5 * n).toLong, math.ceil(0.9 * n).toLong,
+          math.ceil(0.99 * n).toLong, n)
+        graft.operators.Sketches.orderStatistics(li, cents, ranks)
+      },
+      Some("""WITH t AS (
+             |  SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+             |), nn AS (SELECT count(*) AS c FROM t),
+             |rk AS (
+             |  SELECT unnest([1,
+             |           CAST(ceil(0.25 * c) AS BIGINT),
+             |           CAST(ceil(0.5 * c) AS BIGINT),
+             |           CAST(ceil(0.9 * c) AS BIGINT),
+             |           CAST(ceil(0.99 * c) AS BIGINT),
+             |           c]) AS rank
+             |  FROM nn
+             |), s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t)
+             |SELECT rk.rank, s.v AS value
+             |FROM rk JOIN s ON s.rn = rk.rank""".stripMargin)),
   )
 }

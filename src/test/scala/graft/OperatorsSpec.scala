@@ -1199,6 +1199,37 @@ class OperatorsSpec extends SparkSpec {
       s"warm3 err ${maxErr(warm3)} vs fixMax ${fix.values.max}")
   }
 
+  test("orderStatistics: exact selection without a sort, any rank, duplicates, negatives") {
+    import spark.implicits._
+    // scrambled multiset with heavy duplication, negatives, and wide
+    // magnitude spread — bins=4 forces MANY refinement passes, so the
+    // below-count bookkeeping is exercised across rounds, not just one
+    val vals = ((0 until 500).map(i => ((i * 7919L) % 101) - 50) ++
+      Seq.fill(40)(1234567890123L) ++ Seq(-999999999999L, 0L, 0L)).toSeq
+    val df = vals.toDF("x")
+    val sorted = vals.sorted
+    val ranks = Seq(1L, 2L, 137L, 271L, 500L, 541L, vals.size.toLong)
+    val got = graft.operators.Sketches.orderStatistics(df, col("x"), ranks,
+      bins = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ranks.foreach(r => assert(got(r) == sorted((r - 1).toInt),
+      s"rank $r: got ${got(r)} want ${sorted((r - 1).toInt)}"))
+    // quantile wrapper follows the PERCENTILE_DISC / quantile_disc rank
+    // rule ceil(q*n)
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val qgot = graft.operators.Sketches.quantilesDisc(df, col("x"), qs)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    qs.foreach { q =>
+      val want = sorted(math.ceil(q * vals.size).toInt.max(1) - 1)
+      assert(qgot(q) == want, s"q=$q: got ${qgot(q)} want $want")
+    }
+    // rank bounds are enforced, not clamped
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketches.orderStatistics(df, col("x"),
+        Seq(vals.size + 1L))
+    }
+  }
+
   test("heavyHitters equals exact GROUP BY/HAVING even under forced collisions") {
     import spark.implicits._
     val rows = Seq.fill(20)("hot1") ++ Seq.fill(7)("hot2") ++
