@@ -415,6 +415,48 @@ object JoinQueries {
              |SELECT a AS name, least(a, min(b)) AS entity
              |FROM reach GROUP BY a""".stripMargin)),
 
+    // Incremental entity resolution: today's catalog additions fold into
+    // yesterday's canonical entities (Dedup.incrementalComponents over
+    // STRING node ids — contraction works on any orderable key) without
+    // re-clustering the historical pair set. Names split new/old by an
+    // md5 bucket of the NAME (a pure value predicate both engines
+    // replay); the blocked-levenshtein pair predicate depends only on
+    // the two names, so the old↔old subset of the full pair set IS
+    // yesterday's pairs. Incremental must equal full recompute
+    // bit-for-bit — the oracle is the SAME full-closure recursive CTE
+    // as j_entity_resolution.
+    GraftQuery("j_incremental_entities",
+      (s, dir) => {
+        val pairs = Joins.blockedFuzzyPairs(
+          Tables.part(s, dir), col("p_name"),
+          split(col("p_name"), " ").getItem(0), maxDist = 3)
+          .select(col("name_a").as("i"), col("name_b").as("j"))
+          .localCheckpoint()
+        val isNew = (c: org.apache.spark.sql.Column) =>
+          substring(md5(c), 1, 1) < "4"
+        val prev = graft.operators.Dedup.connectedComponents(
+          pairs.filter(!isNew(col("i")) && !isNew(col("j"))))
+        graft.operators.Dedup.incrementalComponents(prev,
+          pairs.filter(isNew(col("i")) || isNew(col("j"))))
+          .select(col("node").as("name"), col("component").as("entity"))
+      },
+      Some("""WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+             |pb AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk
+             |       FROM n),
+             |p AS (SELECT a.p_name AS i, b.p_name AS j
+             |      FROM pb a JOIN pb b
+             |        ON a.blk = b.blk AND a.p_name < b.p_name
+             |      WHERE levenshtein(a.p_name, b.p_name) <= 3),
+             |u AS (SELECT i AS a, j AS b FROM p
+             |      UNION SELECT j, i FROM p),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM u
+             |  UNION
+             |  SELECT r.a, u.b FROM reach r JOIN u ON r.b = u.a
+             |)
+             |SELECT a AS name, least(a, min(b)) AS entity
+             |FROM reach GROUP BY a""".stripMargin)),
+
     // Snapshot diff (CDC): two loads of `orders` — the later one wider by a
     // year and with every 97th price restated — classified added / removed /
     // changed / unchanged per key via fingerprint compare. The oracle
