@@ -1230,6 +1230,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("orderStatistics never sorts: every refinement pass is agg-only") {
+    import spark.implicits._
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = (1 to 5000).map(i => ((i * 7919L) % 4999)).toDF("x")
+      graft.operators.Sketches.orderStatistics(df, col("x"),
+        Seq(1L, 2500L, 5000L)).collect()
+      // listener delivery is async — wait until the plan log goes quiet
+      var last = -1
+      while (synchronized(plans.size) != last) {
+        last = synchronized(plans.size); Thread.sleep(300)
+      }
+      val sorts = synchronized(plans.toList).filter(_.contains("Sort"))
+      assert(synchronized(plans.size) >= 2, "expected multiple passes")
+      assert(sorts.isEmpty,
+        s"a refinement pass sorted:\n${sorts.headOption.getOrElse("")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("heavyHitters equals exact GROUP BY/HAVING even under forced collisions") {
     import spark.implicits._
     val rows = Seq.fill(20)("hot1") ++ Seq.fill(7)("hot2") ++

@@ -121,6 +121,22 @@ class PropertySpec extends SparkSpec {
       } yield (math.min(a, b), math.max(a, b)))
     }
 
+  test("property: orderStatistics equals sorting, any multiset and rank set") {
+    import spark.implicits._
+    val inputGen = for {
+      vals <- Gen.nonEmptyListOf(Gen.chooseNum(-100000L, 100000L))
+      ranks <- Gen.nonEmptyListOf(Gen.choose(1L, vals.size.toLong))
+      bins <- Gen.oneOf(2, 3, 16)
+    } yield (vals, ranks.distinct, bins)
+    check(Prop.forAll(inputGen) { case (vals, ranks, bins) =>
+      val sorted = vals.sorted
+      val got = graft.operators.Sketches.orderStatistics(
+        vals.toDF("x"), col("x"), ranks, bins = bins)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ranks.forall(r => got(r) == sorted((r - 1).toInt))
+    })
+  }
+
   test("property: connectedComponents matches a union-find oracle") {
     check(Prop.forAll(pairsGen) { pairs =>
       pairs.isEmpty || {
