@@ -152,6 +152,82 @@ object Sketches {
     ranks.map(r => (r, state(r)._1)).toDF("rank", "value")
   }
 
+  /** Per-GROUP exact discrete quantiles — the grouped sibling of
+    * [[orderStatistics]], for "p50/p90 quality threshold PER LANGUAGE /
+    * per source" computed exactly over the full corpus. Same iterative
+    * histogram refinement, but the active (group, q) candidate ranges
+    * live in a small broadcast ranges table joined on the group key, so
+    * one pass serves EVERY group simultaneously: per row, one equi-join
+    * probe + one (group, q, bin) cell, partially aggregated map-side.
+    * Driver state is groups × qs cells per pass — a bounded model
+    * artifact (enforced), same policy as the CMS sketch above. Rank rule
+    * is ceil(q × n_g) per group (`PERCENTILE_DISC` semantics; n_g = the
+    * group's non-null count).
+    *
+    * @return (group, q, value) for every group × q.
+    */
+  def groupedQuantilesDisc(df: DataFrame, group: Column, value: Column,
+                           qs: Seq[Double], bins: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0))
+    require(bins >= 2)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(group.cast("string").as("g"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val heads = v.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+    require(heads.length.toLong * qs.size * bins <= (1L << 26),
+      "groups × qs × bins exceeds the driver-artifact budget")
+    heads.foreach { h =>
+      require(BigInt(h.getLong(3)) - BigInt(h.getLong(2)) <= (BigInt(1) << 62),
+        s"value span of group ${h.getString(0)} exceeds 2^62 — pre-scale")
+    }
+    // state: (g, qIdx) -> (rank, lo, hi, below)
+    var state: Map[(String, Int), (Long, Long, Long, Long)] = heads.flatMap { h =>
+      val (g, n, lo, hi) = (h.getString(0), h.getLong(1), h.getLong(2), h.getLong(3))
+      qs.zipWithIndex.map { case (q, qi) =>
+        (g, qi) -> ((math.ceil(q * n).toLong.max(1L), lo, hi, 0L))
+      }
+    }.toMap
+    val maxPasses = math.ceil(62.0 / (math.log(bins) / math.log(2.0))).toInt + 2
+    var guard = 0
+    while (state.values.exists { case (_, lo, hi, _) => lo < hi }) {
+      guard += 1
+      require(guard <= maxPasses, "groupedQuantilesDisc failed to converge")
+      val active = state.toSeq
+        .filter { case (_, (_, lo, hi, _)) => lo < hi }
+      val ranges = active.map { case ((g, qi), (_, lo, hi, _)) =>
+        (g, qi, lo, hi, (hi - lo) / bins + 1) // ceil width, span ≤ 2^62
+      }.toDF("g", "qi", "rlo", "rhi", "w")
+      // broadcast ranges ⋈ values on the group key; `div` keeps the bin
+      // arithmetic integral (Column./ is double division)
+      val cells = v.join(broadcast(ranges), "g")
+        .filter(col("v") >= col("rlo") && col("v") <= col("rhi"))
+        .select(col("g"), col("qi"), expr("(v - rlo) div w").as("bin"))
+        .groupBy(col("g"), col("qi"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+      val hist = cells.groupBy(r => (r.getString(0), r.getInt(1)))
+      state = state ++ active.map { case (key @ (g, qi), (rank, lo, hi, below)) =>
+        val w = (hi - lo) / bins + 1
+        val byBin = hist.getOrElse(key, Array.empty)
+          .map(c => c.getAs[Long]("bin") -> c.getAs[Long]("cnt"))
+          .sortBy(_._1)
+        var cum = below
+        val (bin, before) = byBin.iterator.map { case (b, cnt) =>
+          val pre = cum; cum += cnt; (b, pre, cum)
+        }.collectFirst { case (b, pre, c) if c >= rank => (b, pre) }
+          .getOrElse(throw new IllegalStateException(
+            s"rank $rank of group $g not found in histogram"))
+        val nlo = lo + bin * w
+        key -> ((rank, nlo, math.min(hi, nlo + w - 1), before))
+      }.toMap
+    }
+    state.toSeq.map { case ((g, qi), (_, lo, _, _)) => (g, qs(qi), lo) }
+      .toDF("group", "q", "value")
+  }
+
   /** Discrete quantiles on top of [[orderStatistics]] — rank =
     * ceil(q × n), DuckDB `quantile_disc` / SQL `PERCENTILE_DISC`
     * semantics. Returns (q, value). */

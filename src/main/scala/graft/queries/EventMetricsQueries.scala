@@ -1387,5 +1387,33 @@ object EventMetricsQueries {
              |), s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t)
              |SELECT rk.rank, s.v AS value
              |FROM rk JOIN s ON s.rn = rk.rank""".stripMargin)),
+
+    // Per-GROUP exact quantiles (Sketches.groupedQuantilesDisc): p25/p50/
+    // p90 of document length PER LANGUAGE — the "per-language quality
+    // threshold" shape of corpus curation, computed exactly with NO
+    // per-group sort: one broadcast ranges-table join + one
+    // (group, q, bin) cell per row per pass. The oracle partitions a
+    // global sort per group, so per-group rank bookkeeping (ceil(q*n_g),
+    // below-counts per group) is graded value-exact across groups with
+    // wildly different counts and spans.
+    GraftQuery("a_grouped_quantiles",
+      (s, dir) => graft.operators.Sketches.groupedQuantilesDisc(
+        Tables.documents(s, dir), col("lang"), col("n_chars"),
+        Seq(0.25, 0.5, 0.9))
+        .withColumnRenamed("group", "grp"),
+      Some("""WITH t AS (
+             |  SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v
+             |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+             |), nn AS (SELECT grp, count(*) AS c FROM t GROUP BY 1),
+             |qq AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE,
+             |                      0.9::DOUBLE]) AS q),
+             |r AS (SELECT nn.grp, qq.q,
+             |             CAST(ceil(qq.q * nn.c) AS BIGINT) AS rank
+             |      FROM nn CROSS JOIN qq),
+             |s AS (SELECT grp, v,
+             |             row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+             |      FROM t)
+             |SELECT r.grp, r.q, s.v AS value
+             |FROM r JOIN s ON s.grp = r.grp AND s.rn = r.rank""".stripMargin)),
   )
 }

@@ -1230,6 +1230,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("groupedQuantilesDisc: exact per-group quantiles, divergent spans and singletons") {
+    import spark.implicits._
+    // groups with wildly different value spans, duplicates, negatives,
+    // and a singleton group — per-group ranks must not leak across keys
+    val rows = (0 until 300).map(i => ("en", ((i * 7919L) % 97) - 48)) ++
+      (0 until 50).map(i => ("de", i * 1000000L)) ++
+      Seq(("fr", 42L)) ++ Seq.fill(30)(("zh", -7L))
+    val df = rows.toDF("g", "x")
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val got = graft.operators.Sketches.groupedQuantilesDisc(
+      df, col("g"), col("x"), qs, bins = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, sorted) <- byG; q <- qs) {
+      val want = sorted(math.ceil(q * sorted.size).toInt.max(1) - 1)
+      assert(got((g, q)) == want, s"($g, $q): got ${got((g, q))} want $want")
+    }
+    assert(got.size == byG.size * qs.size)
+  }
+
   test("orderStatistics never sorts: every refinement pass is agg-only") {
     import spark.implicits._
     val plans = scala.collection.mutable.ArrayBuffer[String]()
