@@ -680,11 +680,18 @@ object DedupQueries {
 
     // Gear-mode twin (native FastCDC rolling hash, graft_cdc_gear_cuts):
     // the cut FAMILY differs from the oracle mode, so conformance is
-    // self-judged on the planted no-space clone pairs — the later copy
-    // must lose at least half its chunks for ≥ 90% of pairs (it shares
-    // ~everything with the earlier copy under ANY content-defined
-    // family). n_clones is exact. Also the bench entry pricing the
-    // rolling loop against the md5-per-char oracle rule.
+    // self-judged on the planted no-space clone pairs: after the first
+    // shared cut past the prefix divergence the two copies' chunk
+    // streams align exactly, so the later copy keeps at most a BOUNDED
+    // head — the divergent prefix chunk plus at most one resync chunk
+    // (kept_chunks <= 2), for ≥ 90% of pairs. This bound is independent
+    // of doc length, unlike a "loses half its chunks" ratio, which is
+    // unachievable for short docs where divisor-64 cuts yield only 1-3
+    // chunks and the head chunk alone is half the doc (measured: the
+    // ratio criterion passes 36/33/29/29 of 40 at sf0.01/0.001/0.1/1;
+    // the head bound passes 40/38/38/38). n_clones is exact. Also the
+    // bench entry pricing the rolling loop against the md5-per-char
+    // oracle rule.
     GraftQuery("d_byte_cdc_gear",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -699,7 +706,7 @@ object DedupQueries {
           divisor = 64, window = 16, hashMode = "prod")
           .filter(col("doc_id") >= 300000L)
           .agg(count(lit(1)).as("n_clones"),
-            (sum(when(col("kept_chunks") * 2 <= col("total_chunks"), 1)
+            (sum(when(col("kept_chunks") <= 2, 1)
               .otherwise(0)).cast("double") / count(lit(1)) >= 0.9)
               .as("clone_recall_ok"))
       },
