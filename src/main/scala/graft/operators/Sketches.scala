@@ -243,4 +243,54 @@ object Sketches {
     import spark.implicits._
     qs.zip(ranks).map { case (q, r) => (q, got(r)) }.toDF("q", "value")
   }
+
+  // ---- KMV distinct sketches (set-operation-capable, unlike HLL) ----
+  //
+  // The aggregate itself is [[graft.plans.KmvSketchAgg]] (bounded
+  // mergeable partial state: at most k longs per group per map task);
+  // everything below is plain column arithmetic over the emitted sorted
+  // array, so estimates stay deterministic and SQL-replayable. Hash
+  // domain is [[graft.plans.Hash60]]'s [0, 2^60): exact below saturation,
+  // (k-1)·2^60/θ at it (θ = the k-th minimum).
+
+  /** 2^60 as a double — exactly representable, so Spark and any SQL
+    * oracle computing `(k-1)*2^60/θ` agree bit-for-bit. */
+  private val Hash60Range = 1152921504606846976.0
+
+  /** KMV sketch aggregate over a pre-hashed long column: the k smallest
+    * distinct values, sorted ascending. Compose with `Dedup.hash60` /
+    * `graft_hash60` for oracle-replayable sketches. */
+  def kmvSketch(hashed: Column, k: Int): Column =
+    org.apache.spark.sql.GraftShims.column(
+      graft.plans.KmvSketchAgg(
+        org.apache.spark.sql.GraftShims.expression(hashed), k)
+        .toAggregateExpression())
+
+  /** Distinct-count estimate from a KMV sketch: exact cardinality below
+    * saturation (the sketch IS the distinct set), `(k-1)·2^60/θ` at it,
+    * floored to a long. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble * Hash60Range) /
+        element_at(sketch, k).cast("double")).cast("long"))
+
+  /** KMV sketch of the UNION of two sketched sets: the k smallest of the
+    * merged distinct values — closed over the sketch family, so it feeds
+    * [[kmvEstimate]] directly. */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Intersection-cardinality estimate from two KMV sketches (Beyer et
+    * al., SIGMOD'07): members of the union sketch present in BOTH input
+    * sketches estimate the Jaccard numerator; scaled by the union
+    * estimate. Exact when the union sketch is unsaturated (both sketches
+    * then hold their full distinct sets). Floored to a long. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val u = kmvUnion(a, b, k)
+    val common = size(array_intersect(array_intersect(a, b), u))
+    when(size(u) < k, common.cast("long"))
+      .otherwise(floor(common.cast("double") / lit(k.toDouble) *
+        (lit((k - 1).toDouble * Hash60Range) /
+          element_at(u, k).cast("double"))).cast("long"))
+  }
 }
