@@ -50,7 +50,8 @@ object Bench {
     "q8_market_share",     // 7-table join-order stress (Q8 shape)
     "j_pagerank_incremental", // warm-start re-converge, 3 rounds (prev ranks amortized once)
     "d_incremental_components", // daily dedup-group fold (contracted star contraction)
-    "a_exact_quantiles")   // exact order statistics, no global sort (histogram quickselect)
+    "a_exact_quantiles",   // exact order statistics, no global sort (histogram quickselect)
+    "a_kmv_cohort_overlap") // KMV sketch build + cohort union/intersect estimates
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

@@ -231,4 +231,48 @@ object MetricsKernel {
       .agg(count(lit(1)).as("n_users"),
         sum(col("monetary")).cast("double").as("segment_value"))
   }
+
+  /** A1/A7 cohort-overlap via KMV sketches: per-(dims, period) distinct
+    * sketches over a pre-hashed member id, then union + INTERSECTION
+    * cardinality estimates between each cohort and its successor period.
+    * This is the set-operation question the reference's HLL cardinality
+    * (`metricsreader.py:229-294`) cannot answer — "how many unique
+    * users/sessions did periods P and P+1 share?" — and inclusion–
+    * exclusion over HLLs explodes the error exactly when the overlap is
+    * small. KMV sketches intersect natively (Beyer et al., SIGMOD'07);
+    * see [[graft.plans.KmvSketchAgg]].
+    *
+    * Scale shape: one partial-agg exchange builds every cohort sketch
+    * (≤ 8k bytes of state per cohort per map task — no distinct-shuffle
+    * of raw members), then a self-join on the cohort key over the tiny
+    * sketch table (#dims × #periods rows — broadcastable; AQE picks
+    * broadcast from the post-agg size). Estimates are plain column
+    * arithmetic, exact below saturation.
+    *
+    * @param dims       named cohort dimensions (alias them — names carry
+    *                   to the output and the self-join key)
+    * @param period     numeric period column; cohorts pair with period+1
+    * @param memberHash pre-hashed LONG member id (compose with
+    *                   [[graft.operators.Dedup.hash60]] for an
+    *                   SQL-replayable sketch, `xxhash64` for production)
+    * @return dims…, period, uniq_a, uniq_b, uniq_union, uniq_overlap
+    */
+  def kmvCohortOverlap(df: DataFrame, dims: Seq[Column], period: Column,
+                       memberHash: Column, k: Int): DataFrame = {
+    val sk = df.groupBy(dims :+ period.cast("long").as("period"): _*)
+      .agg(Sketches.kmvSketch(memberHash, k).as("sk"))
+    val dimNames = sk.columns.filterNot(Set("period", "sk")).toSeq
+    val next = sk.select(
+      dimNames.map(col) ++ Seq((col("period") - 1).as("period"),
+        col("sk").as("sk_next")): _*)
+    sk.join(next, dimNames :+ "period")
+      .select(dimNames.map(col) ++ Seq(
+        col("period"),
+        Sketches.kmvEstimate(col("sk"), k).as("uniq_a"),
+        Sketches.kmvEstimate(col("sk_next"), k).as("uniq_b"),
+        Sketches.kmvEstimate(
+          Sketches.kmvUnion(col("sk"), col("sk_next"), k), k).as("uniq_union"),
+        Sketches.kmvIntersectEstimate(col("sk"), col("sk_next"), k)
+          .as("uniq_overlap")): _*)
+  }
 }

@@ -1415,5 +1415,91 @@ object EventMetricsQueries {
              |      FROM t)
              |SELECT r.grp, r.q, s.v AS value
              |FROM r JOIN s ON s.grp = r.grp AND s.rn = r.rank""".stripMargin)),
+
+    // KMV cohort overlap (MetricsKernel.kmvCohortOverlap over
+    // plans.KmvSketchAgg): per-(event_type, day) distinct-user sketches
+    // (k = 64 smallest hash60 values), then union + INTERSECTION
+    // cardinality estimates between each day and the next — the
+    // set-operation question HLL cardinality can't answer. At sf0.01 the
+    // cohorts straddle k (distinct users 42..67 per cohort), so BOTH
+    // estimator branches are graded: unsaturated (the sketch is the
+    // distinct set — exact) and saturated ((k-1)·2^60/θ). The oracle
+    // replays the whole sketch in SQL — `row_number() OVER (ORDER BY h)
+    // <= k` on distinct md5-hash60 values IS the sketch — so k-boundary,
+    // union slice, shared-member counting, and the double arithmetic of
+    // both estimators are hash-exact. Scale shape: one partial-agg
+    // exchange builds every sketch (≤ 8k bytes per cohort per map task),
+    // the day/day+1 self-join runs over the tiny sketch table.
+    GraftQuery("a_kmv_cohort_overlap",
+      (s, dir) => graft.operators.MetricsKernel.kmvCohortOverlap(
+        Tables.events(s, dir),
+        Seq(col("event_type")),
+        dayofmonth(col("ts")),
+        graft.operators.Dedup.hash60(col("user_id").cast("string")),
+        k = 64)
+        .withColumnRenamed("period", "day"),
+      Some("""WITH hx AS (
+             |  SELECT DISTINCT event_type, CAST(day(ts) AS BIGINT) AS day,
+             |         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+             |  FROM events
+             |), rk AS (
+             |  SELECT event_type, day, h,
+             |         row_number() OVER (PARTITION BY event_type, day
+             |                            ORDER BY h) AS rn
+             |  FROM hx
+             |), sketch AS (SELECT event_type, day, h FROM rk WHERE rn <= 64),
+             |sz AS (
+             |  SELECT event_type, day, count(*) AS n, max(h) AS theta
+             |  FROM sketch GROUP BY 1, 2
+             |), est AS (
+             |  SELECT event_type, day,
+             |         CASE WHEN n < 64 THEN n
+             |              ELSE CAST(floor((63.0 * 1152921504606846976.0)
+             |                              / theta::DOUBLE) AS BIGINT) END AS u
+             |  FROM sz
+             |), pr AS (
+             |  SELECT a.event_type, a.day
+             |  FROM sz a JOIN sz b
+             |    ON b.event_type = a.event_type AND b.day = a.day + 1
+             |), um AS (
+             |  SELECT p.event_type, p.day, s.h
+             |  FROM pr p JOIN sketch s
+             |    ON s.event_type = p.event_type
+             |   AND (s.day = p.day OR s.day = p.day + 1)
+             |  GROUP BY 1, 2, 3
+             |), urk AS (
+             |  SELECT event_type, day, h,
+             |         row_number() OVER (PARTITION BY event_type, day
+             |                            ORDER BY h) AS rn
+             |  FROM um
+             |), usketch AS (SELECT event_type, day, h FROM urk WHERE rn <= 64),
+             |usz AS (
+             |  SELECT event_type, day, count(*) AS n, max(h) AS theta
+             |  FROM usketch GROUP BY 1, 2
+             |), cm AS (
+             |  SELECT u.event_type, u.day, count(*) AS c
+             |  FROM usketch u
+             |  JOIN sketch a ON a.event_type = u.event_type
+             |              AND a.day = u.day AND a.h = u.h
+             |  JOIN sketch b ON b.event_type = u.event_type
+             |              AND b.day = u.day + 1 AND b.h = u.h
+             |  GROUP BY 1, 2
+             |)
+             |SELECT pr.event_type, pr.day,
+             |       ea.u AS uniq_a, eb.u AS uniq_b,
+             |       CASE WHEN usz.n < 64 THEN usz.n
+             |            ELSE CAST(floor((63.0 * 1152921504606846976.0)
+             |                            / usz.theta::DOUBLE) AS BIGINT)
+             |       END AS uniq_union,
+             |       CASE WHEN usz.n < 64 THEN COALESCE(cm.c, 0)
+             |            ELSE CAST(floor((COALESCE(cm.c, 0)::DOUBLE / 64.0)
+             |                 * ((63.0 * 1152921504606846976.0)
+             |                    / usz.theta::DOUBLE)) AS BIGINT)
+             |       END AS uniq_overlap
+             |FROM pr
+             |JOIN est ea ON ea.event_type = pr.event_type AND ea.day = pr.day
+             |JOIN est eb ON eb.event_type = pr.event_type AND eb.day = pr.day + 1
+             |JOIN usz ON usz.event_type = pr.event_type AND usz.day = pr.day
+             |LEFT JOIN cm ON cm.event_type = pr.event_type AND cm.day = pr.day""".stripMargin)),
   )
 }
