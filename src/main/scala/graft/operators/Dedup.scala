@@ -485,12 +485,23 @@ object Dedup {
     * than the corpus. THROWS if `maxRounds` is reached before the
     * fixpoint (a true pathology, not a long chain).
     *
-    * @param pairs (i, j) undirected candidate edges; self-pairs ignored.
+    * @param pairs (i, j) undirected candidate edges. Self-pairs carry no
+    *              connectivity but DO assert the node exists: a node whose
+    *              only edges are (i, i) comes back as its own singleton
+    *              component (Hash-Min parity — r9 silently dropped such
+    *              nodes; fixed per the r9 advice). Null endpoints are
+    *              dropped.
     * @return (node, component) for every node that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val clean = pairs.filter(col("i").isNotNull && col("j").isNotNull)
+    // nodes whose ONLY appearance is a self-pair still exist as
+    // singletons; tiny by construction (LSH/blocked producers emit a < b
+    // — self-pairs only arrive from raw caller-assembled lists)
+    val selfNodes = clean.filter(col("i") === col("j"))
+      .select(col("i").as("node")).distinct()
     // canonical (a < b) edge SET — contraction is monotone on this set
-    var e = pairs.select(least(col("i"), col("j")).as("a"),
+    var e = clean.select(least(col("i"), col("j")).as("a"),
         greatest(col("i"), col("j")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint()
@@ -534,9 +545,13 @@ object Dedup {
         s"connectedComponents did not converge within $maxRounds rounds " +
           s"(star contraction still moving); raise maxRounds")
     // fixpoint edges are stars (m, v) centred at the component min
-    e.select(col("b").as("node"), col("a").as("component"))
+    val labeled = e.select(col("b").as("node"), col("a").as("component"))
       .union(e.select(col("a").as("node"), col("a").as("component"))
         .distinct())
+    labeled.union(
+      selfNodes.join(labeled.select(col("node").as("__ln")),
+          col("node") === col("__ln"), "left_anti")
+        .select(col("node"), col("node").as("component")))
   }
 
   /** Incremental connected components — fold a delta of candidate pairs
@@ -579,7 +594,14 @@ object Dedup {
     // upstream lineage once; lazy — the first consumer materializes it
     val prev = prevLabels.select(col("node"), col("component"))
       .localCheckpoint(false)
-    val pairs = newPairs.select(col("i"), col("j")).localCheckpoint(false)
+    // null endpoints carry no edge information and would otherwise leak:
+    // a (i, null) pair drops out of the contracted graph (null-safe =!=
+    // yields null under the filter) yet its null lands in freshNodes and
+    // emits a spurious (null, null) row (r9 advice) — drop them here,
+    // matching the oracle's implicit null handling
+    val pairs = newPairs.select(col("i"), col("j"))
+      .filter(col("i").isNotNull && col("j").isNotNull)
+      .localCheckpoint(false)
     val mapI = prev.select(col("node").as("__ni"), col("component").as("__ci"))
     val mapJ = prev.select(col("node").as("__nj"), col("component").as("__cj"))
     val contracted = pairs

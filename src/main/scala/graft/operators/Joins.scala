@@ -286,21 +286,49 @@ object Joins {
     * swapping first-token for phonetic/q-gram blocking keys, not by
     * raising the cap.
     *
+    * No silent caps (the CDC/containment discipline): a dropped block is
+    * coverage loss, so the cap's victims are SURFACED, not swallowed —
+    * [[blockedFuzzyPairsAudited]] returns the dropped blocks as a frame
+    * next to the pairs, and this convenience wrapper warns with their
+    * count (one cheap agg over the already-built block-population table;
+    * zero extra jobs when callers use the audited form).
+    *
     * @return (name_a, name_b, dist) with name_a < name_b, dist <= maxDist.
     */
   def blockedFuzzyPairs(names: DataFrame, name: Column, blockKey: Column,
                         maxDist: Int,
                         blockCap: Long = 10000L): DataFrame = {
+    val (pairs, dropped) =
+      blockedFuzzyPairsAudited(names, name, blockKey, maxDist, blockCap)
+    val nDropped = dropped.count()
+    if (nDropped > 0) System.err.println(
+      s"[graft] blockedFuzzyPairs: $nDropped block(s) over blockCap=" +
+        s"$blockCap dropped before the similarity join - coverage loss; " +
+        "inspect blockedFuzzyPairsAudited(...)._2 or tighten the blocking key")
+    pairs
+  }
+
+  /** [[blockedFuzzyPairs]] with the cap's accounting as data: returns
+    * `(pairs, droppedBlocks)` where `droppedBlocks` = `(blk, bn)` for
+    * every block whose population exceeded `blockCap` (empty when the cap
+    * never fired). Both frames are lazy — production jobs write or alert
+    * on the audit frame alongside the pairs at no extra cost (the block
+    * populations are computed for the cap filter anyway). */
+  def blockedFuzzyPairsAudited(names: DataFrame, name: Column,
+                               blockKey: Column, maxDist: Int,
+                               blockCap: Long = 10000L): (DataFrame, DataFrame) = {
     val n = names.select(name.as("nm"), blockKey.as("blk")).distinct()
-    val keep = n.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= blockCap).select(col("blk"))
+    val pops = n.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+    val keep = pops.filter(col("bn") <= blockCap).select(col("blk"))
+    val dropped = pops.filter(col("bn") > blockCap)
     val capped = n.join(keep, Seq("blk"))
-    capped.as("a").join(capped.as("b"),
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.blk") === col("b.blk") && col("a.nm") < col("b.nm"))
       .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
       .filter(col("dist") <= maxDist)
       .select(col("a.nm").as("name_a"), col("b.nm").as("name_b"),
         col("dist"))
+    (pairs, dropped)
   }
 
   /** Snapshot diff (CDC between two loads of the same table): classify every
@@ -536,31 +564,69 @@ object Joins {
     * a rowwise compare, no extra exchange.
     *
     * `base`: key + seqCol + payload. `changes`: key + seqCol + opCol +
-    * payload. Deletes drop the key without a tombstone, so a change for a
-    * deleted key arriving with a seq SMALLER than the delete's would
-    * re-insert — keep tombstones upstream if the feed can replay
-    * pre-delete changes that late.
+    * payload. In the default mode deletes DROP the key without a
+    * tombstone, so a change for a deleted key arriving with a seq SMALLER
+    * than the delete's would re-insert. `keepTombstones = true` closes
+    * that window: a 'D' retains the key as a row with
+    * [[TombstoneCol]] = true, the delete's seq, and NULLed payload
+    * (deleted data is not kept around) — the version guard then rejects
+    * any later-arriving pre-delete change, and only a genuinely newer
+    * upsert revives the key. Tombstoned rows are data for the merge and
+    * filtered at read ([[liveRows]]); compact them out once the feed's
+    * replay horizon has passed, exactly as Delta/Iceberg vacuum does.
     *
-    * @return merged snapshot, same schema as base (seqCol included).
+    * @return merged snapshot, same schema as base (seqCol included);
+    *         with `keepTombstones`, plus the boolean [[TombstoneCol]]
+    *         (appended if base does not already carry it).
     */
   def mergeApplyVersioned(base: DataFrame, changes: DataFrame, key: String,
-                          seqCol: String, opCol: String): DataFrame = {
+                          seqCol: String, opCol: String,
+                          keepTombstones: Boolean = false): DataFrame = {
     val latest = changes
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(key)).orderBy(col(seqCol).desc)))
       .filter(col("__rn") === 1)
-    val payload = base.columns
-      .filterNot(c => c == key || c == seqCol).toSeq
     val applies = col(s"c.$seqCol").isNotNull &&
       (col(s"b.$seqCol").isNull || col(s"c.$seqCol") > col(s"b.$seqCol"))
-    base.as("b").join(latest.as("c"), Seq(key), "full_outer")
-      .filter(!applies || col(opCol).isNull || col(opCol) =!= "D")
-      .select(col(key) +:
-        when(applies, col(s"c.$seqCol"))
-          .otherwise(col(s"b.$seqCol")).as(seqCol) +:
-        payload.map(p =>
-          when(applies, col(s"c.$p")).otherwise(col(s"b.$p")).as(p)): _*)
+    if (!keepTombstones) {
+      val payload = base.columns
+        .filterNot(c => c == key || c == seqCol).toSeq
+      base.as("b").join(latest.as("c"), Seq(key), "full_outer")
+        .filter(!applies || col(opCol).isNull || col(opCol) =!= "D")
+        .select(col(key) +:
+          when(applies, col(s"c.$seqCol"))
+            .otherwise(col(s"b.$seqCol")).as(seqCol) +:
+          payload.map(p =>
+            when(applies, col(s"c.$p")).otherwise(col(s"b.$p")).as(p)): _*)
+    } else {
+      val b0 =
+        if (base.columns.contains(TombstoneCol)) base
+        else base.withColumn(TombstoneCol, lit(false))
+      val payload = b0.columns
+        .filterNot(c => c == key || c == seqCol || c == TombstoneCol).toSeq
+      val isDel = col(opCol).isNotNull && col(opCol) === "D"
+      b0.as("b").join(latest.as("c"), Seq(key), "full_outer")
+        .select(col(key) +:
+          when(applies, col(s"c.$seqCol"))
+            .otherwise(col(s"b.$seqCol")).as(seqCol) +:
+          when(applies, isDel)
+            .otherwise(coalesce(col(s"b.$TombstoneCol"), lit(false)))
+            .as(TombstoneCol) +:
+          payload.map(p =>
+            when(applies && isDel, lit(null).cast(b0.schema(p).dataType))
+              .when(applies, col(s"c.$p"))
+              .otherwise(col(s"b.$p")).as(p)): _*)
+    }
   }
+
+  /** Column marking tombstoned (deleted-but-retained) rows in a
+    * `mergeApplyVersioned(keepTombstones = true)` snapshot. */
+  val TombstoneCol = "_tombstone"
+
+  /** Read-side filter for tombstone-carrying snapshots: the live rows.
+    * A plain pushdown-able predicate — at scale this prunes at the scan. */
+  def liveRows(snapshot: DataFrame): DataFrame =
+    snapshot.filter(!col(TombstoneCol))
 
   /** Slowly-changing-dimension (Type 2) build from an attribute change
     * log: per key, collapse consecutive duplicate states, then stamp each

@@ -174,11 +174,19 @@ object Sketches {
     import spark.implicits._
     val v = df.select(group.cast("string").as("g"), value.cast("long").as("v"))
       .filter(col("v").isNotNull && col("g").isNotNull)
+    // group-cardinality guard BEFORE any driver collect: countDistinct is
+    // one cheap distributed agg returning a single row, so an unbounded
+    // group key trips the budget here instead of OOMing the driver on
+    // heads.collect() (r9 advice). Budget 2^22 cells, matching
+    // orderStatistics' driver-artifact policy.
+    val nGroups = v.agg(countDistinct(col("g"))).first().getLong(0)
+    require(nGroups * qs.size * bins <= (1L << 22),
+      s"groups($nGroups) × qs(${qs.size}) × bins($bins) exceeds the " +
+        "driver-artifact budget (2^22 cells) — reduce bins or pre-bucket " +
+        "the group key")
     val heads = v.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
       .collect()
-    require(heads.length.toLong * qs.size * bins <= (1L << 26),
-      "groups × qs × bins exceeds the driver-artifact budget")
     heads.foreach { h =>
       require(BigInt(h.getLong(3)) - BigInt(h.getLong(2)) <= (BigInt(1) << 62),
         s"value span of group ${h.getString(0)} exceeds 2^62 — pre-scale")

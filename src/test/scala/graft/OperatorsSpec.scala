@@ -104,6 +104,14 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
       10L -> 10L, 11L -> 10L))
+    // a node whose ONLY edge is a self-pair is a singleton component
+    // (Hash-Min parity, r9 advice); a self-pair on a connected node is a
+    // no-op, not a duplicate label
+    val withSelf = pairs.union(Seq((42L, 42L), (1L, 1L)).toDF("i", "j"))
+    val gotSelf = Dedup.connectedComponents(withSelf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(gotSelf.length == gotSelf.toMap.size, "duplicate node labels")
+    assert(gotSelf.toMap == got + (42L -> 42L))
   }
 
   test("incrementalComponents equals full recompute on every merge class") {
@@ -134,6 +142,15 @@ class OperatorsSpec extends SparkSpec {
     val full2 = Dedup.connectedComponents(all.toDF("i", "j"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == full2)
+    // null endpoints in the delta are dropped, not emitted as a spurious
+    // (null, null) row (r9 advice)
+    val nullDelta = Seq((Some(10L), Some(3L)), (Some(99L), None),
+      (None, Some(2L))).toDF("i", "j")
+    val gotNull = Dedup.incrementalComponents(prev, nullDelta).collect()
+    assert(gotNull.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    assert(gotNull.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 5L -> 5L, 6L -> 5L,
+        8L -> 8L, 9L -> 8L))
   }
 
   test("connectedComponents throws when diameter exceeds the round budget") {
@@ -1372,6 +1389,42 @@ class OperatorsSpec extends SparkSpec {
       Set((1L, 10L, "a")))
   }
 
+  test("mergeApplyVersioned tombstones: late pre-delete change cannot re-insert") {
+    import spark.implicits._
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "seq", "v")
+    val del = Seq((2L, 25L, "D", "-")).toDF("k", "seq", "op", "v")
+    // the exact late-arrival replay the default mode documents as its
+    // gap: an upsert for k=2 with seq 22 (< the delete's 25) lands in a
+    // LATER batch than the delete
+    val lateOld = Seq((2L, 22L, "U", "ZOMBIE")).toDF("k", "seq", "op", "v")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        Option(r.getString(3)))).toSet
+    val afterDel = Joins.mergeApplyVersioned(base, del, "k", "seq", "op",
+      keepTombstones = true)
+    // key retained: tombstone flag + the delete's seq, payload nulled
+    assert(snap(afterDel) ==
+      Set((1L, 10L, false, Some("a")), (2L, 25L, true, None)))
+    // DEFAULT mode replay of the same sequence re-inserts the zombie —
+    // the documented gap this mode exists to close
+    val zombied = Joins.mergeApplyVersioned(
+      Joins.mergeApplyVersioned(base, del, "k", "seq", "op"),
+      lateOld, "k", "seq", "op")
+    assert(zombied.filter(col("k") === 2L).count() == 1L)
+    // tombstone mode: the late change loses to the tombstone's seq
+    val held = Joins.mergeApplyVersioned(afterDel, lateOld, "k", "seq", "op",
+      keepTombstones = true)
+    assert(snap(held) == snap(afterDel))
+    // read side sees only live rows, and the filter is a plain predicate
+    assert(Joins.liveRows(held).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a genuinely newer upsert revives the key and clears the flag
+    val revive = Seq((2L, 30L, "U", "b2")).toDF("k", "seq", "op", "v")
+    val revived = Joins.mergeApplyVersioned(held, revive, "k", "seq", "op",
+      keepTombstones = true)
+    assert(snap(revived) ==
+      Set((1L, 10L, false, Some("a")), (2L, 30L, false, Some("b2"))))
+  }
+
   test("containmentPairs: asymmetric quote detection, df cap honored") {
     import spark.implicits._
     val long = (1 to 60).map(i => s"w$i").mkString(" ")
@@ -1490,6 +1543,15 @@ class OperatorsSpec extends SparkSpec {
       blockCap = 100000L)
     assert(uncapped.filter(col("name_a").startsWith("data")).limit(1)
       .count() == 1L)
+    // no silent caps: the audited form names the dropped block and its
+    // population; empty when the cap never fires
+    val (_, dropped) = Joins.blockedFuzzyPairsAudited(names, col("p_name"),
+      split(col("p_name"), " ").getItem(0), maxDist = 3, blockCap = 1000L)
+    val d = dropped.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(d.toSeq == Seq(("data", 10000L)), s"got ${d.toSeq}")
+    val (_, none) = Joins.blockedFuzzyPairsAudited(names, col("p_name"),
+      split(col("p_name"), " ").getItem(0), maxDist = 3, blockCap = 100000L)
+    assert(none.isEmpty)
   }
 
   test("rfmSegments: parity and scale modes agree on untied data") {
