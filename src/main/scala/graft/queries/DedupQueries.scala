@@ -714,6 +714,95 @@ object DedupQueries {
              |         AS n_clones,
              |       TRUE AS clone_recall_ok""".stripMargin)),
 
+    // Incremental BYTE-grain near-dup groups (Dedup.byteCdcIncremental):
+    // the r9 stretch item — shared-CDC-chunk connectivity folded daily.
+    // Day 1 = documents + a no-space "Za"-prefixed clone of each
+    // doc_id<40; day 2 plants cross-day byte-offset clones ("Qxxb" copies
+    // of the same docs → new↔old merges) plus TWO fresh copies of docs
+    // 40..59 ("Mmm"/"Kzz" → brand-new components among new docs only).
+    // Only day-2 docs are chunked in the timed path: their chunks probe
+    // day 1's chunk registry (new↔old star pairs) and their own day's
+    // hubs (new↔new), and incrementalComponents folds the delta-sized
+    // pair list into day 1's labels. The oracle is a FULL recompute —
+    // per-char md5-window chunking of the whole two-day corpus, shared-
+    // chunk star pairs (chunks >= 16 chars), recursive-CTE closure — so
+    // hub-choice independence, registry probing, and every merge class
+    // are graded row-exact. Historical docs are never re-chunked and
+    // historical pairs never re-read: the 100 TB daily shape.
+    GraftQuery("d_byte_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val noSp = translate(col("text"), " ", "")
+        def clones(off: Long, pfx: String, lo: Long, hi: Long) =
+          Tables.documents(s, dir)
+            .filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .select((col("doc_id") + off).as("doc_id"),
+              concat(lit(pfx), noSp).as("text"))
+        val oldDocs = docs.unionAll(clones(200000L, "Za", 0L, 40L))
+        val newDocs = clones(300000L, "Qxxb", 0L, 40L)
+          .unionAll(clones(400000L, "Mmm", 40L, 60L))
+          .unionAll(clones(500000L, "Kzz", 40L, 60L))
+        val base = Scratch.dir("byte_incr", dir)
+        Scratch.buildOnce(base) {
+          Dedup.byteCdcRegistry(
+            Dedup.byteCdcChunks(oldDocs, col("doc_id"), col("text"),
+              divisor = 64), minChunkLen = 16)
+            .write.mode("overwrite").parquet(s"$base/registry")
+          Dedup.byteCdcComponents(oldDocs, col("doc_id"), col("text"),
+            divisor = 64)
+            .write.mode("overwrite").parquet(s"$base/prev_labels")
+        }
+        val (labels, _) = Dedup.byteCdcIncremental(
+          s.read.parquet(s"$base/prev_labels"),
+          s.read.parquet(s"$base/registry"),
+          Dedup.byteCdcChunks(newDocs, col("doc_id"), col("text"),
+            divisor = 64))
+        labels.select(col("node").as("doc_id"), col("component"))
+      },
+      Some("""WITH RECURSIVE aug AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, 'Za' || replace(text, ' ', '')
+             |  FROM documents WHERE doc_id < 40
+             |  UNION ALL
+             |  SELECT doc_id + 300000, 'Qxxb' || replace(text, ' ', '')
+             |  FROM documents WHERE doc_id < 40
+             |  UNION ALL
+             |  SELECT doc_id + 400000, 'Mmm' || replace(text, ' ', '')
+             |  FROM documents WHERE doc_id >= 40 AND doc_id < 60
+             |  UNION ALL
+             |  SELECT doc_id + 500000, 'Kzz' || replace(text, ' ', '')
+             |  FROM documents WHERE doc_id >= 40 AND doc_id < 60),
+             |t AS (SELECT doc_id, i, substring(text, i, 1) AS ch,
+             |        CASE WHEN i >= 16 AND
+             |          (('0x' || substring(md5(substring(text, i - 15, 16)),
+             |            1, 15))::BIGINT % 64) = 0
+             |        THEN 1 ELSE 0 END AS b
+             |      FROM aug,
+             |        unnest(generate_series(1, greatest(len(text), 1)))
+             |          AS u(i)),
+             |c AS (SELECT doc_id, ch, i AS pos,
+             |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS chunk_idx
+             |      FROM t),
+             |g AS (SELECT doc_id, chunk_idx,
+             |        string_agg(ch, '' ORDER BY pos) AS chunk
+             |      FROM c GROUP BY 1, 2),
+             |q AS (SELECT doc_id, chunk FROM g WHERE len(chunk) >= 16),
+             |reg AS (SELECT chunk, min(doc_id) AS rep FROM q GROUP BY 1),
+             |p AS (SELECT DISTINCT q.doc_id AS i, reg.rep AS j
+             |      FROM q JOIN reg USING (chunk)
+             |      WHERE q.doc_id <> reg.rep),
+             |und AS (SELECT i AS a, j AS b FROM p
+             |        UNION SELECT j AS a, i AS b FROM p),
+             |reach AS (
+             |  SELECT a, b FROM und
+             |  UNION
+             |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+             |SELECT a AS doc_id, least(a, min(b)) AS component
+             |FROM reach GROUP BY a""".stripMargin)),
+
     // Streaming exact dedup (§2.9 × the dedup family): the events feed
     // replayed as JSONL with every event_id ≡ 0 (mod 7) row duplicated
     // into a SECOND feed file, streamed through

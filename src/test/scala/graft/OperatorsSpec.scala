@@ -153,6 +153,60 @@ class OperatorsSpec extends SparkSpec {
         8L -> 8L, 9L -> 8L))
   }
 
+  test("byteCdcIncremental equals full recompute on every merge class") {
+    import spark.implicits._
+    // deterministic pseudo-random text; distinct seeds share nothing
+    def txt(seed: Long, n: Int): String = {
+      val sb = new StringBuilder
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      for (_ <- 0 until n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append((('a' + math.floorMod(x >> 33, 26L)).toChar))
+      }
+      sb.toString
+    }
+    val shared = txt(1L, 400)
+    val shared3 = txt(3L, 400)
+    val shared24 = txt(24L, 400)
+    // old day: {1,2} share a span behind different prefixes; 3, 5 alone
+    val oldDocs = Seq(
+      (1L, "PX" + shared), (2L, "QqqY" + shared),
+      (3L, shared3), (5L, txt(5L, 400))).toDF("doc_id", "text")
+    // new day: 8 joins {1,2} (byte-offset clone), 16 joins the
+    // previously-unpaired 3, 24/32 form a brand-new component, 40 is
+    // unpaired (must not appear in the labels)
+    val newDocs = Seq(
+      (8L, "Zzz" + shared), (16L, "Mm" + shared3),
+      (24L, "A" + shared24), (32L, "Bbbb" + shared24),
+      (40L, txt(40L, 400))).toDF("doc_id", "text")
+    val oldChunks = Dedup.byteCdcChunks(oldDocs, col("doc_id"), col("text"),
+      divisor = 64)
+    val prevLabels = Dedup.byteCdcComponents(oldDocs, col("doc_id"),
+      col("text"), divisor = 64)
+    val prevReg = Dedup.byteCdcRegistry(oldChunks, minChunkLen = 16)
+    val newChunks = Dedup.byteCdcChunks(newDocs, col("doc_id"), col("text"),
+      divisor = 64)
+    val (labels, mergedReg) =
+      Dedup.byteCdcIncremental(prevLabels, prevReg, newChunks)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.byteCdcComponents(oldDocs.unionAll(newDocs),
+      col("doc_id"), col("text"), divisor = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full, s"incremental $got != full $full")
+    assert(got.keySet.intersect(Set(5L, 40L)).isEmpty, "unpaired docs leak")
+    assert(Set(got(1L), got(2L), got(8L)) == Set(1L))
+    assert(Set(got(3L), got(16L)) == Set(3L))
+    assert(Set(got(24L), got(32L)) == Set(24L))
+    // the merged registry is exactly the full-corpus registry, so a
+    // SECOND day folds from the incremental state with no drift
+    val fullReg = Dedup.byteCdcRegistry(
+      Dedup.byteCdcChunks(oldDocs.unionAll(newDocs), col("doc_id"),
+        col("text"), divisor = 64), minChunkLen = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mergedReg.collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap == fullReg)
+  }
+
   test("connectedComponents throws when diameter exceeds the round budget") {
     import spark.implicits._
     val longPath = (1L until 12L).map(i => (i + 1, i)).toDF("i", "j")

@@ -16,7 +16,11 @@ if [ ! -f "$SF1/lineitem.parquet" ]; then
   python3 tools/gen_sf1.py /root/testdata/sf0.1 "$SF1"
 fi
 SPARK_GRAFT_SF1_DIR="$SF1" sbt -batch "testOnly graft.ScaleSpec"
-HEAVY="q5_star_join,j3_closure_pairs,v_ivfpq_topk,d_minhash_lsh,q3_shipping_priority,j1_equi_normalized,a4_session_rollup,d_chunk_dedup,d_cdc_chunk_dedup,t_top_ngrams,q1_pricing_summary,j_pagerank,j_scd2_dimension,j_merge_apply,q8_market_share"
+# r10: extended with the r9 heavy additions (VERDICT r9 #3) — the
+# byte-CDC oracle mode is O(len) md5 per doc, so sf1's longer documents
+# are exactly where it either stays priced or surfaces super-linear —
+# plus the KMV sketch build new in r10.
+HEAVY="q5_star_join,j3_closure_pairs,v_ivfpq_topk,d_minhash_lsh,q3_shipping_priority,j1_equi_normalized,a4_session_rollup,d_chunk_dedup,d_cdc_chunk_dedup,t_top_ngrams,q1_pricing_summary,j_pagerank,j_scd2_dimension,j_merge_apply,q8_market_share,d_byte_cdc_dedup,d_byte_cdc_gear,j_pagerank_incremental,a_exact_quantiles,d_incremental_components,a_kmv_cohort_overlap"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_BENCH_ONLY="$HEAVY" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
   > "BENCH_sf1_r${ROUND}.json"
