@@ -288,6 +288,32 @@ object Sketches {
   def kmvUnion(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_union(a, b)), 1, k)
 
+  /** Re-aggregate stored KMV sketches to a coarser grouping WITHOUT
+    * touching raw data — the gold-table rollup shape (daily sketch table
+    * → monthly/annual uniques), sibling of the HLL partial-merge path
+    * (`a_hll_partial_merge`). LOSSLESS: the k-min of a union of per-group
+    * k-min sets equals the k-min of the underlying union (every global
+    * k-smallest hash is among its own day's k smallest), so the rolled
+    * sketch is bit-identical to sketching the raw corpus directly — a
+    * pinned spec property, not an approximation on top of an
+    * approximation. Implementation is explode + re-sketch: input rows
+    * carry ≤ k hashes each, so the explode is sketch-sized (days × k),
+    * never corpus-sized.
+    *
+    * @param sketches one row per fine-grained group, `sketchCol` holding
+    *                 a [[kmvSketch]] array built with the same k.
+    * @param dims     coarser target dims (named columns).
+    * @return dims…, sk — the rolled-up sketch, feeding [[kmvEstimate]] /
+    *         [[kmvUnion]] / [[kmvIntersectEstimate]] unchanged.
+    */
+  def kmvRollup(sketches: DataFrame, dims: Seq[Column], sketchCol: Column,
+                k: Int): DataFrame = {
+    val exploded = sketches.select(dims :+ explode(sketchCol).as("__h"): _*)
+    val dimNames = exploded.columns.filterNot(_ == "__h").toSeq
+    exploded.groupBy(dimNames.map(col): _*)
+      .agg(kmvSketch(col("__h"), k).as("sk"))
+  }
+
   /** Intersection-cardinality estimate from two KMV sketches (Beyer et
     * al., SIGMOD'07): members of the union sketch present in BOTH input
     * sketches estimate the Jaccard numerator; scaled by the union

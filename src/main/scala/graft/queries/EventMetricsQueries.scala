@@ -1501,5 +1501,62 @@ object EventMetricsQueries {
              |JOIN est eb ON eb.event_type = pr.event_type AND eb.day = pr.day + 1
              |JOIN usz ON usz.event_type = pr.event_type AND usz.day = pr.day
              |LEFT JOIN cm ON cm.event_type = pr.event_type AND cm.day = pr.day""".stripMargin)),
+
+    // Re-aggregable KMV rollup (Sketches.kmvRollup): per-(event_type,
+    // day) sketches stored as gold rows, rolled up to per-event_type
+    // month uniques WITHOUT re-scanning raw events — the sketch-table
+    // sibling of a_hll_partial_merge, but with the KMV family's lossless
+    // re-aggregation (k-min of a union of k-min sets IS the k-min of the
+    // union; pinned bit-equal in KmvSpec). The oracle replays daily
+    // sketches, unions their members per type, re-cuts to the k smallest,
+    // and applies the saturated estimator — so the explode + re-sketch
+    // path is hash-exact end to end. n_days proves every daily sketch
+    // fed the rollup.
+    GraftQuery("a_kmv_rollup",
+      (s, dir) => {
+        val k = 64
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(graft.operators.Sketches.kmvSketch(
+            graft.operators.Dedup.hash60(col("user_id").cast("string")), k)
+            .as("sk"))
+        graft.operators.Sketches.kmvRollup(
+            daily, Seq(col("event_type")), col("sk"), k)
+          .join(daily.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_days")), Seq("event_type"))
+          .select(col("event_type"), col("n_days"),
+            graft.operators.Sketches.kmvEstimate(col("sk"), k)
+              .as("uniq_month"))
+      },
+      Some("""WITH hx AS (
+             |  SELECT DISTINCT event_type, day(ts) AS day,
+             |         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+             |  FROM events
+             |), rk AS (
+             |  SELECT event_type, day, h,
+             |         row_number() OVER (PARTITION BY event_type, day
+             |                            ORDER BY h) AS rn
+             |  FROM hx
+             |), sketch AS (SELECT event_type, day, h FROM rk WHERE rn <= 64),
+             |nd AS (
+             |  SELECT event_type, count(DISTINCT day) AS n_days
+             |  FROM sketch GROUP BY 1
+             |), um AS (SELECT DISTINCT event_type, h FROM sketch),
+             |urk AS (
+             |  SELECT event_type, h,
+             |         row_number() OVER (PARTITION BY event_type
+             |                            ORDER BY h) AS rn
+             |  FROM um
+             |), usk AS (SELECT event_type, h FROM urk WHERE rn <= 64),
+             |usz AS (
+             |  SELECT event_type, count(*) AS n, max(h) AS theta
+             |  FROM usk GROUP BY 1
+             |)
+             |SELECT usz.event_type, nd.n_days,
+             |       CASE WHEN usz.n < 64 THEN usz.n
+             |            ELSE CAST(floor((63.0 * 1152921504606846976.0)
+             |                            / usz.theta::DOUBLE) AS BIGINT)
+             |       END AS uniq_month
+             |FROM usz JOIN nd ON nd.event_type = usz.event_type""".stripMargin)),
   )
 }

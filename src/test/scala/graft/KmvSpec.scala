@@ -146,6 +146,26 @@ class KmvSpec extends SparkSpec {
     assert(agg.deserialize(agg.serialize(empty)).isEmpty)
   }
 
+  test("kmvRollup: lossless — rolled sketch is bit-identical to the direct sketch") {
+    val k = 96
+    // 3 groups × 5 days, overlapping member sets per day, saturation in
+    // some groups and not others
+    val rows = for {
+      g <- 0 until 3; d <- 0 until 5
+      i <- (d * 40) until (d * 40 + 120 + g * 300)
+    } yield (g, d, s"g${g}m$i")
+    val df = rows.toDF("g", "d", "id")
+    val daily = df.groupBy(col("g"), col("d"))
+      .agg(Sketches.kmvSketch(Dedup.hash60(col("id")), k).as("sk"))
+    val rolled = Sketches.kmvRollup(daily, Seq(col("g")), col("sk"), k)
+      .select(col("g"), col("sk")).as[(Int, Seq[Long])].collect().toMap
+    val direct = df.groupBy(col("g"))
+      .agg(Sketches.kmvSketch(Dedup.hash60(col("id")), k).as("sk"))
+      .select(col("g"), col("sk")).as[(Int, Seq[Long])].collect().toMap
+    assert(rolled == direct,
+      "k-min of per-day k-min sets must equal the k-min of the raw union")
+  }
+
   test("kmvCohortOverlap: consecutive-period cohorts, estimates land on truth") {
     // three periods, members arranged so period overlaps are known and
     // everything stays below saturation → every output value is exact

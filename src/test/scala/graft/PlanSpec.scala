@@ -479,4 +479,32 @@ class PlanSpec extends SparkSpec {
         s"$name: term counts not partially aggregated:\n$p")
     }
   }
+
+  test("kmv sketches build as map-side partials, never a distinct expand") {
+    for (name <- Seq("a_kmv_cohort_overlap", "a_kmv_rollup")) {
+      val p = plan(name)
+      // the whole point of the sketch: ≤ 8k bytes of partial state per
+      // cohort per map task — the plan must show the two-phase aggregate
+      // and must NOT fall back to a distinct-style Expand of raw members
+      assert(p.contains("partial_graft_kmv"),
+        s"$name: sketch not partially aggregated:\n$p")
+      assert(!p.contains("Expand"),
+        s"$name: distinct-expand of raw members in plan:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"$name: non-equi join of the sketch table:\n$p")
+    }
+  }
+
+  test("byte-CDC chunking is pure per-row column work: zero exchanges") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, testDataDir)
+    for (mode <- Seq("oracle", "prod")) {
+      val p = Dedup.byteCdcChunks(docs, col("doc_id"), col("text"),
+          divisor = 64, hashMode = mode)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"byteCdcChunks($mode) shuffles — chunking must run at scan speed:\n$p")
+    }
+  }
 }
