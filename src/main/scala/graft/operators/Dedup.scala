@@ -494,17 +494,26 @@ object Dedup {
     * @return (node, component) for every node that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
-    val clean = pairs.filter(col("i").isNotNull && col("j").isNotNull)
+    // ONE upstream evaluation: the caller's pair pipeline (often an LSH
+    // candidate join) is materialized exactly once, as the canonical
+    // (a <= b) distinct set — both the edge list and the self-pair
+    // singleton nodes below derive from these checkpointed blocks, never
+    // from a re-run of the upstream
+    val base = pairs.filter(col("i").isNotNull && col("j").isNotNull)
+      .select(least(col("i"), col("j")).as("a"),
+        greatest(col("i"), col("j")).as("b"))
+      .distinct()
+      .localCheckpoint()
     // nodes whose ONLY appearance is a self-pair still exist as
     // singletons; tiny by construction (LSH/blocked producers emit a < b
     // — self-pairs only arrive from raw caller-assembled lists)
-    val selfNodes = clean.filter(col("i") === col("j"))
-      .select(col("i").as("node")).distinct()
-    // canonical (a < b) edge SET — contraction is monotone on this set
-    var e = clean.select(least(col("i"), col("j")).as("a"),
-        greatest(col("i"), col("j")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
+    val selfNodes = base.filter(col("a") === col("b"))
+      .select(col("a").as("node"))
+    // canonical (a < b) edge SET — contraction is monotone on this set.
+    // No second checkpoint: a filter over base's cached blocks is cheap
+    // per read, and the loop replaces e with a checkpointed frame after
+    // round 1 anyway
+    var e = base.filter(col("a") =!= col("b"))
     var eCount = e.count()
     var converged = false
     var round = 0
