@@ -385,4 +385,92 @@ class PropertySpec extends SparkSpec {
       got == expected && replayed == expected
     })
   }
+
+  test("property: tombstoned versioned merge is confluent under any batch order") {
+    // the guarantee the r10 tombstone mode exists for: fold the change
+    // set in ANY partition into batches, in ANY batch order, and the
+    // snapshot equals the single-batch apply — per key the surviving row
+    // is the max-seq record, and max is associative/commutative, but
+    // ONLY because deletes persist as tombstone rows (default mode drops
+    // the key, so a late pre-delete change would resurrect it)
+    val caseGen = for {
+      base <- Gen.mapOf(Gen.zip(Gen.choose(0L, 9L),
+        Gen.alphaStr.map(_.take(2))))
+      nCh <- Gen.choose(1, 14)
+      ops <- Gen.listOfN(nCh, Gen.zip(Gen.choose(0L, 12L),
+        Gen.frequency(3 -> Gen.const("U"), 2 -> Gen.const("D")),
+        Gen.alphaStr.map(_.take(2))))
+      // unique seqs STRICTLY ABOVE every base seq (base rows carry seq 0)
+      changes = ops.zipWithIndex.map { case ((k, op, v), i) =>
+        (k, i.toLong + 1L, op, v) }
+      nBatches <- Gen.choose(1, 4)
+      assign <- Gen.listOfN(changes.size, Gen.choose(0, nBatches - 1))
+      order <- Gen.const(new scala.util.Random(changes.size * 31 + nBatches)
+        .shuffle((0 until nBatches).toList))
+    } yield (base, changes, changes.zip(assign), order)
+    check(Prop.forAll(caseGen) { case (base, changes, assigned, order) =>
+      def baseDf(m: Map[Long, String]) = spark.createDataFrame(
+        m.toSeq.map { case (k, v) => Row(k, 0L, v) }.asJava,
+        T.StructType(Seq(T.StructField("k", T.LongType),
+          T.StructField("seq", T.LongType),
+          T.StructField("v", T.StringType))))
+      def chDf(ch: Seq[(Long, Long, String, String)]) =
+        spark.createDataFrame(
+          ch.map { case (k, seq, op, v) => Row(k, seq, op, v) }.asJava,
+          T.StructType(Seq(T.StructField("k", T.LongType),
+            T.StructField("seq", T.LongType),
+            T.StructField("op", T.StringType),
+            T.StructField("v", T.StringType))))
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getBoolean(2), Option(r.getString(3)))).toMap
+      val oneShot = Joins.mergeApplyVersioned(baseDf(base), chDf(changes),
+        "k", "seq", "op", keepTombstones = true)
+      val folded = order.foldLeft(
+        Joins.mergeApplyVersioned(baseDf(base),
+          chDf(Seq.empty), "k", "seq", "op", keepTombstones = true)) {
+        (acc, b) =>
+          val batch = assigned.filter(_._2 == b).map(_._1)
+          if (batch.isEmpty) acc
+          else Joins.mergeApplyVersioned(acc, chDf(batch),
+            "k", "seq", "op", keepTombstones = true)
+      }
+      // sequential oracle: per key the max-seq record decides
+      val expected = {
+        val byKey = changes.groupBy(_._1)
+        val keys = base.keySet ++ byKey.keySet
+        keys.toSeq.map { k =>
+          val last = byKey.getOrElse(k, Nil).sortBy(_._2).lastOption
+          last match {
+            case Some((_, seq, "D", _)) => k -> ((seq, true, None))
+            case Some((_, seq, _, v))   => k -> ((seq, false, Some(v)))
+            case None => k -> ((0L, false, Some(base(k))))
+          }
+        }.toMap
+      }
+      val liveKeys = Joins.liveRows(folded).collect().map(_.getLong(0)).toSet
+      snap(oneShot) == expected && snap(folded) == expected &&
+        liveKeys == expected.filterNot(_._2._2).keySet
+    })
+  }
+
+  test("property: kmv sketch equals the k smallest distinct values, any partitioning") {
+    import spark.implicits._
+    val caseGen = for {
+      k <- Gen.choose(2, 20)
+      // raw longs incl. negatives and duplicates: the sketch's set
+      // semantics are domain-agnostic (estimators need hash60's domain,
+      // the sketch itself does not)
+      vs <- Gen.listOf(Gen.choose(-50L, 50L))
+      parts <- Gen.choose(1, 7)
+    } yield (k, vs, parts)
+    check(Prop.forAll(caseGen) { case (k, vs, parts) =>
+      vs.isEmpty || {
+        val got = vs.toDF("h").repartition(parts)
+          .agg(graft.operators.Sketches.kmvSketch(col("h"), k).as("sk"))
+          .select(col("sk")).as[Seq[Long]].head()
+        got == vs.distinct.sorted.take(k)
+      }
+    })
+  }
 }
