@@ -314,6 +314,57 @@ object Sketches {
       .agg(kmvSketch(col("__h"), k).as("sk"))
   }
 
+  // ---- Mergeable top-k summaries (SpaceSaving-style gold tables) ----
+  //
+  // The rollup story for HEAVY HITTERS: [[heavyHitters]] answers one
+  // corpus in one pass, but a gold table of per-period summaries must
+  // merge WITHOUT re-reading raw history. Per-period state is the top-k
+  // terms with exact counts plus epsilon = the (k+1)-th count (the max
+  // count any dropped term can have); merged bounds follow Agarwal et
+  // al., "Mergeable Summaries" (PODS'12): lo = Σ tracked counts ≤ true
+  // ≤ lo + Σ epsilon of periods where the term went untracked = hi.
+  // Deterministic (ties broken by term), so a SQL oracle replays the
+  // whole pipeline hash-exact.
+
+  /** Per-period top-k term summary: `(period, term, cnt, eps)` — the k
+    * highest-count terms per period (ties broken by term) with the
+    * period's epsilon on every row. One partial-agg exchange for the
+    * counts + a per-period (partitioned, never global) rank window.
+    * ~k rows per period: this is the table a gold layer stores. */
+  def topkSummaries(df: DataFrame, period: Column, term: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1)
+    val c = df.groupBy(period.as("period"), term.as("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("period")).orderBy(col("cnt").desc, col("term"))
+    val r = c.withColumn("rk", row_number().over(w))
+    val eps = r.groupBy(col("period"))
+      .agg(coalesce(max(when(col("rk") === k + 1, col("cnt"))), lit(0L))
+        .as("eps"))
+    r.filter(col("rk") <= k).join(eps, Seq("period"))
+      .select(col("period"), col("term"), col("cnt"), col("eps"))
+  }
+
+  /** Merge stored [[topkSummaries]] to the global top-k with
+    * deterministic error bounds: `(term, lo, hi)`, ranked by upper
+    * bound. `lo ≤ true count ≤ hi` always; `lo == hi` exactly when the
+    * term was tracked in every period (in particular whenever no period
+    * truncated, eps = 0, the merge is EXACT). Cost is summary-sized —
+    * periods × k rows — raw history is never re-read; the one-row
+    * total-epsilon frame broadcasts. */
+  def topkMerge(summaries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val tot = summaries.select(col("period"), col("eps")).distinct()
+      .agg(coalesce(sum(col("eps")), lit(0L)).as("total_eps"))
+    summaries.groupBy(col("term"))
+      .agg(sum(col("cnt")).as("lo"), sum(col("eps")).as("tracked_eps"))
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("lo"),
+        (col("lo") + col("total_eps") - col("tracked_eps")).as("hi"))
+      .orderBy(col("hi").desc, col("term")).limit(k)
+  }
+
   /** Intersection-cardinality estimate from two KMV sketches (Beyer et
     * al., SIGMOD'07): members of the union sketch present in BOTH input
     * sketches estimate the Jaccard numerator; scaled by the union

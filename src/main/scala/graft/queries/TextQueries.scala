@@ -1357,5 +1357,54 @@ object TextQueries {
              |)
              |SELECT doc_id, count(*) AS n_matches
              |FROM hits GROUP BY 1""".stripMargin)),
+
+    // Mergeable top-k rollup (Sketches.topkSummaries/topkMerge): the
+    // heavy-hitter GOLD-TABLE shape — per-language top-20 word summaries
+    // (exact counts + the period's epsilon = the 21st count) merged to
+    // the global top-10 with deterministic [lo, hi] bounds, raw text
+    // never re-read at merge time (Agarwal et al., Mergeable Summaries,
+    // PODS'12). Completes the sketch-rollup family: HLL
+    // (a_hll_partial_merge) and KMV (a_kmv_rollup) roll up distincts,
+    // this rolls up top-k. The oracle replays exact per-language counts,
+    // the rank-(k+1) epsilon, and the bound arithmetic — hash-exact
+    // including tie-breaks, so truncation accounting can't drift.
+    GraftQuery("t_topk_rollup",
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        graft.operators.Sketches.topkMerge(
+          graft.operators.Sketches.topkSummaries(
+            words, col("lang"), col("term"), k = 20), k = 10)
+      },
+      Some("""WITH w AS (
+             |  SELECT lang AS period, unnest(string_split(text, ' ')) AS term
+             |  FROM documents
+             |), c AS (
+             |  SELECT period, term, count(*)::BIGINT AS cnt
+             |  FROM w GROUP BY 1, 2
+             |), r AS (
+             |  SELECT period, term, cnt,
+             |         row_number() OVER (PARTITION BY period
+             |                            ORDER BY cnt DESC, term) AS rk
+             |  FROM c
+             |), eps AS (
+             |  SELECT period,
+             |         coalesce(max(CASE WHEN rk = 21 THEN cnt END), 0) AS eps
+             |  FROM r GROUP BY 1
+             |), s AS (
+             |  SELECT r.period, r.term, r.cnt, eps.eps
+             |  FROM r JOIN eps USING (period) WHERE rk <= 20
+             |), tot AS (
+             |  SELECT coalesce(sum(eps), 0) AS total_eps
+             |  FROM (SELECT DISTINCT period, eps FROM s)
+             |), m AS (
+             |  SELECT term, sum(cnt)::BIGINT AS lo,
+             |         sum(eps)::BIGINT AS tracked_eps
+             |  FROM s GROUP BY 1
+             |)
+             |SELECT m.term, m.lo,
+             |       (m.lo + (tot.total_eps::BIGINT - m.tracked_eps))::BIGINT AS hi
+             |FROM m, tot
+             |ORDER BY hi DESC, term LIMIT 10""".stripMargin)),
   )
 }

@@ -1349,6 +1349,41 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("topkSummaries/topkMerge: bounds contain truth, exact when untruncated") {
+    import spark.implicits._
+    // two periods with different tracked sets so every accounting branch
+    // fires: a tracked in p1 only (true p2 count 1 ≤ eps2), e in p2
+    // only, b/c tracked everywhere (exact), d dropped everywhere
+    val rows =
+      Seq.fill(10)(("p1", "a")) ++ Seq.fill(8)(("p1", "b")) ++
+      Seq.fill(5)(("p1", "c")) ++ Seq.fill(2)(("p1", "d")) ++
+      Seq.fill(9)(("p2", "b")) ++ Seq.fill(7)(("p2", "c")) ++
+      Seq.fill(6)(("p2", "e")) ++ Seq.fill(1)(("p2", "a"))
+    val df = rows.toDF("p", "t")
+    val sums = graft.operators.Sketches.topkSummaries(
+      df, col("p"), col("t"), k = 3)
+    val got = graft.operators.Sketches.topkMerge(sums, k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // eps1 = 2 (d's count), eps2 = 1 (a's p2 count): a [10, 11] true 11,
+    // e [6, 8] true 6, b and c tracked everywhere → exact
+    assert(got.toSeq == Seq(("b", 17L, 17L), ("c", 12L, 12L),
+      ("a", 10L, 11L), ("e", 6L, 8L)), s"got ${got.toSeq}")
+    val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (t, lo, hi) =>
+      assert(lo <= truth(t) && truth(t) <= hi, s"$t: [$lo,$hi] vs ${truth(t)}")
+    }
+    // summary-width k covering every term → eps 0, merge EXACT, and the
+    // result is partition-invariant
+    for (parts <- Seq(1, 5)) {
+      val exact = graft.operators.Sketches.topkMerge(
+        graft.operators.Sketches.topkSummaries(
+          df.repartition(parts), col("p"), col("t"), k = 10), k = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(exact.toSeq == Seq(("b", 17L, 17L), ("c", 12L, 12L),
+        ("a", 11L, 11L), ("e", 6L, 6L), ("d", 2L, 2L)))
+    }
+  }
+
   test("heavyHitters equals exact GROUP BY/HAVING even under forced collisions") {
     import spark.implicits._
     val rows = Seq.fill(20)("hot1") ++ Seq.fill(7)("hot2") ++

@@ -8,7 +8,7 @@ parquet table in <sfDir> as a DuckDB view, runs each oracle SQL, and compares
 against the Spark result parquet at <outDir>/<name>/ — column names (sorted),
 row count, and a hash over row-sorted, column-name-sorted values.
 """
-import json, sys, hashlib, math, os
+import gc, json, sys, hashlib, math, os
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -37,12 +37,55 @@ def h(df: pd.DataFrame) -> str:
     return m.hexdigest()
 
 
-def main(sf_dir, out_dir):
+def _oracle_child(sf_dir, sql, out_path):
+    # runs in a spawned child: any DuckDB leak/fragmentation dies with
+    # the process, so one monster oracle cannot poison the next
+    con = _setup_con(sf_dir)
+    con.execute(sql).fetchdf().to_parquet(out_path, index=False)
+
+
+def run_oracle(sf_dir, sql):
+    """Replay one oracle. With GRAFT_CHECK_ISOLATE=1 (the sf1 gate), each
+    oracle runs in its own spawned process — at sf1 the heavy replays
+    (per-char CDC chunking + recursive closures) have peaked past what
+    one long-lived process can keep absorbing (r10 gate: a 48 GB OOM on
+    one oracle left the process unable to malloc 4 KB for the next)."""
+    if os.environ.get("GRAFT_CHECK_ISOLATE") != "1":
+        con = _setup_con(sf_dir)
+        try:
+            return con.execute(sql).fetchdf()
+        finally:
+            con.close()
+    import tempfile
+    from multiprocessing import get_context
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "o.parquet")
+        p = get_context("spawn").Process(
+            target=_oracle_child, args=(sf_dir, sql, out))
+        p.start()
+        p.join()
+        if p.exitcode != 0 or not os.path.exists(out):
+            raise RuntimeError(f"oracle child exited {p.exitcode}")
+        return pd.read_parquet(out)
+
+
+def _setup_con(sf_dir):
+    # one connection PER ORACLE: at sf1 the heavy replays (per-char CDC
+    # chunking, recursive closures) otherwise accumulate buffer-pool and
+    # fragmentation across 190 queries until a 16 KB malloc fails (seen
+    # in the r10 sf1 gate). A fresh connection + explicit limit + spill
+    # dir keeps each oracle's footprint independent and out-of-core.
     con = duckdb.connect()
+    con.execute("SET memory_limit='32GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     names = sorted(os.listdir(out_dir))
@@ -57,7 +100,7 @@ def main(sf_dir, out_dir):
                   f"{'ok' if len(spark_df) > 0 else 'EMPTY!'}")
             continue
         try:
-            duck_df = con.execute(oracles[name]).fetchdf()
+            duck_df = run_oracle(sf_dir, oracles[name])
         except Exception as e:
             print(f"✗ {name}: oracle SQL failed: {e}")
             fail += 1
@@ -80,6 +123,8 @@ def main(sf_dir, out_dir):
             continue
         print(f"✓ {name}: {len(a)} rows")
         ok += 1
+        del spark_df, duck_df, a, b
+        gc.collect()
     print(f"\n{ok} ok, {fail} failed")
     sys.exit(1 if fail else 0)
 
