@@ -275,4 +275,37 @@ object MetricsKernel {
         Sketches.kmvIntersectEstimate(col("sk"), col("sk_next"), k)
           .as("uniq_overlap")): _*)
   }
+
+  /** Period-over-period RETENTION / CHURN via KMV set differences — the
+    * companion of [[kmvCohortOverlap]] asked with the product question's
+    * words: of period P's unique members, how many came back in P+1
+    * (`retained`), how many did not (`churned`), and how many of P+1's
+    * members are new (`fresh`)? Same one-exchange sketch build and tiny
+    * self-join; `retained + churned` reconstructs `uniq_a` and
+    * `fresh + retained` reconstructs `uniq_b` exactly below saturation
+    * (and within floor-rounding at it), since all three estimates scale
+    * the same union sketch. HLLs cannot answer any of the three.
+    *
+    * @return dims…, period, uniq_a, uniq_b, retained, churned, fresh
+    */
+  def kmvRetention(df: DataFrame, dims: Seq[Column], period: Column,
+                   memberHash: Column, k: Int): DataFrame = {
+    val sk = df.groupBy(dims :+ period.cast("long").as("period"): _*)
+      .agg(Sketches.kmvSketch(memberHash, k).as("sk"))
+    val dimNames = sk.columns.filterNot(Set("period", "sk")).toSeq
+    val next = sk.select(
+      dimNames.map(col) ++ Seq((col("period") - 1).as("period"),
+        col("sk").as("sk_next")): _*)
+    sk.join(next, dimNames :+ "period")
+      .select(dimNames.map(col) ++ Seq(
+        col("period"),
+        Sketches.kmvEstimate(col("sk"), k).as("uniq_a"),
+        Sketches.kmvEstimate(col("sk_next"), k).as("uniq_b"),
+        Sketches.kmvIntersectEstimate(col("sk"), col("sk_next"), k)
+          .as("retained"),
+        Sketches.kmvDiffEstimate(col("sk"), col("sk_next"), k)
+          .as("churned"),
+        Sketches.kmvDiffEstimate(col("sk_next"), col("sk"), k)
+          .as("fresh")): _*)
+  }
 }

@@ -378,4 +378,113 @@ object Sketches {
         (lit((k - 1).toDouble * Hash60Range) /
           element_at(u, k).cast("double"))).cast("long"))
   }
+
+  /** Set-DIFFERENCE cardinality estimate |A \ B| from two KMV sketches —
+    * the retention/churn primitive (churned users = |prev \ cur|, new
+    * users = |cur \ prev|) that completes the sketch set algebra next to
+    * [[kmvUnion]] and [[kmvIntersectEstimate]]. Same Beyer et al.
+    * construction: members of the union sketch that fall in A but not B
+    * estimate the difference fraction, scaled by the union estimate.
+    * Exact when the union sketch is unsaturated (both sketches then hold
+    * their full distinct sets). Floored to a long. */
+  def kmvDiffEstimate(a: Column, b: Column, k: Int): Column = {
+    val u = kmvUnion(a, b, k)
+    val only = size(array_except(array_intersect(u, a), b))
+    when(size(u) < k, only.cast("long"))
+      .otherwise(floor(only.cast("double") / lit(k.toDouble) *
+        (lit((k - 1).toDouble * Hash60Range) /
+          element_at(u, k).cast("double"))).cast("long"))
+  }
+
+  /** Rolling-window uniques from a STORED daily sketch table — the
+    * dashboard question ("7-day unique users, every day") answered
+    * without ever re-reading raw history: each stored (dims, day)
+    * sketch feeds the `windowDays` window-ends it belongs to (a
+    * sketch-sized explode of at most `windowDays` offsets per row, never
+    * corpus-sized), then [[kmvRollup]]'s lossless re-cut merges each
+    * window — so every window's sketch is bit-identical to sketching its
+    * raw span directly. Window ends past the observed global max day are
+    * dropped (no partial future windows); a (dims, end) row appears only
+    * if the dims had ≥ 1 active day in the window, matching the
+    * activity-join shape of the daily table itself.
+    *
+    * @param daily one row per (dims…, dayCol) with `sketchCol` built by
+    *              [[kmvSketch]] with the same k.
+    * @return dims…, window_end, sk — feed [[kmvEstimate]] for counts.
+    */
+  def kmvSlidingUniques(daily: DataFrame, dims: Seq[Column], dayCol: Column,
+                        sketchCol: Column, k: Int,
+                        windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val maxDay = daily.agg(max(dayCol.cast("long"))).first().getLong(0)
+    val spread = daily.select(
+      dims ++ Seq(sketchCol.as("__sk"),
+        explode(sequence(dayCol.cast("long"),
+          least(dayCol.cast("long") + lit(windowDays - 1), lit(maxDay))))
+          .as("window_end")): _*)
+    val dimNames = spread.columns.filterNot(Set("__sk", "window_end")).toSeq
+    kmvRollup(spread, dimNames.map(col) :+ col("window_end"), col("__sk"), k)
+  }
+
+  // ---- Mergeable histogram quantile summaries (gold-table quantiles) --
+  //
+  // The rollup story for QUANTILES, completing the sketch-gold family
+  // next to uniques (KMV/HLL partials) and heavy hitters (top-k
+  // summaries): [[orderStatistics]] answers one corpus exactly in ≤ 6
+  // passes, but a gold layer of per-period summaries must merge WITHOUT
+  // re-reading raw history. Per-period state is a fixed-boundary
+  // histogram — (bin, cnt) rows, ≤ `bins` per period — and histograms
+  // with SHARED boundaries merge by adding counts, so the merge is
+  // summary-sized and the result carries a deterministic bound: the true
+  // q-quantile lies in the returned bin's [value_lo, value_hi) (interior
+  // bins; the clamp bins are half-open at the corpus edge). Pure integer
+  // bin arithmetic end to end, so a SQL oracle replays it hash-exact.
+
+  /** Per-period fixed-boundary histogram summary: `(period, bin, cnt)`
+    * with `bin = clamp(floor((value - lo) / width), 0, bins-1)` over
+    * non-null values. One partial-agg exchange; ≤ `bins` rows per
+    * period — the table a gold layer stores. Boundaries (lo, width,
+    * bins) are part of the summary's identity: only summaries built with
+    * the same three merge meaningfully. */
+  def histSummaries(df: DataFrame, period: Column, value: Column,
+                    lo: Long, width: Long, bins: Int): DataFrame = {
+    require(width >= 1 && bins >= 1, s"need width/bins >= 1: $width/$bins")
+    // double arithmetic, not a long cast: Spark truncates double→long
+    // while SQL engines round, so the bin must come from floor() on the
+    // IEEE-deterministic double expression both sides replay identically
+    val bin = least(greatest(
+      floor((value.cast("double") - lit(lo.toDouble)) / lit(width.toDouble)),
+      lit(0L)), lit(bins - 1L))
+    df.filter(value.isNotNull)
+      .groupBy(period.as("period"), bin.cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge stored [[histSummaries]] (any subset of periods) into
+    * quantile BOUNDS at each q: `(q, value_lo, value_hi)` where the bin
+    * holding rank `ceil(q·n)` spans `[lo + bin·width, lo + (bin+1)·width)`
+    * — so `value_hi - value_lo = width` is the guaranteed error. The
+    * merged histogram is ≤ `bins` rows, so the rank scan is a
+    * bins²-sized self-join over a broadcast-sized frame — raw history is
+    * never re-read and nothing needs a global sort or an unpartitioned
+    * window. */
+  def histQuantiles(summaries: DataFrame, qs: Seq[Double], lo: Long,
+                    width: Long): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
+    val merged = summaries.groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val cum = merged.as("a")
+      .join(broadcast(merged.as("b")), col("b.bin") <= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"))
+      .agg(sum(col("b.cnt")).as("cum"), max(col("a.cnt")).as("cnt"))
+    val n = broadcast(merged.agg(sum(col("cnt")).as("n")))
+    val qdf = summaries.sparkSession.createDataFrame(
+      qs.map(Tuple1(_))).toDF("q")
+    broadcast(qdf).crossJoin(n)
+      .join(cum, col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("q")).agg(min(col("bin")).as("bin"))
+      .select(col("q"),
+        (lit(lo) + col("bin") * lit(width)).as("value_lo"),
+        (lit(lo) + (col("bin") + 1) * lit(width)).as("value_hi"))
+  }
 }

@@ -1558,5 +1558,265 @@ object EventMetricsQueries {
              |                            / usz.theta::DOUBLE) AS BIGINT)
              |       END AS uniq_month
              |FROM usz JOIN nd ON nd.event_type = usz.event_type""".stripMargin)),
+
+    // STREAMING KMV sketch gold (StreamSketch.streamKmvGold): the events
+    // feed replayed as JSONL in interleaved thirds (event_id % 3 — every
+    // cohort straddles every micro-batch), folded into a per-(event_type,
+    // day) sketch table one batch at a time: each batch sketches its own
+    // rows, kmvRollup merges prev ∪ batch. Because the rollup is
+    // LOSSLESS, the fold is exact regardless of how the feed splits —
+    // the final gold is bit-identical to sketching all events at once,
+    // which is precisely what the oracle replays (same sorted-hash CTE
+    // as a_kmv_cohort_overlap). This is the streaming producer of the
+    // sketch gold layer the rollup/overlap queries consume.
+    GraftQuery("w_stream_kmv_gold",
+      (s, dir) => {
+        val base = Scratch.dir("stream_kmv", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        val k = 64
+        Scratch.buildOnce(base) {
+          for ((pfx, m) <- Seq(("aa_", 0), ("bb_", 1), ("cc_", 2)))
+            Scratch.dumpJsonl(ev.filter(col("event_id") % 3 === m),
+              s"$base/stage$m", s"$base/src", pfx, fmt)
+          val gold = graft.streaming.StreamSketch.streamKmvGold(
+            s, s"$base/src", ev, s"$base/gold", s"$base/cp", k,
+            b => b.groupBy(col("event_type"),
+                dayofmonth(col("ts")).as("day"))
+              .agg(graft.operators.Sketches.kmvSketch(
+                graft.operators.Dedup.hash60(col("user_id").cast("string")),
+                k).as("sk")),
+            readOptions = Map("timestampFormat" -> fmt))
+          s.read.parquet(gold)
+            .write.mode("overwrite").parquet(s"$base/final")
+        }
+        s.read.parquet(s"$base/final")
+          .select(col("event_type"), col("day").cast("long").as("day"),
+            graft.operators.Sketches.kmvEstimate(col("sk"), k).as("uniq"))
+      },
+      Some("""WITH hx AS (
+             |  SELECT DISTINCT event_type, CAST(day(ts) AS BIGINT) AS day,
+             |         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+             |  FROM events
+             |), rk AS (
+             |  SELECT event_type, day, h,
+             |         row_number() OVER (PARTITION BY event_type, day
+             |                            ORDER BY h) AS rn
+             |  FROM hx
+             |), sketch AS (SELECT event_type, day, h FROM rk WHERE rn <= 64),
+             |sz AS (
+             |  SELECT event_type, day, count(*) AS n, max(h) AS theta
+             |  FROM sketch GROUP BY 1, 2
+             |)
+             |SELECT event_type, day,
+             |       CASE WHEN n < 64 THEN n
+             |            ELSE CAST(floor((63.0 * 1152921504606846976.0)
+             |                            / theta::DOUBLE) AS BIGINT)
+             |       END AS uniq
+             |FROM sz""".stripMargin)),
+
+    // KMV retention/churn (MetricsKernel.kmvRetention over
+    // Sketches.kmvDiffEstimate): the product question asked in its own
+    // words — of day P's unique users, how many RETURNED on P+1
+    // (retained), how many DIDN'T (churned), and how many of P+1's are
+    // NEW (fresh)? Set DIFFERENCES, which neither HLL nor plain distinct
+    // counts compose into without a raw re-scan. Same single-exchange
+    // sketch build + tiny self-join as a_kmv_cohort_overlap; the oracle
+    // replays both difference estimators (members of the union sketch in
+    // one cohort and not the other, scaled by the union estimate when
+    // saturated) hash-exact, on cohorts that straddle k = 64 so both
+    // branches are graded.
+    GraftQuery("a_kmv_retention",
+      (s, dir) => graft.operators.MetricsKernel.kmvRetention(
+        Tables.events(s, dir),
+        Seq(col("event_type")),
+        dayofmonth(col("ts")),
+        graft.operators.Dedup.hash60(col("user_id").cast("string")),
+        k = 64)
+        .withColumnRenamed("period", "day"),
+      Some("""WITH hx AS (
+             |  SELECT DISTINCT event_type, CAST(day(ts) AS BIGINT) AS day,
+             |         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+             |  FROM events
+             |), rk AS (
+             |  SELECT event_type, day, h,
+             |         row_number() OVER (PARTITION BY event_type, day
+             |                            ORDER BY h) AS rn
+             |  FROM hx
+             |), sketch AS (SELECT event_type, day, h FROM rk WHERE rn <= 64),
+             |sz AS (
+             |  SELECT event_type, day, count(*) AS n, max(h) AS theta
+             |  FROM sketch GROUP BY 1, 2
+             |), est AS (
+             |  SELECT event_type, day,
+             |         CASE WHEN n < 64 THEN n
+             |              ELSE CAST(floor((63.0 * 1152921504606846976.0)
+             |                              / theta::DOUBLE) AS BIGINT) END AS u
+             |  FROM sz
+             |), pr AS (
+             |  SELECT a.event_type, a.day
+             |  FROM sz a JOIN sz b
+             |    ON b.event_type = a.event_type AND b.day = a.day + 1
+             |), um AS (
+             |  SELECT p.event_type, p.day, s.h
+             |  FROM pr p JOIN sketch s
+             |    ON s.event_type = p.event_type
+             |   AND (s.day = p.day OR s.day = p.day + 1)
+             |  GROUP BY 1, 2, 3
+             |), urk AS (
+             |  SELECT event_type, day, h,
+             |         row_number() OVER (PARTITION BY event_type, day
+             |                            ORDER BY h) AS rn
+             |  FROM um
+             |), usketch AS (SELECT event_type, day, h FROM urk WHERE rn <= 64),
+             |usz AS (
+             |  SELECT event_type, day, count(*) AS n, max(h) AS theta
+             |  FROM usketch GROUP BY 1, 2
+             |), mem AS (
+             |  SELECT u.event_type, u.day,
+             |         a.h IS NOT NULL AS in_a, b.h IS NOT NULL AS in_b
+             |  FROM usketch u
+             |  LEFT JOIN sketch a ON a.event_type = u.event_type
+             |                    AND a.day = u.day AND a.h = u.h
+             |  LEFT JOIN sketch b ON b.event_type = u.event_type
+             |                    AND b.day = u.day + 1 AND b.h = u.h
+             |), cnt AS (
+             |  SELECT event_type, day,
+             |         count(*) FILTER (WHERE in_a AND in_b) AS c_both,
+             |         count(*) FILTER (WHERE in_a AND NOT in_b) AS c_only_a,
+             |         count(*) FILTER (WHERE in_b AND NOT in_a) AS c_only_b
+             |  FROM mem GROUP BY 1, 2
+             |)
+             |SELECT pr.event_type, pr.day,
+             |       ea.u AS uniq_a, eb.u AS uniq_b,
+             |       CASE WHEN usz.n < 64 THEN cnt.c_both
+             |            ELSE CAST(floor((cnt.c_both::DOUBLE / 64.0)
+             |                 * ((63.0 * 1152921504606846976.0)
+             |                    / usz.theta::DOUBLE)) AS BIGINT)
+             |       END AS retained,
+             |       CASE WHEN usz.n < 64 THEN cnt.c_only_a
+             |            ELSE CAST(floor((cnt.c_only_a::DOUBLE / 64.0)
+             |                 * ((63.0 * 1152921504606846976.0)
+             |                    / usz.theta::DOUBLE)) AS BIGINT)
+             |       END AS churned,
+             |       CASE WHEN usz.n < 64 THEN cnt.c_only_b
+             |            ELSE CAST(floor((cnt.c_only_b::DOUBLE / 64.0)
+             |                 * ((63.0 * 1152921504606846976.0)
+             |                    / usz.theta::DOUBLE)) AS BIGINT)
+             |       END AS fresh
+             |FROM pr
+             |JOIN est ea ON ea.event_type = pr.event_type AND ea.day = pr.day
+             |JOIN est eb ON eb.event_type = pr.event_type AND eb.day = pr.day + 1
+             |JOIN usz ON usz.event_type = pr.event_type AND usz.day = pr.day
+             |JOIN cnt ON cnt.event_type = pr.event_type AND cnt.day = pr.day""".stripMargin)),
+
+    // Rolling-window uniques from the STORED daily sketch table
+    // (Sketches.kmvSlidingUniques): "7-day unique users, every day" —
+    // the dashboard sibling of a_kmv_rollup, but with OVERLAPPING
+    // windows, where raw re-scan would read each event 7× and a distinct
+    // count can't be shared across windows at all. Each daily sketch row
+    // feeds its ≤ 7 window-ends (a sketch-sized offset explode, never
+    // corpus-sized), and the lossless re-cut makes every window's sketch
+    // bit-identical to sketching its raw span directly — which is
+    // exactly what the oracle replays (per-window k-smallest distinct
+    // hashes over the raw events). Window uniques straddle k = 64, so
+    // both estimator branches grade.
+    GraftQuery("a_kmv_sliding_uniques",
+      (s, dir) => {
+        val k = 64
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(graft.operators.Sketches.kmvSketch(
+            graft.operators.Dedup.hash60(col("user_id").cast("string")), k)
+            .as("sk"))
+        graft.operators.Sketches.kmvSlidingUniques(
+            daily, Seq(col("event_type")), col("day"), col("sk"), k,
+            windowDays = 7)
+          .select(col("event_type"), col("window_end"),
+            graft.operators.Sketches.kmvEstimate(col("sk"), k).as("uniq_7d"))
+      },
+      Some("""WITH hx AS (
+             |  SELECT DISTINCT event_type, CAST(day(ts) AS BIGINT) AS day,
+             |         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+             |  FROM events
+             |), rk AS (
+             |  SELECT event_type, day, h,
+             |         row_number() OVER (PARTITION BY event_type, day
+             |                            ORDER BY h) AS rn
+             |  FROM hx
+             |), sketch AS (SELECT event_type, day, h FROM rk WHERE rn <= 64),
+             |mx AS (SELECT max(day) AS md FROM sketch),
+             |sp AS (
+             |  SELECT s.event_type,
+             |         unnest(generate_series(s.day, least(s.day + 6, mx.md)))
+             |           AS window_end,
+             |         s.h
+             |  FROM sketch s CROSS JOIN mx
+             |), um AS (SELECT DISTINCT event_type, window_end, h FROM sp),
+             |urk AS (
+             |  SELECT event_type, window_end, h,
+             |         row_number() OVER (PARTITION BY event_type, window_end
+             |                            ORDER BY h) AS rn
+             |  FROM um
+             |), usk AS (SELECT event_type, window_end, h
+             |           FROM urk WHERE rn <= 64),
+             |usz AS (
+             |  SELECT event_type, window_end, count(*) AS n, max(h) AS theta
+             |  FROM usk GROUP BY 1, 2
+             |)
+             |SELECT event_type, window_end,
+             |       CASE WHEN n < 64 THEN n
+             |            ELSE CAST(floor((63.0 * 1152921504606846976.0)
+             |                            / theta::DOUBLE) AS BIGINT)
+             |       END AS uniq_7d
+             |FROM usz""".stripMargin)),
+
+    // Mergeable histogram quantile summaries (Sketches.histSummaries /
+    // histQuantiles): the QUANTILE member of the sketch-gold family —
+    // per-period fixed-boundary histograms stored as gold rows (≤ bins
+    // per period), merged into quantile BOUNDS for the whole corpus
+    // without re-reading raw history. The true q-quantile is guaranteed
+    // inside [value_lo, value_hi) with value_hi - value_lo = width; for
+    // exact answers orderStatistics re-scans, but a gold dashboard wants
+    // the summary-sized merge. Shape: one partial-agg exchange builds
+    // every period's histogram, the merge + rank scan run over ≤ bins
+    // broadcast-sized rows (bins² self-join for the cumulative — no
+    // global sort, no unpartitioned window). The oracle replays the
+    // whole pipeline — binning (IEEE double floor), per-period counts,
+    // merge, ceil-rank pick — hash-exact.
+    GraftQuery("a_hist_quantile_rollup",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val summaries = graft.operators.Sketches.histSummaries(
+          li, month(col("l_shipdate")), col("l_extendedprice"),
+          lo = 900L, width = 1000L, bins = 105)
+        graft.operators.Sketches.histQuantiles(
+          summaries, Seq(0.25, 0.5, 0.75, 0.95), lo = 900L, width = 1000L)
+      },
+      Some("""WITH h AS (
+             |  SELECT month(l_shipdate) AS period,
+             |         CAST(least(greatest(
+             |           floor((l_extendedprice - 900.0) / 1000.0), 0), 104)
+             |           AS BIGINT) AS bin
+             |  FROM lineitem
+             |), s AS (
+             |  SELECT period, bin, count(*) AS cnt FROM h GROUP BY 1, 2
+             |), m AS (SELECT bin, sum(cnt) AS cnt FROM s GROUP BY 1),
+             |n AS (SELECT sum(cnt) AS n FROM m),
+             |c AS (
+             |  SELECT a.bin, sum(b.cnt) AS cum
+             |  FROM m a JOIN m b ON b.bin <= a.bin GROUP BY 1
+             |), qq AS (
+             |  SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE,
+             |                 0.75::DOUBLE, 0.95::DOUBLE]) AS q
+             |), pick AS (
+             |  SELECT qq.q, min(c.bin) AS bin
+             |  FROM qq CROSS JOIN n
+             |  JOIN c ON c.cum >= ceil(qq.q * n.n)
+             |  GROUP BY 1
+             |)
+             |SELECT q, 900 + bin * 1000 AS value_lo,
+             |       900 + (bin + 1) * 1000 AS value_hi
+             |FROM pick""".stripMargin)),
   )
 }

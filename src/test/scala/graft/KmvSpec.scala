@@ -183,4 +183,83 @@ class KmvSpec extends SparkSpec {
       (1L, 30L, 35L, 45L, 20L),
       (2L, 35L, 10L, 40L, 5L)), s"got $got")
   }
+
+  test("kmvDiffEstimate: exact below saturation; identities hold above it") {
+    val k = 128
+    val a = ids(0, 60)
+    val b = ids(40, 100) // |A\B| = 40, |B\A| = 40, overlap 20, union 100
+    val exact = Seq((sketchOf(a, k), sketchOf(b, k))).toDF("ska", "skb")
+      .select(
+        Sketches.kmvDiffEstimate(col("ska"), col("skb"), k).as("ab"),
+        Sketches.kmvDiffEstimate(col("skb"), col("ska"), k).as("ba"),
+        Sketches.kmvDiffEstimate(col("ska"), col("ska"), k).as("self"))
+      .as[(Long, Long, Long)].head()
+    assert(exact == ((40L, 40L, 0L)), s"got $exact")
+    // saturated: the three estimates partition the union sketch, so
+    // diff + intersect + diff reconstructs the union estimate up to the
+    // three independent floors; each estimate tracks its truth
+    val bigA = ids(0, 12000)
+    val bigB = ids(6000, 18000)
+    val kk = 256
+    val (u, i, ab, ba) =
+      Seq((sketchOf(bigA, kk), sketchOf(bigB, kk))).toDF("ska", "skb")
+        .select(
+          Sketches.kmvEstimate(
+            Sketches.kmvUnion(col("ska"), col("skb"), kk), kk)
+            .cast("long").as("u"),
+          Sketches.kmvIntersectEstimate(col("ska"), col("skb"), kk).as("i"),
+          Sketches.kmvDiffEstimate(col("ska"), col("skb"), kk).as("ab"),
+          Sketches.kmvDiffEstimate(col("skb"), col("ska"), kk).as("ba"))
+        .as[(Long, Long, Long, Long)].head()
+    assert(math.abs(ab - 6000) < 6000 * 0.45, s"diff A\\B $ab vs 6000")
+    assert(math.abs(ba - 6000) < 6000 * 0.45, s"diff B\\A $ba vs 6000")
+    assert(math.abs((ab + i + ba) - u) <= 3,
+      s"partition identity: $ab + $i + $ba vs union $u")
+  }
+
+  test("kmvRetention: retained/churned/fresh are exact below saturation") {
+    val rows =
+      (0 until 30).map(i => ("t", 1, s"u$i")) ++   // p1: u0..29
+      (10 until 45).map(i => ("t", 2, s"u$i"))     // p2: u10..44
+    val got = MetricsKernel.kmvRetention(rows.toDF("t", "p", "u"),
+      Seq(col("t")), col("p"), Dedup.hash60(col("u")), k = 128)
+      .select(col("period"), col("uniq_a"), col("uniq_b"),
+        col("retained"), col("churned"), col("fresh"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // retained u10..29 = 20, churned u0..9 = 10, fresh u30..44 = 15
+    assert(got == Seq((1L, 30L, 35L, 20L, 10L, 15L)), s"got $got")
+  }
+
+  test("kmvSlidingUniques: each window bit-identical to sketching its raw span") {
+    val k = 64
+    // 2 types × days 1..9 with a GAP (day 5 absent for type b); member
+    // sets overlap across days; some windows saturate, some don't
+    val rows = for {
+      (t, mult) <- Seq(("a", 40), ("b", 9)) // "a" 3-day windows hold ~80 > k
+      d <- 1 to 9 if !(t == "b" && d == 5)
+      i <- (d * mult / 2) until (d * mult / 2 + mult)
+    } yield (t, d, s"$t-m$i")
+    val df = rows.toDF("t", "d", "id")
+    val daily = df.groupBy(col("t"), col("d"))
+      .agg(Sketches.kmvSketch(Dedup.hash60(col("id")), k).as("sk"))
+    val w = 3
+    val got = Sketches.kmvSlidingUniques(daily, Seq(col("t")), col("d"),
+      col("sk"), k, w)
+      .select(col("t"), col("window_end"), col("sk"))
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // expected: for every (t, end) with ≥1 active day in [end-w+1, end],
+    // the direct sketch of the raw rows in that span
+    val expected = (for {
+      t <- Seq("a", "b"); e <- 1L to 9L
+      span = rows.filter(r => r._1 == t && r._2 > e - w && r._2 <= e)
+      if span.nonEmpty
+    } yield (t, e) -> span.map(_._3).distinct.toDF("id")
+      .agg(Sketches.kmvSketch(Dedup.hash60(col("id")), k).as("sk"))
+      .select(col("sk")).as[Seq[Long]].head()).toMap
+    assert(got.keySet == expected.keySet,
+      s"window coverage mismatch: ${got.keySet} vs ${expected.keySet}")
+    for (key <- expected.keySet)
+      assert(got(key) == expected(key), s"window $key sketch differs")
+  }
 }

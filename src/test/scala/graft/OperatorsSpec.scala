@@ -1384,6 +1384,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("histSummaries/histQuantiles: merged gold bounds contain the true quantile") {
+    import spark.implicits._
+    // values 0..99 split across two periods: bin b holds exactly 10
+    // values, so every rank boundary is known in closed form
+    val vals = (0 until 100).map(v => (if (v % 2 == 0) "p1" else "p2",
+      v.toDouble))
+    val df = vals.toDF("p", "v")
+    val sums = graft.operators.Sketches.histSummaries(
+      df, col("p"), col("v"), lo = 0L, width = 10L, bins = 10)
+    assert(sums.groupBy(col("period")).count().collect()
+      .forall(_.getLong(1) <= 10), "summary must be ≤ bins rows per period")
+    def quantiles(s: org.apache.spark.sql.DataFrame, qs: Seq[Double]) =
+      graft.operators.Sketches.histQuantiles(s, qs, lo = 0L, width = 10L)
+        .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val got = quantiles(sums, Seq(0.05, 0.1, 0.5, 1.0))
+    // ceil-rank picks: rank 5 → bin0; rank 10 exactly at the bin edge →
+    // still bin0 (min bin with cum ≥ rank); rank 50 → bin4; rank 100 → bin9
+    assert(got == Map(0.05 -> ((0L, 10L)), 0.1 -> ((0L, 10L)),
+      0.5 -> ((40L, 50L)), 1.0 -> ((90L, 100L))), s"got $got")
+    // the bound CONTAINS the true ceil-rank quantile value
+    val sorted = vals.map(_._2).sorted
+    for ((q, (vlo, vhi)) <- got) {
+      val truth = sorted(math.ceil(q * sorted.size).toInt - 1)
+      assert(vlo <= truth && truth < vhi, s"q=$q: [$vlo,$vhi) vs $truth")
+    }
+    // merging per-period summaries ≡ one global summary (shared
+    // boundaries add) — the gold-table merge property
+    val global = graft.operators.Sketches.histSummaries(
+      df, lit("all"), col("v"), lo = 0L, width = 10L, bins = 10)
+    assert(quantiles(sums, Seq(0.25, 0.75)) ==
+      quantiles(global, Seq(0.25, 0.75)))
+    // out-of-range values clamp to the edge bins deterministically
+    val clamped = graft.operators.Sketches.histSummaries(
+      df.union(Seq(("p1", -5.0), ("p2", 1000.0)).toDF("p", "v")),
+      col("p"), col("v"), lo = 0L, width = 10L, bins = 10)
+    // n = 102, rank ceil(.5·102) = 51; bin0 now counts 11 → cum(bin4) = 51
+    assert(quantiles(clamped, Seq(0.5)) == Map(0.5 -> ((40L, 50L))))
+  }
+
   test("heavyHitters equals exact GROUP BY/HAVING even under forced collisions") {
     import spark.implicits._
     val rows = Seq.fill(20)("hot1") ++ Seq.fill(7)("hot2") ++
