@@ -52,7 +52,9 @@ object Bench {
     "d_incremental_components", // daily dedup-group fold (contracted star contraction)
     "a_exact_quantiles",   // exact order statistics, no global sort (histogram quickselect)
     "a_kmv_cohort_overlap", // KMV sketch build + cohort union/intersect estimates
-    "d_byte_incremental")  // incremental byte-grain near-dup fold (registry probe)
+    "d_byte_incremental",  // incremental byte-grain near-dup fold (registry probe)
+    "a_kmv_sliding_uniques", // rolling-window uniques from stored daily sketches
+    "a_hist_quantile_rollup") // mergeable histogram quantile gold (summary-sized merge)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

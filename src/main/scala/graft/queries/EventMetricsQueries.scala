@@ -1771,6 +1771,43 @@ object EventMetricsQueries {
              |       END AS uniq_7d
              |FROM usz""".stripMargin)),
 
+    // STREAMING histogram gold (StreamSketch.streamHistGold): the same
+    // interleaved-thirds JSONL replay as w_stream_kmv_gold, folded into
+    // a per-(event_type, bin) histogram table one micro-batch at a time
+    // — the streaming producer of the summaries a_hist_quantile_rollup
+    // merges. Histogram counts ADD across batches (shared fixed
+    // boundaries), so the fold is exact by construction under any feed
+    // split — the graded property is bit-equality of the folded gold
+    // against the batch-free histogram the oracle computes directly.
+    GraftQuery("w_stream_hist_gold",
+      (s, dir) => {
+        val base = Scratch.dir("stream_hist", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          for ((pfx, m) <- Seq(("aa_", 0), ("bb_", 1), ("cc_", 2)))
+            Scratch.dumpJsonl(ev.filter(col("event_id") % 3 === m),
+              s"$base/stage$m", s"$base/src", pfx, fmt)
+          val gold = graft.streaming.StreamSketch.streamHistGold(
+            s, s"$base/src", ev, s"$base/gold", s"$base/cp",
+            b => graft.operators.Sketches.histSummaries(
+              b, col("event_type"), col("value"),
+              lo = 0L, width = 25L, bins = 20),
+            readOptions = Map("timestampFormat" -> fmt))
+          s.read.parquet(gold)
+            .write.mode("overwrite").parquet(s"$base/final")
+        }
+        s.read.parquet(s"$base/final")
+          .select(col("period").as("event_type"), col("bin"), col("cnt"))
+      },
+      Some("""SELECT event_type,
+             |       CAST(least(greatest(floor(("value" - 0.0) / 25.0), 0), 19)
+             |            AS BIGINT) AS bin,
+             |       count(*) AS cnt
+             |FROM events
+             |WHERE "value" IS NOT NULL
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Mergeable histogram quantile summaries (Sketches.histSummaries /
     // histQuantiles): the QUANTILE member of the sketch-gold family —
     // per-period fixed-boundary histograms stored as gold rows (≤ bins

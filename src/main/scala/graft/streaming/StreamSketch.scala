@@ -5,39 +5,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Streaming KMV sketch gold: an event stream folded into a persistent
-  * per-cohort distinct-sketch table one micro-batch at a time — the
-  * streaming producer of the sketch gold layer that
-  * [[graft.operators.Sketches.kmvRollup]] re-aggregates and
-  * [[graft.operators.MetricsKernel.kmvCohortOverlap]] answers overlap
-  * questions from. Each batch sketches ONLY its own rows (bounded
-  * partial state, one partial-agg exchange over the batch), then the
-  * fold merges `previous gold ∪ batch sketches` with `kmvRollup` —
-  * and because KMV rollup is LOSSLESS (k-min of a union of k-min sets
-  * IS the k-min of the union), the fold is EXACT: the final gold is
-  * bit-identical to sketching the whole feed in one batch, no matter
+/** Streaming producers for the sketch gold layer: an event stream folded
+  * into a persistent per-cohort summary table one micro-batch at a time.
+  * Each batch summarizes ONLY its own rows (bounded partial state, one
+  * partial-agg exchange over the batch), then the fold merges
+  * `previous gold ∪ batch summaries` with the family's re-aggregation.
+  * Both shipped folds are LOSSLESS — KMV because the k-min of a union of
+  * k-min sets IS the k-min of the union, histograms because
+  * shared-boundary counts add — so the fold is EXACT: the final gold is
+  * bit-identical to summarizing the whole feed in one batch, no matter
   * how rows split across micro-batches. That bit-equality is what the
-  * graded query's oracle checks.
+  * graded queries' oracles check.
   *
   * Persistence protocol: the same copy-on-write `v<batchId>` version
   * directories and newest-`_SUCCESS` recovery as [[StreamMerge]] —
   * `foreachBatch` runs sequentially on the driver, each fold reads the
   * previous complete version and writes the next. At 100 TB the gold
   * table is cohort-partitioned and each fold rewrites only the cohorts
-  * the batch touched (batch sketch rows name exactly those cohorts).
+  * the batch touched (batch summary rows name exactly those cohorts).
   */
 object StreamSketch {
 
-  /** Stream `srcDir` JSONL through per-batch sketch + rollup folds;
+  /** Generic per-batch summarize + merge fold over a JSONL stream;
     * returns the final gold path (`<goldDir>/v<lastBatch>`).
-    * `sketchOf` maps a raw micro-batch to sketch rows: named cohort
-    * columns plus a `sk` array built by `Sketches.kmvSketch(_, k)` —
-    * the SAME k passed here, so the fold's re-cut preserves it. */
-  def streamKmvGold(spark: SparkSession, srcDir: String,
-                    schemaSource: DataFrame, goldDir: String,
-                    checkpoint: String, k: Int,
-                    sketchOf: DataFrame => DataFrame,
-                    readOptions: Map[String, String] = Map.empty): String = {
+    * `summarize` maps a raw micro-batch to gold-shaped summary rows;
+    * `merge` re-aggregates `previous gold ∪ batch summaries` back to
+    * gold shape and must be LOSSLESS for the fold to stay exact. */
+  def streamFoldGold(spark: SparkSession, srcDir: String,
+                     schemaSource: DataFrame, goldDir: String,
+                     checkpoint: String,
+                     summarize: DataFrame => DataFrame,
+                     merge: DataFrame => DataFrame,
+                     readOptions: Map[String, String] = Map.empty): String = {
     val stream = spark.readStream
       .schema(schemaSource.schema)
       .option("mode", "DROPMALFORMED")
@@ -56,14 +55,10 @@ object StreamSketch {
         .lastOption.map(st => s"$goldDir/${st.getPath.getName}")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bs = sketchOf(batch)
-        val dims = bs.columns.filterNot(_ == "sk").toSeq
+        val bs = summarize(batch)
         val merged = current match {
-          case Some(p) =>
-            Sketches.kmvRollup(
-              spark.read.parquet(p).unionByName(bs),
-              dims.map(col), col("sk"), k)
-          case None => bs
+          case Some(p) => merge(spark.read.parquet(p).unionByName(bs))
+          case None    => bs
         }
         val next = s"$goldDir/v$batchId"
         merged.write.mode("overwrite").parquet(next)
@@ -76,4 +71,43 @@ object StreamSketch {
     current.getOrElse(
       throw new IllegalStateException("stream produced no batches"))
   }
+
+  /** KMV distinct-sketch fold: the streaming producer of the table
+    * [[graft.operators.Sketches.kmvRollup]] re-aggregates and
+    * [[graft.operators.MetricsKernel.kmvCohortOverlap]] answers overlap
+    * questions from. `sketchOf` maps a raw micro-batch to sketch rows:
+    * named cohort columns plus a `sk` array built by
+    * `Sketches.kmvSketch(_, k)` — the SAME k passed here, so the fold's
+    * re-cut preserves it. */
+  def streamKmvGold(spark: SparkSession, srcDir: String,
+                    schemaSource: DataFrame, goldDir: String,
+                    checkpoint: String, k: Int,
+                    sketchOf: DataFrame => DataFrame,
+                    readOptions: Map[String, String] = Map.empty): String =
+    streamFoldGold(spark, srcDir, schemaSource, goldDir, checkpoint,
+      sketchOf,
+      merged => {
+        val dims = merged.columns.filterNot(_ == "sk").toSeq
+        Sketches.kmvRollup(merged, dims.map(col), col("sk"), k)
+      },
+      readOptions)
+
+  /** Histogram-summary fold: the streaming producer of the table
+    * [[graft.operators.Sketches.histQuantiles]] merges into quantile
+    * bounds. `summarize` maps a raw micro-batch to histogram rows:
+    * named cohort columns plus `(bin, cnt)` built by
+    * `Sketches.histSummaries` with FIXED shared boundaries — counts
+    * then add across batches, so the fold is exact by construction. */
+  def streamHistGold(spark: SparkSession, srcDir: String,
+                     schemaSource: DataFrame, goldDir: String,
+                     checkpoint: String,
+                     summarize: DataFrame => DataFrame,
+                     readOptions: Map[String, String] = Map.empty): String =
+    streamFoldGold(spark, srcDir, schemaSource, goldDir, checkpoint,
+      summarize,
+      merged => {
+        val dims = merged.columns.filterNot(_ == "cnt").toSeq
+        merged.groupBy(dims.map(col): _*).agg(sum(col("cnt")).as("cnt"))
+      },
+      readOptions)
 }

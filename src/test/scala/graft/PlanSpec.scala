@@ -507,4 +507,38 @@ class PlanSpec extends SparkSpec {
         s"byteCdcChunks($mode) shuffles — chunking must run at scan speed:\n$p")
     }
   }
+
+  test("sliding uniques read raw events ONCE; window fan-out is sketch-sized") {
+    // AQE plan strings append an "== Initial Plan ==" duplicate — count
+    // only the final-plan section
+    val p = plan("a_kmv_sliding_uniques").split("== Initial Plan ==")(0)
+    // the rolling windows come from the stored daily sketches, so the
+    // raw table is scanned exactly once (the daily build) — a raw
+    // rolling distinct would scan it per window (or explode it 7×)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE events scan, got $scans:\n$p")
+    // both generators run ABOVE the daily sketch aggregate (offset
+    // explode + rollup member explode are sketch-sized); raw rows are
+    // never exploded — the scan feeds partial_graft_kmv directly
+    assert("Generate explode".r.findAllIn(p).size == 2)
+    // tree prints top-down: every Generate must appear ABOVE (earlier
+    // than) the daily sketch partial-aggregate that consumes raw rows
+    val dailyAgg = p.indexOf("partial_graft_kmv(graft_hash60")
+    assert(dailyAgg >= 0 && p.lastIndexOf("Generate explode") < dailyAgg,
+      s"a Generate sits below the daily aggregate (raw-row explode):\n$p")
+  }
+
+  test("hist quantile merge: no global sort, no window, summaries broadcast") {
+    val p = plan("a_hist_quantile_rollup")
+    // the gold merge must stay summary-sized: the cumulative comes from
+    // a broadcast bins² self-join, not a global sort or running-total
+    // window over the corpus
+    assert(!p.contains("Window"), s"windowed cumulative:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"summary frame not broadcast:\n$p")
+    val globalSorts = "(?m)^[\\s:+\\-|*]*Sort \\[".r.findAllIn(p).size
+    assert(globalSorts == 0, s"sort in a summary-sized merge:\n$p")
+    // binning + per-period counts partially aggregate before the exchange
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
 }

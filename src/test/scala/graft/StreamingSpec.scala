@@ -390,4 +390,47 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(sketches(after) == expected)
   }
+
+  test("streaming histogram fold equals the one-shot histogram, then keeps folding") {
+    import graft.operators.Sketches
+    import graft.streaming.StreamSketch
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streamhist").toString
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    def put(name: String, rows: Seq[(String, Double)], mtime: Long): Unit = {
+      val f = new java.io.File(src, name)
+      java.nio.file.Files.writeString(f.toPath,
+        rows.map { case (g, v) => s"""{"g":"$g","v":$v}""" }
+          .mkString("", "\n", "\n"))
+      f.setLastModified(mtime); ()
+    }
+    // values straddle bin edges and the clamp bins; cohorts straddle
+    // batches — counts must ADD across the fold, never re-bin
+    val b1 = Seq("a" -> 1.0, "a" -> 9.9, "a" -> 10.0, "b" -> -3.0)
+    val b2 = Seq("a" -> 10.0, "a" -> 25.0, "b" -> 99.0, "b" -> 1000.0)
+    val b3 = Seq("a" -> 29.999, "b" -> 0.0, "b" -> 30.0)
+    put("x.json", b1, 1700000000000L)
+    put("y.json", b2, 1700000002000L)
+    put("z.json", b3, 1700000004000L)
+    val schemaDf = Seq(("a", 1.0)).toDF("g", "v")
+    val summarize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => Sketches.histSummaries(b, col("g"), col("v"),
+        lo = 0L, width = 10L, bins = 3)
+    val finalPath = StreamSketch.streamHistGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", summarize)
+    def hist(path: String): Map[(String, Long), Long] =
+      spark.read.parquet(path).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = summarize((b1 ++ b2 ++ b3).toDF("g", "v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(hist(finalPath) == direct,
+      "fold must be bit-identical to the batch-free histogram")
+    // a late file keeps folding from the recovered base
+    put("w.json", Seq("a" -> 5.0), 1700000006000L)
+    val after = StreamSketch.streamHistGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", summarize)
+    val expect = summarize((b1 ++ b2 ++ b3 :+ ("a" -> 5.0)).toDF("g", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(hist(after) == expect)
+  }
 }
