@@ -54,7 +54,8 @@ object Bench {
     "a_kmv_cohort_overlap", // KMV sketch build + cohort union/intersect estimates
     "d_byte_incremental",  // incremental byte-grain near-dup fold (registry probe)
     "a_kmv_sliding_uniques", // rolling-window uniques from stored daily sketches
-    "a_hist_quantile_rollup") // mergeable histogram quantile gold (summary-sized merge)
+    "a_hist_quantile_rollup", // mergeable histogram quantile gold (summary-sized merge)
+    "a_kmv_weighted_overlap") // weighted pair-sketch cohort intersection (tuple-sketch shape)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

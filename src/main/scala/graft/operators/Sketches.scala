@@ -426,6 +426,71 @@ object Sketches {
     kmvRollup(spread, dimNames.map(col) :+ col("window_end"), col("__sk"), k)
   }
 
+  // ---- Weighted KMV pair sketches (tuple-sketch-style summaries) ----
+
+  /** Weighted KMV sketch aggregate: the k smallest distinct member
+    * hashes, each carrying the SUM of that member's LONG weights
+    * (cents, tokens, counts) — see [[graft.plans.KmvPairSketchAgg]] for
+    * the eviction-safety argument. Emitted sorted ascending by hash as
+    * `array<struct<h, v>>`. */
+  def kmvPairSketch(hashed: Column, weight: Column, k: Int): Column =
+    org.apache.spark.sql.GraftShims.column(
+      graft.plans.KmvPairSketchAgg(
+        org.apache.spark.sql.GraftShims.expression(hashed),
+        org.apache.spark.sql.GraftShims.expression(weight), k)
+        .toAggregateExpression())
+
+  /** Total weight over DISTINCT members from a pair sketch: exact sum
+    * below saturation; at it, the k-1 members below θ are a uniform
+    * sample of the member set, so `Σ sampled weights × 2^60/θ`, floored
+    * to a long. */
+  def kmvWeightEstimate(sketch: Column, k: Int): Column = {
+    val total = aggregate(sketch, lit(0L), (acc, x) => acc + x.getField("v"))
+    val below = aggregate(slice(sketch, 1, k - 1), lit(0L),
+      (acc, x) => acc + x.getField("v"))
+    when(size(sketch) < k, total)
+      .otherwise(floor(below.cast("double") * lit(Hash60Range) /
+        element_at(sketch, k).getField("h").cast("double")).cast("long"))
+  }
+
+  /** Re-aggregate stored pair sketches to a coarser grouping — the
+    * weighted sibling of [[kmvRollup]]: explode the ≤ k members per
+    * row, SUM weights per member (the same member active in several
+    * fine-grained periods merges its sums), re-sketch to the k
+    * smallest. LOSSLESS by the same eviction-safety argument: a member
+    * of the rolled-up k-min was in its own period's k-min (its hash is
+    * below every θ involved), so its weight arrived complete. */
+  def kmvPairRollup(sketches: DataFrame, dims: Seq[Column],
+                    sketchCol: Column, k: Int): DataFrame = {
+    val exploded = sketches.select(dims :+ explode(sketchCol).as("__m"): _*)
+      .select(col("*"), col("__m.h").as("__h"), col("__m.v").as("__v"))
+      .drop("__m")
+    val dimNames = exploded.columns.filterNot(Set("__h", "__v")).toSeq
+    // one aggregation: the pair aggregate itself sums weights when the
+    // same member arrives from several fine-grained rows
+    exploded.groupBy(dimNames.map(col): _*)
+      .agg(kmvPairSketch(col("__h"), col("__v"), k).as("sk"))
+  }
+
+  /** Weight of the INTERSECTION from two pair sketches — "total cents
+    * spent (across both cohorts) by members active in BOTH": shared
+    * members below the union's θ are a uniform sample of the
+    * intersection, their combined weights scale by 2^60/θ_union. Exact
+    * when the union sketch is unsaturated. */
+  def kmvPairIntersectWeight(a: Column, b: Column, k: Int): Column = {
+    val ah = transform(a, _.getField("h"))
+    val bh = transform(b, _.getField("h"))
+    val u = slice(array_sort(array_union(ah, bh)), 1, k)
+    val shared = array_intersect(array_intersect(ah, bh), u)
+    def sumIn(sk: Column) = aggregate(
+      filter(sk, x => array_contains(shared, x.getField("h"))),
+      lit(0L), (acc, x) => acc + x.getField("v"))
+    val s = sumIn(a) + sumIn(b)
+    when(size(u) < k, s)
+      .otherwise(floor(s.cast("double") * lit(Hash60Range) /
+        element_at(u, k).cast("double")).cast("long"))
+  }
+
   // ---- Mergeable histogram quantile summaries (gold-table quantiles) --
   //
   // The rollup story for QUANTILES, completing the sketch-gold family
@@ -447,7 +512,16 @@ object Sketches {
     * bins) are part of the summary's identity: only summaries built with
     * the same three merge meaningfully. */
   def histSummaries(df: DataFrame, period: Column, value: Column,
-                    lo: Long, width: Long, bins: Int): DataFrame = {
+                    lo: Long, width: Long, bins: Int): DataFrame =
+    histSummariesBy(df, Seq(period.as("period")), value, lo, width, bins)
+
+  /** Multi-dimension variant of [[histSummaries]]: one histogram per
+    * `dims` combination (e.g. a gold table keyed by (event_type, day) —
+    * roll up days per type by summing counts, then quantile any slice
+    * with [[histQuantilesBy]]). Alias the dims — names carry to the
+    * output. */
+  def histSummariesBy(df: DataFrame, dims: Seq[Column], value: Column,
+                      lo: Long, width: Long, bins: Int): DataFrame = {
     require(width >= 1 && bins >= 1, s"need width/bins >= 1: $width/$bins")
     // double arithmetic, not a long cast: Spark truncates double→long
     // while SQL engines round, so the bin must come from floor() on the
@@ -456,7 +530,7 @@ object Sketches {
       floor((value.cast("double") - lit(lo.toDouble)) / lit(width.toDouble)),
       lit(0L)), lit(bins - 1L))
     df.filter(value.isNotNull)
-      .groupBy(period.as("period"), bin.cast("long").as("bin"))
+      .groupBy(dims :+ bin.cast("long").as("bin"): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -469,22 +543,44 @@ object Sketches {
     * never re-read and nothing needs a global sort or an unpartitioned
     * window. */
   def histQuantiles(summaries: DataFrame, qs: Seq[Double], lo: Long,
-                    width: Long): DataFrame = {
+                    width: Long): DataFrame =
+    histQuantilesBy(summaries, Nil, qs, lo, width)
+      .drop("__all")
+
+  /** Per-GROUP variant of [[histQuantiles]]: merge stored summaries to
+    * quantile bounds for every `dims` combination in one pass (e.g.
+    * per-event-type p50/p95 from the same gold rows). Identical rank
+    * rule and guarantees; the cumulative self-join and rank scan key on
+    * the group, so each group's frame stays ≤ bins rows and the whole
+    * merge is one summary-sized shuffle. `dims = Nil` collapses to the
+    * global quantiles. */
+  def histQuantilesBy(summaries: DataFrame, dims: Seq[Column],
+                      qs: Seq[Double], lo: Long, width: Long): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
-    val merged = summaries.groupBy(col("bin"))
+    val withG = summaries.select(
+      (if (dims.isEmpty) Seq(lit(0).as("__all")) else dims) ++
+        Seq(col("bin"), col("cnt")): _*)
+    val gNames = withG.columns.filterNot(Set("bin", "cnt")).toSeq
+    val merged = withG.groupBy((gNames :+ "bin").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
     val cum = merged.as("a")
-      .join(broadcast(merged.as("b")), col("b.bin") <= col("a.bin"))
-      .groupBy(col("a.bin").as("bin"))
-      .agg(sum(col("b.cnt")).as("cum"), max(col("a.cnt")).as("cnt"))
-    val n = broadcast(merged.agg(sum(col("cnt")).as("n")))
+      .join(broadcast(merged.as("b")),
+        gNames.map(g => col(s"a.$g") === col(s"b.$g"))
+          .reduce(_ && _) && col("b.bin") <= col("a.bin"))
+      .groupBy(gNames.map(g => col(s"a.$g").as(g)) :+
+        col("a.bin").as("bin"): _*)
+      .agg(sum(col("b.cnt")).as("cum"))
+    val n = broadcast(merged.groupBy(gNames.map(col): _*)
+      .agg(sum(col("cnt")).as("n")))
     val qdf = summaries.sparkSession.createDataFrame(
       qs.map(Tuple1(_))).toDF("q")
-    broadcast(qdf).crossJoin(n)
-      .join(cum, col("cum") >= ceil(col("q") * col("n")))
-      .groupBy(col("q")).agg(min(col("bin")).as("bin"))
-      .select(col("q"),
+    n.crossJoin(broadcast(qdf))
+      .join(cum, gNames)
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy((gNames :+ "q").map(col): _*)
+      .agg(min(col("bin")).as("bin"))
+      .select(gNames.map(col) ++ Seq(col("q"),
         (lit(lo) + col("bin") * lit(width)).as("value_lo"),
-        (lit(lo) + (col("bin") + 1) * lit(width)).as("value_hi"))
+        (lit(lo) + (col("bin") + 1) * lit(width)).as("value_hi")): _*)
   }
 }

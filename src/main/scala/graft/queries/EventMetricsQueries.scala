@@ -1855,5 +1855,193 @@ object EventMetricsQueries {
              |SELECT q, 900 + bin * 1000 AS value_lo,
              |       900 + (bin + 1) * 1000 AS value_hi
              |FROM pick""".stripMargin)),
+
+    // Weighted cohort overlap via KMV PAIR sketches (plans.
+    // KmvPairSketchAgg + Sketches.kmvPairIntersectWeight): "how much did
+    // the users active on BOTH day P and P+1 spend (across the two
+    // days)?" — a weighted set-intersection no plain aggregate answers
+    // without re-joining raw events. Each cohort's gold row is the k
+    // smallest user hashes, each carrying that user's summed cents
+    // (eviction-safe: a member evicted anywhere can never be below the
+    // final θ). Shared members below the union's θ are a uniform sample
+    // of the intersection; weights scale by 2^60/θ_union, exact below
+    // saturation. The oracle replays member sums, both sketches, the
+    // union re-cut, and both estimator branches hash-exact.
+    GraftQuery("a_kmv_weighted_overlap",
+      (s, dir) => {
+        val k = 64
+        val ev = Tables.events(s, dir)
+        val cents = round(col("value") * 100).cast("long")
+        val sk = ev.groupBy(col("event_type"),
+            dayofmonth(col("ts")).cast("long").as("day"))
+          .agg(graft.operators.Sketches.kmvPairSketch(
+            graft.operators.Dedup.hash60(col("user_id").cast("string")),
+            cents, k).as("sk"))
+        val next = sk.select(col("event_type"), (col("day") - 1).as("day"),
+          col("sk").as("sk_next"))
+        sk.join(next, Seq("event_type", "day"))
+          .select(col("event_type"), col("day"),
+            graft.operators.Sketches.kmvIntersectEstimate(
+              transform(col("sk"), _.getField("h")),
+              transform(col("sk_next"), _.getField("h")), k)
+              .as("shared_members"),
+            graft.operators.Sketches.kmvPairIntersectWeight(
+              col("sk"), col("sk_next"), k).as("shared_cents"))
+      },
+      Some("""WITH mw AS (
+             |  SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
+             |         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h,
+             |         sum(CAST(round("value" * 100) AS BIGINT)) AS v
+             |  FROM events GROUP BY 1, 2, 3
+             |), rk AS (
+             |  SELECT event_type, day, h, v,
+             |         row_number() OVER (PARTITION BY event_type, day
+             |                            ORDER BY h) AS rn
+             |  FROM mw
+             |), sketch AS (
+             |  SELECT event_type, day, h, v FROM rk WHERE rn <= 64
+             |), dd AS (SELECT DISTINCT event_type, day FROM sketch),
+             |pr AS (
+             |  SELECT a.event_type, a.day FROM dd a
+             |  JOIN dd b ON b.event_type = a.event_type AND b.day = a.day + 1
+             |), um AS (
+             |  SELECT p.event_type, p.day, s.h
+             |  FROM pr p JOIN sketch s
+             |    ON s.event_type = p.event_type
+             |   AND (s.day = p.day OR s.day = p.day + 1)
+             |  GROUP BY 1, 2, 3
+             |), urk AS (
+             |  SELECT event_type, day, h,
+             |         row_number() OVER (PARTITION BY event_type, day
+             |                            ORDER BY h) AS rn
+             |  FROM um
+             |), usketch AS (SELECT event_type, day, h FROM urk WHERE rn <= 64),
+             |usz AS (
+             |  SELECT event_type, day, count(*) AS n, max(h) AS theta
+             |  FROM usketch GROUP BY 1, 2
+             |), sh AS (
+             |  SELECT u.event_type, u.day, count(*) AS c, sum(a.v + b.v) AS s
+             |  FROM usketch u
+             |  JOIN sketch a ON a.event_type = u.event_type
+             |              AND a.day = u.day AND a.h = u.h
+             |  JOIN sketch b ON b.event_type = u.event_type
+             |              AND b.day = u.day + 1 AND b.h = u.h
+             |  GROUP BY 1, 2
+             |)
+             |SELECT pr.event_type, pr.day,
+             |       CASE WHEN usz.n < 64 THEN COALESCE(sh.c, 0)
+             |            ELSE CAST(floor((COALESCE(sh.c, 0)::DOUBLE / 64.0)
+             |                 * ((63.0 * 1152921504606846976.0)
+             |                    / usz.theta::DOUBLE)) AS BIGINT)
+             |       END AS shared_members,
+             |       CAST(CASE WHEN usz.n < 64 THEN COALESCE(sh.s, 0)
+             |            ELSE CAST(floor((COALESCE(sh.s, 0)::DOUBLE
+             |                             * 1152921504606846976.0)
+             |                            / usz.theta::DOUBLE) AS BIGINT)
+             |       END AS BIGINT) AS shared_cents
+             |FROM pr
+             |JOIN usz ON usz.event_type = pr.event_type AND usz.day = pr.day
+             |LEFT JOIN sh ON sh.event_type = pr.event_type AND sh.day = pr.day""".stripMargin)),
+
+    // Weighted rollup of the daily pair-sketch gold (Sketches.
+    // kmvPairRollup): per-event_type month uniques AND month cents over
+    // distinct users, from daily sketches alone — the weighted sibling
+    // of a_kmv_rollup. Lossless twice over: a rolled-up member's hash is
+    // below every daily θ it lived under, so each of its daily weight
+    // sums arrived complete and they add to the true month sum. The
+    // oracle computes member month-sums directly and replays the
+    // sketch + both estimators (count and weight, both branches).
+    GraftQuery("a_kmv_weighted_rollup",
+      (s, dir) => {
+        val k = 64
+        val ev = Tables.events(s, dir)
+        val cents = round(col("value") * 100).cast("long")
+        val daily = ev.groupBy(col("event_type"),
+            dayofmonth(col("ts")).cast("long").as("day"))
+          .agg(graft.operators.Sketches.kmvPairSketch(
+            graft.operators.Dedup.hash60(col("user_id").cast("string")),
+            cents, k).as("sk"))
+        graft.operators.Sketches.kmvPairRollup(
+            daily, Seq(col("event_type")), col("sk"), k)
+          .select(col("event_type"),
+            graft.operators.Sketches.kmvEstimate(
+              transform(col("sk"), _.getField("h")), k).as("uniq_month"),
+            graft.operators.Sketches.kmvWeightEstimate(col("sk"), k)
+              .as("cents_month"))
+      },
+      Some("""WITH mw AS (
+             |  SELECT event_type,
+             |         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h,
+             |         sum(CAST(round("value" * 100) AS BIGINT)) AS v
+             |  FROM events GROUP BY 1, 2
+             |), rk AS (
+             |  SELECT event_type, h, v,
+             |         row_number() OVER (PARTITION BY event_type
+             |                            ORDER BY h) AS rn
+             |  FROM mw
+             |), sk AS (SELECT event_type, h, v, rn FROM rk WHERE rn <= 64),
+             |sz AS (
+             |  SELECT event_type, count(*) AS n, max(h) AS theta,
+             |         sum(v) AS tot,
+             |         sum(CASE WHEN rn < 64 THEN v END) AS below
+             |  FROM sk GROUP BY 1
+             |)
+             |SELECT event_type,
+             |       CASE WHEN n < 64 THEN n
+             |            ELSE CAST(floor((63.0 * 1152921504606846976.0)
+             |                            / theta::DOUBLE) AS BIGINT)
+             |       END AS uniq_month,
+             |       CAST(CASE WHEN n < 64 THEN tot
+             |            ELSE CAST(floor((below::DOUBLE
+             |                             * 1152921504606846976.0)
+             |                            / theta::DOUBLE) AS BIGINT)
+             |       END AS BIGINT) AS cents_month
+             |FROM sz""".stripMargin)),
+
+    // Per-GROUP quantile bounds from the (event_type, day)-keyed gold
+    // histogram table (Sketches.histSummariesBy / histQuantilesBy): the
+    // per-type p50/p95 dashboard slice, merged from the SAME stored
+    // summaries a global quantile uses — days collapse by count
+    // addition, each type's cumulative self-join stays ≤ bins rows, one
+    // summary-sized shuffle for every group at once. The oracle replays
+    // the grouped merge (per-type totals, per-type cumulative, ceil-rank
+    // pick) hash-exact; the day level drops out exactly because binning
+    // is per-row deterministic.
+    GraftQuery("a_hist_quantile_by_type",
+      (s, dir) => {
+        val summaries = graft.operators.Sketches.histSummariesBy(
+          Tables.events(s, dir),
+          Seq(col("event_type"), dayofmonth(col("ts")).as("day")),
+          col("value"), lo = 0L, width = 25L, bins = 20)
+        graft.operators.Sketches.histQuantilesBy(
+          summaries, Seq(col("event_type")), Seq(0.5, 0.95),
+          lo = 0L, width = 25L)
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type,
+             |         CAST(least(greatest(
+             |           floor(("value" - 0.0) / 25.0), 0), 19)
+             |           AS BIGINT) AS bin
+             |  FROM events WHERE "value" IS NOT NULL
+             |), m AS (
+             |  SELECT event_type, bin, count(*) AS cnt FROM h GROUP BY 1, 2
+             |), n AS (SELECT event_type, sum(cnt) AS n FROM m GROUP BY 1),
+             |c AS (
+             |  SELECT a.event_type, a.bin, sum(b.cnt) AS cum
+             |  FROM m a JOIN m b
+             |    ON b.event_type = a.event_type AND b.bin <= a.bin
+             |  GROUP BY 1, 2
+             |), qq AS (
+             |  SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q
+             |), pick AS (
+             |  SELECT n.event_type, qq.q, min(c.bin) AS bin
+             |  FROM n CROSS JOIN qq
+             |  JOIN c ON c.event_type = n.event_type
+             |        AND c.cum >= ceil(qq.q * n.n)
+             |  GROUP BY 1, 2
+             |)
+             |SELECT event_type, q, 0 + bin * 25 AS value_lo,
+             |       0 + (bin + 1) * 25 AS value_hi
+             |FROM pick""".stripMargin)),
   )
 }

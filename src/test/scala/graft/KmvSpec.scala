@@ -230,6 +230,114 @@ class KmvSpec extends SparkSpec {
     assert(got == Seq((1L, 30L, 35L, 20L, 10L, 15L)), s"got $got")
   }
 
+  test("kmvPairSketch: weight sums partition-invariant, eviction-safe, exact") {
+    // 200 members, each split across TWO rows (w and 1000·w) so the
+    // per-member sum must assemble across partitions; k = 64 forces
+    // saturation and eviction on every partial
+    val rows = (0 until 200).flatMap(i =>
+      Seq((s"m$i", (i + 1).toLong), (s"m$i", 1000L * (i + 1))))
+    val k = 64
+    def pairSketch(parts: Int): Seq[(Long, Long)] =
+      rows.toDF("id", "w").repartition(parts)
+        .agg(Sketches.kmvPairSketch(Dedup.hash60(col("id")), col("w"), k)
+          .as("sk"))
+        .select(col("sk")).as[Seq[(Long, Long)]].head()
+    val one = pairSketch(1)
+    val many = pairSketch(13)
+    assert(one == many, "pair sketch must be bit-identical under repartition")
+    assert(one.size == k)
+    // surviving members carry their COMPLETE sums: member index i has
+    // total 1001·(i+1), and hashes must match the plain KMV sketch
+    val wantHashes = sketchOf((0 until 200).map(i => s"m$i"), k)
+    assert(one.map(_._1) == wantHashes)
+    val byHash = (0 until 200).map(i => rows.toDF("id", "w")
+      .filter(col("id") === s"m$i")
+      .select(Dedup.hash60(col("id"))).as[Long].head() -> 1001L * (i + 1))
+      .toMap
+    one.foreach { case (h, v) =>
+      assert(v == byHash(h), s"member $h sum $v != ${byHash(h)}")
+    }
+    // below saturation the weight estimate IS the exact distinct-member
+    // sum (duplicated member rows must not double-count members)
+    val small = (0 until 50).flatMap(i => Seq((s"s$i", 2L), (s"s$i", 3L)))
+    val est = small.toDF("id", "w")
+      .agg(Sketches.kmvPairSketch(Dedup.hash60(col("id")), col("w"), 128)
+        .as("sk"))
+      .select(Sketches.kmvWeightEstimate(col("sk"), 128)).as[Long].head()
+    assert(est == 50L * 5L, s"exact weight $est != 250")
+  }
+
+  test("kmvPairIntersectWeight: exact below saturation, tracks truth above") {
+    val k = 128
+    def sk(lo: Int, hi: Int, w: Long) =
+      (lo until hi).map(i => (s"u$i", w)).toDF("id", "w")
+        .agg(Sketches.kmvPairSketch(Dedup.hash60(col("id")), col("w"), k)
+          .as("sk")).select(col("sk"))
+    // A = u0..59 at 7¢, B = u40..99 at 3¢ → 20 shared members, each
+    // contributing 7 + 3 across the two cohorts
+    val exact = sk(0, 60, 7L).crossJoin(sk(40, 100, 3L).toDF("skb"))
+      .select(Sketches.kmvPairIntersectWeight(col("sk"), col("skb"), k))
+      .as[Long].head()
+    assert(exact == 20L * 10L, s"got $exact")
+    // saturated: 6000 shared members at 1+1 → truth 12000
+    val kk = 256
+    def big(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"u$i", 1L)).toDF("id", "w")
+        .agg(Sketches.kmvPairSketch(Dedup.hash60(col("id")), col("w"), kk)
+          .as("sk")).select(col("sk"))
+    val est = big(0, 12000).crossJoin(big(6000, 18000).toDF("skb"))
+      .select(Sketches.kmvPairIntersectWeight(col("sk"), col("skb"), kk))
+      .as[Long].head()
+    assert(math.abs(est - 12000) < 12000 * 0.45, s"est $est vs 12000")
+  }
+
+  test("kmvPairRollup: lossless — rolled weights equal the direct month sums") {
+    val k = 96
+    // overlapping member activity across days: the same member's weight
+    // must assemble across its days during the rollup
+    val rows = for {
+      g <- 0 until 2; d <- 0 until 4
+      i <- (d * 30) until (d * 30 + 100 + g * 200)
+    } yield (g, d, s"g${g}m$i", (i % 7 + 1).toLong)
+    val df = rows.toDF("g", "d", "id", "w")
+    val daily = df.groupBy(col("g"), col("d"))
+      .agg(Sketches.kmvPairSketch(Dedup.hash60(col("id")), col("w"), k)
+        .as("sk"))
+    val rolled = Sketches.kmvPairRollup(daily, Seq(col("g")), col("sk"), k)
+      .select(col("g"), col("sk")).as[(Int, Seq[(Long, Long)])]
+      .collect().toMap
+    val direct = df.groupBy(col("g"))
+      .agg(Sketches.kmvPairSketch(Dedup.hash60(col("id")), col("w"), k)
+        .as("sk"))
+      .select(col("g"), col("sk")).as[(Int, Seq[(Long, Long)])]
+      .collect().toMap
+    assert(rolled == direct,
+      "rolled pair sketch must be bit-identical to the direct sketch")
+  }
+
+  test("kmvPairSketch: serde round-trip, merge adds weights on shared members") {
+    val agg = graft.plans.KmvPairSketchAgg(
+      org.apache.spark.sql.GraftShims.expression(lit(0L)),
+      org.apache.spark.sql.GraftShims.expression(lit(0L)), k = 3)
+    def bufOf(vs: Seq[(Long, Long)]) =
+      vs.foldLeft(agg.createAggregationBuffer()) { (b, hv) =>
+        val s = agg.createAggregationBuffer(); s.put(hv._1, hv._2)
+        agg.merge(b, agg.deserialize(agg.serialize(s)))
+      }
+    val buf = bufOf(Seq(9L -> 1L, 3L -> 2L, 7L -> 4L, 3L -> 8L, 1L -> 16L))
+    // k = 3 keeps {1, 3, 7}; 3 appeared twice → 2 + 8
+    assert(buf.size == 3)
+    assert(buf.get(1L) == 16L && buf.get(3L) == 10L && buf.get(7L) == 4L)
+    val rt = agg.deserialize(agg.serialize(buf))
+    assert(rt == buf)
+    // a smaller hash evicts the largest, keeping its own weight
+    val merged = agg.merge(buf, bufOf(Seq(2L -> 32L)))
+    assert(merged.size == 3 && merged.get(7L) == null &&
+      merged.get(2L) == 32L)
+    assert(agg.deserialize(agg.serialize(
+      agg.createAggregationBuffer())).isEmpty)
+  }
+
   test("kmvSlidingUniques: each window bit-identical to sketching its raw span") {
     val k = 64
     // 2 types × days 1..9 with a GAP (day 5 absent for type b); member

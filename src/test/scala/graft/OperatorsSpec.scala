@@ -1422,6 +1422,15 @@ class OperatorsSpec extends SparkSpec {
       col("p"), col("v"), lo = 0L, width = 10L, bins = 10)
     // n = 102, rank ceil(.5·102) = 51; bin0 now counts 11 → cum(bin4) = 51
     assert(quantiles(clamped, Seq(0.5)) == Map(0.5 -> ((40L, 50L))))
+    // grouped variant: independent totals and rank scans per group —
+    // p1 holds the evens (rank 25 → 48), p2 the odds (rank 25 → 49)
+    val byP = graft.operators.Sketches.histQuantilesBy(
+      sums, Seq(col("period")), Seq(0.5), lo = 0L, width = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(byP == Map(("p1", 0.5) -> ((40L, 50L)),
+      ("p2", 0.5) -> ((40L, 50L))), s"got $byP")
   }
 
   test("heavyHitters equals exact GROUP BY/HAVING even under forced collisions") {
