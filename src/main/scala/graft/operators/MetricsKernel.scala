@@ -308,4 +308,41 @@ object MetricsKernel {
         Sketches.kmvDiffEstimate(col("sk_next"), col("sk"), k)
           .as("fresh")): _*)
   }
+
+  /** WEIGHTED retention/churn from pair sketches — [[kmvRetention]]
+    * asked in revenue terms: of period P's cents, how much came from
+    * members who churned (`churned_cents` — P-side weights of P∖P+1),
+    * how much of P+1's cents is from new members (`fresh_cents`), and
+    * how much did members active in BOTH spend across the two periods
+    * (`shared_cents`)? Below saturation the weighted partition is
+    * exact: `cents_a + cents_b = churned + fresh + shared`. One
+    * pair-sketch exchange + the same tiny self-join; no plain aggregate
+    * answers any of the three without re-joining raw events.
+    *
+    * @param weight LONG weight per row (cents, tokens — longs keep
+    *               partial sums associative for hash-exact replay)
+    * @return dims…, period, cents_a, cents_b, shared_cents,
+    *         churned_cents, fresh_cents
+    */
+  def kmvWeightedRetention(df: DataFrame, dims: Seq[Column],
+                           period: Column, memberHash: Column,
+                           weight: Column, k: Int): DataFrame = {
+    val sk = df.groupBy(dims :+ period.cast("long").as("period"): _*)
+      .agg(Sketches.kmvPairSketch(memberHash, weight, k).as("sk"))
+    val dimNames = sk.columns.filterNot(Set("period", "sk")).toSeq
+    val next = sk.select(
+      dimNames.map(col) ++ Seq((col("period") - 1).as("period"),
+        col("sk").as("sk_next")): _*)
+    sk.join(next, dimNames :+ "period")
+      .select(dimNames.map(col) ++ Seq(
+        col("period"),
+        Sketches.kmvWeightEstimate(col("sk"), k).as("cents_a"),
+        Sketches.kmvWeightEstimate(col("sk_next"), k).as("cents_b"),
+        Sketches.kmvPairIntersectWeight(col("sk"), col("sk_next"), k)
+          .as("shared_cents"),
+        Sketches.kmvPairDiffWeight(col("sk"), col("sk_next"), k)
+          .as("churned_cents"),
+        Sketches.kmvPairDiffWeight(col("sk_next"), col("sk"), k)
+          .as("fresh_cents")): _*)
+  }
 }

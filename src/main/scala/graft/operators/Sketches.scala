@@ -491,6 +491,27 @@ object Sketches {
         element_at(u, k).cast("double")).cast("long"))
   }
 
+  /** Weight of the DIFFERENCE from two pair sketches — "cents spent (in
+    * period A) by members who then CHURNED (absent from B)": A-members
+    * below the union's θ and not in B are a uniform sample of A∖B;
+    * their A-side weights scale by 2^60/θ_union. Exact when the union
+    * is unsaturated. Below saturation the three weighted estimates
+    * partition exactly: `kmvWeightEstimate(a) + kmvWeightEstimate(b) =
+    * diff(a,b) + diff(b,a) + intersect(a,b)` — the weighted sibling of
+    * [[kmvDiffEstimate]]'s count partition. */
+  def kmvPairDiffWeight(a: Column, b: Column, k: Int): Column = {
+    val ah = transform(a, _.getField("h"))
+    val bh = transform(b, _.getField("h"))
+    val u = slice(array_sort(array_union(ah, bh)), 1, k)
+    val only = array_except(array_intersect(u, ah), bh)
+    val s = aggregate(
+      filter(a, x => array_contains(only, x.getField("h"))),
+      lit(0L), (acc, x) => acc + x.getField("v"))
+    when(size(u) < k, s)
+      .otherwise(floor(s.cast("double") * lit(Hash60Range) /
+        element_at(u, k).cast("double")).cast("long"))
+  }
+
   // ---- Mergeable histogram quantile summaries (gold-table quantiles) --
   //
   // The rollup story for QUANTILES, completing the sketch-gold family

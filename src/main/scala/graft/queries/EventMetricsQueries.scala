@@ -2043,5 +2043,173 @@ object EventMetricsQueries {
              |SELECT event_type, q, 0 + bin * 25 AS value_lo,
              |       0 + (bin + 1) * 25 AS value_hi
              |FROM pick""".stripMargin)),
+
+    // Weighted retention/churn from pair sketches (MetricsKernel.
+    // kmvWeightedRetention + Sketches.kmvPairDiffWeight): period P's
+    // cents split by what happened to the member next period — churned
+    // cents (P-side weights of P∖P+1), fresh cents (P+1-side of
+    // P+1∖P), shared cents (both-sides of the intersection) — plus both
+    // cohort totals. Below saturation cents_a + cents_b = churned +
+    // fresh + shared exactly (the weighted partition identity). The
+    // oracle replays member sums, both per-cohort sketches, the union
+    // re-cut, and every estimator branch (per-cohort θ for the totals,
+    // union θ for the three set estimates) hash-exact.
+    GraftQuery("a_kmv_weighted_retention",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        graft.operators.MetricsKernel.kmvWeightedRetention(
+          ev, Seq(col("event_type")), dayofmonth(col("ts")),
+          graft.operators.Dedup.hash60(col("user_id").cast("string")),
+          round(col("value") * 100).cast("long"), k = 64)
+      },
+      Some("""WITH mw AS (
+             |  SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
+             |         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h,
+             |         sum(CAST(round("value" * 100) AS BIGINT)) AS v
+             |  FROM events GROUP BY 1, 2, 3
+             |), rk AS (
+             |  SELECT event_type, day, h, v,
+             |         row_number() OVER (PARTITION BY event_type, day
+             |                            ORDER BY h) AS rn
+             |  FROM mw
+             |), sketch AS (
+             |  SELECT event_type, day, h, v, rn FROM rk WHERE rn <= 64
+             |), sz AS (
+             |  SELECT event_type, day, count(*) AS n, max(h) AS theta,
+             |         sum(v) AS tot,
+             |         sum(CASE WHEN rn < 64 THEN v END) AS below
+             |  FROM sketch GROUP BY 1, 2
+             |), pr AS (
+             |  SELECT a.event_type, a.day FROM sz a
+             |  JOIN sz b ON b.event_type = a.event_type AND b.day = a.day + 1
+             |), um AS (
+             |  SELECT p.event_type, p.day, s.h
+             |  FROM pr p JOIN sketch s
+             |    ON s.event_type = p.event_type
+             |   AND (s.day = p.day OR s.day = p.day + 1)
+             |  GROUP BY 1, 2, 3
+             |), urk AS (
+             |  SELECT event_type, day, h,
+             |         row_number() OVER (PARTITION BY event_type, day
+             |                            ORDER BY h) AS rn
+             |  FROM um
+             |), usketch AS (SELECT event_type, day, h FROM urk WHERE rn <= 64),
+             |usz AS (
+             |  SELECT event_type, day, count(*) AS n, max(h) AS theta
+             |  FROM usketch GROUP BY 1, 2
+             |), cls AS (
+             |  SELECT u.event_type, u.day, a.v AS av, b.v AS bv
+             |  FROM usketch u
+             |  LEFT JOIN sketch a ON a.event_type = u.event_type
+             |              AND a.day = u.day AND a.h = u.h
+             |  LEFT JOIN sketch b ON b.event_type = u.event_type
+             |              AND b.day = u.day + 1 AND b.h = u.h
+             |), agg AS (
+             |  SELECT event_type, day,
+             |         sum(CASE WHEN av IS NOT NULL AND bv IS NOT NULL
+             |                  THEN av + bv END) AS s_shared,
+             |         sum(CASE WHEN av IS NOT NULL AND bv IS NULL
+             |                  THEN av END) AS s_churn,
+             |         sum(CASE WHEN av IS NULL AND bv IS NOT NULL
+             |                  THEN bv END) AS s_fresh
+             |  FROM cls GROUP BY 1, 2
+             |)
+             |SELECT pr.event_type, pr.day AS period,
+             |       CAST(CASE WHEN sa.n < 64 THEN sa.tot
+             |            ELSE floor((sa.below::DOUBLE
+             |                        * 1152921504606846976.0)
+             |                       / sa.theta::DOUBLE)
+             |       END AS BIGINT) AS cents_a,
+             |       CAST(CASE WHEN sb.n < 64 THEN sb.tot
+             |            ELSE floor((sb.below::DOUBLE
+             |                        * 1152921504606846976.0)
+             |                       / sb.theta::DOUBLE)
+             |       END AS BIGINT) AS cents_b,
+             |       CAST(CASE WHEN usz.n < 64 THEN COALESCE(agg.s_shared, 0)
+             |            ELSE floor((COALESCE(agg.s_shared, 0)::DOUBLE
+             |                        * 1152921504606846976.0)
+             |                       / usz.theta::DOUBLE)
+             |       END AS BIGINT) AS shared_cents,
+             |       CAST(CASE WHEN usz.n < 64 THEN COALESCE(agg.s_churn, 0)
+             |            ELSE floor((COALESCE(agg.s_churn, 0)::DOUBLE
+             |                        * 1152921504606846976.0)
+             |                       / usz.theta::DOUBLE)
+             |       END AS BIGINT) AS churned_cents,
+             |       CAST(CASE WHEN usz.n < 64 THEN COALESCE(agg.s_fresh, 0)
+             |            ELSE floor((COALESCE(agg.s_fresh, 0)::DOUBLE
+             |                        * 1152921504606846976.0)
+             |                       / usz.theta::DOUBLE)
+             |       END AS BIGINT) AS fresh_cents
+             |FROM pr
+             |JOIN sz sa ON sa.event_type = pr.event_type AND sa.day = pr.day
+             |JOIN sz sb ON sb.event_type = pr.event_type
+             |          AND sb.day = pr.day + 1
+             |JOIN usz ON usz.event_type = pr.event_type AND usz.day = pr.day
+             |LEFT JOIN agg ON agg.event_type = pr.event_type
+             |             AND agg.day = pr.day""".stripMargin)),
+
+    // STREAMING top-k gold (StreamSketch.streamTopkGold): the events
+    // feed replayed as one JSONL file per slice (event_id % 3,
+    // coalesced to a single file so each period arrives wholly in one
+    // micro-batch); each batch contributes its own per-slice top-20
+    // user summary (exact counts + the slice's rank-21 epsilon),
+    // labeled by the CONTENT-derived slice id — the gold is an append
+    // of ≤ 20-row summaries, exact by construction and deterministic
+    // under any batch order. topkMerge answers the global top-10 with
+    // [lo, hi] bounds at read time: the deferred-merge contract of
+    // PODS'12 mergeable summaries, now with a streaming producer —
+    // completing the stream-sketch family next to the KMV and
+    // histogram folds. The oracle replays per-slice counts, epsilons,
+    // and the bound arithmetic hash-exact including tie-breaks.
+    GraftQuery("w_stream_topk_gold",
+      (s, dir) => {
+        val base = Scratch.dir("stream_topk", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          for ((pfx, m) <- Seq(("aa_", 0), ("bb_", 1), ("cc_", 2)))
+            Scratch.dumpJsonl(
+              ev.filter(col("event_id") % 3 === m).coalesce(1),
+              s"$base/stage$m", s"$base/src", pfx, fmt)
+          val gold = graft.streaming.StreamSketch.streamTopkGold(
+            s, s"$base/src", ev, s"$base/gold", s"$base/cp",
+            b => graft.operators.Sketches.topkSummaries(
+              b, pmod(col("event_id"), lit(3)).cast("long"),
+              col("user_id"), k = 20),
+            readOptions = Map("timestampFormat" -> fmt))
+          s.read.parquet(gold)
+            .write.mode("overwrite").parquet(s"$base/final")
+        }
+        graft.operators.Sketches.topkMerge(
+          s.read.parquet(s"$base/final"), k = 10)
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id % 3 AS period, user_id AS term,
+             |         count(*)::BIGINT AS cnt
+             |  FROM events GROUP BY 1, 2
+             |), r AS (
+             |  SELECT period, term, cnt,
+             |         row_number() OVER (PARTITION BY period
+             |                            ORDER BY cnt DESC, term) AS rk
+             |  FROM c
+             |), eps AS (
+             |  SELECT period,
+             |         coalesce(max(CASE WHEN rk = 21 THEN cnt END), 0) AS eps
+             |  FROM r GROUP BY 1
+             |), s AS (
+             |  SELECT r.period, r.term, r.cnt, eps.eps
+             |  FROM r JOIN eps USING (period) WHERE rk <= 20
+             |), tot AS (
+             |  SELECT coalesce(sum(eps), 0) AS total_eps
+             |  FROM (SELECT DISTINCT period, eps FROM s)
+             |), m AS (
+             |  SELECT term, sum(cnt)::BIGINT AS lo,
+             |         sum(eps)::BIGINT AS tracked_eps
+             |  FROM s GROUP BY 1
+             |)
+             |SELECT m.term, m.lo,
+             |       (m.lo + (tot.total_eps::BIGINT - m.tracked_eps))::BIGINT AS hi
+             |FROM m, tot
+             |ORDER BY hi DESC, term LIMIT 10""".stripMargin)),
   )
 }

@@ -110,4 +110,27 @@ object StreamSketch {
         merged.groupBy(dims.map(col): _*).agg(sum(col("cnt")).as("cnt"))
       },
       readOptions)
+
+  /** Top-k heavy-hitter summary fold: the streaming producer of the
+    * table [[graft.operators.Sketches.topkMerge]] answers global top-k
+    * (with deterministic [lo, hi] bounds) from. UNLIKE the KMV/hist
+    * folds, truncated top-k summaries do NOT merge losslessly — so the
+    * gold keeps ONE summary per period (≤ k rows + its epsilon per
+    * cohort) and defers the merge to read time, which is exactly the
+    * PODS'12 mergeable-summary contract the batch rollup
+    * (`t_topk_rollup`) already grades. The fold itself is a pure append
+    * and therefore exact by construction, PROVIDED `summarize` labels
+    * summaries with a CONTENT-derived `period` and each period arrives
+    * wholly inside one micro-batch (two partial summaries of the same
+    * period would double its epsilon at merge time — feed one file per
+    * period with `maxFilesPerTrigger=1`, as the graded replay does).
+    * Content-derived labels also make the gold deterministic under any
+    * file→batch assignment order. */
+  def streamTopkGold(spark: SparkSession, srcDir: String,
+                     schemaSource: DataFrame, goldDir: String,
+                     checkpoint: String,
+                     summarize: DataFrame => DataFrame,
+                     readOptions: Map[String, String] = Map.empty): String =
+    streamFoldGold(spark, srcDir, schemaSource, goldDir, checkpoint,
+      summarize, merged => merged, readOptions)
 }

@@ -291,6 +291,46 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(est - 12000) < 12000 * 0.45, s"est $est vs 12000")
   }
 
+  test("kmvPairDiffWeight: exact partition identity below saturation") {
+    val k = 128
+    def sk(lo: Int, hi: Int, w: Long) =
+      (lo until hi).map(i => (s"u$i", w)).toDF("id", "w")
+        .agg(Sketches.kmvPairSketch(Dedup.hash60(col("id")), col("w"), k)
+          .as("sk")).select(col("sk"))
+    // A = u0..59 at 7¢, B = u40..99 at 3¢: churned A∖B = 40 members at
+    // 7¢, fresh B∖A = 40 at 3¢, shared = 20 at 7+3¢ — all exact at
+    // |A ∪ B| = 100 < k, and they partition the two totals
+    val row = sk(0, 60, 7L).crossJoin(sk(40, 100, 3L).toDF("skb"))
+      .select(
+        Sketches.kmvWeightEstimate(col("sk"), k).as("wa"),
+        Sketches.kmvWeightEstimate(col("skb"), k).as("wb"),
+        Sketches.kmvPairDiffWeight(col("sk"), col("skb"), k).as("churn"),
+        Sketches.kmvPairDiffWeight(col("skb"), col("sk"), k).as("fresh"),
+        Sketches.kmvPairIntersectWeight(col("sk"), col("skb"), k)
+          .as("shared"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(row == ((420L, 180L, 280L, 120L, 200L)), s"got $row")
+    assert(row._1 + row._2 == row._3 + row._4 + row._5,
+      "weighted partition identity must hold exactly below saturation")
+    // disjoint cohorts: intersection weight 0, diffs = the full totals
+    val dis = sk(0, 30, 5L).crossJoin(sk(100, 130, 11L).toDF("skb"))
+      .select(
+        Sketches.kmvPairDiffWeight(col("sk"), col("skb"), k),
+        Sketches.kmvPairIntersectWeight(col("sk"), col("skb"), k))
+      .as[(Long, Long)].head()
+    assert(dis == ((150L, 0L)), s"got $dis")
+    // saturated: 6000 churned members at 1¢ each → truth 6000
+    val kk = 256
+    def big(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"u$i", 1L)).toDF("id", "w")
+        .agg(Sketches.kmvPairSketch(Dedup.hash60(col("id")), col("w"), kk)
+          .as("sk")).select(col("sk"))
+    val est = big(0, 12000).crossJoin(big(6000, 18000).toDF("skb"))
+      .select(Sketches.kmvPairDiffWeight(col("sk"), col("skb"), kk))
+      .as[Long].head()
+    assert(math.abs(est - 6000) < 6000 * 0.45, s"est $est vs 6000")
+  }
+
   test("kmvPairRollup: lossless — rolled weights equal the direct month sums") {
     val k = 96
     // overlapping member activity across days: the same member's weight

@@ -528,6 +528,23 @@ class PlanSpec extends SparkSpec {
       s"a Generate sits below the daily aggregate (raw-row explode):\n$p")
   }
 
+  test("kmv pair sketches build map-side too; estimates are pure arithmetic") {
+    for (name <- Seq("a_kmv_weighted_overlap", "a_kmv_weighted_rollup",
+        "a_kmv_weighted_retention")) {
+      val p = plan(name)
+      // weighted sketch partials carry ≤ 16k bytes per cohort per map
+      // task; the weight estimates are array arithmetic over the ≤ k
+      // members — no raw re-join, no distinct expand, no product
+      assert(p.contains("partial_graft_kmv_pair"),
+        s"$name: pair sketch not partially aggregated:\n$p")
+      assert(!p.contains("Expand"),
+        s"$name: distinct-expand of raw members in plan:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"$name: non-equi join of the sketch table:\n$p")
+    }
+  }
+
   test("hist quantile merge: no global sort, no window, summaries broadcast") {
     val p = plan("a_hist_quantile_rollup")
     // the gold merge must stay summary-sized: the cumulative comes from
@@ -539,6 +556,20 @@ class PlanSpec extends SparkSpec {
     val globalSorts = "(?m)^[\\s:+\\-|*]*Sort \\[".r.findAllIn(p).size
     assert(globalSorts == 0, s"sort in a summary-sized merge:\n$p")
     // binning + per-period counts partially aggregate before the exchange
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("per-group hist quantiles keep the same summary-sized shape") {
+    val p = plan("a_hist_quantile_by_type")
+    // the grouped merge keys the cumulative self-join and rank scan on
+    // the group: still no unpartitioned window, no global sort, and the
+    // per-group frames (≤ bins rows each) travel by broadcast
+    assert(!p.contains("Window"), s"windowed cumulative:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group-keyed summary frame not a broadcast equi-join:\n$p")
+    val globalSorts = "(?m)^[\\s:+\\-|*]*Sort \\[".r.findAllIn(
+      p.split("== Initial Plan ==")(0)).size
+    assert(globalSorts == 0, s"sort in a summary-sized merge:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"))
   }
 }

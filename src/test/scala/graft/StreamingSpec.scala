@@ -391,6 +391,55 @@ class StreamingSpec extends SparkSpec {
     assert(sketches(after) == expected)
   }
 
+  test("streaming top-k fold appends per-period summaries; merge equals batch rollup") {
+    import graft.operators.Sketches
+    import graft.streaming.StreamSketch
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streamtopk").toString
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    def put(name: String, rows: Seq[(Long, String)], mtime: Long): Unit = {
+      val f = new java.io.File(src, name)
+      java.nio.file.Files.writeString(f.toPath,
+        rows.map { case (p, t) => s"""{"p":$p,"t":"$t"}""" }
+          .mkString("", "\n", "\n"))
+      f.setLastModified(mtime); ()
+    }
+    // one file per CONTENT-derived period (the operator's contract):
+    // period 1 has a rank-3 term so its epsilon is nonzero, period 2
+    // tracks everything (epsilon 0) — both truncation branches fold
+    val p1 = Seq(1L -> "x", 1L -> "x", 1L -> "x", 1L -> "y", 1L -> "y",
+      1L -> "z")
+    val p2 = Seq(2L -> "y", 2L -> "y", 2L -> "y", 2L -> "y", 2L -> "w")
+    put("x.json", p1, 1700000000000L)
+    put("y.json", p2, 1700000002000L)
+    val schemaDf = Seq((1L, "x")).toDF("p", "t")
+    val summarize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => Sketches.topkSummaries(b, col("p"), col("t"), k = 2)
+    val finalPath = StreamSketch.streamTopkGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", summarize)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val gold = spark.read.parquet(finalPath)
+    // append-only fold: the gold IS the per-period summaries, exactly
+    val direct = summarize((p1 ++ p2).toDF("p", "t"))
+    assert(rows(gold) == rows(direct))
+    assert(rows(gold) == Set((1L, "x", 3L, 1L), (1L, "y", 2L, 1L),
+      (2L, "y", 4L, 0L), (2L, "w", 1L, 0L)))
+    // read-time merge over streamed gold == batch rollup, bounds included
+    def merged(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      Sketches.topkMerge(df, k = 2).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged(gold) == merged(direct))
+    assert(merged(gold) == Seq(("y", 6L, 6L), ("x", 3L, 3L)))
+    // a late file with a NEW period appends from the recovered base
+    put("z.json", Seq(3L -> "x", 3L -> "x"), 1700000004000L)
+    val after = StreamSketch.streamTopkGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", summarize)
+    assert(rows(spark.read.parquet(after)) ==
+      rows(summarize((p1 ++ p2 ++ Seq(3L -> "x", 3L -> "x")).toDF("p", "t"))))
+  }
+
   test("streaming histogram fold equals the one-shot histogram, then keeps folding") {
     import graft.operators.Sketches
     import graft.streaming.StreamSketch
