@@ -252,6 +252,103 @@ object Sketches {
     qs.zip(ranks).map { case (q, r) => (q, got(r)) }.toDF("q", "value")
   }
 
+  /** EXACT weighted order statistics — the weighted sibling of
+    * [[orderStatistics]]: the smallest value whose cumulative WEIGHT
+    * reaches each target (weighted rank r = smallest v with
+    * Σ weight(rows ≤ v) ≥ r). Same distributed quickselect by iterative
+    * histogram refinement, with each pass summing weight per bin
+    * instead of counting rows — still one narrow partial-agg shuffle
+    * per pass, driver state capped at ranks × bins cells. The
+    * production question is weighted thresholds over a training
+    * corpus: "the doc length at the token-budget median", where a
+    * 10×-longer doc must count 10× ([[histSummariesWeightedBy]] gives
+    * the width-bounded version of the same answer; this pins the exact
+    * value). Weights are POSITIVE longs by contract; rows with null or
+    * non-positive weight contribute nothing (a zero weight cannot move
+    * a weighted rank).
+    *
+    * @param ranks 1-based weighted ranks in [1, Σ weights].
+    * @return (rank, value).
+    */
+  def orderStatisticsWeighted(df: DataFrame, value: Column, weight: Column,
+                              ranks: Seq[Long], bins: Int = 4096): DataFrame = {
+    require(ranks.nonEmpty, "no ranks requested")
+    require(bins >= 2 && ranks.distinct.size.toLong * bins <= (1 << 22),
+      "ranks × bins exceeds the driver-artifact budget")
+    val spark = df.sparkSession
+    val v = df.select(value.cast("long").as("v"), weight.cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
+    val head = v.agg(sum(col("w")).as("tw"), min(col("v")).as("lo"),
+      max(col("v")).as("hi")).head()
+    require(!head.isNullAt(0), "orderStatisticsWeighted over an empty input")
+    val totalW = head.getLong(0)
+    ranks.foreach(r => require(r >= 1 && r <= totalW,
+      s"weighted rank $r outside [1, $totalW]"))
+    val (lo0, hi0) = (head.getLong(1), head.getLong(2))
+    require(BigInt(hi0) - BigInt(lo0) <= (BigInt(1) << 62),
+      "value span exceeds 2^62 — pre-scale the column")
+    val distinctRanks = ranks.distinct.sorted
+    var state = distinctRanks.map(r => r -> ((lo0, hi0, 0L))).toMap
+    val maxPasses = math.ceil(62.0 / (math.log(bins) / math.log(2.0)))
+      .toInt + 2
+    var guard = 0
+    while (state.values.exists { case (lo, hi, _) => lo < hi }) {
+      guard += 1
+      require(guard <= maxPasses, "orderStatisticsWeighted failed to converge")
+      val active = state.toSeq.filter { case (_, (lo, hi, _)) => lo < hi }
+        .sortBy(_._1)
+      val widths = active.map { case (_, (lo, hi, _)) =>
+        (hi - lo) / bins + 1 } // ceil((hi-lo+1)/bins), span ≤ 2^62 safe
+      // `div` (integral) — Column./ is DOUBLE division; lo/width are
+      // driver longs, inlined as SQL literals (same as orderStatistics)
+      val cells = v.select(col("w"), explode(array(active.zipWithIndex.map {
+          case ((_, (lo, hi, _)), idx) =>
+            expr(s"CASE WHEN v >= $lo AND v <= $hi THEN " +
+              s"named_struct('rid', $idx, " +
+              s"'bin', (v - ${lo}L) div ${widths(idx)}L) END")
+        }: _*)).as("c"))
+        .filter(col("c").isNotNull)
+        .groupBy(col("c.rid").as("rid"), col("c.bin").as("bin"))
+        .agg(sum(col("w")).as("cnt"))
+        .collect()
+      val hist = cells.groupBy(_.getAs[Int]("rid"))
+      state = state ++ active.zipWithIndex.map { case ((r, (lo, hi, below)), idx) =>
+        val w = widths(idx)
+        val byBin = hist.getOrElse(idx, Array.empty)
+          .map(c => c.getAs[Long]("bin") -> c.getAs[Long]("cnt"))
+          .sortBy(_._1)
+        var cum = below
+        val (bin, before) = byBin.iterator.map { case (b, cnt) =>
+          val pre = cum; cum += cnt; (b, pre, cum)
+        }.collectFirst { case (b, pre, c) if c >= r => (b, pre) }
+          .getOrElse(throw new IllegalStateException(
+            s"weighted rank $r not found in histogram"))
+        val nlo = lo + bin * w
+        r -> ((nlo, math.min(hi, nlo + w - 1), before))
+      }.toMap
+    }
+    import spark.implicits._
+    ranks.map(r => (r, state(r)._1)).toDF("rank", "value")
+  }
+
+  /** Weighted discrete quantiles on top of [[orderStatisticsWeighted]]
+    * — weighted rank = ceil(q × Σ weights), the weighted
+    * `PERCENTILE_DISC`: the exact value below which q of the total
+    * weight sits. Returns (q, value). */
+  def weightedQuantilesDisc(df: DataFrame, value: Column, weight: Column,
+                            qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0))
+    val spark = df.sparkSession
+    val tw = df.select(weight.cast("long").as("w"))
+      .filter(col("w").isNotNull && col("w") > 0)
+      .agg(sum(col("w"))).head().getLong(0)
+    val ranks = qs.map(q => math.ceil(q * tw).toLong.max(1L))
+    val got = orderStatisticsWeighted(df, value, weight, ranks)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    qs.zip(ranks).map { case (q, r) => (q, got(r)) }.toDF("q", "value")
+  }
+
   // ---- KMV distinct sketches (set-operation-capable, unlike HLL) ----
   //
   // The aggregate itself is [[graft.plans.KmvSketchAgg]] (bounded
@@ -542,7 +639,21 @@ object Sketches {
     * with [[histQuantilesBy]]). Alias the dims — names carry to the
     * output. */
   def histSummariesBy(df: DataFrame, dims: Seq[Column], value: Column,
-                      lo: Long, width: Long, bins: Int): DataFrame = {
+                      lo: Long, width: Long, bins: Int): DataFrame =
+    histSummariesWeightedBy(df, dims, value, lit(1L), lo, width, bins)
+
+  /** WEIGHTED variant of [[histSummariesBy]]: each row contributes its
+    * nonnegative LONG `weight` to its bin instead of 1, so
+    * [[histQuantilesBy]] over the result answers WEIGHTED quantiles —
+    * "the document length below which q of the total TOKENS sit", the
+    * question a training-data budget asks (a 10×-longer doc matters 10×
+    * as much). Same fixed boundaries, same lossless count-addition
+    * merge, same bounds guarantee — the rank rule just runs over summed
+    * weight instead of row count. Rows with a null value or null weight
+    * contribute nothing. */
+  def histSummariesWeightedBy(df: DataFrame, dims: Seq[Column],
+                              value: Column, weight: Column, lo: Long,
+                              width: Long, bins: Int): DataFrame = {
     require(width >= 1 && bins >= 1, s"need width/bins >= 1: $width/$bins")
     // double arithmetic, not a long cast: Spark truncates double→long
     // while SQL engines round, so the bin must come from floor() on the
@@ -550,9 +661,9 @@ object Sketches {
     val bin = least(greatest(
       floor((value.cast("double") - lit(lo.toDouble)) / lit(width.toDouble)),
       lit(0L)), lit(bins - 1L))
-    df.filter(value.isNotNull)
+    df.filter(value.isNotNull && weight.isNotNull)
       .groupBy(dims :+ bin.cast("long").as("bin"): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(weight.cast("long")).as("cnt"))
   }
 
   /** Merge stored [[histSummaries]] (any subset of periods) into

@@ -2211,5 +2211,67 @@ object EventMetricsQueries {
              |       (m.lo + (tot.total_eps::BIGINT - m.tracked_eps))::BIGINT AS hi
              |FROM m, tot
              |ORDER BY hi DESC, term LIMIT 10""".stripMargin)),
+
+    // STREAMING weighted pair-sketch gold (StreamSketch.
+    // streamKmvPairGold): the same interleaved-thirds replay as
+    // w_stream_kmv_gold, folded into per-(event_type, day) WEIGHTED
+    // sketches — each batch sketches its own rows with batch-partial
+    // cent sums, kmvPairRollup merges prev ∪ batch summing weights
+    // where a member straddles the boundary. Eviction safety makes the
+    // fold EXACT (members that survive were never evicted anywhere, so
+    // their sums arrive complete), which is what the oracle replays:
+    // the batch-free member-sum sketch with both weight-estimator
+    // branches, bit-exact no matter how the feed split.
+    GraftQuery("w_stream_kmv_pair_gold",
+      (s, dir) => {
+        val base = Scratch.dir("stream_kmvpair", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        val k = 64
+        Scratch.buildOnce(base) {
+          for ((pfx, m) <- Seq(("aa_", 0), ("bb_", 1), ("cc_", 2)))
+            Scratch.dumpJsonl(ev.filter(col("event_id") % 3 === m),
+              s"$base/stage$m", s"$base/src", pfx, fmt)
+          val gold = graft.streaming.StreamSketch.streamKmvPairGold(
+            s, s"$base/src", ev, s"$base/gold", s"$base/cp", k,
+            b => b.groupBy(col("event_type"),
+                dayofmonth(col("ts")).as("day"))
+              .agg(graft.operators.Sketches.kmvPairSketch(
+                graft.operators.Dedup.hash60(col("user_id").cast("string")),
+                round(col("value") * 100).cast("long"), k).as("sk")),
+            readOptions = Map("timestampFormat" -> fmt))
+          s.read.parquet(gold)
+            .write.mode("overwrite").parquet(s"$base/final")
+        }
+        s.read.parquet(s"$base/final")
+          .select(col("event_type"), col("day").cast("long").as("day"),
+            graft.operators.Sketches.kmvWeightEstimate(col("sk"), k)
+              .as("cents"))
+      },
+      Some("""WITH mw AS (
+             |  SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
+             |         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h,
+             |         sum(CAST(round("value" * 100) AS BIGINT)) AS v
+             |  FROM events GROUP BY 1, 2, 3
+             |), rk AS (
+             |  SELECT event_type, day, h, v,
+             |         row_number() OVER (PARTITION BY event_type, day
+             |                            ORDER BY h) AS rn
+             |  FROM mw
+             |), sketch AS (
+             |  SELECT event_type, day, h, v, rn FROM rk WHERE rn <= 64
+             |), sz AS (
+             |  SELECT event_type, day, count(*) AS n, max(h) AS theta,
+             |         sum(v) AS tot,
+             |         sum(CASE WHEN rn < 64 THEN v END) AS below
+             |  FROM sketch GROUP BY 1, 2
+             |)
+             |SELECT event_type, day,
+             |       CAST(CASE WHEN n < 64 THEN tot
+             |            ELSE floor((below::DOUBLE
+             |                        * 1152921504606846976.0)
+             |                       / theta::DOUBLE)
+             |       END AS BIGINT) AS cents
+             |FROM sz""".stripMargin)),
   )
 }

@@ -1406,5 +1406,80 @@ object TextQueries {
              |       (m.lo + (tot.total_eps::BIGINT - m.tracked_eps))::BIGINT AS hi
              |FROM m, tot
              |ORDER BY hi DESC, term LIMIT 10""".stripMargin)),
+
+    // WEIGHTED quantiles from histogram summaries (Sketches.
+    // histSummariesWeightedBy + histQuantilesBy): per-language
+    // token-weighted document-length bounds — "the char length below
+    // which half / 90% of the TOKENS sit", the question a training
+    // budget asks (a 10×-longer doc matters 10× as much; the unweighted
+    // quantile over-counts short docs). Each row contributes its token
+    // count to its length bin; the same lossless count-addition merge
+    // and ceil-rank scan then run over summed weight — one
+    // summary-sized shuffle for every language at once. The oracle
+    // replays binning, per-language weight totals, the cumulative
+    // merge, and the rank pick hash-exact.
+    GraftQuery("t_weighted_quantiles",
+      (s, dir) => {
+        val summaries = graft.operators.Sketches.histSummariesWeightedBy(
+          Tables.documents(s, dir), Seq(col("lang")),
+          length(col("text")), size(split(col("text"), " ")).cast("long"),
+          lo = 0L, width = 20L, bins = 30)
+        graft.operators.Sketches.histQuantilesBy(
+          summaries, Seq(col("lang")), Seq(0.5, 0.9),
+          lo = 0L, width = 20L)
+      },
+      Some("""WITH h AS (
+             |  SELECT lang,
+             |         CAST(least(greatest(
+             |           floor((length(text) - 0.0) / 20.0), 0), 29)
+             |           AS BIGINT) AS bin,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+             |  FROM documents WHERE text IS NOT NULL
+             |), m AS (
+             |  SELECT lang, bin, sum(w) AS cnt FROM h GROUP BY 1, 2
+             |), n AS (SELECT lang, sum(cnt) AS n FROM m GROUP BY 1),
+             |c AS (
+             |  SELECT a.lang, a.bin, sum(b.cnt) AS cum
+             |  FROM m a JOIN m b ON b.lang = a.lang AND b.bin <= a.bin
+             |  GROUP BY 1, 2
+             |), qq AS (
+             |  SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS q
+             |), pick AS (
+             |  SELECT n.lang, qq.q, min(c.bin) AS bin
+             |  FROM n CROSS JOIN qq
+             |  JOIN c ON c.lang = n.lang AND c.cum >= ceil(qq.q * n.n)
+             |  GROUP BY 1, 2
+             |)
+             |SELECT lang, q, 0 + bin * 20 AS value_lo,
+             |       0 + (bin + 1) * 20 AS value_hi
+             |FROM pick""".stripMargin)),
+
+    // EXACT weighted quantiles (Sketches.orderStatisticsWeighted /
+    // weightedQuantilesDisc): the token-budget median/p90 of document
+    // length — the smallest length whose cumulative TOKEN mass reaches
+    // ceil(q · Σtokens) — computed exactly by the weighted quickselect:
+    // each histogram-refinement pass sums weight per bin (one narrow
+    // partial-agg shuffle), never a global sort. t_weighted_quantiles
+    // bounds the same answer to a 20-char bin; this pins the exact
+    // value — the pair every threshold pipeline wants (bounded gold for
+    // dashboards, exact for the cutoff actually applied). The oracle is
+    // the running-weight formulation (RANGE-frame cumulative sum) the
+    // engine exists to avoid funneling through one sort partition.
+    GraftQuery("t_weighted_exact_quantiles",
+      (s, dir) => graft.operators.Sketches.weightedQuantilesDisc(
+        Tables.documents(s, dir), length(col("text")),
+        size(split(col("text"), " ")).cast("long"), Seq(0.5, 0.9)),
+      Some("""WITH d AS (
+             |  SELECT length(text)::BIGINT AS v,
+             |         len(string_split(text, ' '))::BIGINT AS w
+             |  FROM documents WHERE text IS NOT NULL
+             |), dd AS (SELECT v, w FROM d WHERE w > 0),
+             |tot AS (SELECT sum(w) AS tw FROM dd),
+             |r AS (SELECT v, sum(w) OVER (ORDER BY v) AS cum FROM dd),
+             |qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS q)
+             |SELECT qq.q, min(r.v) AS value
+             |FROM qq CROSS JOIN tot
+             |JOIN r ON r.cum >= ceil(qq.q * tot.tw)
+             |GROUP BY 1""".stripMargin)),
   )
 }

@@ -111,6 +111,29 @@ object StreamSketch {
       },
       readOptions)
 
+  /** WEIGHTED KMV pair-sketch fold: the streaming producer of the gold
+    * [[graft.operators.Sketches.kmvPairRollup]] re-aggregates and the
+    * weighted overlap/retention queries consume. Each batch builds its
+    * own pair sketches (member hash + batch-partial weight sums);
+    * `kmvPairRollup` merges prev ∪ batch, summing weights where the
+    * same member spans the boundary. EXACT by the eviction-safety
+    * argument: a member evicted anywhere had k smaller hashes in that
+    * partial, forcing the final θ below it — so survivors were never
+    * evicted and their weight sums arrive complete, making the fold
+    * bit-identical to sketching the whole feed at once. */
+  def streamKmvPairGold(spark: SparkSession, srcDir: String,
+                        schemaSource: DataFrame, goldDir: String,
+                        checkpoint: String, k: Int,
+                        sketchOf: DataFrame => DataFrame,
+                        readOptions: Map[String, String] = Map.empty): String =
+    streamFoldGold(spark, srcDir, schemaSource, goldDir, checkpoint,
+      sketchOf,
+      merged => {
+        val dims = merged.columns.filterNot(_ == "sk").toSeq
+        Sketches.kmvPairRollup(merged, dims.map(col), col("sk"), k)
+      },
+      readOptions)
+
   /** Top-k heavy-hitter summary fold: the streaming producer of the
     * table [[graft.operators.Sketches.topkMerge]] answers global top-k
     * (with deterministic [lo, hi] bounds) from. UNLIKE the KMV/hist

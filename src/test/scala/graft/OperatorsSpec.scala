@@ -1301,6 +1301,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("orderStatisticsWeighted: weighted ranks equal the expanded multiset") {
+    import spark.implicits._
+    // the ground truth for weighted selection: each (v, w) behaves as w
+    // copies of v. Duplicated values, negatives, a dominating weight,
+    // and zero/null weights that must contribute nothing; bins=4 forces
+    // many refinement passes over the weight bookkeeping
+    val rows = ((0 until 200).map(i => (((i * 7919L) % 101) - 50, (i % 5 + 1).toLong)) ++
+      Seq((1234567890123L, 40L), (-999999999999L, 1L), (7L, 0L))).toSeq
+    val df = rows.toDF("x", "w") .unionByName(
+      Seq((99L, Option.empty[Long])).toDF("x", "w"))
+    val expanded = rows.flatMap { case (v, w) =>
+      Seq.fill(w.toInt)(v) }.sorted
+    val totalW = expanded.size.toLong
+    val ranks = Seq(1L, 2L, 137L, totalW / 2, totalW - 40, totalW)
+    val got = graft.operators.Sketches.orderStatisticsWeighted(
+      df, col("x"), col("w"), ranks, bins = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ranks.foreach(r => assert(got(r) == expanded((r - 1).toInt),
+      s"rank $r: got ${got(r)} want ${expanded((r - 1).toInt)}"))
+    // quantile wrapper: ceil(q × Σw) over the expanded multiset
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val qgot = graft.operators.Sketches.weightedQuantilesDisc(
+      df, col("x"), col("w"), qs)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    qs.foreach { q =>
+      val want = expanded(math.ceil(q * totalW).toLong.max(1L).toInt - 1)
+      assert(qgot(q) == want, s"q=$q: got ${qgot(q)} want $want")
+    }
+    // weighted rank bounds are enforced against Σw, not row count
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketches.orderStatisticsWeighted(
+        df, col("x"), col("w"), Seq(totalW + 1))
+    }
+  }
+
   test("groupedQuantilesDisc: exact per-group quantiles, divergent spans and singletons") {
     import spark.implicits._
     // groups with wildly different value spans, duplicates, negatives,
@@ -1431,6 +1466,37 @@ class OperatorsSpec extends SparkSpec {
         ((r.getLong(2), r.getLong(3)))).toMap
     assert(byP == Map(("p1", 0.5) -> ((40L, 50L)),
       ("p2", 0.5) -> ((40L, 50L))), s"got $byP")
+  }
+
+  test("weighted hist summaries: rank runs over weight; weight-1 equals counts") {
+    import spark.implicits._
+    // one heavy row dominates the weight: unweighted p50 lands in bin 1,
+    // weighted p50 follows the tokens into bin 2
+    val rows = Seq((5L, 1L), (15L, 1L), (25L, 8L)).toDF("v", "w")
+    def q(sums: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sketches.histQuantiles(sums, Seq(0.5),
+        lo = 0L, width = 10L).collect()
+        .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val weighted = graft.operators.Sketches.histSummariesWeightedBy(
+      rows, Nil, col("v"), col("w"), lo = 0L, width = 10L, bins = 4)
+    val unweighted = graft.operators.Sketches.histSummariesBy(
+      rows, Nil, col("v"), lo = 0L, width = 10L, bins = 4)
+    assert(q(unweighted) == Map(0.5 -> ((10L, 20L))))
+    assert(q(weighted) == Map(0.5 -> ((20L, 30L))))
+    // weight 1 reduces the weighted path to the plain counts, bit-equal
+    val w1 = graft.operators.Sketches.histSummariesWeightedBy(
+      rows, Nil, col("v"), lit(1L), lo = 0L, width = 10L, bins = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = unweighted.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 == plain)
+    // null weight rows contribute nothing (same contract as null values)
+    val withNull = Seq((5L, Some(1L)), (15L, None), (25L, Some(8L)))
+      .toDF("v", "w")
+    val nw = graft.operators.Sketches.histSummariesWeightedBy(
+      withNull, Nil, col("v"), col("w"), lo = 0L, width = 10L, bins = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nw == Map(0L -> 1L, 2L -> 8L), s"got $nw")
   }
 
   test("heavyHitters equals exact GROUP BY/HAVING even under forced collisions") {

@@ -137,6 +137,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: orderStatisticsWeighted equals sorting the expanded multiset") {
+    import spark.implicits._
+    val inputGen = for {
+      rows <- Gen.nonEmptyListOf(Gen.zip(
+        Gen.chooseNum(-100000L, 100000L), Gen.choose(1L, 5L)))
+      tw = rows.map(_._2).sum
+      ranks <- Gen.nonEmptyListOf(Gen.choose(1L, tw))
+      bins <- Gen.oneOf(2, 3, 16)
+    } yield (rows, ranks.distinct, bins)
+    check(Prop.forAll(inputGen) { case (rows, ranks, bins) =>
+      val expanded = rows.flatMap { case (v, w) =>
+        Seq.fill(w.toInt)(v) }.sorted
+      val got = graft.operators.Sketches.orderStatisticsWeighted(
+        rows.toDF("x", "w"), col("x"), col("w"), ranks, bins = bins)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ranks.forall(r => got(r) == expanded((r - 1).toInt))
+    })
+  }
+
   test("property: connectedComponents matches a union-find oracle") {
     check(Prop.forAll(pairsGen) { pairs =>
       pairs.isEmpty || {

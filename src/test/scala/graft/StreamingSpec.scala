@@ -391,6 +391,53 @@ class StreamingSpec extends SparkSpec {
     assert(sketches(after) == expected)
   }
 
+  test("streaming weighted pair-sketch fold is bit-identical to one-shot") {
+    import graft.operators.{Dedup, Sketches}
+    import graft.streaming.StreamSketch
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streamkmvp").toString
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    def put(name: String, rows: Seq[(String, Long, Long)], mtime: Long): Unit = {
+      val f = new java.io.File(src, name)
+      java.nio.file.Files.writeString(f.toPath,
+        rows.map { case (g, u, w) => s"""{"g":"$g","u":$u,"w":$w}""" }
+          .mkString("", "\n", "\n"))
+      f.setLastModified(mtime); ()
+    }
+    // cohort "a": 10 members saturate k=4, and members 1 and 3 split
+    // their weight ACROSS batches — the sums must assemble through the
+    // fold while eviction churns the partials; cohort "b" stays exact
+    val b1 = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 5L),
+      ("b", 1L, 7L))
+    val b2 = Seq(("a", 3L, 25L), ("a", 4L, 40L), ("a", 5L, 50L),
+      ("a", 6L, 60L), ("b", 1L, 3L), ("b", 2L, 9L))
+    val b3 = Seq(("a", 7L, 70L), ("a", 8L, 80L), ("a", 9L, 90L),
+      ("a", 10L, 100L), ("a", 1L, 1L), ("b", 2L, 1L))
+    put("x.json", b1, 1700000000000L)
+    put("y.json", b2, 1700000002000L)
+    put("z.json", b3, 1700000004000L)
+    val schemaDf = Seq(("a", 1L, 1L)).toDF("g", "u", "w")
+    val k = 4
+    val sketchOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => b.groupBy(col("g"))
+        .agg(Sketches.kmvPairSketch(Dedup.hash60(col("u").cast("string")),
+          col("w"), k).as("sk"))
+    val finalPath = StreamSketch.streamKmvPairGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", k, sketchOf)
+    def sketches(df: org.apache.spark.sql.DataFrame): Map[String, Seq[(Long, Long)]] =
+      df.select(col("g"), col("sk")).as[(String, Seq[(Long, Long)])]
+        .collect().toMap
+    val folded = sketches(spark.read.parquet(finalPath))
+    val direct = sketches(sketchOf((b1 ++ b2 ++ b3).toDF("g", "u", "w")))
+    assert(folded == direct,
+      "pair fold must be bit-identical to the one-shot sketch")
+    assert(folded("a").length == k)
+    // cohort "b" is unsaturated: complete member sums, assembled across
+    // batches (member 1: 7+3, member 2: 9+1)
+    val bSums = folded("b").map(_._2).sorted
+    assert(bSums == Seq(10L, 10L), s"got $bSums")
+  }
+
   test("streaming top-k fold appends per-period summaries; merge equals batch rollup") {
     import graft.operators.Sketches
     import graft.streaming.StreamSketch
