@@ -236,6 +236,88 @@ object Sketches {
       .toDF("group", "q", "value")
   }
 
+  /** Per-GROUP exact WEIGHTED discrete quantiles — the weighted sibling
+    * of [[groupedQuantilesDisc]]: per-group rank rule ceil(q × W_g)
+    * over cumulative WEIGHT (W_g = the group's positive-weight total),
+    * for "the token-budget p90 length PER LANGUAGE" computed exactly.
+    * Same broadcast ranges-table refinement — one pass serves every
+    * group, per row one equi-join probe + one weighted cell, map-side
+    * partial sums — and the same 2^22-cell driver budget with the
+    * group-cardinality guard BEFORE any collect. Positive-long weight
+    * contract as [[orderStatisticsWeighted]].
+    *
+    * @return (group, q, value) for every group × q.
+    */
+  def groupedWeightedQuantilesDisc(df: DataFrame, group: Column,
+                                   value: Column, weight: Column,
+                                   qs: Seq[Double],
+                                   bins: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0))
+    require(bins >= 2)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(group.cast("string").as("g"),
+        value.cast("long").as("v"), weight.cast("long").as("w"))
+      .filter(col("v").isNotNull && col("g").isNotNull &&
+        col("w").isNotNull && col("w") > 0)
+    val nGroups = v.agg(countDistinct(col("g"))).first().getLong(0)
+    require(nGroups * qs.size * bins <= (1L << 22),
+      s"groups($nGroups) × qs(${qs.size}) × bins($bins) exceeds the " +
+        "driver-artifact budget (2^22 cells) — reduce bins or pre-bucket " +
+        "the group key")
+    val heads = v.groupBy(col("g"))
+      .agg(sum(col("w")).as("tw"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .collect()
+    heads.foreach { h =>
+      require(BigInt(h.getLong(3)) - BigInt(h.getLong(2)) <= (BigInt(1) << 62),
+        s"value span of group ${h.getString(0)} exceeds 2^62 — pre-scale")
+    }
+    // state: (g, qIdx) -> (weightedRank, lo, hi, belowWeight)
+    var state: Map[(String, Int), (Long, Long, Long, Long)] = heads.flatMap { h =>
+      val (g, tw, lo, hi) = (h.getString(0), h.getLong(1), h.getLong(2), h.getLong(3))
+      qs.zipWithIndex.map { case (q, qi) =>
+        (g, qi) -> ((math.ceil(q * tw).toLong.max(1L), lo, hi, 0L))
+      }
+    }.toMap
+    val maxPasses = math.ceil(62.0 / (math.log(bins) / math.log(2.0))).toInt + 2
+    var guard = 0
+    while (state.values.exists { case (_, lo, hi, _) => lo < hi }) {
+      guard += 1
+      require(guard <= maxPasses,
+        "groupedWeightedQuantilesDisc failed to converge")
+      val active = state.toSeq
+        .filter { case (_, (_, lo, hi, _)) => lo < hi }
+      val ranges = active.map { case ((g, qi), (_, lo, hi, _)) =>
+        (g, qi, lo, hi, (hi - lo) / bins + 1) // ceil width, span ≤ 2^62
+      }.toDF("g", "qi", "rlo", "rhi", "rw")
+      val cells = v.join(broadcast(ranges), "g")
+        .filter(col("v") >= col("rlo") && col("v") <= col("rhi"))
+        .select(col("g"), col("qi"), expr("(v - rlo) div rw").as("bin"),
+          col("w"))
+        .groupBy(col("g"), col("qi"), col("bin"))
+        .agg(sum(col("w")).as("cnt"))
+        .collect()
+      val hist = cells.groupBy(r => (r.getString(0), r.getInt(1)))
+      state = state ++ active.map { case (key @ (g, qi), (rank, lo, hi, below)) =>
+        val w = (hi - lo) / bins + 1
+        val byBin = hist.getOrElse(key, Array.empty)
+          .map(c => c.getAs[Long]("bin") -> c.getAs[Long]("cnt"))
+          .sortBy(_._1)
+        var cum = below
+        val (bin, before) = byBin.iterator.map { case (b, cnt) =>
+          val pre = cum; cum += cnt; (b, pre, cum)
+        }.collectFirst { case (b, pre, c) if c >= rank => (b, pre) }
+          .getOrElse(throw new IllegalStateException(
+            s"weighted rank $rank of group $g not found in histogram"))
+        val nlo = lo + bin * w
+        key -> ((rank, nlo, math.min(hi, nlo + w - 1), before))
+      }.toMap
+    }
+    state.toSeq.map { case ((g, qi), (_, lo, _, _)) => (g, qs(qi), lo) }
+      .toDF("group", "q", "value")
+  }
+
   /** Discrete quantiles on top of [[orderStatistics]] — rank =
     * ceil(q × n), DuckDB `quantile_disc` / SQL `PERCENTILE_DISC`
     * semantics. Returns (q, value). */
@@ -429,10 +511,22 @@ object Sketches {
     * counts + a per-period (partitioned, never global) rank window.
     * ~k rows per period: this is the table a gold layer stores. */
   def topkSummaries(df: DataFrame, period: Column, term: Column,
-                    k: Int): DataFrame = {
+                    k: Int): DataFrame =
+    topkSummariesWeighted(df, period, term, lit(1L), k)
+
+  /** WEIGHTED variant of [[topkSummaries]]: terms rank by summed LONG
+    * weight instead of row count — "top sources by TOKEN mass per
+    * language", the mixture question a training corpus asks (a source
+    * of few huge docs outweighs one of many tiny docs). Epsilon becomes
+    * the (k+1)-th weight sum — the max weight any dropped term can
+    * carry — so [[topkMerge]]'s bound arithmetic holds unchanged over
+    * weighted summaries. Rows with a null weight contribute nothing. */
+  def topkSummariesWeighted(df: DataFrame, period: Column, term: Column,
+                            weight: Column, k: Int): DataFrame = {
     require(k >= 1)
-    val c = df.groupBy(period.as("period"), term.as("term"))
-      .agg(count(lit(1)).as("cnt"))
+    val c = df.filter(weight.isNotNull)
+      .groupBy(period.as("period"), term.as("term"))
+      .agg(sum(weight.cast("long")).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("period")).orderBy(col("cnt").desc, col("term"))
     val r = c.withColumn("rk", row_number().over(w))

@@ -1481,5 +1481,76 @@ object TextQueries {
              |FROM qq CROSS JOIN tot
              |JOIN r ON r.cum >= ceil(qq.q * tot.tw)
              |GROUP BY 1""".stripMargin)),
+
+    // Per-GROUP exact weighted quantiles (Sketches.
+    // groupedWeightedQuantilesDisc): the token-budget p50/p90 doc
+    // length PER LANGUAGE, exact — per-group weighted rank
+    // ceil(q × W_g) refined through the broadcast ranges table, one
+    // weighted-cell pass serving every language at once. The oracle is
+    // the per-group running-weight cumulative (PARTITION BY + RANGE
+    // frame) — fine at 5 languages, a per-group sort funnel at 5M
+    // groups, which is why the refinement exists.
+    GraftQuery("t_weighted_grouped_quantiles",
+      (s, dir) => graft.operators.Sketches.groupedWeightedQuantilesDisc(
+        Tables.documents(s, dir), col("lang"), length(col("text")),
+        size(split(col("text"), " ")).cast("long"), Seq(0.5, 0.9)),
+      Some("""WITH d AS (
+             |  SELECT lang AS grp, length(text)::BIGINT AS v,
+             |         len(string_split(text, ' '))::BIGINT AS w
+             |  FROM documents WHERE text IS NOT NULL
+             |), dd AS (SELECT * FROM d WHERE w > 0),
+             |tot AS (SELECT grp, sum(w) AS tw FROM dd GROUP BY 1),
+             |r AS (
+             |  SELECT grp, v,
+             |         sum(w) OVER (PARTITION BY grp ORDER BY v) AS cum
+             |  FROM dd
+             |), qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS q)
+             |SELECT tot.grp AS "group", qq.q, min(r.v) AS value
+             |FROM tot CROSS JOIN qq
+             |JOIN r ON r.grp = tot.grp AND r.cum >= ceil(qq.q * tot.tw)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // WEIGHTED top-k rollup (Sketches.topkSummariesWeighted +
+    // topkMerge): top sources by TOKEN mass — per-language top-10
+    // source summaries where each doc contributes its token count, the
+    // epsilon is the rank-11 token sum, and the global top-5 carries
+    // the same [lo, hi] bound arithmetic over weighted summaries. The
+    // mixture question a training corpus asks: a source of few huge
+    // docs outweighs one of many tiny docs, which a count-based top-k
+    // inverts. Oracle replays weighted counts, epsilons, and bounds
+    // hash-exact including tie-breaks.
+    GraftQuery("t_topk_weighted",
+      (s, dir) => graft.operators.Sketches.topkMerge(
+        graft.operators.Sketches.topkSummariesWeighted(
+          Tables.documents(s, dir), col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long"), k = 10), k = 5),
+      Some("""WITH c AS (
+             |  SELECT lang AS period, source AS term,
+             |         sum(len(string_split(text, ' ')))::BIGINT AS cnt
+             |  FROM documents GROUP BY 1, 2
+             |), r AS (
+             |  SELECT period, term, cnt,
+             |         row_number() OVER (PARTITION BY period
+             |                            ORDER BY cnt DESC, term) AS rk
+             |  FROM c
+             |), eps AS (
+             |  SELECT period,
+             |         coalesce(max(CASE WHEN rk = 11 THEN cnt END), 0) AS eps
+             |  FROM r GROUP BY 1
+             |), s AS (
+             |  SELECT r.period, r.term, r.cnt, eps.eps
+             |  FROM r JOIN eps USING (period) WHERE rk <= 10
+             |), tot AS (
+             |  SELECT coalesce(sum(eps), 0) AS total_eps
+             |  FROM (SELECT DISTINCT period, eps FROM s)
+             |), m AS (
+             |  SELECT term, sum(cnt)::BIGINT AS lo,
+             |         sum(eps)::BIGINT AS tracked_eps
+             |  FROM s GROUP BY 1
+             |)
+             |SELECT m.term, m.lo,
+             |       (m.lo + (tot.total_eps::BIGINT - m.tracked_eps))::BIGINT AS hi
+             |FROM m, tot
+             |ORDER BY hi DESC, term LIMIT 5""".stripMargin)),
   )
 }

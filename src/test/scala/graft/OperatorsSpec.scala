@@ -1419,6 +1419,66 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("topkSummariesWeighted: weight flips the ranking; bounds still contain truth") {
+    import spark.implicits._
+    // term "many" wins on row count (3 rows × weight 1), "huge" wins on
+    // weight (1 row × 100) — the weighted ranking must invert the
+    // count-based one; "mid" straddles periods so the eps accounting
+    // runs over weighted sums
+    val rows = Seq(("p1", "many", 1L), ("p1", "many", 1L), ("p1", "many", 1L),
+      ("p1", "huge", 100L), ("p1", "mid", 10L), ("p1", "tiny", 2L),
+      ("p2", "mid", 30L), ("p2", "huge", 5L), ("p2", "small", 4L))
+    val df = rows.toDF("p", "t", "w")
+    val sums = graft.operators.Sketches.topkSummariesWeighted(
+      df, col("p"), col("t"), col("w"), k = 2)
+    // p1 top-2 by weight: huge 100, mid 10; eps1 = 3 (many's sum)
+    // p2 top-2: mid 30, huge 5; eps2 = 4 (small)
+    val got = graft.operators.Sketches.topkMerge(sums, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // only tracked terms can surface: "many" (rank 3 in p1 by weight,
+    // despite winning on row count) is truncated from every summary
+    assert(got.toSeq == Seq(("huge", 105L, 105L), ("mid", 40L, 40L)),
+      s"got ${got.toSeq}")
+    val truth = rows.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toMap
+    got.foreach { case (t, lo, hi) =>
+      assert(lo <= truth(t) && truth(t) <= hi, s"$t: [$lo,$hi] vs ${truth(t)}")
+    }
+    // PODS'12 guarantee for truncated terms: any untracked term's true
+    // weight is bounded by total_eps (3 + 4)
+    assert(truth("many") <= 7L && truth("tiny") <= 7L && truth("small") <= 7L)
+    // weight 1 reduces to the count-based summaries bit-for-bit
+    val w1 = graft.operators.Sketches.topkSummariesWeighted(
+      df, col("p"), col("t"), lit(1L), k = 2).collect().toSet
+    val plain = graft.operators.Sketches.topkSummaries(
+      df, col("p"), col("t"), k = 2).collect().toSet
+    assert(w1 == plain)
+  }
+
+  test("groupedWeightedQuantilesDisc: per-group weighted ranks, expanded multiset") {
+    import spark.implicits._
+    // per-language weight distributions with divergent spans; zero and
+    // null weights must contribute nothing to any group
+    val rows = (0 until 200).map(i =>
+      ("en", ((i * 7919L) % 97) - 48, (i % 4 + 1).toLong)) ++
+      (0 until 40).map(i => ("de", i * 1000000L, 10L)) ++
+      Seq(("fr", 42L, 1L), ("fr", 41L, 0L))
+    val df = rows.toDF("g", "x", "w").unionByName(
+      Seq(("en", 0L, Option.empty[Long])).toDF("g", "x", "w"))
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val got = graft.operators.Sketches.groupedWeightedQuantilesDisc(
+      df, col("g"), col("x"), col("w"), qs, bins = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val byG = rows.filter(_._3 > 0).groupBy(_._1).view
+      .mapValues(_.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted)
+      .toMap
+    for ((g, expanded) <- byG; q <- qs) {
+      val want = expanded(math.ceil(q * expanded.size).toInt.max(1) - 1)
+      assert(got((g, q)) == want, s"($g, $q): got ${got((g, q))} want $want")
+    }
+    assert(got.size == byG.size * qs.size)
+  }
+
   test("histSummaries/histQuantiles: merged gold bounds contain the true quantile") {
     import spark.implicits._
     // values 0..99 split across two periods: bin b holds exactly 10
