@@ -55,7 +55,9 @@ object Bench {
     "d_byte_incremental",  // incremental byte-grain near-dup fold (registry probe)
     "a_kmv_sliding_uniques", // rolling-window uniques from stored daily sketches
     "a_hist_quantile_rollup", // mergeable histogram quantile gold (summary-sized merge)
-    "a_kmv_weighted_overlap") // weighted pair-sketch cohort intersection (tuple-sketch shape)
+    "a_kmv_weighted_overlap", // weighted pair-sketch cohort intersection (tuple-sketch shape)
+    "a_topk_sliding",      // rolling-window top-k from stored daily summaries
+    "a_hist_sliding_quantiles") // rolling-window quantile bounds from stored histograms
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

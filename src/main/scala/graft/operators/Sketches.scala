@@ -556,6 +556,55 @@ object Sketches {
       .orderBy(col("hi").desc, col("term")).limit(k)
   }
 
+  /** Rolling-window top-k from STORED per-day [[topkSummaries]] — the
+    * "trending terms, 7-day window, every day" gold question answered
+    * without ever re-reading raw history: each stored (day, term, cnt,
+    * eps) row feeds the ≤ `windowDays` window-ends it belongs to (a
+    * summary-sized explode — periods × k × w rows, never corpus-sized),
+    * then each window runs [[topkMerge]]'s deferred-merge arithmetic
+    * (Agarwal et al., PODS'12): lo = Σ tracked cnt, hi = lo + (window
+    * total-eps − Σ tracked eps), ranked by hi with term tie-break —
+    * `lo ≤ true windowed count ≤ hi` always, exact when the term was
+    * tracked every window day. The per-window totals frame is
+    * windows-sized (broadcast); the rank window partitions by
+    * window_end, never global. Window ends past the max stored day are
+    * dropped (no partial future windows). `period` must cast to long
+    * (a day number).
+    *
+    * @return (window_end, term, lo, hi) — top `k` per window by hi.
+    */
+  def topkSliding(summaries: DataFrame, k: Int, windowDays: Int): DataFrame = {
+    require(k >= 1 && windowDays >= 1)
+    // materialize the summaries ONCE (they are gold-sized: days × k
+    // rows) — the merge references them three ways (max-day, per-day
+    // eps totals, per-term sums), and without this a caller composing
+    // the daily build inline re-runs that corpus-sized pipeline per
+    // reference (same discipline as connectedComponents' input
+    // materialization)
+    val s = summaries.localCheckpoint()
+    val maxDay = s.agg(max(col("period").cast("long")))
+      .first().getLong(0)
+    val spread = s.select(
+      col("period").cast("long").as("day"), col("term"), col("cnt"),
+      col("eps"),
+      explode(sequence(col("period").cast("long"),
+        least(col("period").cast("long") + lit(windowDays - 1),
+          lit(maxDay)))).as("window_end"))
+    val tot = spread.select(col("window_end"), col("day"), col("eps"))
+      .distinct()
+      .groupBy(col("window_end"))
+      .agg(coalesce(sum(col("eps")), lit(0L)).as("total_eps"))
+    val merged = spread.groupBy(col("window_end"), col("term"))
+      .agg(sum(col("cnt")).as("lo"), sum(col("eps")).as("tracked_eps"))
+      .join(broadcast(tot), Seq("window_end"))
+      .select(col("window_end"), col("term"), col("lo"),
+        (col("lo") + col("total_eps") - col("tracked_eps")).as("hi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_end")).orderBy(col("hi").desc, col("term"))
+    merged.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+  }
+
   /** Intersection-cardinality estimate from two KMV sketches (Beyer et
     * al., SIGMOD'07): members of the union sketch present in BOTH input
     * sketches estimate the Jaccard numerator; scaled by the union
@@ -808,5 +857,36 @@ object Sketches {
       .select(gNames.map(col) ++ Seq(col("q"),
         (lit(lo) + col("bin") * lit(width)).as("value_lo"),
         (lit(lo) + (col("bin") + 1) * lit(width)).as("value_hi")): _*)
+  }
+
+  /** Rolling-window quantile bounds from STORED per-day
+    * [[histSummaries]] — the quantile sibling of [[topkSliding]] and
+    * [[kmvSlidingUniques]], completing the sliding re-cut story for the
+    * whole sketch-gold family: each stored (period, bin, cnt) row feeds
+    * the ≤ `windowDays` window-ends it belongs to (a summary-sized
+    * explode — periods × bins × w rows), then [[histQuantilesBy]] keyed
+    * on window_end merges every window at once — shared-boundary
+    * histogram counts ADD, so each window's bounds are bit-identical to
+    * summarizing its raw span directly, and raw history is read ZERO
+    * times. Window ends past the max stored period are dropped. `period`
+    * must cast to long.
+    *
+    * @return (window_end, q, value_lo, value_hi) for every window × q.
+    */
+  def histQuantilesSliding(daily: DataFrame, qs: Seq[Double], lo: Long,
+                           width: Long, windowDays: Int): DataFrame = {
+    require(windowDays >= 1)
+    // materialize once — summary-sized (periods × bins rows); the
+    // quantile merge references the spread three ways (cumulative self-
+    // join both sides + totals), see topkSliding
+    val d = daily.localCheckpoint()
+    val maxDay = d.agg(max(col("period").cast("long")))
+      .first().getLong(0)
+    val spread = d.select(
+      explode(sequence(col("period").cast("long"),
+        least(col("period").cast("long") + lit(windowDays - 1),
+          lit(maxDay)))).as("window_end"),
+      col("bin"), col("cnt"))
+    histQuantilesBy(spread, Seq(col("window_end")), qs, lo, width)
   }
 }

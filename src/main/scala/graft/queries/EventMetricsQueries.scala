@@ -1856,6 +1856,117 @@ object EventMetricsQueries {
              |       900 + (bin + 1) * 1000 AS value_hi
              |FROM pick""".stripMargin)),
 
+    // Rolling-window top-k from stored daily summaries (Sketches.
+    // topkSliding): "the trending users, 7-day window, every day" —
+    // per-day top-10 user summaries (exact counts + the day's rank-11
+    // epsilon) re-cut into every 7-day window via the summary-sized
+    // explode, each window merged with the PODS'12 deferred-merge bound
+    // arithmetic to its top-5 with [lo, hi]. Raw events are read once
+    // to build the daily gold rows; every window after that is
+    // summaries-sized (days × k × 7 rows). The oracle replays daily
+    // counts, epsilons, the window explode, per-window totals, bounds,
+    // and the hi-desc/term tie-break rank hash-exact — so truncation
+    // accounting can't drift even at window boundaries.
+    GraftQuery("a_topk_sliding",
+      (s, dir) => graft.operators.Sketches.topkSliding(
+        graft.operators.Sketches.topkSummaries(
+          Tables.events(s, dir), dayofmonth(col("ts")).cast("long"),
+          col("user_id"), k = 10),
+        k = 5, windowDays = 7),
+      Some("""WITH c AS (
+             |  SELECT CAST(day(ts) AS BIGINT) AS day, user_id AS term,
+             |         count(*)::BIGINT AS cnt
+             |  FROM events GROUP BY 1, 2
+             |), r AS (
+             |  SELECT day, term, cnt,
+             |         row_number() OVER (PARTITION BY day
+             |                            ORDER BY cnt DESC, term) AS rk
+             |  FROM c
+             |), eps AS (
+             |  SELECT day,
+             |         coalesce(max(CASE WHEN rk = 11 THEN cnt END), 0) AS eps
+             |  FROM r GROUP BY 1
+             |), s AS (
+             |  SELECT r.day, r.term, r.cnt, eps.eps
+             |  FROM r JOIN eps USING (day) WHERE rk <= 10
+             |), mx AS (SELECT max(day) AS md FROM s),
+             |sp AS (
+             |  SELECT s.day, s.term, s.cnt, s.eps,
+             |         unnest(generate_series(s.day, least(s.day + 6, mx.md)))
+             |           AS window_end
+             |  FROM s CROSS JOIN mx
+             |), tot AS (
+             |  SELECT window_end, coalesce(sum(eps), 0) AS total_eps
+             |  FROM (SELECT DISTINCT window_end, day, eps FROM sp)
+             |  GROUP BY 1
+             |), m AS (
+             |  SELECT window_end, term, sum(cnt)::BIGINT AS lo,
+             |         sum(eps)::BIGINT AS tracked_eps
+             |  FROM sp GROUP BY 1, 2
+             |), j AS (
+             |  SELECT m.window_end, m.term, m.lo,
+             |         (m.lo + tot.total_eps - m.tracked_eps)::BIGINT AS hi
+             |  FROM m JOIN tot USING (window_end)
+             |), rk2 AS (
+             |  SELECT window_end, term, lo, hi,
+             |         row_number() OVER (PARTITION BY window_end
+             |                            ORDER BY hi DESC, term) AS rk
+             |  FROM j
+             |)
+             |SELECT window_end, term, lo, hi
+             |FROM rk2 WHERE rk <= 5""".stripMargin)),
+
+    // Rolling-window quantile bounds from stored histograms (Sketches.
+    // histQuantilesSliding): rolling-quarter price quantiles, every
+    // month, from the SAME per-month gold rows a_hist_quantile_rollup
+    // merges — the sliding re-cut that completes the sketch-gold
+    // family's window story next to a_kmv_sliding_uniques (uniques) and
+    // a_topk_sliding (heavy hitters). Shared-boundary histogram counts
+    // add, so each window's bounds are bit-identical to histogramming
+    // its raw span; lineitem is scanned once, each window is ≤ bins
+    // summary rows. The oracle replays binning, the window explode,
+    // per-window merge, and the ceil-rank pick hash-exact.
+    GraftQuery("a_hist_sliding_quantiles",
+      (s, dir) => graft.operators.Sketches.histQuantilesSliding(
+        graft.operators.Sketches.histSummaries(
+          Tables.lineitem(s, dir), month(col("l_shipdate")),
+          col("l_extendedprice"), lo = 900L, width = 1000L, bins = 105),
+        qs = Seq(0.5, 0.95), lo = 900L, width = 1000L, windowDays = 3),
+      Some("""WITH h AS (
+             |  SELECT CAST(month(l_shipdate) AS BIGINT) AS period,
+             |         CAST(least(greatest(
+             |           floor((l_extendedprice - 900.0) / 1000.0), 0), 104)
+             |           AS BIGINT) AS bin
+             |  FROM lineitem
+             |), s AS (
+             |  SELECT period, bin, count(*) AS cnt FROM h GROUP BY 1, 2
+             |), mx AS (SELECT max(period) AS md FROM s),
+             |sp AS (
+             |  SELECT unnest(generate_series(s.period,
+             |           least(s.period + 2, mx.md))) AS window_end,
+             |         s.bin, s.cnt
+             |  FROM s CROSS JOIN mx
+             |), m AS (
+             |  SELECT window_end, bin, sum(cnt) AS cnt FROM sp GROUP BY 1, 2
+             |), n AS (
+             |  SELECT window_end, sum(cnt) AS n FROM m GROUP BY 1
+             |), c AS (
+             |  SELECT a.window_end, a.bin, sum(b.cnt) AS cum
+             |  FROM m a JOIN m b ON b.window_end = a.window_end
+             |                   AND b.bin <= a.bin
+             |  GROUP BY 1, 2
+             |), qq AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q),
+             |pick AS (
+             |  SELECT n.window_end, qq.q, min(c.bin) AS bin
+             |  FROM n CROSS JOIN qq
+             |  JOIN c ON c.window_end = n.window_end
+             |        AND c.cum >= ceil(qq.q * n.n)
+             |  GROUP BY 1, 2
+             |)
+             |SELECT window_end, q, 900 + bin * 1000 AS value_lo,
+             |       900 + (bin + 1) * 1000 AS value_hi
+             |FROM pick""".stripMargin)),
+
     // Weighted cohort overlap via KMV PAIR sketches (plans.
     // KmvPairSketchAgg + Sketches.kmvPairIntersectWeight): "how much did
     // the users active on BOTH day P and P+1 spend (across the two

@@ -1479,6 +1479,75 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size == byG.size * qs.size)
   }
 
+  test("topkSliding: each window equals topkMerge over its day subset; bounds contain truth") {
+    import spark.implicits._
+    // 3 days, k=2 summaries over 4 terms per day — every day truncates,
+    // and the windows straddle day boundaries (w=2: end e covers days
+    // {e-1, e} ∩ observed)
+    val rows = Seq(
+      (1L, "a", 10L), (1L, "b", 8L), (1L, "c", 5L), (1L, "d", 1L),
+      (2L, "c", 9L), (2L, "a", 7L), (2L, "b", 6L), (2L, "d", 2L),
+      (3L, "d", 12L), (3L, "b", 4L), (3L, "a", 3L), (3L, "c", 2L))
+    val df = rows.flatMap { case (d, t, n) => Seq.fill(n.toInt)((d, t)) }
+      .toDF("day", "term")
+    val sums = graft.operators.Sketches.topkSummaries(
+      df, col("day"), col("term"), k = 2)
+    val slid = graft.operators.Sketches.topkSliding(sums, k = 3,
+      windowDays = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // window ends observed: 1 (day 1), 2 (days 1-2), 3 (days 2-3)
+    for (e <- 1L to 3L) {
+      val days = Set(e - 1, e).filter(d => d >= 1 && d <= 3)
+      val sub = sums.filter(col("period").isin(days.toSeq: _*))
+      val direct = graft.operators.Sketches.topkMerge(sub, k = 3)
+        .collect().map(r => (e, r.getString(0)) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      assert(slid.view.filterKeys(_._1 == e).toMap == direct,
+        s"window $e: ${slid.view.filterKeys(_._1 == e).toMap} vs $direct")
+      // bounds contain the true windowed counts for surfaced terms
+      val truth = rows.filter(r => days(r._1)).groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toMap
+      direct.foreach { case ((_, t), (lo, hi)) =>
+        assert(lo <= truth(t) && truth(t) <= hi, s"window $e $t")
+      }
+    }
+    assert(slid.keys.map(_._1).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("histQuantilesSliding: each window is bit-equal to histogramming its raw span") {
+    import spark.implicits._
+    val rows = Seq((1L, 3L), (1L, 17L), (1L, 42L), (2L, 5L), (2L, 98L),
+      (2L, 55L), (3L, 61L), (3L, 7L), (3L, 99L), (3L, 0L))
+    val df = rows.toDF("day", "v")
+    val daily = graft.operators.Sketches.histSummaries(
+      df, col("day"), col("v"), lo = 0L, width = 10L, bins = 10)
+    val qs = Seq(0.5, 0.9, 1.0)
+    val slid = graft.operators.Sketches.histQuantilesSliding(
+        daily, qs, lo = 0L, width = 10L, windowDays = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    for (e <- 1L to 3L) {
+      val days = Set(e - 1, e).filter(d => d >= 1 && d <= 3)
+      val direct = graft.operators.Sketches.histQuantiles(
+          graft.operators.Sketches.histSummaries(
+            df.filter(col("day").isin(days.toSeq: _*)), col("day"),
+            col("v"), lo = 0L, width = 10L, bins = 10),
+          qs, lo = 0L, width = 10L)
+        .collect().map(r => (e, r.getDouble(0)) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      assert(slid.view.filterKeys(_._1 == e).toMap == direct, s"window $e")
+      // the true q-quantile of the window's raw values sits in the bound
+      val sorted = rows.filter(r => days(r._1)).map(_._2).sorted
+      for (q <- qs) {
+        val t = sorted(math.ceil(q * sorted.size).toInt.max(1) - 1)
+        val (vlo, vhi) = direct((e, q))
+        assert(vlo <= t && t < vhi, s"window $e q=$q: $t not in [$vlo,$vhi)")
+      }
+    }
+    assert(slid.size == 3 * qs.size)
+  }
+
   test("histSummaries/histQuantiles: merged gold bounds contain the true quantile") {
     import spark.implicits._
     // values 0..99 split across two periods: bin b holds exactly 10

@@ -559,6 +559,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"))
   }
 
+  test("sliding top-k merge never re-reads raw; rank windows stay partitioned") {
+    val p = plan("a_topk_sliding").split("== Initial Plan ==")(0)
+    // the daily summaries materialize ONCE (localCheckpoint — the raw
+    // scan + daily top-k build run exactly once, outside this plan);
+    // the merge itself reads only the checkpointed gold rows, so NO
+    // parquet scan may appear — a raw rolling top-k would scan per
+    // window or explode raw rows 7×
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"merge re-reads raw parquet ($scans scans):\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"summaries not materialized once:\n$p")
+    // the window explode fans out summary rows (days × k) only
+    assert(p.contains("Generate explode"), s"window explode missing:\n$p")
+    // the per-window rank is PARTITIONED by window_end, never global
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, s"rank window missing from plan:\n$p")
+    winLines.foreach { l =>
+      assert(l.contains("window_end#"),
+        s"window line carries no partition key (global rank):\n$l")
+    }
+    // the per-window totals frame travels by broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"window totals not broadcast:\n$p")
+  }
+
+  test("sliding hist quantiles merge never re-reads raw; stays summary-sized") {
+    val p = plan("a_hist_sliding_quantiles").split("== Initial Plan ==")(0)
+    // same materialize-once discipline: the lineitem scan + histogram
+    // build run exactly once at the checkpoint; the merge reads gold
+    // rows only
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"merge re-reads raw parquet ($scans scans):\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"summaries not materialized once:\n$p")
+    assert(p.contains("Generate explode"), s"window explode missing:\n$p")
+    // same guarantees as the rollup merge: no window cumulative, no
+    // global sort, summary frames broadcast
+    assert(!p.contains("Window"), s"windowed cumulative:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"window-keyed summary frame not broadcast:\n$p")
+    val globalSorts = "(?m)^[\\s:+\\-|*]*Sort \\[".r.findAllIn(p).size
+    assert(globalSorts == 0, s"sort in a summary-sized merge:\n$p")
+  }
+
   test("per-group hist quantiles keep the same summary-sized shape") {
     val p = plan("a_hist_quantile_by_type")
     // the grouped merge keys the cumulative self-join and rank scan on
