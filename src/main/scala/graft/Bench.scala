@@ -57,7 +57,8 @@ object Bench {
     "a_hist_quantile_rollup", // mergeable histogram quantile gold (summary-sized merge)
     "a_kmv_weighted_overlap", // weighted pair-sketch cohort intersection (tuple-sketch shape)
     "a_topk_sliding",      // rolling-window top-k from stored daily summaries
-    "a_hist_sliding_quantiles") // rolling-window quantile bounds from stored histograms
+    "a_hist_sliding_quantiles", // rolling-window quantile bounds from stored histograms
+    "j_triangle_count")    // degree-oriented triangle counting (wedge join bounded on hubs)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

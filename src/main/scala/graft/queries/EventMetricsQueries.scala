@@ -1916,6 +1916,64 @@ object EventMetricsQueries {
              |SELECT window_end, term, lo, hi
              |FROM rk2 WHERE rk <= 5""".stripMargin)),
 
+    // WEIGHTED sliding top-k (Sketches.topkSummariesWeighted →
+    // topkSliding): "top spenders, 7-day window, every day" — the
+    // weighted summaries carry the same (period, term, cnt, eps) shape
+    // with cnt = summed cents and eps = the rank-11 cent sum, so the
+    // sliding deferred-merge bound arithmetic composes unchanged. This
+    // grades the one combination the two families don't otherwise
+    // exercise together: weighted epsilons flowing through the window
+    // re-cut's per-window totals. Oracle replays daily cent sums,
+    // weighted epsilons, the window explode, and the bounds hash-exact.
+    GraftQuery("a_topk_sliding_weighted",
+      (s, dir) => graft.operators.Sketches.topkSliding(
+        graft.operators.Sketches.topkSummariesWeighted(
+          Tables.events(s, dir), dayofmonth(col("ts")).cast("long"),
+          col("user_id"), round(col("value") * 100).cast("long"), k = 10),
+        k = 5, windowDays = 7),
+      Some("""WITH c AS (
+             |  SELECT CAST(day(ts) AS BIGINT) AS day, user_id AS term,
+             |         sum(round(value * 100)::BIGINT)::BIGINT AS cnt
+             |  FROM events GROUP BY 1, 2
+             |), r AS (
+             |  SELECT day, term, cnt,
+             |         row_number() OVER (PARTITION BY day
+             |                            ORDER BY cnt DESC, term) AS rk
+             |  FROM c
+             |), eps AS (
+             |  SELECT day,
+             |         coalesce(max(CASE WHEN rk = 11 THEN cnt END), 0) AS eps
+             |  FROM r GROUP BY 1
+             |), s AS (
+             |  SELECT r.day, r.term, r.cnt, eps.eps
+             |  FROM r JOIN eps USING (day) WHERE rk <= 10
+             |), mx AS (SELECT max(day) AS md FROM s),
+             |sp AS (
+             |  SELECT s.day, s.term, s.cnt, s.eps,
+             |         unnest(generate_series(s.day, least(s.day + 6, mx.md)))
+             |           AS window_end
+             |  FROM s CROSS JOIN mx
+             |), tot AS (
+             |  SELECT window_end, coalesce(sum(eps), 0) AS total_eps
+             |  FROM (SELECT DISTINCT window_end, day, eps FROM sp)
+             |  GROUP BY 1
+             |), m AS (
+             |  SELECT window_end, term, sum(cnt)::BIGINT AS lo,
+             |         sum(eps)::BIGINT AS tracked_eps
+             |  FROM sp GROUP BY 1, 2
+             |), j AS (
+             |  SELECT m.window_end, m.term, m.lo,
+             |         (m.lo + tot.total_eps - m.tracked_eps)::BIGINT AS hi
+             |  FROM m JOIN tot USING (window_end)
+             |), rk2 AS (
+             |  SELECT window_end, term, lo, hi,
+             |         row_number() OVER (PARTITION BY window_end
+             |                            ORDER BY hi DESC, term) AS rk
+             |  FROM j
+             |)
+             |SELECT window_end, term, lo, hi
+             |FROM rk2 WHERE rk <= 5""".stripMargin)),
+
     // Rolling-window quantile bounds from stored histograms (Sketches.
     // histQuantilesSliding): rolling-quarter price quantiles, every
     // month, from the SAME per-month gold rows a_hist_quantile_rollup

@@ -731,5 +731,66 @@ object JoinQueries {
            |$warm
            |SELECT node AS part, pr AS rank_micro FROM w3""".stripMargin
       }),
+
+    // Per-node triangle counts + local clustering coefficient
+    // (Joins.triangleCounts) over the same co-purchase graph j_pagerank
+    // ranks — the link-graph quality signal that separates communities
+    // (neighbors interlink) from hubs/spam (neighbors never do).
+    // Degree-ordered orientation bounds the wedge join's fan-out at
+    // O(√m) per node (Suri & Vassilvitskii, WWW'11), so no hub ever
+    // explodes the self-join; each triangle is found exactly once at
+    // its lowest corner. The coefficient is exact integer micro-units,
+    // and the oracle replays the SAME orientation construction (not the
+    // naive all-wedges join, which would explode at the sf1 gate) —
+    // dedup, degrees, orientation, wedge close, corner counts, and the
+    // integer division all hash-exact.
+    GraftQuery("j_triangle_count",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"))
+        val edges = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+          .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+          .select(col("l_partkey").as("src"), col("dst"))
+        Joins.triangleCounts(edges)
+      },
+      Some("""WITH e0 AS (
+             |  SELECT l_partkey,
+             |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+             |                               ORDER BY l_linenumber, l_partkey) AS dst
+             |  FROM lineitem),
+             |raw AS (SELECT l_partkey AS src, dst FROM e0
+             |        WHERE dst IS NOT NULL AND dst <> l_partkey),
+             |und AS (SELECT DISTINCT least(src, dst) AS a,
+             |               greatest(src, dst) AS b FROM raw),
+             |deg AS (
+             |  SELECT node, count(*) AS d FROM (
+             |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+             |  GROUP BY 1
+             |), o AS (
+             |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+             |              THEN u.a ELSE u.b END AS u,
+             |         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+             |              THEN u.b ELSE u.a END AS v
+             |  FROM und u JOIN deg da ON da.node = u.a
+             |             JOIN deg db ON db.node = u.b
+             |), od AS (SELECT o.u, o.v, deg.d AS dv
+             |          FROM o JOIN deg ON deg.node = o.v),
+             |tri AS (
+             |  SELECT o1.u AS x, o1.v AS y, o2.v AS z
+             |  FROM od o1 JOIN od o2 ON o2.u = o1.u
+             |         AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+             |       JOIN o o3 ON o3.u = o1.v AND o3.v = o2.v
+             |), corners AS (SELECT unnest([x, y, z]) AS node FROM tri),
+             |t AS (SELECT node, count(*)::BIGINT AS triangles
+             |      FROM corners GROUP BY 1)
+             |SELECT deg.node, deg.d::BIGINT AS degree,
+             |       coalesce(t.triangles, 0)::BIGINT AS triangles,
+             |       CAST(CASE WHEN deg.d >= 2
+             |            THEN (2 * coalesce(t.triangles, 0) * 1000000)
+             |                   // (deg.d * (deg.d - 1))
+             |            ELSE 0 END AS BIGINT) AS coeff_micro
+             |FROM deg LEFT JOIN t USING (node)""".stripMargin)),
   )
 }

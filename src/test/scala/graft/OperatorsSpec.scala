@@ -1419,6 +1419,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts: K4 + square + pendant, dup/reversed/self edges collapse") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles), a 4-cycle on {5,6,7,8} (none),
+    // pendant 9–1; a duplicate, a reversed duplicate and a self-loop
+    // must all collapse in the canonical pass
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L), (9L, 1L),
+      (2L, 1L), (4L, 2L), (3L, 3L)).toDF("src", "dst")
+    val got = graft.operators.Joins.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // node 1: deg 4 (2,3,4,9), 3 triangles, coeff 2·3·10⁶/12 = 500000
+    assert(got(1L) == ((4L, 3L, 500000L)), s"${got(1L)}")
+    for (n <- Seq(2L, 3L, 4L))
+      assert(got(n) == ((3L, 3L, 1000000L)), s"node $n: ${got(n)}")
+    for (n <- Seq(5L, 6L, 7L, 8L))
+      assert(got(n) == ((2L, 0L, 0L)), s"node $n: ${got(n)}")
+    assert(got(9L) == ((1L, 0L, 0L)))
+    assert(got.size == 9)
+    // global count: corner sum / 3 = 4 triangles
+    assert(got.values.map(_._2).sum == 12L)
+  }
+
   test("topkSummariesWeighted: weight flips the ranking; bounds still contain truth") {
     import spark.implicits._
     // term "many" wins on row count (3 rows × weight 1), "huge" wins on
@@ -1513,6 +1536,19 @@ class OperatorsSpec extends SparkSpec {
       }
     }
     assert(slid.keys.map(_._1).toSet == Set(1L, 2L, 3L))
+    // weighted summaries flow through the same sliding merge: weight
+    // inverts day 1's ranking ("d" carries 100× weight) and the window
+    // bounds still come from the weighted epsilons
+    val wdf = rows.map { case (d, t, n) =>
+      (d, t, if (t == "d") n * 100 else n) }.toDF("day", "term", "w")
+    val wsums = graft.operators.Sketches.topkSummariesWeighted(
+      wdf, col("day"), col("term"), col("w"), k = 2)
+    val wslid = graft.operators.Sketches.topkSliding(wsums, k = 1,
+      windowDays = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // day sums with d×100: d1 {a 10, b 8, c 5, d 100}, d2 {c 9, a 7,
+    // b 6, d 200}, d3 {d 1200, b 4, a 3, c 2} — "d" tops every window
+    assert(wslid == Set((1L, "d"), (2L, "d"), (3L, "d")), s"$wslid")
   }
 
   test("histQuantilesSliding: each window is bit-equal to histogramming its raw span") {

@@ -603,6 +603,23 @@ class PlanSpec extends SparkSpec {
     assert(globalSorts == 0, s"sort in a summary-sized merge:\n$p")
   }
 
+  test("triangle counting: equi-joins only, canonical edges materialized once") {
+    val p = plan("j_triangle_count").split("== Initial Plan ==")(0)
+    // the wedge join and closure probe are hash equi-joins over the
+    // oriented edge set — never a cross product or nested loop (the
+    // degree orientation is what makes the self-join safe on hubs)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"non-equi join in triangle counting:\n$p")
+    // the canonical distinct edge set materializes once; degree,
+    // orientation and the closure probe all read the checkpoint instead
+    // of re-running the dedup (and the raw lead-window edge build)
+    assert(p.contains("Scan ExistingRDD"),
+      s"canonical edges not materialized:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"raw lineitem re-read after the edge materialization:\n$p")
+  }
+
   test("per-group hist quantiles keep the same summary-sized shape") {
     val p = plan("a_hist_quantile_by_type")
     // the grouped merge keys the cumulative self-join and rank scan on

@@ -76,7 +76,13 @@ def _setup_con(sf_dir):
     # in the r10 sf1 gate). A fresh connection + explicit limit + spill
     # dir keeps each oracle's footprint independent and out-of-core.
     con = duckdb.connect()
-    con.execute("SET memory_limit='32GB'")
+    # isolated children (sf1 gate) run one-at-a-time on an otherwise idle
+    # 125 GB box and the byte-CDC/closure replays hold non-spillable
+    # operator state past 32 GB (r10 gate: d_byte_incremental child OOM
+    # at the 32 GB cap with 119 GB free) — give them the machine; the
+    # long-lived sf0.01 path keeps the conservative cap
+    lim = "100GB" if os.environ.get("GRAFT_CHECK_ISOLATE") == "1" else "32GB"
+    con.execute(f"SET memory_limit='{lim}'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
