@@ -1419,6 +1419,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("language entropy: uniform vocab hits ln(k); skew drops it; TTR exact") {
+    import spark.implicits._
+    // "u": 4 distinct words × 2 each (uniform, H = ln 4); "s": 8 tokens
+    // where one word dominates 5/8 — H must drop below uniform's
+    val docs = Seq(
+      ("u", "a b c d a b c d"),
+      ("s", "x x x x x y z w")).toDF("lang", "text")
+    val words = docs.select(col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+    val c = words.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val got = c.groupBy(col("lang")).agg(
+        (log(sum(col("c"))) -
+          sum(col("c") * log(col("c"))) / sum(col("c"))).as("h"),
+        (count(lit(1)).cast("double") / sum(col("c"))).as("ttr"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(math.abs(got("u")._1 - math.log(4)) < 1e-12)
+    assert(got("u")._2 == 0.5)
+    val hs = -(5.0 / 8 * math.log(5.0 / 8) + 3 * (1.0 / 8 * math.log(1.0 / 8)))
+    assert(math.abs(got("s")._1 - hs) < 1e-12)
+    assert(got("s")._1 < got("u")._1)
+    assert(got("s")._2 == 0.5)
+  }
+
   test("triangleCounts: K4 + square + pendant, dup/reversed/self edges collapse") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles), a 4-cycle on {5,6,7,8} (none),
