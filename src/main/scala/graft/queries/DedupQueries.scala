@@ -650,22 +650,20 @@ object DedupQueries {
              |  UNION ALL
              |  SELECT doc_id + 300000, 'Qxxb' || replace(text, ' ', '')
              |  FROM documents WHERE doc_id < 40),
-             |t AS (SELECT doc_id, i, substring(text, i, 1) AS ch,
-             |        CASE WHEN i >= 16 AND
-             |          (('0x' || substring(md5(substring(text, i - 15, 16)),
-             |            1, 15))::BIGINT % 64) = 0
-             |        THEN 1 ELSE 0 END AS b
-             |      FROM aug,
-             |        unnest(generate_series(1, greatest(len(text), 1)))
-             |          AS u(i)),
-             |c AS (SELECT doc_id, ch, i AS pos,
-             |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |          AS chunk_idx
-             |      FROM t),
-             |g AS (SELECT doc_id, chunk_idx,
-             |        string_agg(ch, '' ORDER BY pos) AS chunk
-             |      FROM c GROUP BY 1, 2),
+             |cuts AS (SELECT doc_id, i
+             |      FROM aug, unnest(generate_series(16, len(text))) AS u(i)
+             |      WHERE (('0x' || substring(md5(substring(text, i - 15, 16)),
+             |          1, 15))::BIGINT % 64) = 0),
+             |starts AS (SELECT doc_id, 1 AS start FROM aug
+             |           UNION ALL
+             |           SELECT doc_id, i + 1 AS start FROM cuts),
+             |g AS (SELECT s.doc_id, s.start AS chunk_idx,
+             |        substring(a.text, s.start,
+             |          coalesce(lead(s.start) OVER (PARTITION BY s.doc_id
+             |              ORDER BY s.start),
+             |            len(a.text) + 1) - s.start) AS chunk
+             |      FROM starts s JOIN aug a USING (doc_id)
+             |      WHERE s.start <= len(a.text)),
              |k AS (SELECT doc_id, chunk_idx, chunk,
              |        row_number() OVER (PARTITION BY chunk
              |          ORDER BY doc_id, chunk_idx) = 1 AS keep
@@ -773,22 +771,20 @@ object DedupQueries {
              |  UNION ALL
              |  SELECT doc_id + 500000, 'Kzz' || replace(text, ' ', '')
              |  FROM documents WHERE doc_id >= 40 AND doc_id < 60),
-             |t AS (SELECT doc_id, i, substring(text, i, 1) AS ch,
-             |        CASE WHEN i >= 16 AND
-             |          (('0x' || substring(md5(substring(text, i - 15, 16)),
-             |            1, 15))::BIGINT % 64) = 0
-             |        THEN 1 ELSE 0 END AS b
-             |      FROM aug,
-             |        unnest(generate_series(1, greatest(len(text), 1)))
-             |          AS u(i)),
-             |c AS (SELECT doc_id, ch, i AS pos,
-             |        coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |          AS chunk_idx
-             |      FROM t),
-             |g AS (SELECT doc_id, chunk_idx,
-             |        string_agg(ch, '' ORDER BY pos) AS chunk
-             |      FROM c GROUP BY 1, 2),
+             |cuts AS (SELECT doc_id, i
+             |      FROM aug, unnest(generate_series(16, len(text))) AS u(i)
+             |      WHERE (('0x' || substring(md5(substring(text, i - 15, 16)),
+             |          1, 15))::BIGINT % 64) = 0),
+             |starts AS (SELECT doc_id, 1 AS start FROM aug
+             |           UNION ALL
+             |           SELECT doc_id, i + 1 AS start FROM cuts),
+             |g AS (SELECT s.doc_id,
+             |        substring(a.text, s.start,
+             |          coalesce(lead(s.start) OVER (PARTITION BY s.doc_id
+             |              ORDER BY s.start),
+             |            len(a.text) + 1) - s.start) AS chunk
+             |      FROM starts s JOIN aug a USING (doc_id)
+             |      WHERE s.start <= len(a.text)),
              |q AS (SELECT doc_id, chunk FROM g WHERE len(chunk) >= 16),
              |reg AS (SELECT chunk, min(doc_id) AS rep FROM q GROUP BY 1),
              |p AS (SELECT DISTINCT q.doc_id AS i, reg.rep AS j

@@ -95,6 +95,10 @@ def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     names = sorted(os.listdir(out_dir))
+    only = os.environ.get("GRAFT_CHECK_ONLY")
+    if only:
+        keep = set(only.split(","))
+        names = [n for n in names if n in keep]
     ok = fail = 0
     for name in names:
         d = os.path.join(out_dir, name)
