@@ -58,7 +58,9 @@ object Bench {
     "a_kmv_weighted_overlap", // weighted pair-sketch cohort intersection (tuple-sketch shape)
     "a_topk_sliding",      // rolling-window top-k from stored daily summaries
     "a_hist_sliding_quantiles", // rolling-window quantile bounds from stored histograms
-    "j_triangle_count")    // degree-oriented triangle counting (wedge join bounded on hubs)
+    "j_triangle_count",    // degree-oriented triangle counting (wedge join bounded on hubs)
+    "j_label_propagation", // 4-round synchronous LPA communities (join + 2 partial aggs/round)
+    "j_ra_linkpred")       // resource-allocation link prediction (capped wedge join + top-k)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

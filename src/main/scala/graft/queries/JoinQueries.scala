@@ -792,5 +792,115 @@ object JoinQueries {
              |                   // (deg.d * (deg.d - 1))
              |            ELSE 0 END AS BIGINT) AS coeff_micro
              |FROM deg LEFT JOIN t USING (node)""".stripMargin)),
+
+    // Label-propagation communities (Joins.labelPropagation) over the
+    // same co-purchase graph as j_triangle_count: 4 synchronous rounds
+    // of deterministic neighbor-plurality voting (ties -> smallest
+    // label), each round one adjacency⋈labels join + two partial-agg
+    // shuffles, labels broadcast. The oracle unrolls the identical
+    // recurrence 4 times — plurality replayed as max-vote window +
+    // min(label) — so every round's tie-breaks are graded row-exact.
+    GraftQuery("j_label_propagation",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"))
+        val edges = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+          .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+          .select(col("l_partkey").as("src"), col("dst"))
+        Joins.labelPropagation(edges, rounds = 4)
+      },
+      Some("""WITH e0 AS (
+             |  SELECT l_partkey,
+             |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+             |                               ORDER BY l_linenumber, l_partkey) AS dst
+             |  FROM lineitem),
+             |raw AS (SELECT l_partkey AS src, dst FROM e0
+             |        WHERE dst IS NOT NULL AND dst <> l_partkey),
+             |und AS (SELECT DISTINCT least(src, dst) AS a,
+             |               greatest(src, dst) AS b FROM raw),
+             |adj AS (SELECT a AS node, b AS nbr FROM und
+             |        UNION ALL SELECT b, a FROM und),
+             |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+             |c1 AS (SELECT adj.node, l.lbl, count(*) AS v
+             |       FROM adj JOIN l0 l ON l.node = adj.nbr GROUP BY 1, 2),
+             |l1 AS (SELECT node, min(lbl) AS lbl FROM (
+             |         SELECT node, lbl, v,
+             |                max(v) OVER (PARTITION BY node) AS mx FROM c1)
+             |       WHERE v = mx GROUP BY node),
+             |c2 AS (SELECT adj.node, l.lbl, count(*) AS v
+             |       FROM adj JOIN l1 l ON l.node = adj.nbr GROUP BY 1, 2),
+             |l2 AS (SELECT node, min(lbl) AS lbl FROM (
+             |         SELECT node, lbl, v,
+             |                max(v) OVER (PARTITION BY node) AS mx FROM c2)
+             |       WHERE v = mx GROUP BY node),
+             |c3 AS (SELECT adj.node, l.lbl, count(*) AS v
+             |       FROM adj JOIN l2 l ON l.node = adj.nbr GROUP BY 1, 2),
+             |l3 AS (SELECT node, min(lbl) AS lbl FROM (
+             |         SELECT node, lbl, v,
+             |                max(v) OVER (PARTITION BY node) AS mx FROM c3)
+             |       WHERE v = mx GROUP BY node),
+             |c4 AS (SELECT adj.node, l.lbl, count(*) AS v
+             |       FROM adj JOIN l3 l ON l.node = adj.nbr GROUP BY 1, 2),
+             |l4 AS (SELECT node, min(lbl) AS lbl FROM (
+             |         SELECT node, lbl, v,
+             |                max(v) OVER (PARTITION BY node) AS mx FROM c4)
+             |       WHERE v = mx GROUP BY node)
+             |SELECT node, lbl AS community FROM l4""".stripMargin)),
+
+    // Resource-allocation link prediction (Joins.resourceAllocationPairs)
+    // over the co-purchase graph: top-100 NEW links by Σ 10⁶ div deg(w)
+    // over common neighbors of degree ≤ 64, exact integer micro-units,
+    // unique total order (score desc, a, b). The degree cap is part of
+    // the graded contract (oracle replays the same predicate) and the
+    // excluded-hub count is surfaced in n_hubs_dropped; 64 sits at this
+    // graph's p98 (near-regular, max degree 83), so the audit column is
+    // exercised (> 0 dropped) at every graded sf.
+    GraftQuery("j_ra_linkpred",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"))
+        val edges = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+          .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+          .select(col("l_partkey").as("src"), col("dst"))
+        Joins.resourceAllocationPairs(edges, maxWedgeDegree = 64L,
+          topK = 100)
+      },
+      Some("""WITH e0 AS (
+             |  SELECT l_partkey,
+             |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+             |                               ORDER BY l_linenumber, l_partkey) AS dst
+             |  FROM lineitem),
+             |raw AS (SELECT l_partkey AS src, dst FROM e0
+             |        WHERE dst IS NOT NULL AND dst <> l_partkey),
+             |und AS (SELECT DISTINCT least(src, dst) AS a,
+             |               greatest(src, dst) AS b FROM raw),
+             |adj AS (SELECT a AS w, b AS x FROM und
+             |        UNION ALL SELECT b, a FROM und),
+             |deg AS (SELECT w, count(*) AS d FROM adj GROUP BY 1),
+             |ok AS (SELECT adj.w, adj.x, deg.d
+             |       FROM adj JOIN deg USING (w) WHERE d <= 64),
+             |wedge AS (SELECT o1.x AS a, o2.x AS b, o1.d
+             |          FROM ok o1 JOIN ok o2
+             |            ON o1.w = o2.w AND o1.x < o2.x),
+             |nw AS (SELECT a, b FROM wedge
+             |       WHERE NOT EXISTS (SELECT 1 FROM und
+             |                         WHERE und.a = wedge.a
+             |                           AND und.b = wedge.b)),
+             |sc AS (SELECT w2.a, w2.b,
+             |              CAST(sum(1000000 // w2.d) AS BIGINT)
+             |                AS score_micro,
+             |              count(*)::BIGINT AS n_common
+             |       FROM wedge w2 JOIN (SELECT DISTINCT a, b FROM nw) n2
+             |         ON w2.a = n2.a AND w2.b = n2.b
+             |       GROUP BY 1, 2)
+             |SELECT a, b, score_micro, n_common,
+             |       (SELECT count(*) FROM deg WHERE d > 64)::BIGINT
+             |         AS n_hubs_dropped
+             |FROM sc
+             |ORDER BY score_micro DESC, a, b LIMIT 100""".stripMargin)),
   )
 }

@@ -1467,6 +1467,57 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 12L)
   }
 
+  test("labelPropagation: cliques converge to min label; bridge trace is exact") {
+    import spark.implicits._
+    // two disconnected K4s (plus a dup, a reversed dup and a self-loop):
+    // pure neighbor-plurality with min tie-break settles each clique on
+    // its min member id by round 2 and stays there
+    val cliques = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L),
+      (12L, 14L), (13L, 14L), (2L, 1L), (3L, 3L), (4L, 2L))
+      .toDF("src", "dst")
+    val got = graft.operators.Joins.labelPropagation(cliques, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L), s"$got")
+    assert(Seq(11L, 12L, 13L, 14L).forall(got(_) == 11L), s"$got")
+    assert(got.size == 8)
+    // bridged K4–K3 (bridge 4–10): the synchronous update is fully
+    // deterministic, so the round-4 state matches the hand trace —
+    // including the label-migration artifact where clique {10,11,12}
+    // ends up carrying bridge-neighbor 4's id
+    val bridged = cliques.filter(col("src") < 10L && col("dst") < 10L)
+      .unionAll(Seq((4L, 10L), (10L, 11L), (10L, 12L), (11L, 12L))
+        .toDF("src", "dst"))
+    val got2 = graft.operators.Joins.labelPropagation(bridged, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got2(_) == 1L), s"$got2")
+    assert(Seq(10L, 11L, 12L).forall(got2(_) == 4L), s"$got2")
+  }
+
+  test("resourceAllocationPairs: exact micro scores, edge exclusion, hub cap audit") {
+    import spark.implicits._
+    // square 1-2-3-4 with diagonal 1-3: candidate (1,3) IS an edge ->
+    // excluded; (2,4)'s common neighbors are 1 and 3 (deg 3 each) ->
+    // score 2 * (10^6 div 3). A 5-leaf star at 100 exceeds the cap of 4:
+    // its wedges are dropped and the audit column counts the hub.
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)) ++
+      (200L to 204L).map(l => (100L, l))).toDF("src", "dst")
+    val got = graft.operators.Joins.resourceAllocationPairs(
+      edges, maxWedgeDegree = 4L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((2L, 4L, 666666L, 2L, 1L)), s"${got.toSeq}")
+    // without the cap the star's leaf pairs surface with score 10^6 div 5
+    val uncapped = graft.operators.Joins.resourceAllocationPairs(
+      edges, maxWedgeDegree = 64L, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(uncapped.head == ((2L, 4L, 666666L)), s"${uncapped.toSeq}")
+    // deterministic tie order among equal-scored star pairs: (a, b) asc
+    assert(uncapped.drop(1).toSeq ==
+      Seq((200L, 201L, 200000L), (200L, 202L, 200000L)),
+      s"${uncapped.toSeq}")
+  }
+
   test("topkSummariesWeighted: weight flips the ranking; bounds still contain truth") {
     import spark.implicits._
     // term "many" wins on row count (3 rows × weight 1), "huge" wins on
