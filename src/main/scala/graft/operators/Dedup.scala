@@ -430,6 +430,46 @@ object Dedup {
       .withColumn("contaminated", col("n_shared_ngrams") > 0)
   }
 
+  /** Per-doc n-gram NOVELTY against the earlier corpus: for every doc,
+    * the fraction of its distinct word n-grams whose FIRST occurrence
+    * (min doc_id across the corpus) is this doc — the freshness signal
+    * of a training batch (a crawl snapshot full of already-seen shingles
+    * adds tokens but no information; decontamination asks "seen in the
+    * benchmark?", novelty asks "seen anywhere before me?"). Scores are
+    * exact integer micro-units (`n_novel·10⁶ div n_shingles`), so the
+    * oracle replays them bit-exact.
+    *
+    * Scale: shingles collapse to 60-bit hashes BEFORE any exchange
+    * (longs shuffle, strings don't — the minhash discipline; identical
+    * hash60 collisions replay identically in the SQL oracle). Three
+    * partial-agged shuffles, all on high-cardinality skew-free keys:
+    * distinct (doc, h), first-occurrence min per h, and the novel-count
+    * regroup of the (shingle-cardinality-sized) firsts table — no wide
+    * join back to pair rows. Docs with fewer than n words have no
+    * shingles and are absent from the output (callers union them in as
+    * vacuous if needed).
+    *
+    * @return (doc_id, n_shingles, n_novel, novelty_micro), one row per
+    *         doc with ≥ 1 complete n-gram.
+    */
+  def noveltyScores(df: DataFrame, id: Column, text: Column,
+                    n: Int = 5): DataFrame = {
+    val sh = shingleRows(df, id, text, n)
+      .select(col("doc_id"), hash60(col("s")).as("h"))
+      .distinct()
+      .localCheckpoint(false) // firsts and totals both read it; lazy —
+    // the firsts agg materializes it as part of its own job
+    val firsts = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val novel = firsts.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0L) * 1000000L div n_shingles")
+          .as("novelty_micro"))
+  }
+
   /** SimHash near-dup PAIRS: band the 60-bit signature into `bands`
     * equal bit-slices — two docs within Hamming distance < bands must
     * share at least one identical band (pigeonhole), so band-key equality

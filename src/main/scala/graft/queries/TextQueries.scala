@@ -1590,5 +1590,47 @@ object TextQueries {
              |       ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy,
              |       count(*)::DOUBLE / sum(c) AS type_token_ratio
              |FROM c GROUP BY 1""".stripMargin)),
+
+    // Corpus n-gram novelty (Dedup.noveltyScores): per doc, the exact
+    // fraction of its distinct 5-gram shingles first seen in THIS doc
+    // (min doc_id across the corpus) — the batch-freshness signal next
+    // to decontamination. Planted full clones (doc_id+100000 of
+    // doc_id<50) must score novelty_micro = 0: every shingle's first
+    // occurrence is the original. Shingles hash to 60 bits before any
+    // exchange; the oracle replays the same md5-derived hash, so even
+    // collisions grade identically.
+    GraftQuery("t_novelty",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val aug = docs.unionAll(
+          Tables.documents(s, dir).filter(col("doc_id") < 50)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        graft.operators.Dedup.noveltyScores(aug, col("doc_id"),
+          col("text"), n = 5)
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents
+             |  WHERE doc_id < 50),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+             |t AS (SELECT doc_id,
+             |        ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' ||
+             |          ws[j+3] || ' ' || ws[j+4] AS s
+             |      FROM w, unnest(generate_series(1, len(ws) - 4))
+             |        AS u(j)),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         ('0x' || substring(md5(s), 1, 15))::BIGINT AS h
+             |       FROM t),
+             |f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+             |nv AS (SELECT first_doc AS doc_id, count(*) AS n_novel
+             |       FROM f GROUP BY 1),
+             |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+             |        GROUP BY 1)
+             |SELECT tot.doc_id, tot.n_shingles::BIGINT AS n_shingles,
+             |       coalesce(nv.n_novel, 0)::BIGINT AS n_novel,
+             |       CAST(coalesce(nv.n_novel, 0) * 1000000
+             |         // tot.n_shingles AS BIGINT) AS novelty_micro
+             |FROM tot LEFT JOIN nv USING (doc_id)""".stripMargin)),
   )
 }

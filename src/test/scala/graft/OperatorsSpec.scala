@@ -1518,6 +1518,23 @@ class OperatorsSpec extends SparkSpec {
       s"${uncapped.toSeq}")
   }
 
+  test("noveltyScores: first occurrence wins, clones score zero, short docs drop") {
+    import spark.implicits._
+    // doc 1: "a b c d" -> shingles {a b, b c, c d} (n=2), all first -> 10^6
+    // doc 2 clones doc 1 -> 0 novel; doc 3 shares one shingle ("a b")
+    // and adds two new ones -> 2/3; doc 4 is a single word -> no output
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"),
+      (3L, "x a b y"), (4L, "solo")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.noveltyScores(
+      docs, col("doc_id"), col("text"), n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((3L, 3L, 1000000L)), s"$got")
+    assert(got(2L) == ((3L, 0L, 0L)), s"$got")
+    assert(got(3L) == ((3L, 2L, 666666L)), s"$got")
+    assert(got.size == 3)
+  }
+
   test("topkSummariesWeighted: weight flips the ranking; bounds still contain truth") {
     import spark.implicits._
     // term "many" wins on row count (3 rows × weight 1), "huge" wins on
