@@ -60,7 +60,8 @@ object Bench {
     "a_hist_sliding_quantiles", // rolling-window quantile bounds from stored histograms
     "j_triangle_count",    // degree-oriented triangle counting (wedge join bounded on hubs)
     "j_label_propagation", // 4-round synchronous LPA communities (join + 2 partial aggs/round)
-    "j_ra_linkpred")       // resource-allocation link prediction (capped wedge join + top-k)
+    "j_ra_linkpred",       // resource-allocation link prediction (capped wedge join + top-k)
+    "j_pagerank_personalized") // seed-teleport PPR, 6 rounds (sparse seed-vector carry)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

@@ -462,6 +462,91 @@ object Joins {
         .localCheckpoint(false)),
       iterations, dampingMilli, hugeGraph)
 
+  /** Personalized PageRank (topic-sensitive PageRank, Haveliwala WWW'02):
+    * the same damped integer recurrence as [[pageRank]], but ALL
+    * teleport mass concentrates on a seed set instead of spreading
+    * uniformly — rank becomes proximity-to-the-seeds (recommendation /
+    * trust propagation: "importance from THIS portal's documents
+    * outward" rather than global importance). Deterministic integer
+    * semantics, bit-replayable by an unrolled SQL recurrence: init is
+    * the TELEPORT VECTOR itself (seeds hold their teleport share,
+    * everything else 0 — not [[pageRank]]'s uniform 10⁶, which would
+    * leave unrelated components polluted by 0.85^k of their initial
+    * mass for ~95 rounds); every round
+    * `pr(v) = tp(v) + damping·Σ_{u→v} pr(u) div outd(u) div 1000`,
+    * where `tp(v) = (1000−damping)·1000·N div |S|` for seeds and 0
+    * otherwise — the global teleport pool `N·teleportMicro` rerouted
+    * entirely to the seeds, keeping total mass on [[pageRank]]'s scale
+    * so the two rank surfaces are directly comparable. Seed-vector
+    * init makes localization STRICT: a node unreachable from the seed
+    * set holds exactly 0 at every round, and rank is the truncated
+    * damped-path power series from the seeds.
+    *
+    * Scale: identical per-round shape to [[pageRank]] — ONE corpus-
+    * sized contribution join + one partial-agg shuffle — plus a
+    * broadcast left-join of the (tiny) seed-teleport table. The rank
+    * carry is even sparser than the global variant's: after round 1 a
+    * node without in-edges holds 0 unless it is a seed, and the
+    * loop-invariant "seeds with no in-edges" remainder is computed ONCE
+    * and unioned in as constant rows each round (no per-round anti-join
+    * against the corpus-sized aggregate). Same lazy alternate-round
+    * checkpoints, same explicit broadcast-vs-shuffle switch.
+    *
+    * @param seeds one `node` column; rows outside the graph's node set
+    *              are ignored (semi-join), duplicates collapse.
+    * @return (node, pr) in micro-units for every graph node; non-seed
+    *         nodes unreachable from the seeds hold 0.
+    */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int = 6, dampingMilli: Long = 850L,
+                           hugeGraph: Boolean = false): DataFrame = {
+    require(iterations >= 1 && dampingMilli >= 0 && dampingMilli <= 1000)
+    def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
+    val e = edges.select(col("src"), col("dst"))
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outd")), "src")
+      .localCheckpoint(false) // materialized by round 1, reused by all
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint() // eager: counted NOW for the teleport split
+    val n = nodes.count()
+    val seedNodes = seeds.select(col("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .localCheckpoint() // tiny; counted + broadcast every round
+    val sCount = seedNodes.count()
+    require(sCount > 0, "pageRankPersonalized: no seed is in the graph")
+    val teleportMicro = (1000L - dampingMilli) * 1000L
+    val tpSeed = teleportMicro * n / sCount
+    val seedTp = seedNodes.withColumn("tp", lit(tpSeed))
+    // loop-invariant remainder: a seed with no in-edges holds exactly
+    // its teleport every round after the first
+    val seedNoIn = seedNodes
+      .join(e.select(col("dst").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .withColumn("pr", lit(tpSeed))
+      .localCheckpoint()
+    // init = the teleport vector: seeds carry tpSeed, everything else 0
+    var sparse: DataFrame = seedTp.select(col("node"), col("tp").as("pr"))
+    for (k <- 1 to iterations) {
+      val sp = sparse
+      val withPr = e.join(hint(sp), e("src") === sp("node"), "left")
+        .withColumn("pr", coalesce(col("pr"), lit(0L)))
+      val flow = withPr
+        .select(col("dst"), expr("pr div outd").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          expr(s"($dampingMilli * s) div 1000").as("flow"))
+      val next = flow.join(hint(seedTp), Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("tp"), lit(0L)) + col("flow")).as("pr"))
+        .unionAll(seedNoIn.select(col("node"), col("pr")))
+      sparse = if (k % 2 == 0 || k == iterations)
+        next.localCheckpoint(false) else next
+    }
+    val sp = sparse
+    nodes.join(hint(sp), Seq("node"), "left")
+      .select(col("node"), coalesce(col("pr"), lit(0L)).as("pr"))
+  }
+
   private def pageRankFrom(edges: DataFrame, init: Option[DataFrame],
                            iterations: Int, dampingMilli: Long,
                            hugeGraph: Boolean): DataFrame = {

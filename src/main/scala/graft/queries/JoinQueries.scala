@@ -655,6 +655,65 @@ object JoinQueries {
            |SELECT node AS part, pr AS rank_micro FROM r10""".stripMargin
       }),
 
+    // Personalized PageRank (Joins.pageRankPersonalized) on the
+    // co-purchase graph: all teleport mass rerouted to the seed set
+    // (parts with partkey % 17 = 0 — 12/118/1177 seeds at
+    // sf0.001/0.01/0.1), 6 rounds from the teleport-vector init (seeds
+    // hold their share, everything else 0 — strict localization). The
+    // oracle unrolls the identical integer recurrence with the seed
+    // teleport table as a per-level left join — a wrong teleport split
+    // (N div |S|), a wrong init, a seed outside the node set, or a
+    // lost no-in-edge seed all hash-mismatch.
+    GraftQuery("j_pagerank_personalized",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"))
+        val edges = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+          .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+          .select(col("l_partkey").as("src"), col("dst"))
+        val seeds = Tables.part(s, dir)
+          .filter(col("p_partkey") % 17 === 0)
+          .select(col("p_partkey").as("node"))
+        Joins.pageRankPersonalized(edges, seeds, iterations = 6)
+          .select(col("node").as("part"), col("pr").as("ppr_micro"))
+      },
+      Some {
+        val levels = (1 to 6).map { k =>
+          s"""r$k AS (
+             |  SELECT n.node,
+             |         CAST(coalesce(t.tp, 0) +
+             |           (850 * coalesce(s.s, 0)) // 1000 AS BIGINT) AS pr
+             |  FROM n LEFT JOIN tpv t USING (node)
+             |         LEFT JOIN (
+             |    SELECT e.dst AS node, sum(r${k - 1}.pr // d.outd) AS s
+             |    FROM e JOIN d USING (src)
+             |           JOIN r${k - 1} ON r${k - 1}.node = e.src
+             |    GROUP BY 1) s USING (node))"""
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+           |  SELECT l_partkey,
+           |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+           |                               ORDER BY l_linenumber, l_partkey) AS dst
+           |  FROM lineitem),
+           |e AS (SELECT l_partkey AS src, dst FROM e0
+           |      WHERE dst IS NOT NULL AND dst <> l_partkey),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |d AS (SELECT src, count(*) AS outd FROM e GROUP BY 1),
+           |sd AS (SELECT p_partkey AS node FROM part
+           |       WHERE p_partkey % 17 = 0
+           |         AND p_partkey IN (SELECT node FROM n)),
+           |tpv AS (SELECT node,
+           |          CAST((150000 * (SELECT count(*) FROM n))
+           |            // (SELECT count(*) FROM sd) AS BIGINT) AS tp
+           |        FROM sd),
+           |r0 AS (SELECT n.node, CAST(coalesce(t.tp, 0) AS BIGINT) AS pr
+           |       FROM n LEFT JOIN tpv t USING (node)),
+           |$levels
+           |SELECT node AS part, pr AS ppr_micro FROM r6""".stripMargin
+      }),
+
     // Incremental (warm-start) PageRank (Joins.pageRankIncremental): the
     // co-purchase graph split into a base (15/16 of orders) and an
     // appended delta (orders with l_orderkey % 16 = 0 — whole new orders,

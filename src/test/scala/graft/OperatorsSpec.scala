@@ -1518,6 +1518,57 @@ class OperatorsSpec extends SparkSpec {
       s"${uncapped.toSeq}")
   }
 
+  test("pageRankPersonalized: matches an independent sequential fold exactly") {
+    import spark.implicits._
+    // independent in-memory replay of the integer recurrence (the
+    // PropertySpec discipline): same floor divisions, same order
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 1L),
+      (4L, 5L), (2L, 1L)).toDF("src", "dst")
+    val seedIds = Seq(1L, 4L)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 1L),
+      (4L, 5L), (2L, 1L))
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val outd = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val tpSeed = 150000L * nodes.size / seedIds.size
+    val tp = nodes.map(v =>
+      v -> (if (seedIds.contains(v)) tpSeed else 0L)).toMap
+    var pr = tp
+    for (_ <- 1 to 6) {
+      val contrib = es.groupBy(_._2).view.mapValues(ins =>
+        ins.map(e => pr(e._1) / outd(e._1)).sum).toMap
+      pr = nodes.map(v =>
+        v -> (tp(v) + 850L * contrib.getOrElse(v, 0L) / 1000L)).toMap
+    }
+    val got = graft.operators.Joins.pageRankPersonalized(
+      edges, seedIds.toDF("node"), iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pr, s"got=$got expected=$pr")
+  }
+
+  test("pageRankPersonalized: strict localization and the no-in-edge seed") {
+    import spark.implicits._
+    // two disconnected cycles; seeding {1,2,3,20} leaves the other
+    // cycle at EXACTLY 0 under teleport-vector init, and the
+    // no-in-edge seed 20 holds exactly its teleport share
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L, 3L, 20L).toDF("node")
+    val got = graft.operators.Joins.pageRankPersonalized(
+      edges, seeds, iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // N = 7 nodes, |S| = 4 -> tpSeed = 150000 * 7 / 4 = 262500
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 0L), s"$got")
+    assert(got(20L) == 262500L, s"$got") // teleport only: no in-edges
+    assert(Seq(1L, 2L, 3L).forall(got(_) > 262500L), s"$got")
+    assert(got.size == 7)
+    // seeds outside the graph are ignored; an empty effective seed set throws
+    val bad = intercept[IllegalArgumentException] {
+      graft.operators.Joins.pageRankPersonalized(
+        edges, Seq(999L).toDF("node"), iterations = 2)
+    }
+    assert(bad.getMessage.contains("no seed"))
+  }
+
   test("noveltyScores: first occurrence wins, clones score zero, short docs drop") {
     import spark.implicits._
     // doc 1: "a b c d" -> shingles {a b, b c, c d} (n=2), all first -> 10^6
