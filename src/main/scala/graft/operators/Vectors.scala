@@ -704,6 +704,76 @@ object Vectors {
         coalesce(!col("dup"), lit(true)).as("keep"))
   }
 
+  /** Greedy k-center selection (Gonzalez 1985 farthest-point traversal,
+    * the 2-approximation) over an embedding corpus by cosine distance —
+    * DIVERSITY sampling for training data: the selected set maximizes
+    * minimum pairwise spread, the opposite pole from semantic dedup
+    * (which removes the crowded points; this finds the spread ones).
+    * Deterministic and oracle-replayable: the seed is the smallest
+    * vec_id, each round picks the point FARTHEST from the chosen set
+    * (max running min-distance, ties toward the smaller vec_id), and
+    * every float op replays in the same IEEE order as the SQL oracle
+    * (the [[dotNative]]/`dotSql` discipline the ANN family grades on).
+    *
+    * Scale: the textbook algorithm is inherently round-sequential —
+    * k driver barriers — but each round is ONE narrow pass: the newest
+    * center is shipped as a LITERAL into the running-min column update
+    * (no join at all), and the running distances column is
+    * checkpointed so round j touches only (corpus × 1 center), not
+    * (corpus × j centers) — O(n·k) total distance evaluations. The
+    * argmax is a TakeOrdered(1), not a global sort. Use for k in the
+    * tens-to-hundreds (coreset seeding, eval-set picking); for
+    * k beyond that, switch to k-means‖-style oversampling — one pass
+    * sampling O(k·log n) candidates, then greedy on the candidate set.
+    *
+    * Assumes distinct embeddings (chosen points sit at running
+    * distance ~0, so re-selection cannot happen while any unchosen
+    * point has positive distance).
+    *
+    * @return k rows (sel_round 0-based, vec_id, d_sel) — d_sel is the
+    *         selection-time min distance (6dp), NULL for the seed.
+    */
+  def kCenterGreedy(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    val e = corpus.select(col("vec_id"), col("embedding"),
+        sqrt(dotNative(col("embedding"), col("embedding"))).as("nrm"))
+      .localCheckpoint() // k narrow passes read it
+    val seed = e.orderBy(col("vec_id")).limit(1).collect()(0)
+    var centerEmb = seed.getSeq[Float](1)
+    var centerNrm = seed.getDouble(2)
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      (0, seed.getLong(0), Option.empty[Double]))
+    // running min cosine distance to the chosen set; updated per round
+    // against ONLY the newest center (shipped as a literal)
+    var dists: DataFrame = null
+    for (round <- 1 until k) {
+      val distToNew = lit(1.0) -
+        dotNative(col("embedding"), typedLit(centerEmb)) /
+          (col("nrm") * lit(centerNrm))
+      dists = (if (dists == null) e.withColumn("d", distToNew)
+               else dists.withColumn("d", least(col("d"), distToNew)))
+        .localCheckpoint(false) // lazy: the argmax job materializes it
+      val far = dists.orderBy(col("d").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      chosen += ((round, far.getLong(0), Some(far.getDouble(3))))
+      centerEmb = far.getSeq[Float](1)
+      centerNrm = far.getDouble(2)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      chosen.map { case (r, id, d) =>
+        Row(r, id, d.map(Double.box).orNull)
+      }.asJava,
+      StructType(Seq(StructField("sel_round", org.apache.spark.sql.types.IntegerType),
+        StructField("vec_id", LongType),
+        StructField("d_sel", DoubleType))))
+      // Spark-side round so the rounding rule is the one every other
+      // graded float column uses (parity with the oracle's round(x, 6))
+      .withColumn("d_sel", round(col("d_sel"), 6))
+  }
+
   /** Same-bucket near-dup candidate pairs with exact cosine verification. */
   def lshNearDupPairs(df: DataFrame, dim: Int, numPlanes: Int,
                       threshold: Double): DataFrame = {

@@ -1028,5 +1028,57 @@ object VectorQueries {
               |SELECT q.query_id, coalesce(ov.n_overlap, 0) AS n_overlap,
               |       coalesce(ov.n_overlap, 0) / 5.0 AS recall_at_5
               |FROM q LEFT JOIN ov ON q.query_id = ov.query_id""".stripMargin)),
+
+    // Greedy k-center diversity selection (Vectors.kCenterGreedy,
+    // Gonzalez farthest-point): 5 centers over the full embedding
+    // corpus by cosine distance, seed = min vec_id, ties toward the
+    // smaller id. The oracle unrolls the identical greedy recurrence —
+    // per level one running-min update against the newest center and
+    // one (d DESC, vec_id) LIMIT 1 selection — every float in the same
+    // IEEE order as the Spark plan, so the argmax choices replay
+    // bit-exact.
+    GraftQuery("v_kcenter_select",
+      (s, dir) => Vectors.kCenterGreedy(Tables.embeddings(s, dir), k = 5),
+      Some {
+        def upd(prev: String, c: String, m: String): String =
+          s"""$m AS (SELECT a.vec_id,
+             |        least($prev.d, 1.0 - (${dotSql("a.embedding", "b.embedding")})
+             |          / (a.nrm * b.nrm)) AS d
+             |      FROM $prev JOIN e a USING (vec_id), $c b)"""
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |             sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           |           FROM embeddings),
+           |c0 AS (SELECT vec_id, embedding, nrm FROM e
+           |       ORDER BY vec_id LIMIT 1),
+           |m1 AS (SELECT a.vec_id,
+           |        1.0 - (${dotSql("a.embedding", "b.embedding")})
+           |          / (a.nrm * b.nrm) AS d
+           |      FROM e a, c0 b),
+           |c1 AS (SELECT e.vec_id, e.embedding, e.nrm, s.d
+           |       FROM e JOIN (SELECT vec_id, d FROM m1
+           |                    ORDER BY d DESC, vec_id LIMIT 1) s
+           |         USING (vec_id)),
+           |${upd("m1", "c1", "m2")},
+           |c2 AS (SELECT e.vec_id, e.embedding, e.nrm, s.d
+           |       FROM e JOIN (SELECT vec_id, d FROM m2
+           |                    ORDER BY d DESC, vec_id LIMIT 1) s
+           |         USING (vec_id)),
+           |${upd("m2", "c2", "m3")},
+           |c3 AS (SELECT e.vec_id, e.embedding, e.nrm, s.d
+           |       FROM e JOIN (SELECT vec_id, d FROM m3
+           |                    ORDER BY d DESC, vec_id LIMIT 1) s
+           |         USING (vec_id)),
+           |${upd("m3", "c3", "m4")},
+           |c4 AS (SELECT e.vec_id, e.embedding, e.nrm, s.d
+           |       FROM e JOIN (SELECT vec_id, d FROM m4
+           |                    ORDER BY d DESC, vec_id LIMIT 1) s
+           |         USING (vec_id))
+           |SELECT CAST(0 AS INT) AS sel_round, vec_id,
+           |       CAST(NULL AS DOUBLE) AS d_sel FROM c0
+           |UNION ALL SELECT 1, vec_id, round(d, 6) FROM c1
+           |UNION ALL SELECT 2, vec_id, round(d, 6) FROM c2
+           |UNION ALL SELECT 3, vec_id, round(d, 6) FROM c3
+           |UNION ALL SELECT 4, vec_id, round(d, 6) FROM c4""".stripMargin
+      }),
   )
 }

@@ -236,6 +236,29 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("kCenterGreedy: farthest-point order on a planted geometry") {
+    import spark.implicits._
+    // unit-ish 2-D directions: seed is min id (1, pointing +x); the
+    // farthest by cosine distance is -x (id 3, d = 2); then +y (id 2,
+    // d = 1 to both chosen); the near-duplicate of the seed (id 5)
+    // comes last with d ~ 0. Ties and order are fully deterministic.
+    val emb = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)),
+      (3L, Array(-1f, 0f)),
+      (5L, Array(1f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Vectors.kCenterGreedy(emb, k = 4)
+      .orderBy("sel_round").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L, 5L), s"${got.toSeq}")
+    assert(got(0)._3.isEmpty)
+    assert(math.abs(got(1)._3.get - 2.0) < 1e-9, s"${got.toSeq}")
+    assert(math.abs(got(2)._3.get - 1.0) < 1e-9, s"${got.toSeq}")
+    assert(got(3)._3.get < 1e-3, s"${got.toSeq}")
+  }
+
   test("int8 quantization: codes in range, error bounded by half a step, zero vectors safe") {
     import spark.implicits._
     val edge = Seq(
