@@ -774,6 +774,92 @@ object Vectors {
       .withColumn("d_sel", round(col("d_sel"), 6))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) over ANN candidates: from each query's top-`n` cosine
+    * candidates, greedily select `m` results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the standard
+    * relevance-vs-redundancy tradeoff for RAG context assembly (plain
+    * top-k returns near-duplicate passages; MMR spends the same budget
+    * on coverage). Deterministic AND half-boundary-safe: relevance and
+    * pairwise similarity convert to integer micro-units
+    * (`round(raw·10⁶)` — raw cosines never sit near a decimal half,
+    * unlike λ-scaled pre-rounded values, which land EXACTLY on halves
+    * and expose the engines' round() divergence — the SCALE.md
+    * rational-quotient rounding lesson), and the score is the exact
+    * integer `λ_milli·rel_u − (1000−λ_milli)·maxsim_u`; ties toward
+    * the smaller vec_id at every argmax. Round 1 (empty S) degenerates
+    * to the top-ranked candidate.
+    *
+    * Scale: the corpus-sized work is the candidate retrieval
+    * ([[bruteForceTopK]] here; any ANN variant upstream). The MMR loop
+    * itself runs on the (queries × n) candidate frame — m rounds,
+    * each ONE join of candidates against the accumulated selected set
+    * on query_id (per-query parallelism, nothing corpus-sized) + a
+    * per-query WindowGroupLimit argmax. All m rounds execute across
+    * every query simultaneously — the loop serializes ROUNDS, not
+    * queries.
+    *
+    * @return (query_id, sel_round 1..m, vec_id, mmr_score_m — exact
+    *         integer in milli·micro units).
+    */
+  def mmrRerank(corpus: DataFrame, probes: DataFrame, n: Int, m: Int,
+                lambdaMilli: Long = 700L): DataFrame = {
+    require(n >= m && m >= 1 && lambdaMilli >= 0 && lambdaMilli <= 1000)
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val qs = probes.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      sqrt(dotNative(col("embedding"), col("embedding"))).as("q_nrm"))
+    // candidate SET from the shared ANN epilogue; relevance recomputed
+    // raw and micro-quantized (the rounded display cosine would put
+    // λ-scaled scores on exact decimal halves)
+    val cands = bruteForceTopK(corpus, probes, n)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+      .join(corpus.select(col("vec_id").as("cand_id"),
+          col("embedding"), sqrt(dotNative(col("embedding"),
+            col("embedding"))).as("nrm")),
+        "cand_id")
+      .join(broadcast(qs), "query_id")
+      .withColumn("rel_u",
+        round(dotNative(col("q_emb"), col("embedding"))
+          / (col("q_nrm") * col("nrm")) * lit(1000000.0)).cast("long"))
+      .select(col("query_id"), col("cand_id"), col("rel_u"),
+        col("embedding"), col("nrm"))
+      .localCheckpoint() // tiny (queries × n); every round reads it
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    // round 1: S empty -> argmax of λ·rel
+    var selected = cands
+      .withColumn("score", lit(lambdaMilli) * col("rel_u"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), lit(1).as("sel_round"), col("cand_id"),
+        col("score"), col("embedding"), col("nrm"))
+      .localCheckpoint()
+    for (rnd <- 2 to m) {
+      val sel = selected.select(col("query_id"), col("cand_id").as("s_id"),
+        col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
+      val remaining = cands.join(
+        selected.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      val next = remaining.join(sel, "query_id")
+        .withColumn("sim_u",
+          round(dotNative(col("embedding"), col("s_emb"))
+            / (col("nrm") * col("s_nrm")) * lit(1000000.0)).cast("long"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(max(col("sim_u")).as("maxsim_u"))
+        .join(cands, Seq("query_id", "cand_id"))
+        .withColumn("score", lit(lambdaMilli) * col("rel_u") -
+          lit(1000L - lambdaMilli) * col("maxsim_u"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(rnd).as("sel_round"),
+          col("cand_id"), col("score"), col("embedding"), col("nrm"))
+      selected = selected.unionAll(next).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("sel_round"),
+      col("cand_id").as("vec_id"), col("score").as("mmr_score_m"))
+  }
+
   /** Same-bucket near-dup candidate pairs with exact cosine verification. */
   def lshNearDupPairs(df: DataFrame, dim: Int, numPlanes: Int,
                       threshold: Double): DataFrame = {

@@ -1029,6 +1029,77 @@ object VectorQueries {
               |       coalesce(ov.n_overlap, 0) / 5.0 AS recall_at_5
               |FROM q LEFT JOIN ov ON q.query_id = ov.query_id""".stripMargin)),
 
+    // MMR re-ranking (Vectors.mmrRerank): top-10 cosine candidates per
+    // probe, 3 greedy MMR rounds at λ=700‰ — round 1 is the rank-1
+    // candidate, later rounds trade relevance against the max
+    // similarity to the already-selected set. Scores are EXACT
+    // integers (700·rel_u − 300·maxsim_u over micro-quantized raw
+    // cosines), so no float half-boundary can split the engines — the
+    // first draft scored 0.7×(6dp-rounded rel) and mismatched on an
+    // exact .5 at the 7th decimal (Spark shortest-repr HALF_UP vs
+    // DuckDB exact-expansion rounding).
+    GraftQuery("v_mmr_rerank",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Vectors.mmrRerank(emb, emb.filter(col("vec_id") < 5),
+          n = 10, m = 3, lambdaMilli = 700L)
+      },
+      Some {
+        def rndStep(j: Int): String = {
+          val prevS = (1 until j).map(i => s"SELECT * FROM s$i")
+            .mkString(" UNION ALL ")
+          s"""acc$j AS ($prevS),
+             |ms$j AS (SELECT c.query_id, c.cand_id,
+             |        max(CAST(round((${dotSql("ce.embedding", "se.embedding")})
+             |          / (ce.nrm * se.nrm) * 1000000) AS BIGINT)) AS maxsim_u
+             |      FROM cands c
+             |      JOIN acc$j s ON s.query_id = c.query_id
+             |      JOIN e ce ON ce.vec_id = c.cand_id
+             |      JOIN e se ON se.vec_id = s.cand_id
+             |      WHERE NOT EXISTS (SELECT 1 FROM acc$j x
+             |        WHERE x.query_id = c.query_id
+             |          AND x.cand_id = c.cand_id)
+             |      GROUP BY 1, 2),
+             |s$j AS (SELECT query_id, cand_id, score FROM (
+             |        SELECT m.query_id, m.cand_id,
+             |               700 * c.rel_u - 300 * m.maxsim_u AS score,
+             |               row_number() OVER (PARTITION BY m.query_id
+             |                 ORDER BY 700 * c.rel_u - 300 * m.maxsim_u
+             |                   DESC, m.cand_id) AS rn
+             |        FROM ms$j m JOIN cands c
+             |          ON c.query_id = m.query_id
+             |         AND c.cand_id = m.cand_id)
+             |        WHERE rn = 1)"""
+        }
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+           |             sqrt(${dotSql("embedding", "embedding")}) AS qn
+           |           FROM embeddings WHERE vec_id < 5),
+           |e AS (SELECT vec_id, embedding,
+           |        sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           |      FROM embeddings),
+           |p AS (SELECT query_id, vec_id AS cand_id,
+           |        (${dotSql("qe", "embedding")}) / (qn * nrm) AS cos
+           |      FROM q, e WHERE query_id <> vec_id),
+           |r AS (SELECT query_id, cand_id,
+           |        CAST(round(cos * 1000000) AS BIGINT) AS rel_u,
+           |        row_number() OVER (PARTITION BY query_id
+           |                           ORDER BY cos DESC, cand_id) AS rk
+           |      FROM p),
+           |cands AS (SELECT query_id, cand_id, rel_u FROM r
+           |          WHERE rk <= 10),
+           |s1 AS (SELECT query_id, cand_id, 700 * rel_u AS score FROM (
+           |        SELECT query_id, cand_id, rel_u,
+           |               row_number() OVER (PARTITION BY query_id
+           |                 ORDER BY 700 * rel_u DESC, cand_id) AS rn
+           |        FROM cands) WHERE rn = 1),
+           |${rndStep(2)},
+           |${rndStep(3)}
+           |SELECT query_id, CAST(1 AS INT) AS sel_round, cand_id AS vec_id,
+           |       score AS mmr_score_m FROM s1
+           |UNION ALL SELECT query_id, 2, cand_id, score FROM s2
+           |UNION ALL SELECT query_id, 3, cand_id, score FROM s3""".stripMargin
+      }),
+
     // Greedy k-center diversity selection (Vectors.kCenterGreedy,
     // Gonzalez farthest-point): 5 centers over the full embedding
     // corpus by cosine distance, seed = min vec_id, ties toward the

@@ -236,6 +236,32 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank: diversity pick beats the redundant runner-up") {
+    import spark.implicits._
+    // query +x; a at +30deg (rel cos30), its near-clone at +31deg
+    // (sim to a ~ cos1 ~ 1), b at -32deg (rel cos32, sim to a only
+    // cos62). At lambda = 0.7: clone scores .7*cos31 - .3*cos1 ~ .30,
+    // b scores .7*cos32 - .3*cos62 ~ .45 -> MMR round 2 takes the
+    // mirror-side b over the higher-relevance clone; round 3 takes
+    // the clone (only candidate left). Plain top-3 order would be
+    // 10, 11, 12 - the diversity penalty flips it.
+    val corpus = Seq(
+      (10L, Array(0.8660f, 0.5f)),
+      (11L, Array(0.8572f, 0.5150f)),
+      (12L, Array(0.8480f, -0.5299f))
+    ).toDF("vec_id", "embedding")
+    val probes = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Vectors.mmrRerank(
+      corpus, probes, n = 3, m = 3, lambdaMilli = 700L)
+      .orderBy("sel_round").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).toSeq == Seq(10L, 12L, 11L), s"${got.toSeq}")
+    // round-1 score is exactly 700 * rel_u of the top candidate
+    assert(got(0)._3 % 700L == 0L, s"${got.toSeq}")
+    // the clone's final score is heavily sim-penalized (maxsim ~ 1)
+    assert(got(2)._3 < got(1)._3, s"${got.toSeq}")
+  }
+
   test("kCenterGreedy: farthest-point order on a planted geometry") {
     import spark.implicits._
     // unit-ish 2-D directions: seed is min id (1, pointing +x); the
