@@ -410,6 +410,37 @@ object EventMetricsQueries {
            |FROM documents""".stripMargin
       }),
 
+    // Range-partition planning (Layout.rangePartitionPlan): exact
+    // 8-bucket boundaries over order totals (cents, floored on BOTH
+    // sides — cast would round in DuckDB and truncate in Spark) via
+    // the distributed-quickselect order statistics, then the bucket
+    // audit with exact fill ratios. The deterministic replacement for
+    // repartitionByRange's sampled boundaries when the sorted layout
+    // is a contract; oracle replays ranks off one global sort and
+    // buckets by counting boundaries below each value.
+    GraftQuery("s2_range_partition_plan",
+      (s, dir) => graft.sources.Layout.rangePartitionPlan(
+        Tables.orders(s, dir), floor(col("o_totalprice") * 100),
+        numBuckets = 8),
+      Some("""WITH t AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+             |             AS v
+             |           FROM orders WHERE o_totalprice IS NOT NULL),
+             |nn AS (SELECT count(*) AS c FROM t),
+             |rk AS (SELECT i, CAST(ceil(i / 8.0 * c) AS BIGINT) AS rank
+             |       FROM generate_series(1, 7) g(i), nn),
+             |srt AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+             |        FROM t),
+             |b AS (SELECT rk.i, srt.v AS bv FROM rk
+             |      JOIN srt ON srt.rn = rk.rank),
+             |a AS (SELECT t.v,
+             |        (SELECT count(*) FROM b WHERE b.bv < t.v) AS bucket
+             |      FROM t)
+             |SELECT bucket, count(*)::BIGINT AS n_rows,
+             |       min(v) AS lo, max(v) AS hi,
+             |       CAST(count(*) * 8 * 1000000 // (SELECT c FROM nn)
+             |         AS BIGINT) AS fill_micro
+             |FROM a GROUP BY 1""".stripMargin)),
+
     // Compaction planning: deterministic sequential bin-packing of the
     // object inventory (documents standing in as the file listing,
     // n_chars as the size) into ~2000-byte bins via the two-level

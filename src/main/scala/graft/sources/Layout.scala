@@ -117,4 +117,54 @@ object Layout {
         lit(sh).as("shard"))): _*)
     array_max(scored).getField("shard")
   }
+
+  /** Range-partition PLAN from exact order statistics: boundaries at the
+    * exact i/numBuckets quantiles of an integral sort column (computed
+    * by [[graft.operators.Sketches.orderStatistics]]' distributed
+    * quickselect — a few narrow partial-agg passes, never a global
+    * sort), then the per-bucket audit: row count, value bounds and the
+    * exact fill ratio vs the balanced target. This is the deterministic
+    * replacement for `repartitionByRange`'s reservoir sampling when a
+    * sorted layout is a CONTRACT, not a hint: Spark's sampled
+    * boundaries drift run-to-run (and with partition layout), so two
+    * daily writes of the same data can split at different keys —
+    * deadly for incremental range-clustered tables (Z-order's
+    * [[writeZOrdered]] sidesteps keys entirely; this is the
+    * single-dimension sibling where range predicates must prune
+    * file-level min/max exactly). At 100 TB: boundaries cost ≤ 6
+    * passes of bounded-state aggregation on the sort column only,
+    * assignment is a broadcast-free constant-folded comparison chain,
+    * the audit one partial-agged exchange. Rows equal to a boundary
+    * value close the LOWER bucket (`v > b` comparisons), so duplicate
+    * heavy keys surface as over-full buckets in `fill_micro` instead
+    * of silently splitting a key across files.
+    *
+    * @param value integral sort column (cast to long; callers floor
+    *              doubles explicitly so both engines truncate alike).
+    * @return one row per non-empty bucket: (bucket, n_rows, lo, hi,
+    *         fill_micro = n_rows·numBuckets·10⁶ div N).
+    */
+  def rangePartitionPlan(df: DataFrame, value: Column,
+                         numBuckets: Int): DataFrame = {
+    require(numBuckets >= 2)
+    val vv = df.select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(false) // the count job materializes it; the
+    // quickselect passes and the final bucket agg reuse the blocks
+    val n = vv.count()
+    require(n >= numBuckets, s"need at least $numBuckets rows, got $n")
+    val ranks = (1 until numBuckets)
+      .map(i => math.ceil(i.toDouble / numBuckets * n).toLong.max(1L))
+    val bounds = graft.operators.Sketches.orderStatistics(vv, col("v"), ranks)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucket = ranks.map(bounds)
+      .foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(col("v") > lit(b), lit(1L)).otherwise(lit(0L))
+      }
+    vv.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .withColumn("fill_micro",
+        expr(s"n_rows * $numBuckets * 1000000L div ${n}L"))
+  }
 }

@@ -1467,6 +1467,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 12L)
   }
 
+  test("rangePartitionPlan: exact boundaries, heavy key closes the lower bucket") {
+    import spark.implicits._
+    // 12 rows over 4 buckets: ranks 3/6/9 -> boundaries 3, 6, 9
+    val even = (1L to 12L).toDF("v")
+    val p1 = graft.sources.Layout.rangePartitionPlan(even, col("v"), 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(p1 == Map(0L -> ((3L, 1L, 3L, 1000000L)),
+      1L -> ((3L, 4L, 6L, 1000000L)), 2L -> ((3L, 7L, 9L, 1000000L)),
+      3L -> ((3L, 10L, 12L, 1000000L))), s"$p1")
+    // a value straddling a boundary cannot split across buckets: eight
+    // copies of 5 push the rank-3 AND rank-6 boundaries to 5, so the
+    // duplicate mass lands in ONE bucket (v > b comparisons) and the
+    // imbalance is visible in fill_micro, never hidden by a key split
+    val skew = (Seq.fill(8)(5L) ++ Seq(1L, 2L, 8L, 9L)).toDF("v")
+    val p2 = graft.sources.Layout.rangePartitionPlan(skew, col("v"), 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // boundaries: ranks 3,6,9 of sorted [1,2,5×8,8,9] are ALL 5 (the
+    // eight 5s span ranks 3..10), so every v > 5 counts three
+    // boundaries below it: bucket0 = v<=5 (10 rows, 3.3× over-full),
+    // buckets 1-2 empty, bucket3 = {8,9}
+    assert(p2 == Map(0L -> ((10L, 1L, 5L, 3333333L)),
+      3L -> ((2L, 8L, 9L, 666666L))), s"$p2")
+  }
+
   test("labelPropagation: cliques converge to min label; bridge trace is exact") {
     import spark.implicits._
     // two disconnected K4s (plus a dup, a reversed dup and a self-loop):
