@@ -98,6 +98,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60Expr].getName, "graft_hash60"),
       (children: Seq[Expression]) => Hash60Expr(children.head)),
+    // order arrives as a foldable int literal: graft_hilbert(x, y, 16)
+    (FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndexExpr].getName, "graft_hilbert"),
+      (children: Seq[Expression]) => HilbertIndexExpr(children(0), children(1),
+        children(2).eval().asInstanceOf[Int])),
     // Spark's own runtime-filter machinery, exposed as callable functions:
     // the distributed bloom build (partial sketches merged at the
     // aggregator, never a driver-side item collect) and the codegen'd

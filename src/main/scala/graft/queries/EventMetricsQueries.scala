@@ -410,6 +410,48 @@ object EventMetricsQueries {
            |FROM documents""".stripMargin
       }),
 
+    // Native Hilbert-curve index (plans/HilbertIndexExpr, registered as
+    // graft_hilbert): order-16 key over raw (user_id, floor(value))
+    // grid coordinates — the better-locality sibling of the Morton key
+    // behind s2_zorder_slice (consecutive Hilbert cells are always
+    // grid-adjacent; Z-order jumps at every power-of-two boundary).
+    // The oracle unrolls the 16 rot-and-accumulate steps of the
+    // standard xy->d walk as CTE levels, so every quadrant decision,
+    // rotation and coordinate swap is graded row-exact across the
+    // corpus.
+    GraftQuery("s2_hilbert_key",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Tables.events(s, dir).select(col("event_id"),
+          call_function("graft_hilbert", col("user_id"),
+            floor(col("value")).cast("long"), lit(16)).as("hkey"))
+      },
+      Some {
+        val steps = (1 to 16).map { k =>
+          val s = 1L << (16 - k)
+          s"""h$k AS (SELECT event_id,
+             |  CASE WHEN ry = 0 THEN
+             |    (CASE WHEN rx = 1 THEN $s - 1 - y ELSE y END)
+             |  ELSE x END AS x,
+             |  CASE WHEN ry = 0 THEN
+             |    (CASE WHEN rx = 1 THEN $s - 1 - x ELSE x END)
+             |  ELSE y END AS y,
+             |  d + $s * $s * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+             |    WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END) AS d
+             |FROM (SELECT event_id, x, y, d,
+             |        CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+             |        CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+             |      FROM h${k - 1}) t$k)"""
+        }.mkString(",\n")
+        s"""WITH h0 AS (
+           |  SELECT event_id, user_id & 65535 AS x,
+           |         CAST(floor(value) AS BIGINT) & 65535 AS y,
+           |         CAST(0 AS BIGINT) AS d
+           |  FROM events),
+           |$steps
+           |SELECT event_id, d AS hkey FROM h16""".stripMargin
+      }),
+
     // Range-partition planning (Layout.rangePartitionPlan): exact
     // 8-bucket boundaries over order totals (cents, floored on BOTH
     // sides — cast would round in DuckDB and truncate in Spark) via

@@ -38,6 +38,27 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Hilbert key of two numeric columns, normalized to [0, 2^bits) by
+    * their [lo, hi] bounds exactly like [[mortonKey]], then mapped
+    * through the native [[graft.plans.HilbertIndexExpr]]. Same
+    * clustered-write contract as the Morton key with strictly better
+    * locality (consecutive keys are grid-adjacent — see the expression
+    * scaladoc); 2-D only, which is the shipped layouts' shape.
+    * Callers must have [[graft.plans.GraftFunctions.register]] applied. */
+  private[sources] def hilbertKey(xc: (Column, Column, Column),
+                                  yc: (Column, Column, Column),
+                                  bits: Int): Column = {
+    require(bits >= 1 && bits <= 31)
+    def scale(t: (Column, Column, Column)): Column = t match {
+      case (c, lo, hi) =>
+        when(hi === lo, lit(0L)).otherwise(
+          least(greatest(
+            floor((c.cast("double") - lo) / (hi - lo) * ((1L << bits) - 1)),
+            lit(0.0)), lit(((1L << bits) - 1).toDouble)).cast("long"))
+    }
+    call_function("graft_hilbert", scale(xc), scale(yc), lit(bits))
+  }
+
   /** Small-file compaction planning — the recurring lakehouse maintenance
     * job (Delta/Iceberg OPTIMIZE bin-packing): assign each input object a
     * compaction bin of ~`targetBytes` by deterministic sequential packing
