@@ -889,4 +889,89 @@ object Sketches {
       col("bin"), col("cnt"))
     histQuantilesBy(spread, Seq(col("window_end")), qs, lo, width)
   }
+
+  /** Robust per-group outlier flags via the median absolute deviation —
+    * the screen [[graft.queries]] `a_anomaly_zscore` cannot give when
+    * the series itself contains the anomalies: mean and stddev are
+    * dragged by the very spikes being hunted (one 100× day shifts the
+    * mean and explodes σ, hiding itself), while the median and MAD have
+    * a 50% breakdown point. All integer-exact: the group median is the
+    * value at rank ⌈n/2⌉ of the sorted multiset, MAD the same rank
+    * statistic over |v − med|, and the flag is `|v − med| > k·MAD` —
+    * no 1.4826 normal-consistency scaling (that constant is irrational
+    * and only relabels k; callers pick k directly).
+    *
+    * Shape: two ranking passes over each group (rank-of-value, then
+    * rank-of-deviation), one exchange on the group key shared by all
+    * four windows. This runs on AGGREGATED series (daily counts per
+    * key — gold-table-sized), where per-group windows are exactly
+    * right; raw-corpus quantiles go through [[orderStatistics]]'
+    * histogram quickselect instead. A group with MAD = 0 (over half
+    * the days identical) flags ANY deviation — the strictest reading,
+    * documented rather than special-cased.
+    *
+    * @return one row per input row: (g, id, v, med, mad, is_outlier).
+    */
+  /** Integer EWMA smoothing of a per-group ordered series — trend
+    * extraction over daily gold metrics (`s₁ = v₁;
+    * sₜ = (α·vₜ + (1000−α)·sₜ₋₁) div 1000`, α in milli-units). The
+    * rational recurrence is the load-bearing choice: a float
+    * `α·(1−α)ᵏ` replay diverges between engines at the pow() ULP,
+    * while the integer fold is bit-replayable by a recursive-CTE
+    * oracle. EWMA is inherently sequential per group, so the fold runs
+    * as an `aggregate()` lambda over the collected per-group series —
+    * per-group state is bounded by the series HORIZON (days in the
+    * window, gold-table-sized), never by corpus rows; the single
+    * exchange is the collect_list's group shuffle. Raw-event smoothing
+    * first aggregates to the per-period series (that aggregation is
+    * the corpus-sized pass, with map-side combine).
+    *
+    * @param alphaMilli smoothing weight α·1000 (700 = fast follow).
+    * @return one row per input row: (g, p, v, ewma).
+    */
+  def ewmaSmooth(df: DataFrame, group: Column, period: Column,
+                 value: Column, alphaMilli: Long = 700L): DataFrame = {
+    require(alphaMilli >= 0 && alphaMilli <= 1000)
+    val a = alphaMilli
+    df.select(group.as("g"), period.as("p"), value.cast("long").as("v"))
+      .groupBy(col("g"))
+      .agg(expr(
+        s"""aggregate(
+           |  array_sort(collect_list(struct(p, v))),
+           |  struct(CAST(array() AS ARRAY<STRUCT<p: STRING, v: BIGINT,
+           |           s: BIGINT>>) AS rows),
+           |  (acc, x) -> struct(concat(acc.rows,
+           |    CAST(array(named_struct('p', x.p, 'v', x.v, 's',
+           |      CASE WHEN size(acc.rows) = 0 THEN x.v
+           |           ELSE ($a * x.v + ${1000 - a} *
+           |             element_at(acc.rows, -1).s) div 1000 END))
+           |      AS ARRAY<STRUCT<p: STRING, v: BIGINT, s: BIGINT>>))),
+           |  acc -> acc.rows)""".stripMargin).as("rows"))
+      .select(col("g"), explode(col("rows")).as("r"))
+      .select(col("g"), col("r.p").as("p"), col("r.v").as("v"),
+        col("r.s").as("ewma"))
+  }
+
+  def madOutliers(df: DataFrame, group: Column, id: Column, value: Column,
+                  k: Long = 3L): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.as("g"), id.as("id"),
+      value.cast("long").as("v"))
+    val wg = Window.partitionBy(col("g"))
+    val wv = Window.partitionBy(col("g")).orderBy(col("v"))
+    val withMed = base
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("c", count(lit(1)).over(wg))
+      .withColumn("med",
+        max(when(col("rn") === expr("(c + 1) div 2"), col("v"))).over(wg))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val wd = Window.partitionBy(col("g")).orderBy(col("dev"))
+    withMed
+      .withColumn("rd", row_number().over(wd))
+      .withColumn("mad",
+        max(when(col("rd") === expr("(c + 1) div 2"), col("dev"))).over(wg))
+      .select(col("g"), col("id"), col("v"), col("med"), col("mad"),
+        (col("dev") > lit(k) * col("mad")).as("is_outlier"))
+  }
 }

@@ -410,6 +410,76 @@ object EventMetricsQueries {
            |FROM documents""".stripMargin
       }),
 
+    // Integer EWMA trend (Sketches.ewmaSmooth) over the per-(type, day)
+    // count series at α=0.7: the rational recurrence
+    // s_t = (700·v_t + 300·s_{t-1}) div 1000 — bit-replayable by a
+    // recursive-CTE oracle, where a float α·(1−α)^k replay would
+    // diverge at the pow() ULP. Per-group fold state is bounded by the
+    // day horizon, not corpus rows.
+    GraftQuery("a_ewma_daily",
+      (s, dir) => graft.operators.Sketches.ewmaSmooth(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            MetricsKernel.periodOf(col("ts"), "day").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        col("event_type"), col("day"), col("cnt"), alphaMilli = 700L),
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT event_type AS g,
+             |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS p,
+             |         count(*) AS v
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT g, p, v,
+             |        row_number() OVER (PARTITION BY g ORDER BY p) AS rn
+             |      FROM d),
+             |rec AS (
+             |  SELECT g, p, v, rn, v AS s FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT r.g, r.p, r.v, r.rn,
+             |         (700 * r.v + 300 * rec.s) // 1000
+             |  FROM rec JOIN r ON r.g = rec.g AND r.rn = rec.rn + 1)
+             |SELECT g, p, v::BIGINT AS v, s::BIGINT AS ewma
+             |FROM rec""".stripMargin)),
+
+    // Robust outlier flags via MAD (Sketches.madOutliers) over the
+    // per-(type, day) count series: median and median-absolute-
+    // deviation are rank statistics (value at ⌈n/2⌉), so one 100×
+    // spike day cannot drag the threshold the way a_anomaly_zscore's
+    // mean/σ can — the 50%-breakdown robust screen. All integer-exact;
+    // the oracle replays both ranking passes with windows over the
+    // same aggregated series.
+    GraftQuery("a_mad_outliers",
+      (s, dir) => graft.operators.Sketches.madOutliers(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            MetricsKernel.periodOf(col("ts"), "day").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        col("event_type"), col("day"), col("cnt"), k = 3L),
+      Some("""WITH d AS (
+             |  SELECT event_type AS g,
+             |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS id,
+             |         count(*) AS v
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT g, id, v,
+             |        row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             |        count(*) OVER (PARTITION BY g) AS c
+             |      FROM d),
+             |med AS (SELECT g,
+             |          max(CASE WHEN rn = (c + 1) // 2 THEN v END) AS med
+             |        FROM m GROUP BY 1),
+             |dev AS (SELECT m.g, m.id, m.v, med.med,
+             |          abs(m.v - med.med) AS dv,
+             |          row_number() OVER (PARTITION BY m.g
+             |            ORDER BY abs(m.v - med.med)) AS rd,
+             |          count(*) OVER (PARTITION BY m.g) AS c
+             |        FROM m JOIN med USING (g)),
+             |mad AS (SELECT g,
+             |          max(CASE WHEN rd = (c + 1) // 2 THEN dv END) AS mad
+             |        FROM dev GROUP BY 1)
+             |SELECT dev.g, dev.id, dev.v::BIGINT AS v,
+             |       dev.med::BIGINT AS med, mad.mad::BIGINT AS mad,
+             |       dev.dv > 3 * mad.mad AS is_outlier
+             |FROM dev JOIN mad USING (g)""".stripMargin)),
+
     // Native Hilbert-curve index (plans/HilbertIndexExpr, registered as
     // graft_hilbert): order-16 key over raw (user_id, floor(value))
     // grid coordinates — the better-locality sibling of the Morton key

@@ -655,6 +655,51 @@ object JoinQueries {
            |SELECT node AS part, pr AS rank_micro FROM r10""".stripMargin
       }),
 
+    // Market-basket lift over co-purchase pairs: within-order item
+    // pairs (a < b — at most C(7,2) per order, bounded by the order
+    // width, never by item popularity), pair support vs the two item
+    // supports, lift as the exact rational
+    // `n_ab·N·10⁶ div (n_a·n_b)` in micro-units — the association-rule
+    // screen (support/confidence/lift) every recommendation pipeline
+    // starts from. One explode-free pair self-join co-partitioned on
+    // the order key + two broadcast joins against the item-support
+    // aggregate; filter to pairs seen ≥ 3 times.
+    GraftQuery("j_copurchase_lift",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val n = Tables.orders(s, dir).count()
+        val sup = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 3)
+        pairs
+          .join(sup.select(col("l_partkey").as("a"), col("n_i").as("n_a")), "a")
+          .join(sup.select(col("l_partkey").as("b"), col("n_i").as("n_b")), "b")
+          .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+            expr(s"n_ab * ${n}L * 1000000L div (n_a * n_b)")
+              .as("lift_micro"),
+            expr("n_ab * 1000000L div n_a").as("conf_micro"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+             |            FROM lineitem),
+             |n AS (SELECT count(*) AS n FROM orders),
+             |sup AS (SELECT l_partkey, count(*) AS n_i FROM li GROUP BY 1),
+             |p AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+             |        count(*) AS n_ab
+             |      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+             |        AND x.l_partkey < y.l_partkey
+             |      GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT a, b, n_ab, sa.n_i AS n_a, sb.n_i AS n_b,
+             |       CAST(n_ab * (SELECT n FROM n) * 1000000
+             |         // (sa.n_i * sb.n_i) AS BIGINT) AS lift_micro,
+             |       CAST(n_ab * 1000000 // sa.n_i AS BIGINT) AS conf_micro
+             |FROM p JOIN sup sa ON sa.l_partkey = p.a
+             |       JOIN sup sb ON sb.l_partkey = p.b""".stripMargin)),
+
     // Personalized PageRank (Joins.pageRankPersonalized) on the
     // co-purchase graph: all teleport mass rerouted to the seed set
     // (parts with partkey % 17 = 0 — 12/118/1177 seeds at

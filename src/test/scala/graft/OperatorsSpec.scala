@@ -1467,6 +1467,40 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 12L)
   }
 
+  test("madOutliers: spike cannot drag the threshold; MAD=0 flags any deviation") {
+    import spark.implicits._
+    // series 10,10,10,10,1000: mean/sigma screening would be dragged by
+    // the spike (z of 1000 ~ 1.79 at sigma~396 -> NOT flagged at 3z);
+    // median=10, MAD=0 -> the spike IS flagged, and the flat days not
+    val rows = Seq(("a", "d1", 10L), ("a", "d2", 10L), ("a", "d3", 10L),
+      ("a", "d4", 10L), ("a", "d5", 1000L),
+      ("b", "d1", 5L), ("b", "d2", 7L), ("b", "d3", 9L))
+    val got = graft.operators.Sketches.madOutliers(
+      rows.toDF("g", "id", "v"), col("g"), col("id"), col("v"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(("a", "d5")) == ((10L, 0L, true)), s"$got")
+    assert(got(("a", "d1")) == ((10L, 0L, false)), s"$got")
+    // b: sorted [5,7,9], median 7 (rank 2), devs [0,2,2] -> MAD = 2
+    // (rank 2 of sorted devs); no |v-7| exceeds 6
+    assert(got(("b", "d1")) == ((7L, 2L, false)), s"$got")
+    assert(got(("b", "d3")) == ((7L, 2L, false)), s"$got")
+  }
+
+  test("ewmaSmooth: integer recurrence matches a hand fold, per group, in order") {
+    import spark.implicits._
+    val rows = Seq(("a", "p1", 100L), ("a", "p2", 200L), ("a", "p3", 0L),
+      ("b", "p1", 50L))
+    val got = graft.operators.Sketches.ewmaSmooth(
+      rows.toDF("g", "p", "v"), col("g"), col("p"), col("v"),
+      alphaMilli = 700L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    // a: s1=100; s2=(700*200+300*100)/1000=170; s3=(0+300*170)/1000=51
+    assert(got == Map(("a", "p1") -> 100L, ("a", "p2") -> 170L,
+      ("a", "p3") -> 51L, ("b", "p1") -> 50L), s"$got")
+  }
+
   test("rangePartitionPlan: exact boundaries, heavy key closes the lower bucket") {
     import spark.implicits._
     // 12 rows over 4 buckets: ranks 3/6/9 -> boundaries 3, 6, 9
