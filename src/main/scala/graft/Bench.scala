@@ -61,7 +61,10 @@ object Bench {
     "j_triangle_count",    // degree-oriented triangle counting (wedge join bounded on hubs)
     "j_label_propagation", // 4-round synchronous LPA communities (join + 2 partial aggs/round)
     "j_ra_linkpred",       // resource-allocation link prediction (capped wedge join + top-k)
-    "j_pagerank_personalized") // seed-teleport PPR, 6 rounds (sparse seed-vector carry)
+    "j_pagerank_personalized", // seed-teleport PPR, 6 rounds (sparse seed-vector carry)
+    "v_mmr_rerank",        // MMR re-rank (m rounds × candidates join, corpus pass amortized)
+    "v_kcenter_select",    // greedy k-center (k driver barriers, O(1) cached frames)
+    "p_pipeline_e2e")      // composed clean→dedup→decontaminate→mix→pack chain
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

@@ -24,7 +24,8 @@ object SparkEntry {
         VectorQueries.entries ++
         TextQueries.entries ++
         ApiQueries.entries ++
-        ReportQueries.entries
+        ReportQueries.entries ++
+        PipelineQueries.entries
     // a duplicate name would silently vanish in the toMap below — the
     // driver would see "fewer queries", not a failure
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys

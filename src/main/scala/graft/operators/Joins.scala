@@ -289,24 +289,20 @@ object Joins {
     * No silent caps (the CDC/containment discipline): a dropped block is
     * coverage loss, so the cap's victims are SURFACED, not swallowed —
     * [[blockedFuzzyPairsAudited]] returns the dropped blocks as a frame
-    * next to the pairs, and this convenience wrapper warns with their
-    * count (one cheap agg over the already-built block-population table;
-    * zero extra jobs when callers use the audited form).
+    * next to the pairs (zero extra jobs: the block populations are
+    * computed for the cap filter anyway). This convenience wrapper is
+    * PURELY LAZY — plan-building only, no Spark job at call time (r10
+    * ADVICE: an eager audit count here charged every caller a full pass
+    * over the name table even when no block exceeded the cap) — so
+    * production jobs that must alert on coverage loss use the audited
+    * form and write/inspect the dropped-blocks frame at action time.
     *
     * @return (name_a, name_b, dist) with name_a < name_b, dist <= maxDist.
     */
   def blockedFuzzyPairs(names: DataFrame, name: Column, blockKey: Column,
                         maxDist: Int,
-                        blockCap: Long = 10000L): DataFrame = {
-    val (pairs, dropped) =
-      blockedFuzzyPairsAudited(names, name, blockKey, maxDist, blockCap)
-    val nDropped = dropped.count()
-    if (nDropped > 0) System.err.println(
-      s"[graft] blockedFuzzyPairs: $nDropped block(s) over blockCap=" +
-        s"$blockCap dropped before the similarity join - coverage loss; " +
-        "inspect blockedFuzzyPairsAudited(...)._2 or tighten the blocking key")
-    pairs
-  }
+                        blockCap: Long = 10000L): DataFrame =
+    blockedFuzzyPairsAudited(names, name, blockKey, maxDist, blockCap)._1
 
   /** [[blockedFuzzyPairs]] with the cap's accounting as data: returns
     * `(pairs, droppedBlocks)` where `droppedBlocks` = `(blk, bn)` for
@@ -685,8 +681,9 @@ object Joins {
     * Scale: the canonical undirected edge set materializes once; per
     * round ONE equi-join (adjacency ⋈ labels on the neighbor end) and
     * TWO partial-agg shuffles (vote count on (node, label), then
-    * plurality argmax as a `max(struct(votes, -label))` single-agg —
-    * no per-node window, no sort). Labels are carried densely (every
+    * plurality argmax as a `min(struct(-votes, label))` single-agg —
+    * no per-node window, no sort, and label ids of ANY orderable type
+    * since only the count is negated). Labels are carried densely (every
     * node has exactly one label row, node-count-sized — the rank
     * table's shape in [[pageRank]]), broadcast below `hugeGraph`, and
     * lazily checkpointed every other round to keep lineage bounded.
@@ -722,10 +719,16 @@ object Joins {
           col("lbl"))), "nbr")
         .groupBy(col("node"), col("lbl"))
         .agg(count(lit(1)).as("votes"))
+      // plurality argmax, ties toward the SMALLEST label, as ONE agg:
+      // min(struct(-votes, lbl)) orders by votes desc then lbl asc.
+      // The negation touches only the count (always a long) — the label
+      // is compared with its own type's ordering, so string/binary node
+      // ids work identically to numeric ones (r10 ADVICE: -lbl on a
+      // string id silently cast to double under non-ANSI mode).
       val next = votes
         .groupBy(col("node"))
-        .agg(max(struct(col("votes"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("node"), (-col("m.neg")).as("lbl"))
+        .agg(min(struct((-col("votes")).as("nv"), col("lbl"))).as("m"))
+        .select(col("node"), col("m.lbl").as("lbl"))
       labels = if (k % 2 == 0 || k == rounds)
         next.localCheckpoint(false) else next
     }
@@ -754,10 +757,18 @@ object Joins {
     * carries no link-prediction signal — dropping it changes scores by
     * ≤ topK·10⁶/D micro total — while computationally it is the entire
     * cost, Σ over hubs of deg². After the cap: one self-join on the
-    * wedge center (volume Σ min(deg, D)²), one anti-join against the
-    * edge set (predicted links must be NEW links), one partial-agg
-    * shuffle on the pair, and a TakeOrdered top-k (no global sort
-    * shuffle — Spark plans orderBy+limit as per-partition heaps).
+    * wedge center (volume Σ min(deg, D)²), one partial-agg shuffle on
+    * the pair — FIRST, so the map-side combine collapses the wedge
+    * stream to distinct candidate pairs before anything else touches
+    * it — then one anti-join against the edge set (predicted links
+    * must be NEW links) probing only that far smaller distinct-pair
+    * set, and a TakeOrdered top-k (no global sort shuffle — Spark
+    * plans orderBy+limit as per-partition heaps). Agg-before-anti is
+    * semantically identical (the anti-join is keyed on exactly the
+    * grouping key (a, b), so it commutes with the keyed agg) but moves
+    * the join probe from wedge-volume-sized to distinct-pair-sized —
+    * at sf0.1 that is the difference between tens of millions of probe
+    * rows and a few hundred thousand.
     *
     * @param edges          raw directed pairs (`src`, `dst`); canonical
     *                       undirected dedup as in [[triangleCounts]].
@@ -789,9 +800,9 @@ object Joins {
     val scored = l.join(r, Seq("w")).filter(col("x") < col("y"))
       .select(col("x").as("a"), col("y").as("b"),
         expr("1000000L div deg").as("c"))
-      .join(und, Seq("a", "b"), "left_anti")
       .groupBy(col("a"), col("b"))
       .agg(sum(col("c")).as("score_micro"), count(lit(1)).as("n_common"))
+      .join(und, Seq("a", "b"), "left_anti")
     scored.orderBy(col("score_micro").desc, col("a"), col("b"))
       .limit(topK)
       .withColumn("n_hubs_dropped", lit(dropped))

@@ -752,11 +752,25 @@ object Vectors {
       val distToNew = lit(1.0) -
         dotNative(col("embedding"), typedLit(centerEmb)) /
           (col("nrm") * lit(centerNrm))
+      val prev = dists
       dists = (if (dists == null) e.withColumn("d", distToNew)
                else dists.withColumn("d", least(col("d"), distToNew)))
         .localCheckpoint(false) // lazy: the argmax job materializes it
       val far = dists.orderBy(col("d").desc, col("vec_id")).limit(1)
         .collect()(0)
+      // the argmax job above materialized the NEW checkpoint, so the
+      // superseded round's blocks are dead — release them now, keeping
+      // executor storage at O(1) corpus-sized distance frames instead
+      // of O(k) (r10 VERDICT: every round's checkpoint was retained).
+      // Dataset.unpersist() only consults the CacheManager; a
+      // localCheckpoint persists the UNDERLYING RDD, so that is what
+      // must be unpersisted — the checkpointed frame's plan root is a
+      // LogicalRDD holding it.
+      if (prev != null) prev.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false); ()
+        case _ => ()
+      }
       chosen += ((round, far.getLong(0), Some(far.getDouble(3))))
       centerEmb = far.getSeq[Float](1)
       centerNrm = far.getDouble(2)

@@ -98,11 +98,28 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60Expr].getName, "graft_hash60"),
       (children: Seq[Expression]) => Hash60Expr(children.head)),
-    // order arrives as a foldable int literal: graft_hilbert(x, y, 16)
+    // order arrives as a foldable integral literal: graft_hilbert(x, y, 16)
+    // (or 16L — SQL integer literals can parse as BIGINT). The builder
+    // validates arity and foldability up front so misuse is an analysis
+    // error, not a ClassCastException/NPE at eval (r10 ADVICE).
     (FunctionIdentifier("graft_hilbert"),
       new ExpressionInfo(classOf[HilbertIndexExpr].getName, "graft_hilbert"),
-      (children: Seq[Expression]) => HilbertIndexExpr(children(0), children(1),
-        children(2).eval().asInstanceOf[Int])),
+      (children: Seq[Expression]) => {
+        def bad(msg: String) = new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_TEMP_3100", Map("message" -> msg))
+        if (children.length != 3) throw bad(
+          s"graft_hilbert expects 3 arguments (x, y, order), got ${children.length}")
+        val ord = children(2)
+        if (!ord.foldable) throw bad(
+          "graft_hilbert: the order argument must be a foldable integer literal")
+        val n = ord.eval() match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other   => throw bad(
+            s"graft_hilbert: order must be an integral literal, got $other")
+        }
+        HilbertIndexExpr(children(0), children(1), n)
+      }),
     // Spark's own runtime-filter machinery, exposed as callable functions:
     // the distributed bloom build (partial sketches merged at the
     // aggregator, never a driver-side item collect) and the codegen'd

@@ -13,13 +13,13 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   /** Default tokenized-docs source for the oracle CTE chain. */
-  private val DefaultDocsSql =
+  private[queries] val DefaultDocsSql =
     "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
 
   /** Shared oracle CTE: tokenized docs + distinct 3-gram shingles, over a
     * pluggable doc source (queries that inject synthetic rows pass their
     * own UNION'd source). */
-  private def shingleCte(docsSql: String = DefaultDocsSql): String =
+  private[queries] def shingleCte(docsSql: String = DefaultDocsSql): String =
     s"""d AS ($docsSql),
        |s AS (SELECT doc_id,
        |        CASE WHEN length(w) >= 3
@@ -32,7 +32,7 @@ object DedupQueries {
 
   /** Shared oracle fragment: shingles → minhash signatures → band keys —
     * the probe structure every LSH query builds on. */
-  private def minhashBandsCte(docsSql: String = DefaultDocsSql): String =
+  private[queries] def minhashBandsCte(docsSql: String = DefaultDocsSql): String =
     s"""${shingleCte(docsSql)},
        |m AS (SELECT doc_id, sh,
        |        list_transform(generate_series(1, 8), j ->

@@ -11,12 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "or")
+  private[queries] val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "or")
   private val StopEs = Seq("el", "la", "de", "y", "en", "que", "los")
   private val StopDe = Seq("der", "die", "das", "und", "zu", "den")
   private val StopFr = Seq("le", "la", "de", "et", "les", "des")
 
-  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+  private[queries] def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
 
   /** Frozen BPE merge table: the export of `Bpe.learnMerges(corpus
     * word-freq, 64)` over the sf0.01 documents corpus — the shipped model

@@ -50,6 +50,49 @@ object VectorQueries {
     s"list_reduce(list_transform(generate_series(1, $d), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
+  /** Shared recall probe for the IVF-PQ quality gates: serve the
+    * standard probe set (vec_id < 10) from the materialized index at
+    * `idx` under (`coarse`, `books`) — top-100 ADC shortlist, nprobe=4,
+    * exact-cosine rerank to top-5 — and count hits against the
+    * brute-force exact top-5. ONE row: (n_queries, n_hits); recall@5 =
+    * n_hits / (5 * n_queries). Deterministic end to end (seeded models,
+    * integer tie-breaks), so the gates built on it are stable. */
+  private def ivfPqRecallHits(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame, idx: String,
+      coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): org.apache.spark.sql.DataFrame = {
+    val probes = emb.filter(col("vec_id") < 10)
+    val shortlist = Vectors.ivfPqTopKFromIndex(s, idx, probes,
+      coarse, books, k = 100, nprobe = 4, dim = 64)
+      .select(col("query_id"), col("neighbor_id"))
+    val withNrm = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Vectors.dotNative(col("embedding"), col("embedding"))).as("nrm"))
+    val q = withNrm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val c = withNrm.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val reranked = shortlist
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cos", Vectors.dotNative(col("q_emb"), col("n_emb"))
+        / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Vectors.bruteForceTopK(emb, probes, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(reranked, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(coalesce(col("h"), lit(0L)).as("h"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("h")).as("n_hits"))
+  }
+
   val entries: Seq[GraftQuery] = Seq(
 
     // Brute-force exact cosine top-k: the ANN baseline. Probe side broadcast,
@@ -858,39 +901,70 @@ object VectorQueries {
         Scratch.buildOnce(idx) {
           Vectors.ivfPqWriteIndex(emb, idx, coarse, books, dim = 64)
         }
-        val probes = emb.filter(col("vec_id") < 10)
-        val shortlist = Vectors.ivfPqTopKFromIndex(s, idx, probes,
-          coarse, books, k = 100, nprobe = 4, dim = 64)
-          .select(col("query_id"), col("neighbor_id"))
-        val withNrm = emb.select(col("vec_id"), col("embedding"),
-          sqrt(Vectors.dotNative(col("embedding"), col("embedding"))).as("nrm"))
-        val q = withNrm.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_nrm"))
-        val c = withNrm.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))
-        val reranked = shortlist
-          .join(broadcast(q), Seq("query_id"))
-          .join(c, Seq("neighbor_id"))
-          .withColumn("cos", Vectors.dotNative(col("q_emb"), col("n_emb"))
-            / (col("q_nrm") * col("n_nrm")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("neighbor_id"))
-        val exact = Vectors.bruteForceTopK(emb, probes, k = 5)
-          .select(col("query_id"), col("neighbor_id"))
-        val hits = exact.join(reranked, Seq("query_id", "neighbor_id"))
-          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-        exact.select(col("query_id")).distinct()
-          .join(hits, Seq("query_id"), "left")
-          .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-          .agg(count(lit(1)).as("n_queries"),
-            (sum(col("n_hits")) >= count(lit(1)) * 5 * 0.8).as("recall_ok"))
+        ivfPqRecallHits(s, emb, idx, coarse, books)
+          .select(col("n_queries"),
+            (col("n_hits") >= col("n_queries") * 5 * 0.8).as("recall_ok"))
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // INDEX-MAINTENANCE drift gate — the question a production embedding
+    // store actually faces: after appending new vectors under a FROZEN
+    // model (the cheap daily path, v_ivfpq_append), how far has recall
+    // drifted from what a full retrain would serve? Both serves run the
+    // standard probe set through the same shortlist+rerank shape; the
+    // graded rows assert (a) the frozen-model index still clears the
+    // serving floor, (b) the retrained index clears the full-quality
+    // gate, and (c) the drift (retrained hits − frozen hits) stays inside
+    // the re-train trigger budget — the alert threshold at which a real
+    // store schedules a retrain. Models and indexes are shared with
+    // v_ivfpq_append / v_ivfpq_recall (content-fingerprint cached), so
+    // this adds two serve passes, not two builds.
+    GraftQuery("v_ivfpq_drift",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.filter(col("vec_id") < 250)
+        val batch = emb.filter(col("vec_id") >= 250)
+        val (fc, fbk) = ivfPqModels.computeIfAbsent(modelKey("append", dir),
+          _ => Vectors.ivfPqModel(base, numClusters = 16, m = 8, pqK = 16,
+            dim = 64))
+        val frozenIdx = Scratch.dir("ivfpq_append", dir)
+        Scratch.buildOnce(frozenIdx) {
+          Vectors.ivfPqWriteIndex(base, frozenIdx, fc, fbk, dim = 64)
+          Vectors.ivfPqAppendToIndex(batch, frozenIdx, fc, fbk, dim = 64)
+        }
+        val (rc, rbk) = ivfPqModels.computeIfAbsent(modelKey("full", dir),
+          _ => Vectors.ivfPqModel(emb, numClusters = 16, m = 8, pqK = 16,
+            dim = 64))
+        val retrainIdx = Scratch.dir("ivfpq", dir)
+        Scratch.buildOnce(retrainIdx) {
+          Vectors.ivfPqWriteIndex(emb, retrainIdx, rc, rbk, dim = 64)
+        }
+        val frozen = ivfPqRecallHits(s, emb, frozenIdx, fc, fbk)
+          .select(col("n_queries").as("fq"), col("n_hits").as("fh"))
+        val retrained = ivfPqRecallHits(s, emb, retrainIdx, rc, rbk)
+          .select(col("n_queries").as("rq"), col("n_hits").as("rh"))
+        val both = frozen.crossJoin(broadcast(retrained)) // 1 row × 1 row
+        both.select(lit("frozen_after_append").as("variant"),
+            col("fq").as("n_queries"),
+            (col("fh") >= col("fq") * 5 * 0.6).as("ok"))
+          .unionAll(both.select(lit("retrained").as("variant"),
+            col("rq").as("n_queries"),
+            (col("rh") >= col("rq") * 5 * 0.8).as("ok")))
+          .unionAll(both.select(lit("drift_within_budget").as("variant"),
+            col("fq").as("n_queries"),
+            // retrain trigger: drift > 20% of the exact top-5 mass
+            (col("rh") - col("fh") <= col("fq") * 5 * 0.2).as("ok")))
+      },
+      Some("""SELECT 'frozen_after_append' AS variant,
+             |       CAST(count(*) AS BIGINT) AS n_queries, TRUE AS ok
+             |FROM embeddings WHERE vec_id < 10
+             |UNION ALL
+             |SELECT 'retrained', CAST(count(*) AS BIGINT), TRUE
+             |FROM embeddings WHERE vec_id < 10
+             |UNION ALL
+             |SELECT 'drift_within_budget', CAST(count(*) AS BIGINT), TRUE
              |FROM embeddings WHERE vec_id < 10""".stripMargin)),
 
     // Hard-negative mining for contrastive training: most-similar corpus

@@ -185,7 +185,13 @@ object Layout {
     vv.groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
         max(col("v")).as("hi"))
+      // DECIMAL(38,0) intermediates: n_rows·numBuckets·10⁶ overflows
+      // Long once n_rows·numBuckets passes ~9.2e12 — a skewed bucket on
+      // a multi-trillion-row table, inside this operator's claimed
+      // scale — and would silently go negative (r10 ADVICE). The `div`
+      // result is re-cast to BIGINT so the output schema is unchanged.
       .withColumn("fill_micro",
-        expr(s"n_rows * $numBuckets * 1000000L div ${n}L"))
+        expr(s"cast(cast(n_rows as decimal(38,0)) * $numBuckets" +
+          s" * 1000000 div ${n}L as bigint)"))
   }
 }

@@ -55,6 +55,19 @@ object StreamSketch {
         .lastOption.map(st => s"$goldDir/${st.getPath.getName}")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a crash between a successful
+        // v<batchId> write and the checkpoint commit replays this batch
+        // against a `current` recovered from that very version — a
+        // non-idempotent merge (hist counts, topk appends, pair weights)
+        // would then double-count. The batchId is already encoded in the
+        // version path, so replay detection is a directory probe: if
+        // this batch's complete output exists, adopt it and skip the
+        // merge. This makes EVERY fold exactly-once, not just the
+        // naturally replay-idempotent KMV k-min.
+        val done = new org.apache.hadoop.fs.Path(s"$goldDir/v$batchId")
+        if (fs.exists(new org.apache.hadoop.fs.Path(done, "_SUCCESS"))) {
+          current = Some(s"$goldDir/v$batchId")
+        } else {
         val bs = summarize(batch)
         val merged = current match {
           case Some(p) => merge(spark.read.parquet(p).unionByName(bs))
@@ -63,6 +76,7 @@ object StreamSketch {
         val next = s"$goldDir/v$batchId"
         merged.write.mode("overwrite").parquet(next)
         current = Some(next)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -285,6 +285,22 @@ class AnnSpec extends SparkSpec {
     assert(got(3)._3.get < 1e-3, s"${got.toSeq}")
   }
 
+  test("kCenterGreedy: executor storage holds O(1) distance frames, not O(k)") {
+    import spark.implicits._
+    // every superseded round's localCheckpoint must be unpersisted once
+    // the next one materializes (r10 VERDICT): after a k=6 run only the
+    // corpus checkpoint and the final distance frame may remain cached
+    val emb = (0L until 40L).map(i =>
+      (i, Array(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat)))
+      .toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = graft.operators.Vectors.kCenterGreedy(emb, k = 6)
+    assert(got.count() == 6L)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"kCenterGreedy leaked cached frames: $before -> $after")
+  }
+
   test("int8 quantization: codes in range, error bounded by half a step, zero vectors safe") {
     import spark.implicits._
     val edge = Seq(

@@ -82,4 +82,28 @@ class HilbertSpec extends SparkSpec {
       .collect()
     assert(withNull(0).isNullAt(0))
   }
+
+  test("graft_hilbert builder: BIGINT order literal works; misuse is an analysis error") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // SQL integer literals can parse as BIGINT — 16L must behave as 16
+    val viaLong = spark.sql("SELECT graft_hilbert(1L, 2L, CAST(16 AS BIGINT)) AS d")
+      .collect()(0).getLong(0)
+    assert(viaLong == graft.plans.Hilbert.xy2d(16, 1L, 2L))
+    // wrong arity and a non-foldable order are analysis errors with the
+    // function's own message, not ClassCastException/NPE at eval
+    val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hilbert(1L, 2L)").collect()
+    }
+    assert(wrongArity.getMessage.contains("graft_hilbert"), wrongArity.getMessage)
+    val notFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, 2L, 16)).toDF("x", "y", "o")
+        .selectExpr("graft_hilbert(x, y, o)").collect()
+    }
+    assert(notFoldable.getMessage.contains("foldable"), notFoldable.getMessage)
+    val notIntegral = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hilbert(1L, 2L, 'wat')").collect()
+    }
+    assert(notIntegral.getMessage.contains("integral"), notIntegral.getMessage)
+  }
 }

@@ -1554,6 +1554,22 @@ class OperatorsSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(got2(_) == 4L), s"$got2")
   }
 
+  test("labelPropagation: string node ids vote and tie-break identically to numeric ids") {
+    import spark.implicits._
+    // the r10 plurality argmax negated the LABEL — under non-ANSI mode a
+    // string label silently cast to double (null), corrupting every
+    // community. The argmax now negates only the vote count, so any
+    // orderable id type gets the same max-votes-then-min-label rule.
+    val cliques = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("x1", "x2"), ("x1", "x3"), ("x2", "x3"))
+      .toDF("src", "dst")
+    val got = graft.operators.Joins.labelPropagation(cliques, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a", "b", "c", "d").forall(got(_) == "a"), s"$got")
+    assert(Seq("x1", "x2", "x3").forall(got(_) == "x1"), s"$got")
+    assert(got.size == 7 && got.values.forall(_ != null), s"$got")
+  }
+
   test("resourceAllocationPairs: exact micro scores, edge exclusion, hub cap audit") {
     import spark.implicits._
     // square 1-2-3-4 with diagonal 1-3: candidate (1,3) IS an edge ->

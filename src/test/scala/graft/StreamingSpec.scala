@@ -529,4 +529,49 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(hist(after) == expect)
   }
+
+  test("streamFoldGold replay is exactly-once: a committed batch version is adopted, not re-merged") {
+    import graft.operators.Sketches
+    import graft.streaming.StreamSketch
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streamreplay").toString
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    val f = new java.io.File(src, "x.json")
+    java.nio.file.Files.writeString(f.toPath,
+      Seq("""{"g":"a","v":1.0}""", """{"g":"a","v":5.0}""",
+        """{"g":"b","v":7.0}""").mkString("", "\n", "\n"))
+    f.setLastModified(1700000000000L)
+    val schemaDf = Seq(("a", 1.0)).toDF("g", "v")
+    val summarize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => Sketches.histSummaries(b, col("g"), col("v"),
+        lo = 0L, width = 10L, bins = 3)
+    def hist(path: String): Map[(String, Long), Long] =
+      spark.read.parquet(path).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val first = StreamSketch.streamHistGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", summarize)
+    val exact = hist(first)
+    // simulate the at-least-once crash window: v0 committed (_SUCCESS
+    // present) but the checkpoint never recorded batch 0 — delete the
+    // checkpoint so the SAME batch replays with the SAME batchId
+    // against a `current` recovered from that very v0. A non-idempotent
+    // fold would merge v0 with batch 0 again and double every count.
+    def rmrf(d: java.io.File): Unit = {
+      Option(d.listFiles).foreach(_.foreach(rmrf)); d.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/cp"))
+    val replayed = StreamSketch.streamHistGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", summarize)
+    assert(replayed == first, "replay must adopt the committed version")
+    assert(hist(replayed) == exact,
+      s"replayed fold double-counted: ${hist(replayed)} vs $exact")
+    // and the fold keeps going from there: a later file still merges
+    val g = new java.io.File(src, "y.json")
+    java.nio.file.Files.writeString(g.toPath, "{\"g\":\"b\",\"v\":8.0}\n")
+    g.setLastModified(1700000002000L)
+    val after = StreamSketch.streamHistGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", summarize)
+    assert(hist(after) == exact.updated(("b", 0L),
+      exact.getOrElse(("b", 0L), 0L) + 1L))
+  }
 }

@@ -20,7 +20,11 @@ SPARK_GRAFT_SF1_DIR="$SF1" sbt -batch "testOnly graft.ScaleSpec"
 # byte-CDC oracle mode is O(len) md5 per doc, so sf1's longer documents
 # are exactly where it either stays priced or surfaces super-linear —
 # plus the KMV sketch build new in r10.
-HEAVY="q5_star_join,j3_closure_pairs,v_ivfpq_topk,d_minhash_lsh,q3_shipping_priority,j1_equi_normalized,a4_session_rollup,d_chunk_dedup,d_cdc_chunk_dedup,t_top_ngrams,q1_pricing_summary,j_pagerank,j_scd2_dimension,j_merge_apply,q8_market_share,d_byte_cdc_dedup,d_byte_cdc_gear,j_pagerank_incremental,a_exact_quantiles,d_incremental_components,a_kmv_cohort_overlap,j_triangle_count,a_topk_sliding,a_hist_sliding_quantiles"
+# r11: extended with the r10 graph family (VERDICT r10 #3) — wedge-join
+# (j_ra_linkpred, post agg-before-anti re-plan) and per-round-join
+# (j_label_propagation, j_pagerank_personalized) costs are the shapes
+# that can step-change at 10x data — plus the composed pipeline chain.
+HEAVY="q5_star_join,j3_closure_pairs,v_ivfpq_topk,d_minhash_lsh,q3_shipping_priority,j1_equi_normalized,a4_session_rollup,d_chunk_dedup,d_cdc_chunk_dedup,t_top_ngrams,q1_pricing_summary,j_pagerank,j_scd2_dimension,j_merge_apply,q8_market_share,d_byte_cdc_dedup,d_byte_cdc_gear,j_pagerank_incremental,a_exact_quantiles,d_incremental_components,a_kmv_cohort_overlap,j_triangle_count,a_topk_sliding,a_hist_sliding_quantiles,j_ra_linkpred,j_label_propagation,j_pagerank_personalized,p_pipeline_e2e"
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_BENCH_ONLY="$HEAVY" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
   > "BENCH_sf1_r${ROUND}.json"
