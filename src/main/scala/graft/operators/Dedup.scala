@@ -63,6 +63,34 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    * §3): hash every k-char shingle of the text, slide a w-hash window
+    * over the sequence, and select each window's MINIMUM hash. The
+    * guarantee plain min-fingerprinting lacks: any substring shared
+    * between two docs of length ≥ w + k − 1 chars yields at least one
+    * COMMON selected hash, so matches cannot slip between samples —
+    * while density stays ~2/(w+1) of all shingles. Entirely within-row:
+    * the hash array is built in one projection and windowed in the
+    * next (the split keeps the O(len) hash pass from being re-inlined
+    * per window by CollapseProject), so the operator is a shuffle-free
+    * scan-speed map at any corpus size.
+    *
+    * @return one row per selected fingerprint: (doc_id, fp), distinct
+    *         within each doc. */
+  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 2)
+    df.select(id.as("doc_id"), text.as("__t"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, greatest(length(__t) - ${k - 1}, 1)),
+           |  i -> cast(conv(substring(md5(substring(__t, i, $k)), 1, 15),
+           |            16, 10) AS BIGINT))""".stripMargin).as("hs"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(hs) - ${w - 1}, 1)),
+           |  j -> array_min(slice(hs, j, $w))))""".stripMargin)).as("fp"))
+  }
+
   /** Exact dedup: group by content hash, keep the smallest id as canonical.
     * One shuffle on the (high-cardinality, skew-free) hash. */
   def exactDedup(df: DataFrame, id: Column, content: Column): DataFrame =

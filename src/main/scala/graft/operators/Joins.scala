@@ -808,6 +808,80 @@ object Joins {
       .withColumn("n_hubs_dropped", lit(dropped))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, JACM 1999) over the DIRECTED
+    * edge set — the link-analysis complement of [[pageRank]]: authority =
+    * endorsed by good hubs, hub = endorses good authorities. The classic
+    * corpus-curation use is ranking link-farm-resistant quality pages
+    * before sampling (PageRank's single score conflates the two roles).
+    *
+    * Exact integer micro-units throughout (the [[pageRank]] determinism
+    * discipline): scores start at 10⁶, each half-round sums neighbor
+    * scores (exact long addition — commutative, so bit-identical under
+    * any partitioning/retry) and renormalizes to max = 10⁶ by
+    * `score·10⁶ div max` computed in DECIMAL(38,0) (a hub summing ≥ ~9.2M
+    * neighbor micro-scores would overflow the long product — the
+    * [[graft.sources.Layout.rangePartitionPlan]] lesson). Division by the
+    * MAX rather than the L2 norm is the standard integer-friendly HITS
+    * variant: sqrt-free, same fixpoint direction, and replayable by an
+    * unrolled SQL oracle.
+    *
+    * Scale per round: two equi-join + partial-agg pairs (edges ⋈ hubs on
+    * src → agg on dst; edges ⋈ auths on dst → agg on src) — score tables
+    * are node-count-sized and dense, broadcast below `hugeGraph`; the two
+    * renormalization maxima are one-row aggregates cross-joined broadcast.
+    * A mega-hub contributes score ROWS combined map-side, never deg².
+    *
+    * @param edges  directed pairs (`src`, `dst`); duplicates and
+    *               self-loops collapse, nulls drop.
+    * @param rounds full (authority + hub) update rounds.
+    * @return one row per node: (node, auth_micro, hub_micro) — zero for
+    *         nodes with no in-edges / out-edges respectively.
+    */
+  def hitsScores(edges: DataFrame, rounds: Int = 2,
+                 hugeGraph: Boolean = false): DataFrame = {
+    require(rounds >= 1)
+    def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint() // every half-round and the node spine read it
+    def renorm(scores: DataFrame, c: String): DataFrame = {
+      val m = scores.agg(max(col(c)).as("m"))
+      scores.crossJoin(hint(m))
+        .select(col("node"), expr(
+          s"cast(cast($c as decimal(38,0)) * 1000000 div m as bigint)")
+          .as(c))
+    }
+    // hubs start uniform; only nodes with out-edges ever hold hub mass,
+    // and only nodes with in-edges authority mass (zero-filled at output)
+    var hubs = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1000000L))
+    var auths: DataFrame = null
+    for (k <- 1 to rounds) {
+      val aRaw = e.join(hint(hubs.select(col("node").as("src"), col("h"))),
+          "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("h")).as("a"))
+      auths = renorm(aRaw, "a")
+      val hRaw = e.join(hint(auths.select(col("node").as("dst"), col("a"))),
+          "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("a")).as("h"))
+      hubs = renorm(hRaw, "h")
+      if (k % 2 == 0 && k < rounds) {
+        auths = auths.localCheckpoint(false)
+        hubs = hubs.localCheckpoint(false)
+      }
+    }
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    nodes.join(auths, Seq("node"), "left")
+      .join(hubs, Seq("node"), "left")
+      .select(col("node"), coalesce(col("a"), lit(0L)).as("auth_micro"),
+        coalesce(col("h"), lit(0L)).as("hub_micro"))
+  }
+
   /** MERGE INTO semantics (Delta/Iceberg-style upsert apply) as a pure
     * batch operator: fold a CDC change batch into a base snapshot —
     * latest change per key wins, `D` deletes, anything else upserts the

@@ -90,6 +90,35 @@ object Sampling {
     (sampled, rates)
   }
 
+  /** Square-root temperature resampling (τ = 2, i.e. target share
+    * p_s ∝ n_s^0.5 — the standard multilingual-LLM rebalance that
+    * upweights tail languages without the low-resource overfitting a
+    * uniform mix causes). No source is oversampled: the smallest source
+    * anchors the budget at full rate and every larger source keeps
+    * `rate_s = sqrt(n_min)/sqrt(n_s)` — the closed form after the share
+    * normalization constant cancels against the budget, which is the
+    * load-bearing numerical choice: there is NO float sum over sources
+    * (whose addition order an SQL oracle cannot replay bit-exactly) and
+    * sqrt is IEEE-correctly-rounded in both engines, unlike the libm
+    * pow() a general-τ implementation would need. Same driver-side tiny
+    * count agg + constant-folded shuffle-free hash gate as
+    * [[mixToProportions]]; null sources are dropped.
+    *
+    * Returns (sampled df, rates used). */
+  def temperatureMixSqrt(df: DataFrame, id: Column,
+                         source: Column): (DataFrame, Map[String, Double]) = {
+    val present = df.filter(source.isNotNull)
+    val counts = present.groupBy(source.as("src"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no non-null source present in the data")
+    val minN = counts.values.min
+    val rates = counts.map { case (k, n) =>
+      k -> math.sqrt(minN.toDouble) / math.sqrt(n.toDouble)
+    }
+    (stratifiedSample(present, id, source, rates, defaultRate = 0.0), rates)
+  }
+
   /** Token-budget corpus selection: rank documents by a quality score
     * (descending, id-tiebroken) and keep the best prefix whose cumulative
     * token count stays within `total × numer/denom` — the "pick the best

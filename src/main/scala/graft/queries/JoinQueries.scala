@@ -655,6 +655,63 @@ object JoinQueries {
            |SELECT node AS part, pr AS rank_micro FROM r10""".stripMargin
       }),
 
+    // HITS hubs & authorities (Joins.hitsScores) over the DIRECTED
+    // co-purchase graph — the link-analysis complement of j_pagerank
+    // (authority = endorsed by good hubs, hub = endorses good
+    // authorities). 2 full rounds, exact integer micro-units with
+    // max-renormalization in DECIMAL(38,0); the oracle unrolls the
+    // identical recurrence so every renormalized score is graded
+    // row-exact, zero-fill included.
+    GraftQuery("j_hits_scores",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"))
+        val edges = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+          .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+          .select(col("l_partkey").as("src"), col("dst"))
+        Joins.hitsScores(edges, rounds = 2)
+      },
+      Some("""WITH e0 AS (
+             |  SELECT l_partkey,
+             |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+             |                               ORDER BY l_linenumber, l_partkey) AS dst
+             |  FROM lineitem),
+             |raw AS (SELECT l_partkey AS src, dst FROM e0
+             |        WHERE dst IS NOT NULL AND dst <> l_partkey),
+             |e AS (SELECT DISTINCT src, dst FROM raw),
+             |a1r AS (SELECT dst AS node, count(*)::BIGINT * 1000000 AS a
+             |        FROM e GROUP BY 1),
+             |a1m AS (SELECT max(a) AS m FROM a1r),
+             |a1 AS (SELECT node,
+             |         CAST(a::HUGEINT * 1000000 // m AS BIGINT) AS a
+             |       FROM a1r, a1m),
+             |h1r AS (SELECT e.src AS node, sum(a1.a) AS h
+             |        FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+             |h1m AS (SELECT max(h) AS m FROM h1r),
+             |h1 AS (SELECT node,
+             |         CAST(h::HUGEINT * 1000000 // m AS BIGINT) AS h
+             |       FROM h1r, h1m),
+             |a2r AS (SELECT e.dst AS node, sum(h1.h) AS a
+             |        FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+             |a2m AS (SELECT max(a) AS m FROM a2r),
+             |a2 AS (SELECT node,
+             |         CAST(a::HUGEINT * 1000000 // m AS BIGINT) AS a
+             |       FROM a2r, a2m),
+             |h2r AS (SELECT e.src AS node, sum(a2.a) AS h
+             |        FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+             |h2m AS (SELECT max(h) AS m FROM h2r),
+             |h2 AS (SELECT node,
+             |         CAST(h::HUGEINT * 1000000 // m AS BIGINT) AS h
+             |       FROM h2r, h2m),
+             |n AS (SELECT DISTINCT node FROM (
+             |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e))
+             |SELECT n.node, coalesce(a2.a, 0)::BIGINT AS auth_micro,
+             |       coalesce(h2.h, 0)::BIGINT AS hub_micro
+             |FROM n LEFT JOIN a2 USING (node)
+             |       LEFT JOIN h2 USING (node)""".stripMargin)),
+
     // Market-basket lift over co-purchase pairs: within-order item
     // pairs (a < b — at most C(7,2) per order, bounded by the order
     // width, never by item popularity), pair support vs the two item

@@ -544,6 +544,52 @@ object TextQueries {
              |         AS bin_offset
              |FROM documents""".stripMargin)),
 
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    // per doc, hash every 8-char shingle, slide a w=4 window over the
+    // hash sequence, keep each window's MINIMUM — the guarantee plain
+    // min-fingerprinting (t_fingerprint) lacks: any shared substring of
+    // length >= w+7 chars produces at least one COMMON selected hash, so
+    // matches cannot slip between samples. Entirely within-row (two
+    // chained projections, the hash array built once then windowed), no
+    // shuffle — scan-speed at 100 TB like every other doc battery.
+    GraftQuery("t_winnow_fingerprints",
+      (s, dir) => graft.operators.Dedup.winnowFingerprints(
+        Tables.documents(s, dir), col("doc_id"), col("text"), k = 8, w = 4),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+             |      i -> ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::BIGINT)
+             |      AS hs
+             |  FROM documents)
+             |SELECT doc_id,
+             |       unnest(list_distinct(list_transform(
+             |         generate_series(1, greatest(length(hs) - 3, 1)),
+             |         j -> list_min(hs[j:j+3])))) AS fp
+             |FROM h""".stripMargin)),
+
+    // Square-root temperature resampling (tau=2): target share
+    // proportional to sqrt(n_lang) — the standard multilingual rebalance
+    // that lifts tail languages. The closed-form per-source rate
+    // sqrt(n_min)/sqrt(n_s) avoids any float SUM over sources (addition
+    // order would break oracle bit-parity) and sqrt/divide are IEEE
+    // correctly-rounded in both engines, so the hash-gate threshold is
+    // bit-identical. Shuffle-free gate after one tiny count agg.
+    GraftQuery("t_temperature_mix",
+      (s, dir) => {
+        val (sampled, _) = graft.operators.Sampling.temperatureMixSqrt(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"))
+        sampled
+      },
+      Some("""WITH c AS (SELECT lang AS src, count(*) AS n FROM documents
+             |           WHERE lang IS NOT NULL GROUP BY 1),
+             |m AS (SELECT min(n) AS mn FROM c),
+             |r AS (SELECT src, sqrt(mn::DOUBLE) / sqrt(n::DOUBLE) AS rate
+             |      FROM c, m)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN r ON r.src = d.lang
+             |WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+             |        / 1152921504606846976.0 < rate""".stripMargin)),
+
     // Rolling-hash fingerprint: min over 8-char shingle hashes (winnowing
     // min-fingerprint) — O(len) per doc, no shuffle.
     GraftQuery("t_fingerprint",

@@ -1570,6 +1570,72 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size == 7 && got.values.forall(_ != null), s"$got")
   }
 
+  test("hitsScores: hand-traced 2-round integer HITS with zero-fill") {
+    import spark.implicits._
+    // 1->2, 3->2, 2->4 (+ dup and self-loop to exercise the canonical
+    // pass): node 2 is the sole authority magnet, nodes 1/3 pure hubs,
+    // node 4 a weak authority with no out-edges (hub 0)
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L), (1L, 2L), (4L, 4L))
+      .toDF("src", "dst")
+    val got = graft.operators.Joins.hitsScores(edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((0L, 1000000L)),
+      2L -> ((1000000L, 250000L)),
+      3L -> ((0L, 1000000L)),
+      4L -> ((250000L, 0L))), s"$got")
+    // string node ids flow through the same plan (no numeric casts)
+    val sGot = graft.operators.Joins.hitsScores(
+      Seq(("a", "b"), ("c", "b"), ("b", "d")).toDF("src", "dst"),
+      rounds = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(sGot("b") == ((1000000L, 250000L)) &&
+      sGot("d") == ((250000L, 0L)), s"$sGot")
+  }
+
+  test("temperatureMixSqrt: closed-form rates, smallest source kept whole") {
+    import spark.implicits._
+    // counts: en 100, es 25, plus nulls (dropped) -> rates en 0.5, es 1.0
+    val rows = (0L until 100L).map(i => (i, Some("en"))) ++
+      (100L until 125L).map(i => (i, Some("es"))) ++
+      Seq((900L, None: Option[String]))
+    val df = rows.toDF("doc_id", "lang")
+    val (sampled, rates) = graft.operators.Sampling.temperatureMixSqrt(
+      df, col("doc_id"), col("lang"))
+    assert(rates == Map("en" -> 0.5, "es" -> 1.0), s"$rates")
+    val got = sampled.collect().map(r => r.getLong(0) -> r.getString(1))
+    // the smallest source survives at full rate; nulls never appear
+    assert(got.count(_._2 == "es") == 25, s"${got.length}")
+    assert(got.forall(_._2 != null))
+    // the en gate is the deterministic hash gate at 0.5 — strictly
+    // between "none" and "all", and stable across runs
+    val en = got.count(_._2 == "en")
+    assert(en > 0 && en < 100, s"en=$en")
+    assert(sampled.collect().map(r => r.getLong(0)).sorted.toSeq ==
+      got.map(_._1).sorted.toSeq)
+  }
+
+  test("winnowFingerprints: shared long substring guarantees a common fingerprint") {
+    import spark.implicits._
+    val shared = "zqxjkvbnmlpwortyu" // 17 chars >= w + k - 1 = 11
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc " + shared + " dddd eeee"),
+      (2L, "ffff gggg " + shared + " hhhh iiii jjjj"),
+      (3L, "kkkk llll mmmm nnnn oooo pppp qqqq")).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.winnowFingerprints(
+        docs, col("doc_id"), col("text"), k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "winnowing guarantee violated: shared 17-char span, no common fp")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // density: selected fingerprints are a strict subsample of shingles
+    assert(byDoc(1L).size < docs.filter(col("doc_id") === 1L)
+      .select(length(col("text"))).head().getInt(0) - 7)
+  }
+
   test("resourceAllocationPairs: exact micro scores, edge exclusion, hub cap audit") {
     import spark.implicits._
     // square 1-2-3-4 with diagonal 1-3: candidate (1,3) IS an edge ->
