@@ -64,7 +64,8 @@ object Bench {
     "j_pagerank_personalized", // seed-teleport PPR, 6 rounds (sparse seed-vector carry)
     "v_mmr_rerank",        // MMR re-rank (m rounds × candidates join, corpus pass amortized)
     "v_kcenter_select",    // greedy k-center (k driver barriers, O(1) cached frames)
-    "p_pipeline_e2e")      // composed clean→dedup→decontaminate→mix→pack chain
+    "p_pipeline_e2e",      // composed clean→dedup→decontaminate→mix→pack chain
+    "j_hits_scores")       // 2-round integer HITS (2 join+agg pairs per round)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

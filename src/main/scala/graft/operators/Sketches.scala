@@ -952,6 +952,59 @@ object Sketches {
         col("r.s").as("ewma"))
   }
 
+  /** Holt linear-trend smoothing (double exponential) of a per-group
+    * ordered series — the [[ewmaSmooth]] upgrade that tracks a moving
+    * LEVEL and a per-step TREND, so ramping metrics are followed
+    * without the single-EWMA lag. Integer milli-weight recurrence
+    * (`l₁ = v₁, b₁ = 0;
+    * lₜ = (α·vₜ + (1000−α)·(lₜ₋₁+bₜ₋₁)) div 1000;
+    * bₜ = (β·(lₜ−lₜ₋₁) + (1000−β)·bₜ₋₁) div 1000`), all plain integer
+    * `div` — Spark's div and DuckDB's `//` BOTH truncate toward zero
+    * (verified on negatives, which the trend term produces on any
+    * decline), so the fold replays bit-exactly in a recursive-CTE
+    * oracle. Same shape as [[ewmaSmooth]]: one group exchange, the
+    * sequential fold runs as an `aggregate()` lambda over each group's
+    * collected series — state bounded by the series horizon (days per
+    * key, gold-table-sized), never corpus rows.
+    *
+    * @return one row per input row: (g, p, v, level, trend,
+    *         forecast_next = level + trend).
+    */
+  def holtSmooth(df: DataFrame, group: Column, period: Column,
+                 value: Column, alphaMilli: Long = 500L,
+                 betaMilli: Long = 300L): DataFrame = {
+    require(alphaMilli >= 0 && alphaMilli <= 1000 &&
+      betaMilli >= 0 && betaMilli <= 1000)
+    val a = alphaMilli; val b = betaMilli
+    // lt is needed twice (level col + inside the trend update); SQL
+    // lambdas cannot bind a local, so the expression is inlined twice —
+    // both copies are the same deterministic integer arithmetic
+    val lt = s"CASE WHEN size(acc.rows) = 0 THEN x.v ELSE " +
+      s"($a * x.v + ${1000 - a} * (element_at(acc.rows, -1).l + " +
+      s"element_at(acc.rows, -1).b)) div 1000 END"
+    df.select(group.as("g"), period.as("p"), value.cast("long").as("v"))
+      .groupBy(col("g"))
+      .agg(expr(
+        s"""aggregate(
+           |  array_sort(collect_list(struct(p, v))),
+           |  struct(CAST(array() AS ARRAY<STRUCT<p: STRING, v: BIGINT,
+           |           l: BIGINT, b: BIGINT>>) AS rows),
+           |  (acc, x) -> struct(concat(acc.rows,
+           |    CAST(array(named_struct('p', x.p, 'v', x.v,
+           |      'l', $lt,
+           |      'b', CASE WHEN size(acc.rows) = 0 THEN 0L
+           |           ELSE ($b * (($lt) - element_at(acc.rows, -1).l) +
+           |             ${1000 - b} * element_at(acc.rows, -1).b) div 1000
+           |           END))
+           |      AS ARRAY<STRUCT<p: STRING, v: BIGINT, l: BIGINT,
+           |           b: BIGINT>>))),
+           |  acc -> acc.rows)""".stripMargin).as("rows"))
+      .select(col("g"), explode(col("rows")).as("r"))
+      .select(col("g"), col("r.p").as("p"), col("r.v").as("v"),
+        col("r.l").as("level"), col("r.b").as("trend"),
+        (col("r.l") + col("r.b")).as("forecast_next"))
+  }
+
   def madOutliers(df: DataFrame, group: Column, id: Column, value: Column,
                   k: Long = 3L): DataFrame = {
     require(k >= 1)

@@ -447,6 +447,97 @@ object EventMetricsQueries {
     // mean/σ can — the 50%-breakdown robust screen. All integer-exact;
     // the oracle replays both ranking passes with windows over the
     // same aggregated series.
+    // Holt linear-trend smoothing of the daily per-type series — the
+    // level+trend upgrade over a_ewma_daily for ramping metrics. Exact
+    // integer milli-weight recurrence; both engines' integer division
+    // truncates toward zero (incl. negative trend steps), so the oracle
+    // replays the fold row-exactly via a recursive CTE.
+    GraftQuery("a_holt_daily",
+      (s, dir) => graft.operators.Sketches.holtSmooth(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            MetricsKernel.periodOf(col("ts"), "day").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        col("event_type"), col("day"), col("cnt"),
+        alphaMilli = 500L, betaMilli = 300L),
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT event_type AS g,
+             |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS p,
+             |         count(*) AS v
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT g, p, v,
+             |        row_number() OVER (PARTITION BY g ORDER BY p) AS rn
+             |      FROM d),
+             |rec AS (
+             |  SELECT g, p, v, rn, v AS l, 0::BIGINT AS b
+             |  FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT r.g, r.p, r.v, r.rn,
+             |         (500 * r.v + 500 * (rec.l + rec.b)) // 1000,
+             |         (300 * ((500 * r.v + 500 * (rec.l + rec.b)) // 1000
+             |            - rec.l) + 700 * rec.b) // 1000
+             |  FROM rec JOIN r ON r.g = rec.g AND r.rn = rec.rn + 1)
+             |SELECT g, p, v::BIGINT AS v, l::BIGINT AS level,
+             |       b::BIGINT AS trend, (l + b)::BIGINT AS forecast_next
+             |FROM rec""".stripMargin)),
+
+    // Week-over-week seasonal anomaly flags: residual = today's count
+    // minus the same-weekday count 7 days earlier (the seasonal-naive
+    // baseline that ignores weekly cycles by construction), then the
+    // robust MAD screen over the residual series — composing the
+    // calendar self-join with madOutliers. Rows without a 7-day-back
+    // baseline (each group's first week) drop by the inner join, same
+    // as the oracle.
+    GraftQuery("a_seasonal_residuals",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type").as("g"),
+            MetricsKernel.periodOf(col("ts"), "day").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val cur = daily.as("cur")
+        val prev = daily.as("prev")
+        val resid = cur.join(prev,
+            col("cur.g") === col("prev.g") &&
+              to_date(col("prev.day")) ===
+                date_sub(to_date(col("cur.day")), 7))
+          .select(col("cur.g").as("g"), col("cur.day").as("day"),
+            (col("cur.cnt") - col("prev.cnt")).as("resid"))
+        graft.operators.Sketches.madOutliers(resid, col("g"), col("day"),
+            col("resid"), k = 3L)
+          .select(col("g"), col("id").as("day"), col("v").as("resid"),
+            col("med"), col("mad"), col("is_outlier"))
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type AS g,
+             |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |         count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |res AS (
+             |  SELECT a.g, a.day, a.cnt - b.cnt AS v
+             |  FROM d a JOIN d b ON b.g = a.g
+             |   AND b.day = strftime(strptime(a.day, '%Y-%m-%d')
+             |                          - INTERVAL 7 DAY, '%Y-%m-%d')),
+             |m AS (SELECT g, day, v,
+             |        row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             |        count(*) OVER (PARTITION BY g) AS c
+             |      FROM res),
+             |med AS (SELECT g,
+             |          max(CASE WHEN rn = (c + 1) // 2 THEN v END) AS med
+             |        FROM m GROUP BY 1),
+             |dev AS (SELECT m.g, m.day, m.v, med.med,
+             |          abs(m.v - med.med) AS dv,
+             |          row_number() OVER (PARTITION BY m.g
+             |            ORDER BY abs(m.v - med.med)) AS rd,
+             |          count(*) OVER (PARTITION BY m.g) AS c
+             |        FROM m JOIN med USING (g)),
+             |mad AS (SELECT g,
+             |          max(CASE WHEN rd = (c + 1) // 2 THEN dv END) AS mad
+             |        FROM dev GROUP BY 1)
+             |SELECT dev.g, dev.day, dev.v::BIGINT AS resid,
+             |       dev.med::BIGINT AS med, mad.mad::BIGINT AS mad,
+             |       dev.dv > 3 * mad.mad AS is_outlier
+             |FROM dev JOIN mad USING (g)""".stripMargin)),
+
     GraftQuery("a_mad_outliers",
       (s, dir) => graft.operators.Sketches.madOutliers(
         Tables.events(s, dir)

@@ -633,4 +633,28 @@ class PlanSpec extends SparkSpec {
     assert(globalSorts == 0, s"sort in a summary-sized merge:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"))
   }
+
+  test("RA link prediction: one wedge exchange, broadcast new-links filter") {
+    val p = plan("j_ra_linkpred").split("== Initial Plan ==")(0)
+    // r11 adjudication (SCALE.md): Catalyst's PushDownLeftSemiAntiJoin
+    // canonicalizes agg-first and anti-first source orders to ONE plan —
+    // the anti-join runs as a map-side broadcast FILTER on the wedge
+    // stream below the (a, b) aggregation, so the wedge stream crosses
+    // the wire exactly once. Pin those invariants, not the source order:
+    val anti = p.indexOf("LeftAnti")
+    assert(anti >= 0, s"no anti-join in RA plan:\n$p")
+    // the new-links filter must not cost its own shuffle at test SF
+    assert(p.contains("BroadcastHashJoin") &&
+      "BroadcastHashJoin \\[a#\\d+L?, b#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"anti-join not a broadcast pair filter:\n$p")
+    // exactly ONE exchange keyed on the pair - the aggregation's; a
+    // second would mean the anti-join re-shuffled the wedge stream
+    val pairExchanges = "Exchange hashpartitioning\\(a#\\d+L?, b#\\d+L?"
+      .r.findAllIn(p).size
+    assert(pairExchanges == 1,
+      s"wedge stream crosses the wire $pairExchanges times:\n$p")
+    // and nothing degenerates to a non-equi join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), s"non-equi join in RA:\n$p")
+  }
 }
