@@ -291,6 +291,43 @@ object DedupQueries {
               |SELECT a AS doc_id, least(a, min(b)) AS component
               |FROM reach GROUP BY a""".stripMargin)),
 
+    // Canonical-pick by QUALITY: within each near-dup group keep the
+    // LONGEST member (ties -> smallest id) — the "keep best copy" rule a
+    // production dedup actually ships (min-id keeps whichever landed
+    // first; this keeps the most complete text). Components + one dim
+    // join + one per-group window; the window runs on the component
+    // frame (clustered docs only), never the corpus.
+    GraftQuery("d_canonical_best",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val comp = Dedup.nearDupComponents(Tables.documents(s, dir),
+            col("doc_id"), col("text"),
+            shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
+          .select(col("node").as("doc_id"), col("component"))
+        comp.join(Tables.documents(s, dir)
+            .select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+            Seq("doc_id"))
+          .withColumn("group_size",
+            count(lit(1)).over(w.partitionBy(col("component"))))
+          .withColumn("rn", row_number().over(w.partitionBy(col("component"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("component"), col("group_size"),
+            col("doc_id").as("keep_id"), col("n_chars").as("keep_chars"))
+      },
+      Some(s"""WITH RECURSIVE $MinhashComponentsCte
+              |SELECT component, group_size, doc_id AS keep_id,
+              |       n_chars AS keep_chars
+              |FROM (
+              |  SELECT cp.component, cp.doc_id, d.n_chars::BIGINT AS n_chars,
+              |         count(*) OVER (PARTITION BY cp.component) AS group_size,
+              |         row_number() OVER (PARTITION BY cp.component
+              |           ORDER BY d.n_chars DESC, cp.doc_id) AS rn
+              |  FROM (SELECT a AS doc_id, least(a, min(b)) AS component
+              |        FROM reach GROUP BY a) cp
+              |  JOIN documents d USING (doc_id))
+              |WHERE rn = 1""".stripMargin)),
+
     // Incremental dedup GROUPS (Dedup.incrementalComponents): yesterday's
     // component labels + today's delta pairs → updated labels, EXACTLY
     // equal to a full recompute — the oracle is the same full-closure

@@ -330,6 +330,39 @@ object EventMetricsQueries {
              |WHERE l.event_type = 'purchase' AND r.event_type = 'click'
              |GROUP BY 1""".stripMargin)),
 
+    // §2.9 stream-STATIC dimension join: the events feed enriched against
+    // a batch dimension table (nation, broadcast-sized) inside the
+    // streaming engine — the stateless enrichment join every streaming
+    // bronze->silver hop runs (no watermark, no state store; the static
+    // side is re-planned per micro-batch, which is how dim refreshes
+    // propagate). Enriched rows append to parquet; the graded rollup and
+    // the oracle both run over the full joined set, so a dropped batch,
+    // a wrong join key, or a dim row lost in broadcast all hash-mismatch.
+    GraftQuery("w_stream_static_enrich",
+      (s, dir) => {
+        val base = Scratch.dir("stream_static", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          dumpJsonl(ev, s"$base/stage", s"$base/src", "e_", fmt)
+          graft.streaming.StreamJoins.streamStaticJoinToParquet(
+            s, s"$base/src", ev, Tables.nation(s, dir),
+            s"$base/out", s"$base/cp",
+            (stream, dim) => stream.join(broadcast(dim),
+                pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+              .select(col("event_id"), col("user_id"), col("n_name")),
+            readOptions = Map("timestampFormat" -> fmt))
+        }
+        s.read.parquet(s"$base/out")
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("event_id")).as("id_sum"))
+      },
+      Some("""SELECT n.n_name, count(*) AS n_events,
+             |       CAST(sum(e.event_id) AS BIGINT) AS id_sum
+             |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+             |GROUP BY 1""".stripMargin)),
+
     // §2.9 LEFT-OUTER stream-stream interval join: purchases with NO click
     // in the trailing window must emit with a null match — which the
     // streaming engine may only do once the watermark proves no matching

@@ -72,4 +72,29 @@ object StreamJoins {
       .start()
       .awaitTermination()
   }
+
+  /** Stream-STATIC join to a parquet sink: each micro-batch of the JSONL
+    * feed joins a batch dimension frame — Structured Streaming's
+    * stateless enrichment join (no watermark, no state store; the static
+    * side is re-planned per micro-batch, which is also how dimension
+    * REFRESHES propagate mid-stream in production). The dim is expected
+    * to be broadcast-sized (the F15/J4 regime); a too-big dim shifts to
+    * a per-batch shuffle join with no API change. */
+  def streamStaticJoinToParquet(spark: SparkSession, srcDir: String,
+                                schemaSource: DataFrame, staticDim: DataFrame,
+                                outPath: String, checkpoint: String,
+                                joined: (DataFrame, DataFrame) => DataFrame,
+                                readOptions: Map[String, String] = Map.empty): Unit = {
+    val feed = spark.readStream
+      .schema(schemaSource.schema)
+      .options(readOptions)
+      .json(srcDir)
+    joined(feed, staticDim).writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+  }
 }
