@@ -657,4 +657,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoop"), s"non-equi join in RA:\n$p")
   }
+
+  test("winnowing + temperature mix are shuffle-free scan-speed maps") {
+    val wp = plan("t_winnow_fingerprints").split("== Initial Plan ==")(0)
+    assert(!wp.contains("Exchange"), s"winnowing shuffles:\n$wp")
+    // the O(len) k-gram hash array must be built ONCE per row, not
+    // re-inlined into every window slot by CollapseProject: the hash
+    // conv() appears a bounded number of times in the plan text
+    val convs = "conv\\(".r.findAllIn(wp).size
+    assert(convs <= 4, s"hash pass re-inlined per window ($convs):\n$wp")
+    val tp = plan("t_temperature_mix").split("== Initial Plan ==")(0)
+    // gate is a constant-folded filter: no join, no exchange (the count
+    // agg ran driver-side at plan-build time)
+    assert(!tp.contains("Exchange") && !tp.contains("Join"),
+      s"temperature gate not map-only:\n$tp")
+  }
 }

@@ -492,4 +492,89 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: holtSmooth equals a sequential Scala fold, any series") {
+    import spark.implicits._
+    val seriesGen: Gen[(Seq[Long], Long, Long)] = for {
+      n  <- Gen.choose(1, 20)
+      vs <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+      a  <- Gen.choose(0L, 1000L)
+      b  <- Gen.choose(0L, 1000L)
+    } yield (vs, a, b)
+    check(Prop.forAll(seriesGen) { case (vs, a, b) =>
+      val rows = vs.zipWithIndex.map { case (v, i) => ("g", f"p$i%03d", v) }
+      val got = graft.operators.Sketches.holtSmooth(
+          rows.toDF("g", "p", "v"), col("g"), col("p"), col("v"),
+          alphaMilli = a, betaMilli = b)
+        .orderBy("p").collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      // reference fold: plain Scala longs; / truncates toward zero like
+      // Spark's div — negative trend steps exercise exactly that
+      val ref = vs.tail.scanLeft((vs.head, vs.head, 0L)) {
+        case ((_, l0, b0), v) =>
+          val lt = (a * v + (1000 - a) * (l0 + b0)) / 1000
+          val bt = (b * (lt - l0) + (1000 - b) * b0) / 1000
+          (v, lt, bt)
+      }
+      got.toSeq == ref.toSeq
+    })
+  }
+
+  test("property: winnowing guarantee holds for any shared window") {
+    // any two strings sharing a contiguous span of >= w + k - 1 chars
+    // must share at least one selected fingerprint (SIGMOD'03 Thm 1)
+    import spark.implicits._
+    val g: Gen[(String, String, String)] = for {
+      shared <- Gen.listOfN(11, Gen.alphaLowerChar).map(_.mkString)
+      pre1   <- Gen.listOfN(7, Gen.alphaNumChar).map(_.mkString)
+      suf1   <- Gen.listOfN(5, Gen.alphaNumChar).map(_.mkString)
+      pre2   <- Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString)
+    } yield (pre1 + shared + suf1, pre2 + shared, shared)
+    check(Prop.forAll(g) { case (d1, d2, _) =>
+      val fps = graft.operators.Dedup.winnowFingerprints(
+          Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), k = 8, w = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (byDoc(1L) intersect byDoc(2L)).nonEmpty
+    })
+  }
+
+  test("property: hitsScores matches a sequential integer replay") {
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      n     <- Gen.choose(3, 12)
+      m     <- Gen.choose(2, 24)
+      edges <- Gen.listOfN(m, for {
+        s <- Gen.choose(0L, n - 1L); d <- Gen.choose(0L, n - 1L)
+      } yield (s, d))
+    } yield edges.filter { case (s, d) => s != d }
+    check(Prop.forAll(graphGen, Gen.choose(1, 3)) { (edges, rounds) =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val got = graft.operators.Joins.hitsScores(
+            edges.toDF("src", "dst"), rounds = rounds)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
+        // plain-Scala replay in BigInt (the decimal(38,0) renorm exactly)
+        val e = edges.distinct
+        var h = e.map(_._1).distinct.map(_ -> BigInt(1000000)).toMap
+        var aFin = Map.empty[Long, BigInt]
+        for (_ <- 1 to rounds) {
+          val ar = e.groupBy(_._2).view.mapValues(
+            _.map(x => h.getOrElse(x._1, BigInt(0))).sum).toMap
+          val am = ar.values.max
+          aFin = ar.view.mapValues(v => v * 1000000 / am).toMap
+          val hr = e.groupBy(_._1).view.mapValues(
+            _.map(x => aFin.getOrElse(x._2, BigInt(0))).sum).toMap
+          val hm = hr.values.max
+          h = hr.view.mapValues(v => v * 1000000 / hm).toMap
+        }
+        val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+        nodes.forall { nd =>
+          got(nd) == ((aFin.getOrElse(nd, BigInt(0)).toLong,
+            h.getOrElse(nd, BigInt(0)).toLong))
+        }
+      }
+    })
+  }
 }
