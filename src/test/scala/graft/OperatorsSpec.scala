@@ -1570,6 +1570,39 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size == 7 && got.values.forall(_ != null), s"$got")
   }
 
+  test("hugeGraph mode: identical results with the broadcast hint off") {
+    import spark.implicits._
+    // hugeGraph=true is THE 1000-executor path (score/label tables too
+    // big to broadcast -> co-partitioned shuffle joins). The flag must
+    // be a pure physical hint: bit-identical output on every iterative
+    // graph operator that carries it. Integer micro-unit arithmetic is
+    // what makes this assertable as equality, not approximation.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    val edges = Tables.lineitem(spark, testDataDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+      .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+      .select(col("l_partkey").as("src"), col("dst"))
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(graft.operators.Joins.hitsScores(edges, 2, hugeGraph = true))
+      == rows(graft.operators.Joins.hitsScores(edges, 2)))
+    assert(rows(graft.operators.Joins.labelPropagation(edges, 2,
+        hugeGraph = true))
+      == rows(graft.operators.Joins.labelPropagation(edges, 2)))
+    assert(rows(graft.operators.Joins.pageRank(edges, 3, hugeGraph = true))
+      == rows(graft.operators.Joins.pageRank(edges, 3)))
+    val seeds = edges.select(col("src").as("node")).distinct().limit(5)
+      .localCheckpoint()
+    assert(rows(graft.operators.Joins.pageRankPersonalized(edges, seeds,
+        iterations = 3, hugeGraph = true))
+      == rows(graft.operators.Joins.pageRankPersonalized(edges, seeds,
+        iterations = 3)))
+  }
+
   test("hitsScores: hand-traced 2-round integer HITS with zero-fill") {
     import spark.implicits._
     // 1->2, 3->2, 2->4 (+ dup and self-loop to exercise the canonical
