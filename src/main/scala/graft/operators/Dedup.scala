@@ -63,6 +63,66 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Duplicated-span fraction (Lee et al., ACL 2022 "Deduplicating
+    * Training Data Makes Language Models Better" §4.1, the ExactSubstr
+    * metric at token grain): the fraction of each doc's tokens covered
+    * by some length-`g` token span that occurs ≥ 2 times ANYWHERE in
+    * the corpus (other docs or self-repetition). The per-doc number is
+    * the curation signal — docs past a threshold are boilerplate/mirror
+    * pages and get dropped or trimmed.
+    *
+    * Exact interval-union arithmetic: duplicated-gram start positions
+    * are sorted per doc and folded left-to-right with a (covered,
+    * reach) accumulator — `add = max(0, p+g − max(reach, p))`, all
+    * integer, so the oracle replays it with a window formulation and
+    * the results are equal by arithmetic, not by luck.
+    *
+    * Scale: the gram explode is the cost — corpus rows × positions on
+    * the wire into ONE count shuffle on the gram hash (the
+    * decontamination/containment exchange class), then the duplicated
+    * subset (tiny by construction — duplication is the anomaly) joins
+    * back and folds per doc. No all-pairs anything; suffix-array
+    * ExactSubstr finds arbitrary-length spans where this fixes g, the
+    * standard distributed trade.
+    *
+    * @return one row per doc: (doc_id, n_tokens, n_dup_grams,
+    *         covered_tokens, dup_frac_micro = covered·10⁶ div n). */
+  def dupSpanFraction(df: DataFrame, id: Column, text: Column,
+                      g: Int = 25): DataFrame = {
+    require(g >= 2)
+    val toks = df.select(id.as("doc_id"), split(text, " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_tokens"))
+    val occ = toks.filter(col("n_tokens") >= g)
+      .select(col("doc_id"), col("n_tokens"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${g - 1}),
+           |  i -> struct(cast(i AS LONG) AS pos,
+           |              md5(concat_ws(' ', slice(w, i, $g))) AS h))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"), col("n_tokens"), col("x.pos").as("pos"),
+        col("x.h").as("h"))
+    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("h"))
+    val perDoc = occ.join(dup, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .withColumn("covered", expr(
+        s"""aggregate(ps, struct(0L AS cov, 0L AS reach),
+           |  (a, p) -> struct(
+           |    a.cov + greatest(0L, p + $g - greatest(a.reach, p)),
+           |    greatest(a.reach, p + $g)),
+           |  a -> a.cov)""".stripMargin))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc.select(col("doc_id"), col("n_dup_grams"),
+        col("covered")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_frac_micro",
+        expr("covered_tokens * 1000000L div n_tokens"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
     * §3): hash every k-char shingle of the text, slide a w-hash window
     * over the sequence, and select each window's MINIMUM hash. The

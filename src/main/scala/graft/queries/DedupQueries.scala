@@ -291,6 +291,40 @@ object DedupQueries {
               |SELECT a AS doc_id, least(a, min(b)) AS component
               |FROM reach GROUP BY a""".stripMargin)),
 
+    // Duplicated-span fraction (Lee et al. ACL'22 ExactSubstr at fixed
+    // gram length): per doc, the exact fraction of tokens covered by a
+    // 25-token span occurring >= 2 times in the corpus — the trim/drop
+    // signal for boilerplate and mirror pages. Interval-union coverage
+    // is exact integer arithmetic; the oracle replays it with a running
+    // window-max formulation (same math, different mechanism).
+    GraftQuery("d_dup_span_fraction",
+      (s, dir) => Dedup.dupSpanFraction(Tables.documents(s, dir),
+        col("doc_id"), col("text"), g = 25),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |           FROM documents),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |occ AS (SELECT doc_id, n_tokens, i::BIGINT AS pos,
+             |          md5(array_to_string(w[i:i+24], ' ')) AS h
+             |        FROM t, unnest(generate_series(1,
+             |          greatest(length(w) - 24, 0))) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |spans AS (
+             |  SELECT doc_id, pos,
+             |    greatest(0, pos + 25 - greatest(coalesce(
+             |      max(pos + 25) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0), pos)) AS adds
+             |  FROM occ JOIN dup USING (h)),
+             |pd AS (SELECT doc_id, count(*) AS n_dup_grams,
+             |         sum(adds) AS covered
+             |       FROM spans GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       coalesce(pd.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+             |       coalesce(pd.covered, 0)::BIGINT AS covered_tokens,
+             |       (coalesce(pd.covered, 0) * 1000000 // t.n_tokens)::BIGINT
+             |         AS dup_frac_micro
+             |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
     // Canonical-pick by QUALITY: within each near-dup group keep the
     // LONGEST member (ties -> smallest id) — the "keep best copy" rule a
     // production dedup actually ships (min-id keeps whichever landed

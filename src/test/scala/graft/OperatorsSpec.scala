@@ -1650,6 +1650,30 @@ class OperatorsSpec extends SparkSpec {
       got.map(_._1).sorted.toSeq)
   }
 
+  test("dupSpanFraction: interval union, self-repetition, cross-doc spans, zero-fill") {
+    import spark.implicits._
+    // docA: a 5-token pattern repeated 7x (35 tokens) - every 25-gram
+    // recurs at period 5, so all 11 grams are duplicated and their
+    // union covers the WHOLE doc (overlap merge must not double-count).
+    val a = (0 until 7).flatMap(_ => Seq("pa", "pb", "pc", "pd", "pe"))
+    // docC and docD share exactly one 25-gram at different offsets
+    val shared = (1 to 25).map(i => s"x$i")
+    val c = shared ++ Seq("u1", "u2", "u3", "u4", "u5")
+    val d = Seq("v1", "v2", "v3", "v4", "v5") ++ shared
+    // docB: 30 unique tokens, nothing duplicated -> zero-fill row
+    val b = (1 to 30).map(i => s"b$i")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d))
+      .map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dupSpanFraction(
+        docs, col("doc_id"), col("text"), g = 25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((35L, 11L, 35L, 1000000L)), s"$got")
+    assert(got(2L) == ((30L, 0L, 0L, 0L)), s"$got")
+    assert(got(3L) == ((30L, 1L, 25L, 833333L)), s"$got")
+    assert(got(4L) == ((30L, 1L, 25L, 833333L)), s"$got")
+  }
+
   test("winnowFingerprints: shared long substring guarantees a common fingerprint") {
     import spark.implicits._
     val shared = "zqxjkvbnmlpwortyu" // 17 chars >= w + k - 1 = 11
