@@ -65,7 +65,8 @@ object Bench {
     "v_mmr_rerank",        // MMR re-rank (m rounds × candidates join, corpus pass amortized)
     "v_kcenter_select",    // greedy k-center (k driver barriers, O(1) cached frames)
     "p_pipeline_e2e",      // composed clean→dedup→decontaminate→mix→pack chain
-    "j_hits_scores")       // 2-round integer HITS (2 join+agg pairs per round)
+    "j_hits_scores",       // 2-round integer HITS (2 join+agg pairs per round)
+    "d_dup_span_fraction") // ExactSubstr trim signal (gram explode + count shuffle)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a
