@@ -1052,6 +1052,80 @@ object TextQueries {
              |FROM bg JOIN dict USING (w1, w2)
              |GROUP BY 1""".stripMargin)),
 
+    // Interpolated Kneser-Ney bigram plausibility (Kneser & Ney, ICASSP
+    // 1995; Chen & Goodman 1999 eq. 4.25 with absolute discount D=3/4) —
+    // the LM-based quality filter next to the add-one t_bigram_logprob:
+    // KN backs off to CONTINUATION probability (how many contexts a word
+    // follows) rather than raw frequency, the distinction that separates
+    // "Francisco" (frequent, one context) from genuinely productive
+    // words. Exact integers throughout: multiplying the interpolation
+    // through by 4 clears the 3/4 discount, so
+    //   p_micro = (max(4·c12−3, 0)·10⁶ + 3·N1+(w1·)·pcont_micro)
+    //               div (4·c1),
+    //   pcont_micro = N1+(·w2)·10⁶ div B
+    // — two truncating divisions both engines replay bit-exactly. Per-doc
+    // score = mean bigram probability in micro-units (log-free: exact).
+    // Shuffles: the bigram count exchange + two type-count aggs over the
+    // DICTIONARY (vocab-sized), then one dictionary join back to the
+    // probe docs — the t_bigram_logprob budget, one extra vocab-sized agg.
+    GraftQuery("t_kn_bigram_score",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ws = split(col("text"), " ")
+        val bg = docs.select(col("doc_id"), ws.as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+              struct(element_at(col("w"), i).as("w1"),
+                element_at(col("w"), i + 1).as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1"), col("p.w2"))
+        val c2 = bg.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val byW1 = c2.groupBy(col("w1"))
+          .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1"))
+        val nctx = c2.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+        val b = c2.agg(count(lit(1)).as("bt"))
+        val dict = c2.join(byW1, Seq("w1")).join(nctx, Seq("w2"))
+          .crossJoin(broadcast(b))
+          .select(col("w1"), col("w2"), expr(
+            """(greatest(4L * c12 - 3L, 0L) * 1000000L +
+              | 3L * n1 * (nc * 1000000L div bt)) div (4L * c1)"""
+              .stripMargin).as("p_micro"))
+        bg.filter(col("doc_id") < 20)
+          .join(dict, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("p_micro")).as("sum_p_micro"))
+          .withColumn("mean_p_micro",
+            expr("sum_p_micro div n_bigrams"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |), bgz AS (
+             |  SELECT doc_id, unnest(list_zip(w, w[2:])) AS p FROM d
+             |), bg AS (
+             |  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bgz
+             |  WHERE p[2] IS NOT NULL
+             |), c2 AS (
+             |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+             |), byw1 AS (
+             |  SELECT w1, sum(c12) AS c1, count(*) AS n1 FROM c2 GROUP BY 1
+             |), nctx AS (
+             |  SELECT w2, count(*) AS nc FROM c2 GROUP BY 1
+             |), b AS (SELECT count(*) AS bt FROM c2
+             |), dict AS (
+             |  SELECT w1, w2,
+             |    (greatest(4 * c12 - 3, 0) * 1000000 +
+             |     3 * n1 * (nc * 1000000 // bt)) // (4 * c1) AS p_micro
+             |  FROM c2 JOIN byw1 USING (w1) JOIN nctx USING (w2), b
+             |)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |       CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
+             |       CAST(sum(p_micro) // count(*) AS BIGINT) AS mean_p_micro
+             |FROM bg JOIN dict USING (w1, w2)
+             |WHERE doc_id < 20
+             |GROUP BY 1""".stripMargin)),
+
     // Sliding-window RAG chunking: overlapping 32-token windows every 24
     // tokens (8-token overlap), stopping at the first window that covers
     // the document tail — the retrieval/embedding prep pass. Pure
