@@ -123,22 +123,112 @@ object Dedup {
         expr("covered_tokens * 1000000L div n_tokens"))
   }
 
+  /** Duplicated-span TRIM (Lee et al., ACL 2022 "Deduplicating Training
+    * Data Makes Language Models Better", the ExactSubstr REMOVAL at
+    * token grain): where [[dupSpanFraction]] measures how much of each
+    * doc is covered by corpus-duplicated length-`g` token spans, this
+    * operator REMOVES those tokens — the production transform that
+    * keeps one copy of boilerplate/mirror spans corpus-wide (every
+    * occurrence of a ≥2× gram is trimmed in every doc, the paper's
+    * conservative variant; "keep first occurrence" needs a global
+    * total order and buys little at the 25-token grain).
+    *
+    * Same shuffle budget as the fraction: gram explode → ONE count
+    * shuffle on the gram hash → the tiny duplicated subset joins back
+    * as a per-doc sorted position array. The trim itself is then
+    * WITHIN-ROW: sorted fixed-length intervals merge by a gap->g scan
+    * into maximal (start, end) arrays — boilerplate docs collapse to
+    * ~1 interval, and the per-token membership test runs against the
+    * MERGED intervals (≤ n/g of them by construction), never the raw
+    * gram positions, so a fully-duplicated 5000-token doc costs
+    * O(n²/g), not O(n²).
+    *
+    * @return one row per doc: (doc_id, n_tokens, n_removed,
+    *         trimmed_text) — tokens outside every duplicated span,
+    *         rejoined by single spaces ('' when everything trims). */
+  def dupSpanTrim(df: DataFrame, id: Column, text: Column,
+                  g: Int = 25): DataFrame = {
+    require(g >= 2)
+    val toks = df.select(id.as("doc_id"), split(text, " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_tokens"))
+    val occ = toks.filter(col("n_tokens") >= g)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${g - 1}),
+           |  i -> struct(cast(i AS LONG) AS pos,
+           |              md5(concat_ws(' ', slice(w, i, $g))) AS h))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
+    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("h"))
+    val perDoc = occ.join(dup, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), array().cast("array<long>")))
+      // maximal merged intervals [ss_j, es_j): a sorted fixed-length-g
+      // interval starts a new chain iff its gap to the previous start
+      // exceeds g; a chain ends at its last start + g
+      // sequence(1, 0) counts DOWN — guard the no-duplicates rows (the
+      // common case) before indexing ps; CASE defers the ELSE per row
+      .withColumn("ss", expr(
+        s"""CASE WHEN size(ps) = 0 THEN cast(array() AS array<long>)
+           |ELSE filter(transform(sequence(1, size(ps)), i ->
+           |  CASE WHEN i = 1 OR element_at(ps, i) - element_at(ps, i-1) > $g
+           |       THEN element_at(ps, i) END), x -> x IS NOT NULL) END"""
+          .stripMargin))
+      .withColumn("es", expr(
+        s"""CASE WHEN size(ps) = 0 THEN cast(array() AS array<long>)
+           |ELSE filter(transform(sequence(1, size(ps)), i ->
+           |  CASE WHEN i = size(ps)
+           |         OR element_at(ps, i+1) - element_at(ps, i) > $g
+           |       THEN element_at(ps, i) + $g END), x -> x IS NOT NULL) END"""
+          .stripMargin))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("aggregate(zip_with(es, ss, (e, s) -> e - s), 0L, (a, x) -> a + x)")
+          .as("n_removed"),
+        expr(
+          """concat_ws(' ', filter(transform(sequence(1, size(w)), t ->
+            |  CASE WHEN size(ss) = 0 OR NOT exists(sequence(1, size(ss)), j ->
+            |         element_at(ss, j) <= t AND t < element_at(es, j))
+            |       THEN element_at(w, t) END), x -> x IS NOT NULL))"""
+            .stripMargin).as("trimmed_text"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
     * §3): hash every k-char shingle of the text, slide a w-hash window
     * over the sequence, and select each window's MINIMUM hash. The
     * guarantee plain min-fingerprinting lacks: any substring shared
     * between two docs of length ≥ w + k − 1 chars yields at least one
     * COMMON selected hash, so matches cannot slip between samples —
-    * while density stays ~2/(w+1) of all shingles. Entirely within-row:
-    * the hash array is built in one projection and windowed in the
-    * next (the split keeps the O(len) hash pass from being re-inlined
-    * per window by CollapseProject), so the operator is a shuffle-free
-    * scan-speed map at any corpus size.
+    * while density stays ~2/(w+1) of all shingles. Entirely within-row
+    * via the native [[graft.plans.WinnowExpr]] (one primitive JVM loop
+    * per row, digest-direct hashing, whole-stage codegen), so the
+    * operator is a shuffle-free scan-speed map at any corpus size.
+    * Bit-identical to [[winnowFingerprintsLambda]] (spec-pinned) and to
+    * the DuckDB oracle's md5/conv replay.
     *
     * @return one row per selected fingerprint: (doc_id, fp), distinct
     *         within each doc. */
   def winnowFingerprints(df: DataFrame, id: Column, text: Column,
                          k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 2)
+    df.select(id.as("doc_id"),
+      explode(org.apache.spark.sql.GraftShims.column(
+        graft.plans.WinnowExpr(
+          org.apache.spark.sql.GraftShims.expression(text.cast("string")),
+          k, w))).as("fp"))
+  }
+
+  /** The portable higher-order-function form of [[winnowFingerprints]] —
+    * the semantics reference the native expression is spec-pinned
+    * against, and the r12 pricing baseline (lambdas evaluate interpreted
+    * per element, plus a hex encode + conv re-parse per shingle; see
+    * SCALE.md for the measured gap). The hash array is built in one
+    * projection and windowed in the next — the split keeps the O(len)
+    * hash pass from being re-inlined per window by CollapseProject. */
+  def winnowFingerprintsLambda(df: DataFrame, id: Column, text: Column,
+                               k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 2)
     df.select(id.as("doc_id"), text.as("__t"))
       .select(col("doc_id"), expr(

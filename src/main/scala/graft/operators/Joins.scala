@@ -778,22 +778,48 @@ object Joins {
     * @return topK rows (a, b, score_micro, n_common) ordered by
     *         (score_micro desc, a, b), a < b, (a,b) never an existing
     *         edge, plus the constant `n_hubs_dropped` audit column —
-    *         how many distinct wedge centers the cap excluded.
+    *         how many distinct wedge centers the cap excluded. PURELY
+    *         LAZY — plan-building only, no Spark job at call time (the
+    *         [[blockedFuzzyPairs]] discipline: an eager audit count here
+    *         charged every caller a full degree-table pass even when
+    *         composed into a larger plan); the audit count rides along
+    *         as a one-row broadcast aggregate instead of a collected
+    *         literal.
     */
   def resourceAllocationPairs(edges: DataFrame, maxWedgeDegree: Long = 256L,
                               topK: Int = 100): DataFrame = {
+    val (pairs, droppedHubs) =
+      resourceAllocationPairsAudited(edges, maxWedgeDegree, topK)
+    pairs.crossJoin(broadcast(
+      droppedHubs.agg(count(lit(1)).as("n_hubs_dropped"))))
+  }
+
+  /** [[resourceAllocationPairs]] with the cap's accounting as data:
+    * returns `(pairs, droppedHubs)` where `droppedHubs` = `(hub, deg)`
+    * for every wedge center the cap excluded (empty when it never
+    * fired). Both frames are lazy — production jobs that must alert on
+    * coverage loss write or inspect the audit frame alongside the pairs
+    * at action time (the degree table is computed for the cap filter
+    * anyway), exactly as [[blockedFuzzyPairsAudited]]. */
+  def resourceAllocationPairsAudited(edges: DataFrame,
+                                     maxWedgeDegree: Long = 256L,
+                                     topK: Int = 100): (DataFrame, DataFrame) = {
     require(maxWedgeDegree >= 2 && topK >= 1)
+    // adjacency, degrees and the anti-join all read `und`; NO checkpoint
+    // (even a lazy one runs the distinct's shuffle stages at call time
+    // under AQE, via toRdd) — the three reads share one identical
+    // distinct exchange, which ReuseExchange computes once per action
     val und = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint() // adjacency, degrees and the anti-join read it
     val adj = und.select(col("a").as("w"), col("b").as("x"))
       .unionAll(und.select(col("b").as("w"), col("a").as("x")))
     val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
-    val dropped = deg.filter(col("deg") > maxWedgeDegree).count()
+    val droppedHubs = deg.filter(col("deg") > maxWedgeDegree)
+      .select(col("w").as("hub"), col("deg"))
     val okAdj = adj.join(deg.filter(col("deg") <= maxWedgeDegree), "w")
     val l = okAdj.select(col("w"), col("x"), col("deg"))
     val r = okAdj.select(col("w"), col("x").as("y"))
@@ -803,10 +829,22 @@ object Joins {
       .groupBy(col("a"), col("b"))
       .agg(sum(col("c")).as("score_micro"), count(lit(1)).as("n_common"))
       .join(und, Seq("a", "b"), "left_anti")
-    scored.orderBy(col("score_micro").desc, col("a"), col("b"))
-      .limit(topK)
-      .withColumn("n_hubs_dropped", lit(dropped))
+    (scored.orderBy(col("score_micro").desc, col("a"), col("b"))
+      .limit(topK), droppedHubs)
   }
+
+  /** Release a frame produced by `localCheckpoint` once nothing will read
+    * it again. `Dataset.unpersist()` only consults the CacheManager; a
+    * localCheckpoint persists the UNDERLYING RDD, so that is what must be
+    * unpersisted — the checkpointed frame's plan root is a LogicalRDD
+    * holding it (the kCenterGreedy lesson, Vectors.scala). No-op on
+    * frames that are not checkpoint roots. */
+  private[graft] def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
 
   /** HITS hubs-and-authorities (Kleinberg, JACM 1999) over the DIRECTED
     * edge set — the link-analysis complement of [[pageRank]]: authority =
@@ -848,7 +886,12 @@ object Joins {
       .localCheckpoint() // every half-round and the node spine read it
     def renorm(scores: DataFrame, c: String): DataFrame = {
       val m = scores.agg(max(col(c)).as("m"))
-      scores.crossJoin(hint(m))
+      // the maxima are ONE-ROW aggregates: broadcast them
+      // unconditionally — hugeGraph gates only the node-score-table
+      // joins below (a stripped hint here would risk a CartesianProduct
+      // over the corpus-sized score table at exactly the scale the flag
+      // targets)
+      scores.crossJoin(broadcast(m))
         .select(col("node"), expr(
           s"cast(cast($c as decimal(38,0)) * 1000000 div m as bigint)")
           .as(c))
@@ -858,6 +901,13 @@ object Joins {
     var hubs = e.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1000000L))
     var auths: DataFrame = null
+    // alternate-round checkpoints are EAGER so the superseded pair's
+    // executor-storage blocks can be released as soon as the next pair
+    // materializes (the kCenterGreedy discipline) — otherwise rounds >= 4
+    // would pin O(rounds) node-sized frames for the plan's lifetime. The
+    // returned plan still reads `e` and the LAST checkpoint pair; those
+    // stay persisted for the plan's lifetime by construction.
+    var prevCp: Seq[DataFrame] = Nil
     for (k <- 1 to rounds) {
       val aRaw = e.join(hint(hubs.select(col("node").as("src"), col("h"))),
           "src")
@@ -870,8 +920,10 @@ object Joins {
         .agg(sum(col("a")).as("h"))
       hubs = renorm(hRaw, "h")
       if (k % 2 == 0 && k < rounds) {
-        auths = auths.localCheckpoint(false)
-        hubs = hubs.localCheckpoint(false)
+        auths = auths.localCheckpoint()
+        hubs = hubs.localCheckpoint()
+        prevCp.foreach(unpersistLocalCheckpoint)
+        prevCp = Seq(auths, hubs)
       }
     }
     val nodes = e.select(col("src").as("node"))

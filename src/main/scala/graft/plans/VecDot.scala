@@ -112,13 +112,43 @@ object GraftFunctions {
         val ord = children(2)
         if (!ord.foldable) throw bad(
           "graft_hilbert: the order argument must be a foldable integer literal")
-        val n = ord.eval() match {
-          case i: Int  => i
-          case l: Long => l.toInt
+        val n: Long = ord.eval() match {
+          case i: Int  => i.toLong
+          case l: Long => l
           case other   => throw bad(
             s"graft_hilbert: order must be an integral literal, got $other")
         }
-        HilbertIndexExpr(children(0), children(1), n)
+        // validate on the LONG value: a bare toInt would silently
+        // truncate an out-of-range BIGINT (4294967312L -> 16) past the
+        // expression's own [1, 31] check, defeating fail-at-analysis
+        if (n < 1L || n > 31L) throw bad(
+          s"graft_hilbert: order must be in [1, 31], got $n")
+        HilbertIndexExpr(children(0), children(1), n.toInt)
+      }),
+    // winnowing fingerprints: k and w arrive as foldable integral
+    // literals, validated at analysis like graft_hilbert
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
+      (children: Seq[Expression]) => {
+        def bad(msg: String) = new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_TEMP_3100", Map("message" -> msg))
+        if (children.length != 3) throw bad(
+          s"graft_winnow expects 3 arguments (text, k, w), got ${children.length}")
+        def intLit(e: Expression, name: String): Int = {
+          if (!e.foldable) throw bad(
+            s"graft_winnow: $name must be a foldable integer literal")
+          val v: Long = e.eval() match {
+            case i: Int  => i.toLong
+            case l: Long => l
+            case other   => throw bad(
+              s"graft_winnow: $name must be an integral literal, got $other")
+          }
+          if (v < 2L || v > 65536L) throw bad(
+            s"graft_winnow: $name must be in [2, 65536], got $v")
+          v.toInt
+        }
+        WinnowExpr(children(0), intLit(children(1), "k"),
+          intLit(children(2), "w"))
       }),
     // Spark's own runtime-filter machinery, exposed as callable functions:
     // the distributed bloom build (partial sketches merged at the

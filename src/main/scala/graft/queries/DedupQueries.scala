@@ -325,6 +325,42 @@ object DedupQueries {
              |         AS dup_frac_micro
              |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
+    // ExactSubstr TRIM (the r11 stretch): d_dup_span_fraction measures
+    // duplicated-span coverage; this is the production transform that
+    // REMOVES those spans (Lee et al. 2022) — every token covered by a
+    // corpus-duplicated 25-gram is dropped and the survivors rejoin.
+    // The oracle rebuilds the trimmed text independently (exploded
+    // covered-position set + ordered string_agg), so the interval-union
+    // arithmetic, the merged-interval scan AND the reassembled string
+    // are all graded value-exact; n_removed doubles as the
+    // covered_tokens cross-check against the fraction query.
+    GraftQuery("d_dup_span_trim",
+      (s, dir) => Dedup.dupSpanTrim(Tables.documents(s, dir),
+        col("doc_id"), col("text"), g = 25),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |           FROM documents),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |occ AS (SELECT doc_id, i::BIGINT AS pos,
+             |          md5(array_to_string(w[i:i+24], ' ')) AS h
+             |        FROM t, unnest(generate_series(1,
+             |          greatest(length(w) - 24, 0))) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT o.doc_id, u.t::BIGINT AS t
+             |        FROM occ o JOIN dup USING (h),
+             |             unnest(generate_series(o.pos, o.pos + 24)) AS u(t)),
+             |tok AS (SELECT doc_id, i::BIGINT AS t, w[i] AS tok
+             |        FROM t, unnest(generate_series(1, length(w))) AS u(i)),
+             |kept AS (SELECT k.doc_id, count(*) AS n_kept,
+             |           string_agg(k.tok, ' ' ORDER BY k.t) AS txt
+             |         FROM (SELECT tok.* FROM tok LEFT JOIN cov
+             |                 ON cov.doc_id = tok.doc_id AND cov.t = tok.t
+             |               WHERE cov.doc_id IS NULL) k
+             |         GROUP BY k.doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       (t.n_tokens - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+             |       coalesce(k.txt, '') AS trimmed_text
+             |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
+
     // Canonical-pick by QUALITY: within each near-dup group keep the
     // LONGEST member (ties -> smallest id) — the "keep best copy" rule a
     // production dedup actually ships (min-id keeps whichever landed

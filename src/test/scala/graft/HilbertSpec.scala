@@ -105,5 +105,16 @@ class HilbertSpec extends SparkSpec {
       spark.sql("SELECT graft_hilbert(1L, 2L, 'wat')").collect()
     }
     assert(notIntegral.getMessage.contains("integral"), notIntegral.getMessage)
+    // an out-of-range BIGINT order must be REJECTED at analysis, not
+    // silently truncated by toInt (4294967312L -> 16 would pass the
+    // expression's own [1, 31] check with the wrong curve order)
+    for (badOrder <- Seq("4294967312", "0", "32", "-1")) {
+      val outOfRange = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT graft_hilbert(1L, 2L, CAST($badOrder AS BIGINT))")
+          .collect()
+      }
+      assert(outOfRange.getMessage.contains("[1, 31]"),
+        s"order=$badOrder: ${outOfRange.getMessage}")
+    }
   }
 }

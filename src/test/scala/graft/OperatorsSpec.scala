@@ -1674,6 +1674,49 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4L) == ((30L, 1L, 25L, 833333L)), s"$got")
   }
 
+  test("dupSpanTrim: merges overlapping spans, keeps gap tokens, passes unique docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // cross-doc duplicated prefix+suffix with distinct middles: the two
+      // 3-gram spans [1,4) and [5,8) do NOT merge (gap 4 > g), token 4
+      // survives in each doc
+      (1L, "m1 m2 m3 k m4 m5 m6"),
+      (2L, "m1 m2 m3 zz m4 m5 m6"),
+      // self-repetition: every 3-gram duplicated, overlapping starts
+      // 1..6 merge into ONE interval [1, 9) -> everything trims
+      (3L, "p q p q p q p q"),
+      // no duplicated grams -> untouched
+      (4L, "u1 u2 u3 u4 u5"),
+      // shorter than g -> no grams -> untouched
+      (5L, "s1 s2")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dupSpanTrim(docs,
+        col("doc_id"), col("text"), g = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((7L, 6L, "k")), s"$got")
+    assert(got(2L) == ((7L, 6L, "zz")), s"$got")
+    assert(got(3L) == ((8L, 8L, "")), s"$got")
+    assert(got(4L) == ((5L, 0L, "u1 u2 u3 u4 u5")), s"$got")
+    assert(got(5L) == ((2L, 0L, "s1 s2")), s"$got")
+    // adjacency boundary: gap EXACTLY g merges (spans [1,4)+[4,7) are
+    // contiguous): "a b c" and "d e f" both duplicated via doc 7
+    val adj = Seq((6L, "a b c d e f"), (7L, "a b c x1"), (8L, "x2 d e f"))
+      .toDF("doc_id", "text")
+    val got2 = graft.operators.Dedup.dupSpanTrim(adj,
+        col("doc_id"), col("text"), g = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got2(6L) == ((6L, 6L, "")), s"$got2")
+    // n_removed agrees with dupSpanFraction's covered_tokens on the
+    // same corpus (interval-union arithmetic shared by construction)
+    val frac = graft.operators.Dedup.dupSpanFraction(docs,
+        col("doc_id"), col("text"), g = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got.foreach { case (id, (_, nRemoved, _)) =>
+      assert(frac(id) == nRemoved, s"doc $id: $frac vs $got")
+    }
+  }
+
   test("winnowFingerprints: shared long substring guarantees a common fingerprint") {
     import spark.implicits._
     val shared = "zqxjkvbnmlpwortyu" // 17 chars >= w + k - 1 = 11
@@ -1715,6 +1758,76 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped.drop(1).toSeq ==
       Seq((200L, 201L, 200000L), (200L, 202L, 200000L)),
       s"${uncapped.toSeq}")
+  }
+
+  test("resourceAllocationPairs is plan-building only: zero jobs at call time") {
+    import spark.implicits._
+    // r11 VERDICT #1: the eager audit count charged every caller a full
+    // degree-table pass at plan-build time. The wrapper must now be
+    // purely lazy — construction runs NO Spark job; the audit count
+    // rides along as a one-row broadcast aggregate. Listener events are
+    // async, so a sentinel job ordered AFTER construction proves
+    // delivery: once the sentinel's event arrives, any construction-job
+    // event would already have been delivered before it.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+      .localCheckpoint() // input materialized OUTSIDE the window
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = graft.operators.Joins.resourceAllocationPairs(edges, 4L, 10)
+      // RDD-level sentinel: exactly ONE job (a SQL count under AQE can
+      // split into several), ordered after any construction-time job
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 10000000000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"construction ran ${jobs.get() - 1} Spark job(s); must be lazy")
+      // and the plan still carries the audit column when acted on
+      assert(df.columns.last == "n_hubs_dropped")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("hitsScores: rounds >= 4 releases superseded checkpoints (O(1) storage)") {
+    import spark.implicits._
+    // r11 ADVICE: every alternate-round checkpoint pair was retained for
+    // the plan's lifetime. After a 6-round run only the edge checkpoint
+    // and the LAST pair may remain cached — and the unpersisting must
+    // not change a single score, proven against the same sequential
+    // BigInt replay the property spec uses.
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 1L), (2L, 4L), (1L, 5L))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = graft.operators.Joins.hitsScores(es.toDF("src", "dst"),
+        rounds = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 3,
+      s"hitsScores leaked cached frames: $before -> $after")
+    var h = es.map(_._1).distinct.map(_ -> BigInt(1000000)).toMap
+    var aFin = Map.empty[Long, BigInt]
+    for (_ <- 1 to 6) {
+      val ar = es.groupBy(_._2).view.mapValues(
+        _.map(x => h.getOrElse(x._1, BigInt(0))).sum).toMap
+      val am = ar.values.max
+      aFin = ar.view.mapValues(v => v * 1000000 / am).toMap
+      val hr = es.groupBy(_._1).view.mapValues(
+        _.map(x => aFin.getOrElse(x._2, BigInt(0))).sum).toMap
+      val hm = hr.values.max
+      h = hr.view.mapValues(v => v * 1000000 / hm).toMap
+    }
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    nodes.foreach { nd =>
+      assert(got(nd) == ((aFin.getOrElse(nd, BigInt(0)).toLong,
+        h.getOrElse(nd, BigInt(0)).toLong)), s"node $nd: $got")
+    }
   }
 
   test("pageRankPersonalized: matches an independent sequential fold exactly") {

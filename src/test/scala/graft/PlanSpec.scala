@@ -635,7 +635,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("RA link prediction: one wedge exchange, broadcast new-links filter") {
-    val p = plan("j_ra_linkpred").split("== Initial Plan ==")(0)
+    val df = SparkEntry.queries("j_ra_linkpred")(spark, testDataDir)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     // r11 adjudication (SCALE.md): Catalyst's PushDownLeftSemiAntiJoin
     // canonicalizes agg-first and anti-first source orders to ONE plan —
     // the anti-join runs as a map-side broadcast FILTER on the wedge
@@ -647,15 +649,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") &&
       "BroadcastHashJoin \\[a#\\d+L?, b#\\d+L?\\]".r.findFirstIn(p).isDefined,
       s"anti-join not a broadcast pair filter:\n$p")
-    // exactly ONE exchange keyed on the pair - the aggregation's; a
-    // second would mean the anti-join re-shuffled the wedge stream
-    val pairExchanges = "Exchange hashpartitioning\\(a#\\d+L?, b#\\d+L?"
-      .r.findAllIn(p).size
-    assert(pairExchanges == 1,
-      s"wedge stream crosses the wire $pairExchanges times:\n$p")
-    // and nothing degenerates to a non-equi join
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoop"), s"non-equi join in RA:\n$p")
+    // nothing corpus-sized degenerates to a non-equi join. The ONE
+    // allowed nested-loop is the lazy audit's one-row broadcast count
+    // cross-joined ABOVE the TakeOrdered top-k (topK rows × 1 row —
+    // r11 VERDICT #1 replaced the eager collect with this); it must
+    // sit above the limit, never under it on the wedge stream
+    assert(!p.contains("CartesianProduct"), s"cartesian in RA:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1, s"expected exactly the audit BNLJ, got $bnlj:\n$p")
+    assert(p.indexOf("BroadcastNestedLoopJoin") < p.indexOf("TakeOrdered"),
+      s"audit BNLJ not above the top-k:\n$p")
+    // RUNTIME shuffle budget (the laziness fix removed the eager edge
+    // checkpoint, so the distinct edge subtree is textually replicated —
+    // ReuseExchange must collapse the five reads onto ONE physical
+    // exchange): window edge build + canonical distinct + degree agg +
+    // pair agg = at most 4 executed shuffle stages for the whole query
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(fin.contains("isFinalPlan=true"), fin)
+    // replicas re-materialize as ReusedExchange (own stage id, same
+    // plan_id); the EXECUTED exchanges are the non-reused ones
+    val real = "\\+- Exchange hashpartitioning.*?plan_id=(\\d+)".r
+      .findAllMatchIn(fin).map(_.group(1)).toSet
+    assert(real.size <= 4,
+      s"distinct edge exchange not reused (${real.size} executed shuffles):\n$fin")
   }
 
   test("winnowing + temperature mix are shuffle-free scan-speed maps") {

@@ -540,6 +540,31 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: native winnowing is bit-identical to the lambda form") {
+    // the r12 codegen port must not move a single fingerprint: same
+    // hashes (md5 60-bit), same window minima, same first-occurrence
+    // distinct order, same short-text clamps — including code-point
+    // (not byte) shingle boundaries on multibyte text
+    import spark.implicits._
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar), (1, Gen.const('é')), (1, Gen.const('本')))
+    val g: Gen[String] = for {
+      n  <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    check(Prop.forAll(g, g, Gen.choose(2, 9), Gen.choose(2, 6)) {
+      (d1, d2, k, w) =>
+        val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+        def run(f: (org.apache.spark.sql.DataFrame,
+            org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+            Int, Int) => org.apache.spark.sql.DataFrame) =
+          f(df, col("doc_id"), col("text"), k, w)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        run(graft.operators.Dedup.winnowFingerprints) ==
+          run(graft.operators.Dedup.winnowFingerprintsLambda)
+    })
+  }
+
   test("property: hitsScores matches a sequential integer replay") {
     val graphGen: Gen[Seq[(Long, Long)]] = for {
       n     <- Gen.choose(3, 12)
