@@ -906,6 +906,61 @@ object DedupQueries {
              |SELECT a AS doc_id, least(a, min(b)) AS component
              |FROM reach GROUP BY a""".stripMargin)),
 
+    // STREAMING byte-CDC chunk registry (the r11 stretch #3, §2.9 × the
+    // byte-dedup family): the d_byte_incremental state table maintained
+    // as a streaming-folded gold — the augmented corpus (documents + a
+    // no-space "Za" clone of each doc_id<40) replayed as JSONL in
+    // interleaved thirds (doc_id % 3, so clone and source land in
+    // DIFFERENT micro-batches), each batch chunked alone and folded into
+    // the chunk→min-doc registry by a lossless min-merge. Because min of
+    // per-batch minima IS the min of the union, the final gold must be
+    // bit-identical to chunking everything at once — which is exactly
+    // what the oracle replays (the per-char md5-window cut rule, chunks
+    // >= 16 chars, min doc per chunk). Exactly-once under foreachBatch
+    // replay rides on streamFoldGold's committed-version adoption
+    // (spec-pinned on this fold in StreamingSpec).
+    GraftQuery("w_stream_cdc_gold",
+      (s, dir) => {
+        val base = Scratch.dir("stream_cdc_gold", dir)
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val aug = docs.unionAll(Tables.documents(s, dir)
+          .filter(col("doc_id") < 40)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(lit("Za"), translate(col("text"), " ", "")).as("text")))
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          for ((pfx, m) <- Seq(("aa_", 0), ("bb_", 1), ("cc_", 2)))
+            Scratch.dumpJsonl(aug.filter(col("doc_id") % 3 === m),
+              s"$base/stage$m", s"$base/src", pfx, fmt)
+          val gold = graft.streaming.StreamDedup.streamCdcRegistryGold(
+            s, s"$base/src", aug, s"$base/gold", s"$base/cp", divisor = 64)
+          s.read.parquet(gold)
+            .write.mode("overwrite").parquet(s"$base/final")
+        }
+        s.read.parquet(s"$base/final").select(col("chunk"), col("rep"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, 'Za' || replace(text, ' ', '')
+             |  FROM documents WHERE doc_id < 40),
+             |cuts AS (SELECT doc_id, i
+             |      FROM aug, unnest(generate_series(16, len(text))) AS u(i)
+             |      WHERE (('0x' || substring(md5(substring(text, i - 15, 16)),
+             |          1, 15))::BIGINT % 64) = 0),
+             |starts AS (SELECT doc_id, 1 AS start FROM aug
+             |           UNION ALL
+             |           SELECT doc_id, i + 1 AS start FROM cuts),
+             |g AS (SELECT s.doc_id,
+             |        substring(a.text, s.start,
+             |          coalesce(lead(s.start) OVER (PARTITION BY s.doc_id
+             |              ORDER BY s.start),
+             |            len(a.text) + 1) - s.start) AS chunk
+             |      FROM starts s JOIN aug a USING (doc_id)
+             |      WHERE s.start <= len(a.text)),
+             |q AS (SELECT doc_id, chunk FROM g WHERE len(chunk) >= 16)
+             |SELECT chunk, min(doc_id) AS rep FROM q GROUP BY 1""".stripMargin)),
+
     // Streaming exact dedup (§2.9 × the dedup family): the events feed
     // replayed as JSONL with every event_id ≡ 0 (mod 7) row duplicated
     // into a SECOND feed file, streamed through

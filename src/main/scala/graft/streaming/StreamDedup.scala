@@ -113,4 +113,36 @@ object StreamDedup {
       .start()
       .awaitTermination()
   }
+
+  /** Streaming byte-CDC chunk registry (the r11 stretch): the incremental
+    * dedup's state table ([[graft.operators.Dedup.byteCdcRegistry]] —
+    * one row per qualifying content-defined chunk → its minimal doc id)
+    * maintained as a streaming-folded gold table. Each micro-batch
+    * chunks ONLY its own docs (pure per-row column work, zero shuffles)
+    * and summarizes them to a batch registry; the fold merges
+    * `previous gold ∪ batch registry` by `min(rep)` per chunk — LOSSLESS
+    * (the min of per-batch minima IS the min of the union), so the final
+    * gold is bit-identical to chunking the whole corpus in one batch no
+    * matter how docs split across batches, and exactly-once under
+    * foreachBatch replay via [[StreamSketch.streamFoldGold]]'s
+    * committed-version adoption. At 100 TB the gold table lives
+    * partitioned by
+    * chunk hash and each fold rewrites only touched partitions — the
+    * same story as the other sketch folds.
+    */
+  def streamCdcRegistryGold(spark: SparkSession, srcDir: String,
+                            schemaSource: DataFrame, goldDir: String,
+                            checkpoint: String, divisor: Int,
+                            window: Int = 16, hashMode: String = "oracle",
+                            minChunkLen: Int = 16,
+                            readOptions: Map[String, String] = Map.empty): String = {
+    import org.apache.spark.sql.functions.{col, min => minOf}
+    StreamSketch.streamFoldGold(spark, srcDir, schemaSource, goldDir,
+      checkpoint,
+      summarize = b => graft.operators.Dedup.byteCdcRegistry(
+        graft.operators.Dedup.byteCdcChunks(b, col("doc_id"), col("text"),
+          divisor, window, hashMode), minChunkLen),
+      merge = m => m.groupBy(col("chunk")).agg(minOf(col("rep")).as("rep")),
+      readOptions)
+  }
 }

@@ -530,6 +530,61 @@ class StreamingSpec extends SparkSpec {
     assert(hist(after) == expect)
   }
 
+  test("streaming CDC registry fold is bit-identical to one-shot; replay is exactly-once") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamDedup
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streamcdc").toString
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    def put(name: String, rows: Seq[(Long, String)], mtime: Long): Unit = {
+      val f = new java.io.File(src, name)
+      java.nio.file.Files.writeString(f.toPath,
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("", "\n", "\n"))
+      f.setLastModified(mtime); ()
+    }
+    // the CLONE (doc 2) arrives a batch BEFORE its source (doc 1): the
+    // min-rep fold must still converge to rep=1 for every shared chunk —
+    // order-freedom is the whole point of the lossless merge
+    val d1 = "the quick brown fox jumps over the lazy dog repeatedly"
+    put("x.json", Seq(2L -> d1, 3L -> "completely unrelated content here"),
+      1700000000000L)
+    put("y.json", Seq(1L -> d1), 1700000002000L)
+    val schemaDf = Seq((1L, "x")).toDF("doc_id", "text")
+    def registry(path: String): Map[String, Long] =
+      spark.read.parquet(path).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val finalPath = StreamDedup.streamCdcRegistryGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", divisor = 64)
+    val folded = registry(finalPath)
+    def oneShot(rows: Seq[(Long, String)]): Map[String, Long] =
+      Dedup.byteCdcRegistry(Dedup.byteCdcChunks(rows.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), divisor = 64), minChunkLen = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = oneShot(Seq(1L -> d1, 2L -> d1,
+      3L -> "completely unrelated content here"))
+    assert(folded == direct, s"$folded vs $direct")
+    // the later-arriving source won the rep for every shared chunk
+    assert(folded.values.toSet.contains(1L) && !folded.values.toSet.contains(2L))
+    // exactly-once: wipe the checkpoint so every batch replays with its
+    // original batchId — committed versions must be adopted, not re-merged
+    def rmrf(d: java.io.File): Unit = {
+      Option(d.listFiles).foreach(_.foreach(rmrf)); d.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/cp"))
+    val replayed = StreamDedup.streamCdcRegistryGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", divisor = 64)
+    assert(replayed == finalPath && registry(replayed) == direct)
+    // and the fold keeps going: an even-smaller doc id takes over the rep
+    put("z.json", Seq(0L -> d1), 1700000004000L)
+    val after = StreamDedup.streamCdcRegistryGold(spark, src, schemaDf,
+      s"$dir/gold", s"$dir/cp", divisor = 64)
+    val expected = oneShot(Seq(0L -> d1, 1L -> d1, 2L -> d1,
+      3L -> "completely unrelated content here"))
+    assert(registry(after) == expected)
+    assert(!expected.values.toSet.contains(1L))
+  }
+
   test("streamFoldGold replay is exactly-once: a committed batch version is adopted, not re-merged") {
     import graft.operators.Sketches
     import graft.streaming.StreamSketch
