@@ -206,6 +206,98 @@ object EventMetricsQueries {
              |       epoch_us(max(ts)) AS session_end
              |FROM sess GROUP BY user_id, seq""".stripMargin)),
 
+    // §2.9 LATE-DATA conformance (r11 stretch #8): the documented
+    // allowed-lateness semantics of streaming sessionization — SURVEY
+    // §2.5/2.9's replacement for the reference's stale-session repair —
+    // graded with a feed that actually crosses the watermark boundary in
+    // BOTH directions. Batch 1 carries every event EXCEPT a carved-out
+    // late class (user%7=3 outside [Jan 10, Jan 20)), plus a fixed
+    // ANCHOR row (user −2, 2024-03-01): with delay 45 days the watermark
+    // after batch 1 is EXACTLY 2024-01-16T00:00, data-independent.
+    // Batch 2 replays the carved rows from Jan 20 on — out-of-order
+    // (older than already-seen data) but INSIDE the allowance: they must
+    // merge into the sessions batch 1 left open in state. A sentinel
+    // then advances the watermark to Nov 16, and batch 4 replays the
+    // carved rows from before Jan 10 — now far BEYOND the allowance:
+    // Spark's late-record filter (which lags one micro-batch behind the
+    // eviction watermark — the dual-watermark rule, observed and pinned
+    // here: the same rows arriving one batch after the armed watermark
+    // are NOT dropped) discards every one, so finalized history is not
+    // rewritten and no duplicate partial sessions surface. Every late
+    // row sits > gap away from whichever watermark applies, so the
+    // accepted set is exact under either boundary rule. Oracle: batch
+    // sessionization over all events MINUS the beyond-allowance class —
+    // a dropped-but-should-merge or merged-but-should-drop late event
+    // hash-mismatches row-level.
+    GraftQuery("w_stream_sessions_late",
+      (s, dir) => {
+        val base = Scratch.dir("stream_sessions_late", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          val lateClass = col("user_id") % 7 === 3 &&
+            (col("ts") < lit("2024-01-10").cast("timestamp") ||
+              col("ts") >= lit("2024-01-20").cast("timestamp"))
+          val anchor = s.sql(
+            """SELECT CAST(-2 AS BIGINT) AS event_id,
+              |       TIMESTAMP '2024-03-01 00:00:00' AS ts,
+              |       CAST(-2 AS BIGINT) AS user_id,
+              |       'anchor' AS event_type,
+              |       CAST(0.0 AS DOUBLE) AS value, '' AS props""".stripMargin)
+            .select(ev.columns.map(col).toSeq: _*)
+          val sentinel = s.sql(
+            """SELECT CAST(-1 AS BIGINT) AS event_id,
+              |       TIMESTAMP '2024-12-31 00:00:00' AS ts,
+              |       CAST(-1 AS BIGINT) AS user_id,
+              |       'sentinel' AS event_type,
+              |       CAST(0.0 AS DOUBLE) AS value, '' AS props""".stripMargin)
+            .select(ev.columns.map(col).toSeq: _*)
+          // ONE file per stage (coalesce) + maxFilesPerTrigger=1: the
+          // stage boundaries ARE the micro-batch boundaries, so the
+          // anchor's watermark is armed before any late row arrives
+          dumpJsonl(ev.filter(!lateClass).unionAll(anchor).coalesce(1),
+            s"$base/stage1", s"$base/src", "aa_", fmt)
+          dumpJsonl(ev.filter(lateClass &&
+              col("ts") >= lit("2024-01-20").cast("timestamp")).coalesce(1),
+            s"$base/stage2", s"$base/src", "bb_", fmt)
+          dumpJsonl(sentinel.coalesce(1),
+            s"$base/stage3", s"$base/src", "yy_", fmt)
+          dumpJsonl(ev.filter(lateClass &&
+              col("ts") < lit("2024-01-10").cast("timestamp")).coalesce(1),
+            s"$base/stage4", s"$base/src", "zz_", fmt)
+          graft.streaming.StreamingSessionize.streamSessionsToParquet(
+            s, s"$base/src", ev, s"$base/sessions", s"$base/cp",
+            GapSeconds, watermarkDelay = "45 days",
+            readOptions = Map("timestampFormat" -> fmt,
+              "maxFilesPerTrigger" -> "1"))
+        }
+        s.read.parquet(s"$base/sessions")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("n_events"),
+            unix_micros(col("session_start")).as("session_start"),
+            unix_micros(col("session_end")).as("session_end"))
+      },
+      Some("""WITH src AS (
+             |  SELECT user_id, ts, event_id FROM events
+             |  WHERE NOT (user_id % 7 = 3 AND ts < TIMESTAMP '2024-01-10')
+             |), g AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              < 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM src
+             |), sess AS (
+             |  SELECT user_id, ts,
+             |         sum(is_new) OVER (PARTITION BY user_id
+             |                           ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS seq
+             |  FROM g
+             |)
+             |SELECT user_id, count(*) AS n_events,
+             |       epoch_us(min(ts)) AS session_start,
+             |       epoch_us(max(ts)) AS session_end
+             |FROM sess GROUP BY user_id, seq""".stripMargin)),
+
     // §2.9's second streaming path in the hard gate: per-event session
     // tagging through flatMapGroupsWithState (the reference's live_sessions
     // dict as distributed state, `metricselasticsearch.py:754-787`),
