@@ -69,7 +69,10 @@ object Bench {
     "d_dup_span_fraction", // ExactSubstr trim signal (gram explode + count shuffle)
     "t_kn_bigram_score",   // Kneser-Ney bigram scoring (dictionary join + type aggs)
     "a_seasonal_residuals",// weekday-seasonal baseline + MAD outlier windows
-    "t_winnow_fingerprints") // winnowing fingerprints (native within-row expr)
+    "t_winnow_fingerprints", // winnowing fingerprints (native within-row expr)
+    "d_dup_span_trim",     // ExactSubstr span removal (union fold + within-row rebuild)
+    "w_stream_cdc_gold",   // streaming chunk-registry fold (read path after buildOnce)
+    "d_winnow_pairs")      // MOSS candidate pairs (capped fingerprint self-join)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

@@ -241,6 +241,48 @@ object Dedup {
            |  j -> array_min(slice(hs, j, $w))))""".stripMargin)).as("fp"))
   }
 
+  /** Winnowing candidate pairs (the MOSS shape, Schleimer et al.
+    * SIGMOD'03 §5): doc pairs sharing ≥ `minShared` selected
+    * fingerprints, with the share count as the match strength — the
+    * plagiarism/boilerplate-overlap detector the fingerprint battery
+    * feeds. Char-grain and position-robust where MinHash-LSH is
+    * token-grain and whole-doc: two docs sharing one long span light up
+    * here even when their overall Jaccard is negligible.
+    *
+    * Scale (the [[graft.operators.Joins.blockedFuzzyPairs]] cap
+    * discipline): a fingerprint appearing in more than `maxDocsPerFp`
+    * docs is a stopword of the scheme — non-discriminative boilerplate
+    * whose self-join fanout is quadratic in its popularity and whose
+    * match signal is nil — so it is EXCLUDED before the join, bounding
+    * fanout at Σ_fp n_fp² ≤ maxDocsPerFp × |fingerprint rows|. The cap
+    * is part of the contract (the oracle replays the same predicate).
+    * One count shuffle on fp + the fp-keyed self-join + one pair
+    * partial-agg — the LSH band-join exchange class, never all-pairs.
+    *
+    * @return (i, j, n_shared) with i < j, n_shared >= minShared. */
+  def winnowCandidatePairs(df: DataFrame, id: Column, text: Column,
+                           k: Int = 8, w: Int = 4,
+                           maxDocsPerFp: Long = 20L,
+                           minShared: Long = 3L): DataFrame = {
+    require(maxDocsPerFp >= 2 && minShared >= 1)
+    // repartition on fp: ONE exchange that (a) ReuseExchange shares
+    // across the three consumers — the fingerprint scan (the dominant
+    // cost) computes once, not 3× — and (b) already satisfies the
+    // popularity groupBy's and the self-join's fp-hash requirement, so
+    // no further fp shuffle appears. Measured 5.5 s → 2.35 s at sf0.1.
+    val f = winnowFingerprints(df, id, text, k, w)
+      .repartition(col("fp"))
+    val keep = f.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxDocsPerFp).select(col("fp"))
+    val fk = f.join(keep, Seq("fp"))
+    fk.select(col("fp"), col("doc_id").as("i"))
+      .join(fk.select(col("fp"), col("doc_id").as("j")), Seq("fp"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact dedup: group by content hash, keep the smallest id as canonical.
     * One shuffle on the (high-cardinality, skew-free) hash. */
   def exactDedup(df: DataFrame, id: Column, content: Column): DataFrame =

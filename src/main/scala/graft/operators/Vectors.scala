@@ -761,16 +761,9 @@ object Vectors {
       // the argmax job above materialized the NEW checkpoint, so the
       // superseded round's blocks are dead — release them now, keeping
       // executor storage at O(1) corpus-sized distance frames instead
-      // of O(k) (r10 VERDICT: every round's checkpoint was retained).
-      // Dataset.unpersist() only consults the CacheManager; a
-      // localCheckpoint persists the UNDERLYING RDD, so that is what
-      // must be unpersisted — the checkpointed frame's plan root is a
-      // LogicalRDD holding it.
-      if (prev != null) prev.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(false); ()
-        case _ => ()
-      }
+      // of O(k) (r10 VERDICT: every round's checkpoint was retained;
+      // r12: the release is the shared helper hitsScores also uses)
+      if (prev != null) Joins.unpersistLocalCheckpoint(prev)
       chosen += ((round, far.getLong(0), Some(far.getDouble(3))))
       centerEmb = far.getSeq[Float](1)
       centerNrm = far.getDouble(2)

@@ -906,6 +906,37 @@ object DedupQueries {
              |SELECT a AS doc_id, least(a, min(b)) AS component
              |FROM reach GROUP BY a""".stripMargin)),
 
+    // Winnowing candidate pairs (MOSS, SIGMOD'03 §5): doc pairs sharing
+    // >= 3 selected fingerprints after dropping fingerprints present in
+    // > 20 docs (the blockedFuzzyPairs stopword-cap discipline, replayed
+    // by the oracle) — char-grain positional overlap detection, the
+    // query the fingerprint battery exists to feed. The native-expr
+    // fingerprints, the cap filter, the fp self-join fanout and the
+    // share counts are all graded row-exact.
+    GraftQuery("d_winnow_pairs",
+      (s, dir) => Dedup.winnowCandidatePairs(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 8, w = 4,
+        maxDocsPerFp = 20L, minShared = 3L),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+             |      i -> ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::BIGINT)
+             |      AS hs
+             |  FROM documents),
+             |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |        generate_series(1, greatest(length(hs) - 3, 1)),
+             |        j -> list_min(hs[j:j+3])))) AS fp
+             |      FROM h),
+             |keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+             |fk AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp)),
+             |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+             |        count(*) AS n_shared
+             |      FROM fk a JOIN fk b ON a.fp = b.fp
+             |                         AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared
+             |FROM p WHERE n_shared >= 3""".stripMargin)),
+
     // STREAMING byte-CDC chunk registry (the r11 stretch #3, §2.9 × the
     // byte-dedup family): the d_byte_incremental state table maintained
     // as a streaming-folded gold — the augmented corpus (documents + a

@@ -1717,6 +1717,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("winnowCandidatePairs: shared span surfaces, stopword fingerprints capped") {
+    import spark.implicits._
+    // docs 1/2 share a 60-char span behind different affixes -> the pair
+    // must surface with several shared fingerprints; 25 docs share only
+    // a short common phrase -> its fingerprints sit in >cap docs, are
+    // excluded as scheme-stopwords, and no pair forms among them
+    val span = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWX"
+    val crowd = (10L until 35L).map(i =>
+      (i, s"the quick brown fox jumps over unique$i tail${i * 7}"))
+    val docs = (Seq(
+      (1L, s"xx1yy $span zzq1"),
+      (2L, s"qq2 $span ttv2")) ++ crowd).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.winnowCandidatePairs(docs,
+        col("doc_id"), col("text"), k = 8, w = 4,
+        maxDocsPerFp = 20L, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) >= 3L, s"$got")
+    assert(got.keySet.forall { case (i, j) => i < 10L && j < 10L },
+      s"capped stopword fingerprints leaked pairs: $got")
+    // raising the cap above the crowd size brings the crowd pairs back
+    val uncapped = graft.operators.Dedup.winnowCandidatePairs(docs,
+        col("doc_id"), col("text"), k = 8, w = 4,
+        maxDocsPerFp = 30L, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.exists { case (i, j) => i >= 10L && j >= 10L },
+      s"${uncapped.toSeq.take(5)}")
+  }
+
   test("winnowFingerprints: shared long substring guarantees a common fingerprint") {
     import spark.implicits._
     val shared = "zqxjkvbnmlpwortyu" // 17 chars >= w + k - 1 = 11
