@@ -676,6 +676,46 @@ class PlanSpec extends SparkSpec {
       s"distinct edge exchange not reused (${real.size} executed shuffles):\n$fin")
   }
 
+  test("winnow pairs: one reused fp exchange, fingerprint scan computes once") {
+    // the SCALE.md claim behind the 5.5 -> 2.35 s fix: repartition(fp)
+    // is the ONLY fp-keyed exchange, ReuseExchange shares it across the
+    // popularity count and both self-join sides (the shuffle-free
+    // fingerprint scan must not re-run per consumer), and no further
+    // fp shuffle appears above it
+    val df = SparkEntry.queries("d_winnow_pairs")(spark, testDataDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(fin.contains("isFinalPlan=true"), fin)
+    val real = "\\+- Exchange hashpartitioning.*?plan_id=(\\d+)".r
+      .findAllMatchIn(fin).map(_.group(1)).toSet
+    // repartition(fp) + the (i, j) pair aggregation; anything more means
+    // either the scan replicated or the join re-shuffled the fp stream
+    assert(real.size <= 3, s"${real.size} executed exchanges:\n$fin")
+    val reused = "ReusedExchange".r.findAllIn(fin).size
+    assert(reused >= 2, s"fp exchange not shared ($reused reuses):\n$fin")
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoop"), s"non-equi join:\n$fin")
+  }
+
+  test("dup-span trim keeps the fraction query's exchange class") {
+    // trim = fraction's shuffle budget (gram count shuffle + per-doc
+    // position agg + join-back) with the rebuild WITHIN-ROW: no extra
+    // corpus-token-grain exchange, no window, no global sort
+    val df = SparkEntry.queries("d_dup_span_trim")(spark, testDataDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(fin.contains("isFinalPlan=true"), fin)
+    val real = "\\+- Exchange hashpartitioning.*?plan_id=(\\d+)".r
+      .findAllMatchIn(fin).map(_.group(1)).toSet
+    assert(real.size <= 4, s"${real.size} executed exchanges:\n$fin")
+    assert(!fin.contains("Window"), s"windowed rebuild:\n$fin")
+    val globalSorts = "(?m)^[\\s:+\\-|*]*Sort \\[".r.findAllIn(fin).size
+    assert(globalSorts == 0 || !fin.contains("Exchange rangepartitioning"),
+      s"global sort in trim:\n$fin")
+  }
+
   test("winnowing + temperature mix are shuffle-free scan-speed maps") {
     val wp = plan("t_winnow_fingerprints").split("== Initial Plan ==")(0)
     assert(!wp.contains("Exchange"), s"winnowing shuffles:\n$wp")
