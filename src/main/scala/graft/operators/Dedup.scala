@@ -211,13 +211,20 @@ object Dedup {
     * @return one row per selected fingerprint: (doc_id, fp), distinct
     *         within each doc. */
   def winnowFingerprints(df: DataFrame, id: Column, text: Column,
-                         k: Int = 8, w: Int = 4): DataFrame = {
+                         k: Int = 8, w: Int = 4,
+                         hashMode: String = "oracle"): DataFrame = {
     require(k >= 2 && w >= 2)
+    val prod = hashMode match {
+      case "oracle" => false
+      case "prod"   => true
+      case other => throw new IllegalArgumentException(
+        s"hashMode must be oracle|prod, got $other")
+    }
     df.select(id.as("doc_id"),
       explode(org.apache.spark.sql.GraftShims.column(
         graft.plans.WinnowExpr(
           org.apache.spark.sql.GraftShims.expression(text.cast("string")),
-          k, w))).as("fp"))
+          k, w, prod))).as("fp"))
   }
 
   /** The portable higher-order-function form of [[winnowFingerprints]] —
@@ -263,14 +270,16 @@ object Dedup {
   def winnowCandidatePairs(df: DataFrame, id: Column, text: Column,
                            k: Int = 8, w: Int = 4,
                            maxDocsPerFp: Long = 20L,
-                           minShared: Long = 3L): DataFrame = {
+                           minShared: Long = 3L,
+                           hashMode: String = "oracle"): DataFrame = {
     require(maxDocsPerFp >= 2 && minShared >= 1)
     // repartition on fp: ONE exchange that (a) ReuseExchange shares
     // across the three consumers — the fingerprint scan (the dominant
     // cost) computes once, not 3× — and (b) already satisfies the
     // popularity groupBy's and the self-join's fp-hash requirement, so
-    // no further fp shuffle appears. Measured 5.5 s → 2.35 s at sf0.1.
-    val f = winnowFingerprints(df, id, text, k, w)
+    // no further fp shuffle appears. Measured 5.5 s → 2.35 s at
+    // sf0.1 (→ 1.1–1.2 s after the byte-range hash kernel, SCALE.md).
+    val f = winnowFingerprints(df, id, text, k, w, hashMode)
       .repartition(col("fp"))
     val keep = f.groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxDocsPerFp).select(col("fp"))

@@ -18,10 +18,15 @@ object Hash60 {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
-  def hash(bytes: Array[Byte]): Long = {
+  def hash(bytes: Array[Byte]): Long = hash(bytes, 0, bytes.length)
+
+  /** Range form: digest `len` bytes from `off` without slicing a copy
+    * (the winnowing kernel hashes every k-char window of a row). */
+  def hash(bytes: Array[Byte], off: Int, len: Int): Long = {
     val d = md.get()
     d.reset()
-    val dig = d.digest(bytes)
+    d.update(bytes, off, len)
+    val dig = d.digest()
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }

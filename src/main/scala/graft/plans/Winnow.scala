@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * once; hash sequences shorter than w take one minimum over what
   * exists.
   */
-case class WinnowExpr(child: Expression, k: Int, w: Int)
+case class WinnowExpr(child: Expression, k: Int, w: Int,
+                      prod: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -41,10 +42,13 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
   override def prettyName: String = "graft_winnow"
 
   override protected def nullSafeEval(s: Any): Any =
-    Winnow.fingerprints(s.asInstanceOf[UTF8String], k, w)
+    if (prod) Winnow.fingerprintsProd(s.asInstanceOf[UTF8String], k, w)
+    else Winnow.fingerprints(s.asInstanceOf[UTF8String], k, w)
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.Winnow.fingerprints($c, $k, $w)")
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (prod) "fingerprintsProd" else "fingerprints"
+    defineCodeGen(ctx, ev, c => s"graft.plans.Winnow.$fn($c, $k, $w)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
     copy(child = newChild)
@@ -53,22 +57,79 @@ case class WinnowExpr(child: Expression, k: Int, w: Int)
 object Winnow {
 
   /** Static kernel shared by eval and codegen. Character (code-point)
-    * substring semantics via `UTF8String.substringSQL` — the same
-    * semantics as Spark's `substring` in the lambda form and DuckDB's
-    * `substring` in the oracle. */
+    * shingle boundaries — the same semantics as Spark's `substring` in
+    * the lambda form and DuckDB's oracle — but hashed straight over the
+    * row's byte array: one `getBytes` + one UTF-8 lead-byte offset pass
+    * per ROW, zero per-position substring allocations (the allocation,
+    * not the digest, dominated the first cut — measured in SCALE.md).
+    * Oracle hash family: 60-bit MD5 ([[Hash60]]). */
   def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val nChars = s.numChars()
+    val bytes = s.getBytes
+    val offs = charStarts(bytes)
+    val nChars = offs.length - 1
     // texts shorter than k (incl. empty) hash their whole self once —
-    // substring clamps, matching sequence(1, greatest(len-k+1, 1))
+    // the range clamps, matching sequence(1, greatest(len-k+1, 1))
     val m = math.max(nChars - (k - 1), 1)
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) {
-      hs(i) = Hash60.hash(s.substringSQL(i + 1, k).getBytes)
+      val from = offs(i)
+      val until = offs(math.min(i + k, nChars))
+      hs(i) = Hash60.hash(bytes, from, until - from)
       i += 1
     }
+    select(hs, w)
+  }
+
+  /** Production hash family: Spark's own xxhash64 (seed 42 — identical
+    * to the `xxhash64` SQL function over the same substring) instead of
+    * MD5. The selection (window minima + distinct) is byte-identical to
+    * the oracle kernel; only the hash family changes — the
+    * [[graft.operators.Dedup.hashOf]] mode discipline at char grain. */
+  def fingerprintsProd(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val offs = charStarts(bytes)
+    val nChars = offs.length - 1
+    val m = math.max(nChars - (k - 1), 1)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val from = offs(i)
+      val until = offs(math.min(i + k, nChars))
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          until - from, 42L)
+      i += 1
+    }
+    select(hs, w)
+  }
+
+  /** Byte offset of each code point's first byte, plus an end sentinel:
+    * UTF-8 continuation bytes match (b & 0xC0) == 0x80. */
+  private def charStarts(bytes: Array[Byte]): Array[Int] = {
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) n += 1
+      i += 1
+    }
+    val offs = new Array[Int](n + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(c) = i; c += 1 }
+      i += 1
+    }
+    offs(n) = bytes.length
+    offs
+  }
+
+  /** Sliding window-min + first-occurrence distinct (array_distinct
+    * parity with the lambda reference form). */
+  private def select(hs: Array[Long], w: Int): ArrayData = {
+    val m = hs.length
     val nWin = math.max(m - (w - 1), 1)
-    // distinct minima in first-occurrence order (array_distinct parity)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var j = 0
     while (j < nWin) {

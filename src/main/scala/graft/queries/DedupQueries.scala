@@ -937,6 +937,38 @@ object DedupQueries {
              |SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared
              |FROM p WHERE n_shared >= 3""".stripMargin)),
 
+    // Prod-hash twin of d_winnow_pairs (the d_cdc_prod_hash pricing
+    // discipline at char grain): same selection kernel, hash family
+    // xxhash64 instead of the oracle's 60-bit md5 — BENCH_r compares
+    // the two entries head-to-head to price the oracle hash, which at
+    // char grain runs per SHINGLE position. Output is the
+    // hash-invariant part: the planted exact clones (40 duplicated
+    // docs) must surface as candidate pairs under ANY hash family —
+    // identical texts share every fingerprint, so only the stopword
+    // cap can suppress a pair; >= 90% recall is the same bound
+    // d_byte_cdc_gear carries.
+    GraftQuery("t_winnow_prod_hash",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val aug = docs.unionAll(Tables.documents(s, dir)
+          .filter(col("doc_id") < 40)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+        val nClones = Tables.documents(s, dir).filter(col("doc_id") < 40)
+          .groupBy().agg(count(lit(1)).as("n_clones"))
+        Dedup.winnowCandidatePairs(aug, col("doc_id"), col("text"),
+            k = 8, w = 4, maxDocsPerFp = 20L, minShared = 3L,
+            hashMode = "prod")
+          .filter(col("j") === col("i") + 900000L)
+          .agg(count(lit(1)).as("nd"))
+          .crossJoin(broadcast(nClones))
+          .select(col("n_clones"),
+            (col("nd").cast("double") / col("n_clones") >= 0.9)
+              .as("clone_recall_ok"))
+      },
+      Some("""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+             |        WHERE doc_id < 40) AS n_clones,
+             |       TRUE AS clone_recall_ok""".stripMargin)),
+
     // STREAMING byte-CDC chunk registry (the r11 stretch #3, §2.9 × the
     // byte-dedup family): the d_byte_incremental state table maintained
     // as a streaming-folded gold — the augmented corpus (documents + a

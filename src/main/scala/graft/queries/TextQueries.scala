@@ -550,12 +550,14 @@ object TextQueries {
     // min-fingerprinting (t_fingerprint) lacks: any shared substring of
     // length >= w+7 chars produces at least one COMMON selected hash, so
     // matches cannot slip between samples. Entirely within-row via the
-    // native WinnowExpr (one codegen'd JVM loop per doc, digest-direct
-    // hashing — r12: 2.2× over the interpreted-lambda form it is
-    // spec-pinned bit-identical to; 1.83 s vs 4.05 s at sf0.1, see
-    // SCALE.md), no shuffle — scan-speed at 100 TB like every other doc
-    // battery. The oracle replays the lambda semantics, so the native
-    // port stays value-graded.
+    // native WinnowExpr (one codegen'd JVM loop per doc, hashing
+    // straight over byte ranges with a single char-offset pass — r12:
+    // ~7× over the interpreted-lambda form it is spec-pinned
+    // bit-identical to; 4.05 s lambda → 1.83 s substring-native →
+    // 0.52–0.56 s byte-range at sf0.1, see SCALE.md), no shuffle —
+    // scan-speed at 100 TB like every other doc battery. The oracle
+    // replays the lambda semantics, so the native port stays
+    // value-graded.
     GraftQuery("t_winnow_fingerprints",
       (s, dir) => graft.operators.Dedup.winnowFingerprints(
         Tables.documents(s, dir), col("doc_id"), col("text"), k = 8, w = 4),

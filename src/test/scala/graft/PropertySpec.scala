@@ -531,12 +531,16 @@ class PropertySpec extends SparkSpec {
       pre2   <- Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString)
     } yield (pre1 + shared + suf1, pre2 + shared, shared)
     check(Prop.forAll(g) { case (d1, d2, _) =>
-      val fps = graft.operators.Dedup.winnowFingerprints(
-          Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"),
-          col("doc_id"), col("text"), k = 8, w = 4)
-        .collect().map(r => r.getLong(0) -> r.getLong(1))
-      val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      (byDoc(1L) intersect byDoc(2L)).nonEmpty
+      // SIGMOD'03 Thm 1 is hash-family independent: it must hold under
+      // the md5 oracle family AND the xxhash64 prod family alike
+      Seq("oracle", "prod").forall { mode =>
+        val fps = graft.operators.Dedup.winnowFingerprints(
+            Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"),
+            col("doc_id"), col("text"), k = 8, w = 4, hashMode = mode)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        (byDoc(1L) intersect byDoc(2L)).nonEmpty
+      }
     })
   }
 
@@ -560,7 +564,7 @@ class PropertySpec extends SparkSpec {
             Int, Int) => org.apache.spark.sql.DataFrame) =
           f(df, col("doc_id"), col("text"), k, w)
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-        run(graft.operators.Dedup.winnowFingerprints) ==
+        run(graft.operators.Dedup.winnowFingerprints(_, _, _, _, _)) ==
           run(graft.operators.Dedup.winnowFingerprintsLambda)
     })
   }
