@@ -1120,12 +1120,14 @@ object Dedup {
     val ends = col("__ends")
     val cutsOf: Column = hashMode match {
       case "oracle" =>
-        // sequence(a, b) counts DOWN when b < a — guard short docs
-        when(length(t) >= window,
-          filter(sequence(lit(window), length(t)), i =>
-            pmod(hash60(t.substr(i - lit(window - 1), lit(window))),
-              lit(divisor.toLong)) === lit(0L)))
-          .otherwise(array().cast("array<int>"))
+        // native md5-window kernel (r12): bit-identical to the lambda
+        // form `filter(sequence(window, length(t)), i ->
+        // pmod(hash60(substr(t, i-window+1, window)), divisor) = 0)` —
+        // spec-pinned — but hashing byte ranges off one char-offset
+        // pass instead of allocating a substring per char position
+        org.apache.spark.sql.GraftShims.column(
+          graft.plans.CdcMd5CutsExpr(
+            org.apache.spark.sql.GraftShims.expression(t), window, divisor))
       case "prod" =>
         org.apache.spark.sql.GraftShims.column(
           graft.plans.CdcGearCutsExpr(

@@ -59,6 +59,66 @@ object CdcGear {
   }
 }
 
+/** Runtime for [[CdcMd5CutsExpr]]: the byte-CDC family's ORACLE-mode cut
+  * rule — `hash60(last `window` chars) % divisor == 0` evaluated at
+  * every char position from `window` to the end — as one JVM loop per
+  * row. Bit-identical to the composed SQL form
+  * `filter(sequence(window, length(t)), i ->
+  *   pmod(graft_hash60(substr(t, i-window+1, window)), divisor) = 0)`
+  * (the DuckDB-replayable rule every `d_byte_*` oracle recomputes), but
+  * hashing each window as an (offset, len) BYTE RANGE off one
+  * `getBytes` + one char-offset pass — the winnowing kernel's lesson:
+  * the per-position `substr` UTF8String allocation, not the digest,
+  * dominated the lambda form.
+  */
+object CdcMd5 {
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  def cuts(s: UTF8String, window: Int, divisor: Int): ArrayData = {
+    val bytes = s.getBytes
+    val offs = Winnow.charStarts(bytes)
+    val n = offs.length - 1
+    if (n < window) return Empty
+    val out = new java.util.ArrayList[Any]()
+    var i = window
+    while (i <= n) {
+      val from = offs(i - window)
+      // hash60 is non-negative (top 60 md5 bits), so % == pmod here
+      if (Hash60.hash(bytes, from, offs(i) - from) % divisor == 0L)
+        out.add(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native md5-window CDC cut positions — the oracle-mode sibling of
+  * [[CdcGearCutsExpr]] with the same `array<int>` contract (1-based
+  * char positions that close a chunk). */
+case class CdcMd5CutsExpr(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression {
+  require(window >= 1 && divisor >= 1,
+    s"window and divisor must be positive, got ($window, $divisor)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_md5_cuts expects a string argument, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_md5_cuts"
+
+  override protected def nullSafeEval(s: Any): Any =
+    CdcMd5.cuts(s.asInstanceOf[UTF8String], window, divisor)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.CdcMd5.cuts($c, $window, $divisor)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcMd5CutsExpr = copy(child = newChild)
+}
+
 /** Native gear-CDC cut positions of a string column — case (b) of the
   * build rules: a per-byte rolling loop has no declarative equivalent
   * (a higher-order-function formulation would evaluate an interpreted

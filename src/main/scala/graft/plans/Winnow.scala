@@ -106,8 +106,9 @@ object Winnow {
   }
 
   /** Byte offset of each code point's first byte, plus an end sentinel:
-    * UTF-8 continuation bytes match (b & 0xC0) == 0x80. */
-  private def charStarts(bytes: Array[Byte]): Array[Int] = {
+    * UTF-8 continuation bytes match (b & 0xC0) == 0x80. Shared with the
+    * byte-CDC md5-window kernel ([[CdcMd5]]). */
+  private[plans] def charStarts(bytes: Array[Byte]): Array[Int] = {
     var n = 0
     var i = 0
     while (i < bytes.length) {

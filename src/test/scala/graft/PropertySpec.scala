@@ -569,6 +569,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: native md5-window CDC cuts are bit-identical to the lambda form") {
+    // the r12 byte-range kernel must reproduce the composed SQL rule —
+    // the form every d_byte_* DuckDB oracle replays — position-exact,
+    // including multibyte char boundaries, len<window, and len==window
+    import spark.implicits._
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar), (1, Gen.const('é')), (1, Gen.const('本')))
+    val g: Gen[String] = for {
+      n  <- Gen.choose(0, 60)
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    check(Prop.forAll(g, Gen.choose(2, 20), Gen.oneOf(2, 3, 8, 64)) {
+      (text, window, divisor) =>
+        val df = Seq(Tuple1(text)).toDF("t")
+        val native = df.select(org.apache.spark.sql.GraftShims.column(
+            graft.plans.CdcMd5CutsExpr(
+              org.apache.spark.sql.GraftShims.expression(col("t")),
+              window, divisor)).as("c"))
+          .collect()(0).getSeq[Int](0)
+        val lambda = df.select(expr(
+            s"""CASE WHEN length(t) >= $window
+               |THEN filter(sequence($window, length(t)), i ->
+               |  pmod(cast(conv(substring(md5(substring(t, i - ${window - 1},
+               |    $window)), 1, 15), 16, 10) AS BIGINT),
+               |    ${divisor}L) = 0L)
+               |ELSE cast(array() AS array<int>) END""".stripMargin).as("c"))
+          .collect()(0).getSeq[Int](0)
+        native == lambda
+    })
+  }
+
   test("property: hitsScores matches a sequential integer replay") {
     val graphGen: Gen[Seq[(Long, Long)]] = for {
       n     <- Gen.choose(3, 12)
