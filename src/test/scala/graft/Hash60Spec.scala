@@ -40,4 +40,37 @@ class Hash60Spec extends SparkSpec {
       .select(Dedup.hash60(col("s"))).head().getLong(0)
     assert(viaSql == viaCol)
   }
+
+  test("graft_winnow SQL registration: parity with the operator, misuse fails at analysis") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // SQL path ≡ operator path on a real doc (same expr underneath)
+    val doc = Tables.documents(spark, testDataDir)
+      .select(col("text")).limit(1).head().getString(0)
+    val viaSql = Seq(doc).toDF("t")
+      .selectExpr("explode(graft_winnow(t, 8, 4)) AS fp")
+      .collect().map(_.getLong(0)).toSeq
+    val viaOp = Dedup.winnowFingerprints(
+        Seq((1L, doc)).toDF("doc_id", "text"), col("doc_id"), col("text"),
+        k = 8, w = 4)
+      .collect().map(_.getLong(1)).toSeq
+    assert(viaSql == viaOp)
+    // builder misuse is an analysis error, never an eval-time crash
+    val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_winnow('x', 8)").collect()
+    }
+    assert(wrongArity.getMessage.contains("graft_winnow"), wrongArity.getMessage)
+    val notFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", 8)).toDF("t", "k")
+        .selectExpr("graft_winnow(t, k, 4)").collect()
+    }
+    assert(notFoldable.getMessage.contains("foldable"), notFoldable.getMessage)
+    for (bad <- Seq("graft_winnow('x', 1, 4)", "graft_winnow('x', 8, 99999)")) {
+      val outOfRange = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $bad").collect()
+      }
+      assert(outOfRange.getMessage.contains("[2, 65536]"),
+        s"$bad: ${outOfRange.getMessage}")
+    }
+  }
 }
