@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the full bench sweep whole-stage-codegen-compiles ~70 queries in one
+  // JVM; at the default 240m the code cache fills late in the sweep, C2
+  // stops compiling, and the LAST entries run partially interpreted —
+  // measured r12: the final three entries read 1.4x/2x/3.9x their
+  // isolated medians, deflating to in-band once the cache was raised
+  "-XX:ReservedCodeCacheSize=512m",
 )
