@@ -569,6 +569,45 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: dupSpanTrim removes exactly the corpus-duplicated coverage") {
+    // independent in-memory replay over tiny-vocab corpora (heavy
+    // natural duplication -> overlap merges, adjacent chains, full-doc
+    // coverage all arise): the operator's merged-interval scan must
+    // remove EXACTLY the tokens covered by some >= 2x g-gram, rebuild
+    // the survivors in order, and report n_removed = |covered|
+    import spark.implicits._
+    val docGen: Gen[Seq[String]] = for {
+      n  <- Gen.choose(0, 15)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield ts
+    val corpusGen: Gen[List[Seq[String]]] =
+      Gen.choose(2, 5).flatMap(k => Gen.listOfN(k, docGen))
+    check(Prop.forAll(corpusGen, Gen.choose(2, 4)) { (docsToks, g) =>
+      val docs = docsToks.zipWithIndex.map { case (ts, i) =>
+        (i.toLong + 1L, ts.mkString(" "))
+      }
+      // replay: Spark's split(text, ' ') == Java split with -1 limit
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val gramCounts = toks.flatMap { case (_, w) =>
+        (0 to w.length - g).map(i => w.slice(i, i + g).mkString(" "))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val expected = toks.map { case (id, w) =>
+        val covered = (0 to w.length - g)
+          .filter(i => gramCounts(w.slice(i, i + g).mkString(" ")) >= 2)
+          .flatMap(i => i until i + g).toSet
+        val kept = w.zipWithIndex.collect {
+          case (t, i) if !covered.contains(i) => t
+        }
+        id -> ((w.length.toLong, covered.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = graft.operators.Dedup.dupSpanTrim(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"), g)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      got == expected
+    })
+  }
+
   test("property: native md5-window CDC cuts are bit-identical to the lambda form") {
     // the r12 byte-range kernel must reproduce the composed SQL rule —
     // the form every d_byte_* DuckDB oracle replays — position-exact,
