@@ -569,6 +569,53 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: winnowCandidatePairs matches an independent fingerprint replay") {
+    // full-pipeline replay in plain Scala: per-doc k-gram md5-60 hashes,
+    // window minima with first-occurrence distinct, popularity cap,
+    // pairwise shared counts — the operator (native expr + repartition +
+    // self-join + agg) must reproduce it for arbitrary corpora/k/w/cap
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 8).foreach(i => v = (v << 8) | (dig(i) & 0xffL))
+      v >>> 4
+    }
+    def fps(text: String, k: Int, w: Int): Set[Long] = {
+      val n = text.length
+      val m = math.max(n - (k - 1), 1)
+      val hs = (0 until m).map(i =>
+        h60(text.substring(i, math.min(i + k, n))))
+      val nWin = math.max(m - (w - 1), 1)
+      (0 until nWin).map(j => hs.slice(j, math.min(j + w, m)).min).toSet
+    }
+    val docGen: Gen[String] = for {
+      n  <- Gen.choose(0, 30)
+      cs <- Gen.listOfN(n, Gen.oneOf('x', 'y', 'z'))
+    } yield cs.mkString
+    val corpusGen: Gen[List[String]] =
+      Gen.choose(2, 6).flatMap(k => Gen.listOfN(k, docGen))
+    check(Prop.forAll(corpusGen, Gen.choose(2, 6), Gen.choose(2, 4),
+        Gen.choose(2L, 4L)) { (texts, k, w, cap) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val byDoc = docs.map { case (id, t) => id -> fps(t, k, w) }.toMap
+      val pop = byDoc.values.toSeq.flatten.groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val kept = byDoc.view.mapValues(_.filter(pop(_) <= cap)).toMap
+      val expected = (for {
+        (i, fi) <- kept.toSeq; (j, fj) <- kept.toSeq if i < j
+        shared = (fi intersect fj).size if shared >= 1
+      } yield (i, j) -> shared.toLong).toMap
+      val got = graft.operators.Dedup.winnowCandidatePairs(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          k, w, maxDocsPerFp = cap, minShared = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      got == expected
+    })
+  }
+
   test("property: dupSpanTrim removes exactly the corpus-duplicated coverage") {
     // independent in-memory replay over tiny-vocab corpora (heavy
     // natural duplication -> overlap merges, adjacent chains, full-doc
