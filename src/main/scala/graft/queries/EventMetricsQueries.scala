@@ -262,19 +262,13 @@ object EventMetricsQueries {
             s"$base/stage2", s"$base/src", "bb_", fmt)
           dumpJsonl(sentinel.coalesce(1),
             s"$base/stage3", s"$base/src", "yy_", fmt)
+          // the batch SEQUENCE is the semantics here (unlike the
+          // order-free lossless folds) — Scratch.dumpJsonl stamps each
+          // moved file with a strictly increasing mtime, so the four
+          // stages above can never tie-break into the wrong order
           dumpJsonl(ev.filter(lateClass &&
               col("ts") < lit("2024-01-10").cast("timestamp")).coalesce(1),
             s"$base/stage4", s"$base/src", "zz_", fmt)
-          // the batch SEQUENCE is the semantics here (unlike the
-          // order-free lossless folds): pin strictly increasing mtimes
-          // so the file source can never tie-break two stages into the
-          // wrong order on a fast writer
-          for (((pfx, idx), f) <- Seq("aa_" -> 0, "bb_" -> 1, "yy_" -> 2,
-              "zz_" -> 3).flatMap { case (p, i) =>
-                new java.io.File(s"$base/src").listFiles().toSeq
-                  .filter(_.getName.startsWith(p)).map((p, i) -> _)
-              })
-            f.setLastModified(1700000000000L + idx * 60000L)
           graft.streaming.StreamingSessionize.streamSessionsToParquet(
             s, s"$base/src", ev, s"$base/sessions", s"$base/cp",
             GapSeconds, watermarkDelay = "45 days",

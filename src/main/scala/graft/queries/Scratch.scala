@@ -67,12 +67,23 @@ private[graft] object Scratch {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Strictly increasing mtime source for [[dumpJsonl]]: the file stream
+    * source orders discovery by modification time, and several graded
+    * feeds DEPEND on stage order (late-data conformance, cross-batch
+    * dedup, MERGE version chains). Sequential writes usually produce
+    * increasing mtimes anyway, but a fast writer can tie at ms
+    * granularity and leave the order to luck — so every moved feed file
+    * gets an explicit monotonic stamp instead. */
+  private val feedMtime =
+    new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+
   /** Write `df` as JSONL into a staging dir, then move the part files into
     * `dest` under `prefix` — the feed-builder for every streaming graded
     * query (a file source needs files appearing IN a directory; Spark's
     * JSON writer wants to own the directory it writes, hence the
-    * stage-then-move). Prefixes order the feed deterministically when a
-    * later stage must arrive after an earlier one. */
+    * stage-then-move). Call order IS feed order: each moved file gets a
+    * strictly increasing mtime, so a later dump always arrives in a
+    * later micro-batch under maxFilesPerTrigger. */
   def dumpJsonl(df: org.apache.spark.sql.DataFrame, stage: String,
                 dest: String, prefix: String, fmt: String): Unit = {
     df.write.mode("overwrite").option("timestampFormat", fmt).json(stage)
@@ -80,10 +91,12 @@ private[graft] object Scratch {
     destDir.mkdirs()
     new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName)
       .foreach { f =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(destDir, prefix + f.getName).toPath,
+        val moved = new java.io.File(destDir, prefix + f.getName)
+        java.nio.file.Files.move(f.toPath, moved.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        moved.setLastModified(feedMtime.addAndGet(1000L)); ()
       }
   }
 
