@@ -337,6 +337,44 @@ object EventMetricsQueries {
              |            AS BIGINT) AS session_seq
              |FROM g""".stripMargin)),
 
+    // §2.9 on the SUCCESSOR stateful API (r12): the same per-event
+    // session tagging as w_stream_stateful, but through Spark 4's
+    // transformWithState — a StatefulProcessor with a named RocksDB
+    // ValueState slot instead of flatMapGroupsWithState's single
+    // implicit state cell. Same oracle as w_stream_stateful (batch
+    // per-event seq, <= gap, event_id tie-break), so the two state
+    // engines are graded against the SAME truth: a divergence in either
+    // API's cross-batch state carry hash-mismatches row-level. The
+    // RocksDB provider is set for this query's lifetime and restored
+    // (the other graded streams keep the default HDFS-backed store).
+    GraftQuery("w_stream_sessions_tws",
+      (s, dir) => {
+        val base = Scratch.dir("stream_sessions_tws", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          dumpJsonl(ev, s"$base/stage1", s"$base/src", "ev_", fmt)
+          graft.streaming.StreamingSessionize.streamStatefulTwsToParquet(
+            s, s"$base/src", ev, s"$base/sessions", s"$base/cp",
+            GapSeconds, readOptions = Map("timestampFormat" -> fmt))
+        }
+        s.read.parquet(s"$base/sessions")
+          .select(col("user_id"), col("event_id"), col("session_seq"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM events
+             |)
+             |SELECT user_id, event_id,
+             |       CAST(sum(is_new) OVER (PARTITION BY user_id
+             |                              ORDER BY ts, event_id
+             |                              ROWS UNBOUNDED PRECEDING)
+             |            AS BIGINT) AS session_seq
+             |FROM g""".stripMargin)),
+
     // Streaming incremental MERGE materialization (StreamMerge ×
     // Joins.mergeApply): the events feed split into three date-range
     // files — three micro-batches, each folded into a copy-on-write gold

@@ -530,6 +530,53 @@ class StreamingSpec extends SparkSpec {
     assert(hist(after) == expect)
   }
 
+  test("transformWithState sessionizer matches flatMapGroupsWithState row-exactly") {
+    import graft.streaming.{SessionEvent, StreamingSessionize}
+    import spark.implicits._
+    // same per-key walk, two state APIs: the successor API must tag
+    // every event with the identical session_seq, including state
+    // carried ACROSS micro-batches (events split by parity into two
+    // files) and the <= gap boundary tie
+    val base = 1700000000000L
+    val evs = Seq(
+      // user 1: three events, second exactly gap after first (merges
+      // under <=), third far later (new session)
+      (1L, base, 1L), (1L, base + 3600000L, 2L), (1L, base + 99999000L, 3L),
+      // user 2: interleaved arrival order across batches
+      (2L, base + 5000L, 4L), (2L, base + 10000L, 5L),
+      (2L, base + 88888000L, 6L))
+    val dir = java.nio.file.Files.createTempDirectory("tws").toString
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    def put(name: String, rows: Seq[(Long, Long, Long)], mtime: Long): Unit = {
+      val f = new java.io.File(src, name)
+      java.nio.file.Files.writeString(f.toPath, rows.map { case (u, t, id) =>
+        s"""{"user_id":$u,"ts":"${new java.sql.Timestamp(t)}","event_id":$id}"""
+      }.mkString("", "\n", "\n"))
+      f.setLastModified(mtime); ()
+    }
+    put("a.json", evs.filter(_._3 % 2 == 1), 1700000000000L)
+    put("b.json", evs.filter(_._3 % 2 == 0), 1700000002000L)
+    val schemaDf = Seq((1L, new java.sql.Timestamp(base), 1L))
+      .toDF("user_id", "ts", "event_id")
+    StreamingSessionize.streamStatefulTwsToParquet(spark, src, schemaDf,
+      s"$dir/tws_out", s"$dir/tws_cp", gapSeconds = 3600)
+    // provider restored after the tWS run: the fMGWS twin runs on the
+    // default store
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").exists(
+      _.contains("RocksDB")))
+    StreamingSessionize.streamStatefulToParquet(spark, src, schemaDf,
+      s"$dir/fm_out", s"$dir/fm_cp", gapSeconds = 3600)
+    def tags(p: String) = spark.read.parquet(p)
+      .select("user_id", "event_id", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val tws = tags(s"$dir/tws_out")
+    val fm = tags(s"$dir/fm_out")
+    assert(tws == fm, s"$tws vs $fm")
+    assert(tws((1L, 2L)) == tws((1L, 1L)), "<= gap boundary must merge")
+    assert(tws((1L, 3L)) == tws((1L, 1L)) + 1L)
+  }
+
   test("streaming CDC registry fold is bit-identical to one-shot; replay is exactly-once") {
     import graft.operators.Dedup
     import graft.streaming.StreamDedup
