@@ -353,10 +353,56 @@ object EventMetricsQueries {
         val ev = Tables.events(s, dir)
         val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
         Scratch.buildOnce(base) {
-          dumpJsonl(ev, s"$base/stage1", s"$base/src", "ev_", fmt)
+          // feed explicitly per-key time-ordered (the stateful paths'
+          // documented upstream contract) — not inherited from parquet
+          // partition layout
+          dumpJsonl(ev.orderBy(col("ts"), col("event_id")).coalesce(1),
+            s"$base/stage1", s"$base/src", "ev_", fmt)
           graft.streaming.StreamingSessionize.streamStatefulTwsToParquet(
             s, s"$base/src", ev, s"$base/sessions", s"$base/cp",
             GapSeconds, readOptions = Map("timestampFormat" -> fmt))
+        }
+        s.read.parquet(s"$base/sessions")
+          .select(col("user_id"), col("event_id"), col("session_seq"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id ORDER BY ts, event_id))
+             |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM events
+             |)
+             |SELECT user_id, event_id,
+             |       CAST(sum(is_new) OVER (PARTITION BY user_id
+             |                              ORDER BY ts, event_id
+             |                              ROWS UNBOUNDED PRECEDING)
+             |            AS BIGINT) AS session_seq
+             |FROM g""".stripMargin)),
+
+    // The two-slot showcase (r12): replay suppression AND session
+    // tagging fused into ONE StatefulProcessor — a per-user dedup
+    // MapState (the reference's eventExists ingest guard) in front of
+    // the session-walk ValueState, the named-slot composition
+    // flatMapGroupsWithState's single state cell cannot express. Feed:
+    // all events, then every event_id ≡ 0 (mod 7) replayed in a LATER
+    // micro-batch with its ORIGINAL (old) timestamp — a replay that
+    // reaches the session walk would corrupt lastTs and double-tag, so
+    // the oracle (plain per-event seq over the unique events) catches
+    // both failure modes row-level.
+    GraftQuery("w_stream_tws_dedup_sessions",
+      (s, dir) => {
+        val base = Scratch.dir("stream_tws_dedup", dir)
+        val ev = Tables.events(s, dir)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          dumpJsonl(ev.orderBy(col("ts"), col("event_id")).coalesce(1),
+            s"$base/stage1", s"$base/src", "ev_", fmt)
+          dumpJsonl(ev.filter(col("event_id") % 7 === 0).coalesce(1),
+            s"$base/stage2", s"$base/src", "zz_replay_", fmt)
+          graft.streaming.StreamingSessionize.streamStatefulTwsToParquet(
+            s, s"$base/src", ev, s"$base/sessions", s"$base/cp",
+            GapSeconds, readOptions = Map("timestampFormat" -> fmt),
+            dedup = true)
         }
         s.read.parquet(s"$base/sessions")
           .select(col("user_id"), col("event_id"), col("session_seq"))

