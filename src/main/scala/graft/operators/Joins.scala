@@ -791,7 +791,15 @@ object Joins {
     val (pairs, droppedHubs) =
       resourceAllocationPairsAudited(edges, maxWedgeDegree, topK)
     pairs.crossJoin(broadcast(
-      droppedHubs.agg(count(lit(1)).as("n_hubs_dropped"))))
+        droppedHubs.agg(count(lit(1)).as("n_hubs_dropped"))))
+      // row order after a join is not a guaranteed Dataset property even
+      // when the build side is one broadcast row, so re-assert the
+      // documented (score_micro desc, a, b) contract EXPLICITLY.
+      // sortWithinPartitions, not orderBy: the TakeOrdered top-k below is
+      // single-partition, so a partition-local sort over topK rows gives
+      // the total order with no range-partitioning exchange and no job
+      // at construction (preserving this builder's plan-only contract).
+      .sortWithinPartitions(col("score_micro").desc, col("a"), col("b"))
   }
 
   /** [[resourceAllocationPairs]] with the cap's accounting as data:

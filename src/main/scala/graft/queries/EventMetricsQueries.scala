@@ -355,9 +355,19 @@ object EventMetricsQueries {
         Scratch.buildOnce(base) {
           // feed explicitly per-key time-ordered (the stateful paths'
           // documented upstream contract) — not inherited from parquet
-          // partition layout
-          dumpJsonl(ev.orderBy(col("ts"), col("event_id")).coalesce(1),
-            s"$base/stage1", s"$base/src", "ev_", fmt)
+          // partition layout. TWO staged halves, split on the global
+          // (ts, event_id) order so every user's half-1 events precede
+          // their half-2 events: under maxFilesPerTrigger=1 the graded
+          // query itself exercises the cross-batch ValueState carry, not
+          // just the unit spec (r12 ADVICE — the comment used to claim
+          // coverage only StreamingSpec delivered).
+          val halved = ev.withColumn("half",
+            ntile(2).over(Window.orderBy(col("ts"), col("event_id"))))
+          Seq(1, 2).foreach { h =>
+            dumpJsonl(halved.filter(col("half") === h).drop("half")
+                .orderBy(col("ts"), col("event_id")).coalesce(1),
+              s"$base/stage$h", s"$base/src", s"ev${h}_", fmt)
+          }
           graft.streaming.StreamingSessionize.streamStatefulTwsToParquet(
             s, s"$base/src", ev, s"$base/sessions", s"$base/cp",
             GapSeconds, readOptions = Map("timestampFormat" -> fmt))

@@ -63,12 +63,18 @@ object PipelineQueries {
     * invocation (bench's 5 timed reps × 2 queries) would strand ~20
     * corpus-sized frames in executor storage (r11 ADVICE). Latching the
     * chain per (dir) caps the pinned set at the two frontiers, exactly
-    * like the other build-once artifacts (IVF index, bronze layout). */
-  private val stageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
+    * like the other build-once artifacts (IVF index, bronze layout).
+    *
+    * Keyed by (session, dir), not dir alone: the cached frames (and
+    * their pinned localCheckpoint RDDs) are bound to the SparkSession
+    * that built them — a second session in the same JVM querying the
+    * same dir must build its own chain, not receive frames belonging to
+    * a possibly-stopped session (r12 ADVICE). */
+  private val stageCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[DataFrame]]()
 
   private def stages(s: SparkSession, dir: String): Seq[DataFrame] =
-    stageCache.computeIfAbsent(dir, _ => stagesBuild(s, dir))
+    stageCache.computeIfAbsent((s, dir), _ => stagesBuild(s, dir))
 
   /** Runs stages 1–5, returning each stage's survivor frame (index 0 =
     * cleaned, 4 = mixed). Shared by the e2e and audit queries. */

@@ -73,9 +73,16 @@ private[graft] object Scratch {
     * dedup, MERGE version chains). Sequential writes usually produce
     * increasing mtimes anyway, but a fast writer can tie at ms
     * granularity and leave the order to luck — so every moved feed file
-    * gets an explicit monotonic stamp instead. */
-  private val feedMtime =
-    new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    * gets an explicit monotonic stamp instead.
+    *
+    * Seeded from the REAL clock, not a fixed epoch: a fixed 2023 seed
+    * stamped files OLDER than any clock mtime, so a dest dir that ever
+    * mixed stamped and unstamped files (partial build, fs rejecting
+    * setLastModified) would silently invert discovery order. Starting a
+    * minute AHEAD of now keeps every stamp newer than any stray
+    * clock-mtimed file while staying monotonic within the JVM. */
+  private val feedMtime = new java.util.concurrent.atomic.AtomicLong(
+    System.currentTimeMillis() + 60000L)
 
   /** Write `df` as JSONL into a staging dir, then move the part files into
     * `dest` under `prefix` — the feed-builder for every streaming graded
@@ -96,7 +103,12 @@ private[graft] object Scratch {
         val moved = new java.io.File(destDir, prefix + f.getName)
         java.nio.file.Files.move(f.toPath, moved.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        moved.setLastModified(feedMtime.addAndGet(1000L)); ()
+        // a silently-rejected stamp would leave this file's position in
+        // the feed to clock-mtime luck — fail loudly instead
+        val stamp = feedMtime.addAndGet(1000L)
+        require(moved.setLastModified(stamp),
+          s"setLastModified($stamp) rejected for $moved — feed order " +
+            "would fall back to tie-prone clock mtimes")
       }
   }
 

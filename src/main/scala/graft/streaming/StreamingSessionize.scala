@@ -257,6 +257,16 @@ object StreamingSessionize {
                                  dedup: Boolean = false): Unit = {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
+    // The provider override is SESSION-global for this query's lifetime
+    // (Spark exposes no per-query provider option): any stream started
+    // concurrently on the same session would silently pick up RocksDB
+    // and a checkpoint-incompatible state format (r12 ADVICE). Refuse to
+    // flip the switch while any other stream is live rather than
+    // corrupting a bystander's checkpoint.
+    require(spark.streams.active.isEmpty,
+      s"streamStatefulTwsToParquet overrides $key session-wide; " +
+        s"refusing with ${spark.streams.active.length} other active " +
+        "streaming quer(ies) that would inherit the RocksDB provider")
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
