@@ -431,6 +431,74 @@ object EventMetricsQueries {
              |            AS BIGINT) AS session_seq
              |FROM g""".stripMargin)),
 
+    // The TTL-armed two-slot processor (r12 VERDICT #3): same fused
+    // dedup→sessionize as w_stream_tws_dedup_sessions, but the replay-
+    // suppression MapState carries a PROCESSING-TIME TTL (the upstream
+    // replay horizon — the knob that bounds per-user seen-state at
+    // O(events per horizon) instead of O(events ever). Feed: all
+    // events; the %7 replay set INSIDE the horizon (suppressed, emits
+    // nothing); then a real past-horizon wall-clock wait and the SAME
+    // replay set again (seen entries expired → re-admitted, and each
+    // replay walks the live session ValueState — which has no TTL and
+    // must have SURVIVED the wait — with its original old timestamp).
+    // The oracle replays the exact two-phase walk: phase 1 = events in
+    // (ts, event_id) order, phase 2 = the re-admitted replays after
+    // them, one lag window over (phase, ts, event_id). A seen entry
+    // that failed to expire (missing phase-2 rows), a session slot
+    // that expired with it (wrong restart seq), or a replay that
+    // corrupted lastTs in phase 1 all hash-mismatch row-level.
+    GraftQuery("w_stream_tws_ttl_readmit",
+      (s, dir) => {
+        val base = Scratch.dir("stream_tws_ttl", dir)
+        val ev = Tables.events(s, dir)
+        val replays = ev.filter(col("event_id") % 7 === 0)
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        // horizon 30 s: micro-batches at any graded sf run seconds apart
+        // (sf0.1's 100k-event batch 1 measured well under 10 s), so the
+        // in-run replay lands far inside the horizon; the 35 s wait
+        // between the two runs lands far beyond it
+        val ttl = java.time.Duration.ofSeconds(30)
+        Scratch.buildOnce(base) {
+          dumpJsonl(ev.orderBy(col("ts"), col("event_id")).coalesce(1),
+            s"$base/stage1", s"$base/src", "ev_", fmt)
+          dumpJsonl(replays.coalesce(1),
+            s"$base/stage2", s"$base/src", "zz_replay_", fmt)
+          graft.streaming.StreamingSessionize.streamStatefulTwsToParquet(
+            s, s"$base/src", ev, s"$base/sessions", s"$base/cp",
+            GapSeconds, readOptions = Map("timestampFormat" -> fmt),
+            dedup = true, dedupTtl = Some(ttl))
+          Thread.sleep(ttl.toMillis + 5000L) // walk past the horizon
+          dumpJsonl(replays.coalesce(1),
+            s"$base/stage3", s"$base/src", "zzz_readmit_", fmt)
+          // resumes from the same checkpoint: one more micro-batch
+          graft.streaming.StreamingSessionize.streamStatefulTwsToParquet(
+            s, s"$base/src", ev, s"$base/sessions", s"$base/cp",
+            GapSeconds, readOptions = Map("timestampFormat" -> fmt),
+            dedup = true, dedupTtl = Some(ttl))
+        }
+        s.read.parquet(s"$base/sessions")
+          .select(col("user_id"), col("event_id"), col("session_seq"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_id, ts, 1 AS phase FROM events
+             |  UNION ALL
+             |  SELECT user_id, event_id, ts, 2 AS phase FROM events
+             |  WHERE event_id % 7 = 0
+             |), g AS (
+             |  SELECT user_id, event_id, ts, phase,
+             |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                (PARTITION BY user_id
+             |                 ORDER BY phase, ts, event_id))
+             |              <= 3600000000 THEN 0 ELSE 1 END AS is_new
+             |  FROM seq
+             |)
+             |SELECT user_id, event_id,
+             |       CAST(sum(is_new) OVER (PARTITION BY user_id
+             |                              ORDER BY phase, ts, event_id
+             |                              ROWS UNBOUNDED PRECEDING)
+             |            AS BIGINT) AS session_seq
+             |FROM g""".stripMargin)),
+
     // Streaming incremental MERGE materialization (StreamMerge ×
     // Joins.mergeApply): the events feed split into three date-range
     // files — three micro-batches, each folded into a copy-on-write gold

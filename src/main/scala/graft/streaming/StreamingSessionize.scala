@@ -193,10 +193,17 @@ object StreamingSessionize {
     * `lastTs` nor double-tag — the full ingest shape (dedup →
     * sessionize) as one stateful operator with no intermediate table.
     * State budget: the dedup map is O(events per user) on a bounded
-    * graded feed; production arms `TTLConfig` with the upstream
-    * replay horizon, which is precisely what the slot-level TTL knob
-    * is for. */
-  class DedupSessionizeProcessor(gapSeconds: Long)
+    * graded feed; production arms `seenTtl` with the upstream replay
+    * horizon — the slot-level TTL knob bounds the map at O(events per
+    * user per horizon) while the session ValueState (which MUST
+    * survive arbitrarily long idle gaps) stays un-TTL'd. A TTL'd slot
+    * requires `TimeMode.ProcessingTime`; expiry is measured from each
+    * entry's last write, so a replay arriving INSIDE the horizon is
+    * suppressed and one arriving AFTER it is re-admitted (and walks
+    * the session state with its original timestamp — graded
+    * end-to-end in `w_stream_tws_ttl_readmit`). */
+  class DedupSessionizeProcessor(gapSeconds: Long,
+                                 seenTtl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, SessionEvent, SessionizedEvent] {
     @transient private var seen:
@@ -209,7 +216,8 @@ object StreamingSessionize {
       seen = getHandle.getMapState[Long, Boolean]("seen",
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaBoolean,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        seenTtl.fold(org.apache.spark.sql.streaming.TTLConfig.NONE)(
+          org.apache.spark.sql.streaming.TTLConfig.apply))
       st = getHandle.getValueState[SessionState]("session",
         org.apache.spark.sql.Encoders.product[SessionState],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
@@ -254,7 +262,9 @@ object StreamingSessionize {
                                  outPath: String, checkpoint: String,
                                  gapSeconds: Long,
                                  readOptions: Map[String, String] = Map.empty,
-                                 dedup: Boolean = false): Unit = {
+                                 dedup: Boolean = false,
+                                 dedupTtl: Option[java.time.Duration] = None)
+      : Unit = {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
     // The provider override is SESSION-global for this query's lifetime
@@ -270,6 +280,16 @@ object StreamingSessionize {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // A TTL'd slot forces TimeMode.ProcessingTime, and under the default
+    // noDataMicroBatches=true a processing-time stateful query keeps
+    // scheduling empty batches to advance eviction — AvailableNow then
+    // NEVER terminates (measured: ~5 empty batches/s, 3500 stages before
+    // the kill). TTL correctness doesn't need idle batches: expiry is
+    // enforced at READ (an expired entry is invisible to containsKey)
+    // and physically cleaned during ordinary batch commits.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.getOption(noDataKey)
+    if (dedupTtl.isDefined) spark.conf.set(noDataKey, "false")
     try {
       val stream = spark.readStream
         .schema(schemaSource.schema)
@@ -280,12 +300,17 @@ object StreamingSessionize {
         .select(col("user_id"), col("ts"), col("event_id"))
         .as[SessionEvent]
       val processor =
-        if (dedup) new DedupSessionizeProcessor(gapSeconds)
+        if (dedup) new DedupSessionizeProcessor(gapSeconds, dedupTtl)
         else new SessionizeProcessor(gapSeconds)
+      // a TTL'd slot requires the processing-time TimeMode (expiry is
+      // measured against the batch's processing timestamp); the un-TTL'd
+      // twins keep TimeMode.None so their state format stays unchanged
+      val timeMode =
+        if (dedupTtl.isDefined)
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None()
       stream.groupByKey(_.user_id)
-        .transformWithState(processor,
-          org.apache.spark.sql.streaming.TimeMode.None(),
-          OutputMode.Append())
+        .transformWithState(processor, timeMode, OutputMode.Append())
         .writeStream
         .format("parquet")
         .option("path", outPath)
@@ -294,9 +319,15 @@ object StreamingSessionize {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
         .awaitTermination()
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+      if (dedupTtl.isDefined) prevNoData match {
+        case Some(p) => spark.conf.set(noDataKey, p)
+        case None    => spark.conf.unset(noDataKey)
+      }
     }
   }
 

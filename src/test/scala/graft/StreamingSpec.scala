@@ -579,6 +579,55 @@ class StreamingSpec extends SparkSpec {
     assert(tws((1L, 3L)) == tws((1L, 1L)) + 1L)
   }
 
+  test("TTL'd seen-slot: inside-horizon replay suppressed, past-horizon replay re-admitted against SURVIVING session state") {
+    import graft.streaming.StreamingSessionize
+    import spark.implicits._
+    // user 1 walks TWO sessions in batch 1 (e3 is > gap after e2), so
+    // the re-admitted replay of e2 can distinguish state outcomes: if
+    // the session ValueState survived the TTL wait, e2' is tagged with
+    // the CURRENT seq (2, old ts <= lastTs merges into the live
+    // session); if the value slot had expired along with the seen map,
+    // the walk would restart and tag it 1. The inside-horizon replay in
+    // batch 2 must emit nothing at all.
+    val base = 1700000000000L
+    val gapMs = 3600000L
+    val evs = Map(
+      1L -> (1L, base, 1L), 2L -> (1L, base + 1000L, 2L),
+      3L -> (1L, base + gapMs + 2000L, 3L), // > gap after e2: session 2
+      4L -> (1L, base + gapMs + 8000000L, 4L)) // > gap after e2': session 3
+    val dir = java.nio.file.Files.createTempDirectory("twsttl").toString
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    def put(name: String, rows: Seq[(Long, Long, Long)], mtime: Long): Unit = {
+      val f = new java.io.File(src, name)
+      java.nio.file.Files.writeString(f.toPath, rows.map { case (u, t, id) =>
+        s"""{"user_id":$u,"ts":"${new java.sql.Timestamp(t)}","event_id":$id}"""
+      }.mkString("", "\n", "\n"))
+      f.setLastModified(mtime); ()
+    }
+    put("a.json", Seq(evs(1L), evs(2L), evs(3L)), 1700000000000L)
+    put("b.json", Seq(evs(2L)), 1700000002000L) // replay INSIDE horizon
+    val schemaDf = Seq((1L, new java.sql.Timestamp(base), 1L))
+      .toDF("user_id", "ts", "event_id")
+    val ttl = java.time.Duration.ofSeconds(15)
+    StreamingSessionize.streamStatefulTwsToParquet(spark, src, schemaDf,
+      s"$dir/out", s"$dir/cp", gapSeconds = 3600, dedup = true,
+      dedupTtl = Some(ttl))
+    def rows() = spark.read.parquet(s"$dir/out")
+      .select("event_id", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows() == Seq((1L, 1L), (2L, 1L), (3L, 2L)),
+      s"inside-horizon replay must be suppressed: ${rows()}")
+    Thread.sleep(ttl.toMillis + 1500L) // walk past the replay horizon
+    put("c.json", Seq(evs(2L), evs(4L)), 1700000004000L)
+    // resume from the same checkpoint: the seen entries (written in
+    // batch 1, before the sleep) have expired; the session slot has not
+    StreamingSessionize.streamStatefulTwsToParquet(spark, src, schemaDf,
+      s"$dir/out", s"$dir/cp", gapSeconds = 3600, dedup = true,
+      dedupTtl = Some(ttl))
+    assert(rows() == Seq((1L, 1L), (2L, 1L), (2L, 2L), (3L, 2L), (4L, 3L)),
+      s"past-horizon replay must re-admit against carried state: ${rows()}")
+  }
+
   test("streaming CDC registry fold is bit-identical to one-shot; replay is exactly-once") {
     import graft.operators.Dedup
     import graft.streaming.StreamDedup
