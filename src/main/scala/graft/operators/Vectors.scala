@@ -439,12 +439,27 @@ object Vectors {
                          path: String, probes: DataFrame,
                          coarse: Array[Array[Float]],
                          books: Array[Array[Array[Float]]],
-                         k: Int, nprobe: Int, dim: Int): DataFrame = {
+                         k: Int, nprobe: Int, dim: Int): DataFrame =
+    ivfPqTopKFromIndexDirs(spark, Seq(path), probes, coarse, books,
+      k, nprobe, dim)
+
+  /** [[ivfPqTopKFromIndex]] over a MULTI-GENERATION index: one
+    * cluster-partitioned directory per append batch (the streaming
+    * maintenance layout, [[graft.streaming.StreamVectors]]). Each
+    * generation prunes its own cluster partitions; the union is the
+    * logical index. Probes see every generation through one scan node —
+    * at 100 TB a nightly compaction folds old generations together, but
+    * serving never requires it. */
+  def ivfPqTopKFromIndexDirs(spark: org.apache.spark.sql.SparkSession,
+                             paths: Seq[String], probes: DataFrame,
+                             coarse: Array[Array[Float]],
+                             books: Array[Array[Array[Float]]],
+                             k: Int, nprobe: Int, dim: Int): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val probeSide = ivfPqProbes(probes, coarse, books, dim, nprobe)
     val wanted = probeSide.select("cluster").distinct()
       .collect().map(_.getLong(0)) // tiny: ≤ probes × nprobe ids
-    val index = spark.read.parquet(path)
+    val index = spark.read.parquet(paths: _*)
       .filter(col("cluster").isin(wanted: _*)) // partition pruning
     ivfPqServe(index, probeSide, k)
   }

@@ -209,6 +209,110 @@ object VectorQueries {
       .agg(count(lit(1)).as("n_queries"), sum(col("h")).as("n_hits"))
   }
 
+  /** Oracle shared by v_ivfpq_append (bulk append) and
+    * w_stream_ivfpq_gold (streaming generations): both build the SAME
+    * logical index — model trained on vec_id < 250 and frozen, the full
+    * corpus coded under it, probes vec_id < 10 served top-5 by ADC — so
+    * one DuckDB replay grades both maintenance paths. */
+  private lazy val ivfPqAppendOracle: String =
+    s"""WITH half AS (SELECT * FROM embeddings WHERE vec_id < 250),
+              |ipos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+              |iseeds AS (
+              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent
+              |  FROM half ORDER BY vec_id LIMIT 16),
+              |ia0 AS (
+              |  SELECT e.vec_id, s.cid,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${dotSql("e.embedding", "s.cent")}
+              |                 * (1.0 / sqrt(${dotSql("s.cent", "s.cent")})) DESC,
+              |               s.cid DESC) AS rn
+              |  FROM half e CROSS JOIN iseeds s),
+              |imembers AS (SELECT vec_id, cid FROM ia0 WHERE rn = 1),
+              |imsum AS (
+              |  SELECT m.cid, p.pos, CAST(avg(e.embedding[p.pos]) AS FLOAT) AS mv
+              |  FROM imembers m JOIN half e USING (vec_id) CROSS JOIN ipos p
+              |  GROUP BY 1, 2),
+              |icents AS (
+              |  SELECT s.cid, list(coalesce(ms.mv, s.cent[p.pos]) ORDER BY p.pos) AS cent
+              |  FROM iseeds s CROSS JOIN ipos p
+              |  LEFT JOIN imsum ms ON ms.cid = s.cid AND ms.pos = p.pos
+              |  GROUP BY s.cid),
+              |ccl AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT e.vec_id, c.cid,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${dotSql("e.embedding", "c.cent")}
+              |                   * (1.0 / sqrt(${dotSql("c.cent", "c.cent")})) DESC,
+              |                 c.cid DESC) AS rn
+              |    FROM embeddings e CROSS JOIN icents c) WHERE rn = 1),
+              |pcl AS (
+              |  SELECT vec_id AS query_id, cid FROM (
+              |    SELECT e.vec_id, c.cid,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${dotSql("e.embedding", "c.cent")}
+              |                   * (1.0 / sqrt(${dotSql("c.cent", "c.cent")})) DESC,
+              |                 c.cid ASC) AS rn
+              |    FROM embeddings e CROSS JOIN icents c WHERE e.vec_id < 10)
+              |  WHERE rn <= 4),
+              |pos AS (SELECT unnest(generate_series(1, 8)) AS pos),
+              |sub AS (SELECT unnest(generate_series(0, 7)) AS mi),
+              |seeds AS (
+              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ki, embedding
+              |  FROM half ORDER BY vec_id LIMIT 16),
+              |init AS (
+              |  SELECT s.mi, d.ki,
+              |    list_transform(generate_series(1, 8), p -> d.embedding[s.mi * 8 + p]) AS cent
+              |  FROM sub s CROSS JOIN seeds d),
+              |a0 AS (
+              |  SELECT e.vec_id, i.mi, i.ki,
+              |    row_number() OVER (PARTITION BY e.vec_id, i.mi
+              |      ORDER BY ${centSqSql("i.cent")}
+              |                 - 2.0 * ${subDotSql("e.embedding", "i.mi", "i.cent")} ASC,
+              |               i.ki ASC) AS rn
+              |  FROM half e CROSS JOIN init i),
+              |m0 AS (SELECT vec_id, mi, ki FROM a0 WHERE rn = 1),
+              |msum AS (
+              |  SELECT m.mi, m.ki, p.pos,
+              |         CAST(avg(e.embedding[m.mi * 8 + p.pos]) AS FLOAT) AS mv
+              |  FROM m0 m JOIN half e USING (vec_id) CROSS JOIN pos p
+              |  GROUP BY 1, 2, 3),
+              |cents AS (
+              |  SELECT i.mi, i.ki, list(coalesce(ms.mv, i.cent[p.pos]) ORDER BY p.pos) AS cent
+              |  FROM init i CROSS JOIN pos p
+              |  LEFT JOIN msum ms ON ms.mi = i.mi AND ms.ki = i.ki AND ms.pos = p.pos
+              |  GROUP BY i.mi, i.ki),
+              |c1 AS (
+              |  SELECT e.vec_id, c.mi, c.ki,
+              |    row_number() OVER (PARTITION BY e.vec_id, c.mi
+              |      ORDER BY ${centSqSql("c.cent")}
+              |                 - 2.0 * ${subDotSql("e.embedding", "c.mi", "c.cent")} ASC,
+              |               c.ki ASC) AS rn
+              |  FROM embeddings e CROSS JOIN cents c),
+              |codes AS (SELECT vec_id, mi, ki FROM c1 WHERE rn = 1),
+              |terms AS (
+              |  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, cd.mi,
+              |    ${centSqSql("ct.cent")}
+              |      - 2.0 * ${subDotSql("q.embedding", "ct.mi", "ct.cent")}
+              |      + ${svSqSql("q.embedding", "ct.mi")} AS term
+              |  FROM embeddings q
+              |  CROSS JOIN codes cd
+              |  JOIN cents ct ON ct.mi = cd.mi AND ct.ki = cd.ki
+              |  JOIN ccl nc ON nc.vec_id = cd.vec_id
+              |  JOIN pcl pc ON pc.query_id = q.vec_id AND pc.cid = nc.cid
+              |  WHERE q.vec_id < 10 AND q.vec_id <> cd.vec_id),
+              |dists AS (
+              |  SELECT query_id, neighbor_id,
+              |    list_reduce(list(term ORDER BY mi), (x, y) -> x + y) AS adc_dist
+              |  FROM terms GROUP BY 1, 2),
+              |r AS (
+              |  SELECT query_id, neighbor_id, adc_dist,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY adc_dist ASC, neighbor_id) AS rank
+              |  FROM dists)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |       round(adc_dist, 6) AS adc_dist
+              |FROM r WHERE rank <= 5""".stripMargin
+
   val entries: Seq[GraftQuery] = Seq(
 
     // Brute-force exact cosine top-k: the ANN baseline. Probe side broadcast,
@@ -897,103 +1001,47 @@ object VectorQueries {
         Vectors.ivfPqTopKFromIndex(s, idx, emb.filter(col("vec_id") < 10),
           coarse, books, k = 5, nprobe = 4, dim = 64)
       },
-      Some(s"""WITH half AS (SELECT * FROM embeddings WHERE vec_id < 250),
-              |ipos AS (SELECT unnest(generate_series(1, 64)) AS pos),
-              |iseeds AS (
-              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cent
-              |  FROM half ORDER BY vec_id LIMIT 16),
-              |ia0 AS (
-              |  SELECT e.vec_id, s.cid,
-              |    row_number() OVER (PARTITION BY e.vec_id
-              |      ORDER BY ${dotSql("e.embedding", "s.cent")}
-              |                 * (1.0 / sqrt(${dotSql("s.cent", "s.cent")})) DESC,
-              |               s.cid DESC) AS rn
-              |  FROM half e CROSS JOIN iseeds s),
-              |imembers AS (SELECT vec_id, cid FROM ia0 WHERE rn = 1),
-              |imsum AS (
-              |  SELECT m.cid, p.pos, CAST(avg(e.embedding[p.pos]) AS FLOAT) AS mv
-              |  FROM imembers m JOIN half e USING (vec_id) CROSS JOIN ipos p
-              |  GROUP BY 1, 2),
-              |icents AS (
-              |  SELECT s.cid, list(coalesce(ms.mv, s.cent[p.pos]) ORDER BY p.pos) AS cent
-              |  FROM iseeds s CROSS JOIN ipos p
-              |  LEFT JOIN imsum ms ON ms.cid = s.cid AND ms.pos = p.pos
-              |  GROUP BY s.cid),
-              |ccl AS (
-              |  SELECT vec_id, cid FROM (
-              |    SELECT e.vec_id, c.cid,
-              |      row_number() OVER (PARTITION BY e.vec_id
-              |        ORDER BY ${dotSql("e.embedding", "c.cent")}
-              |                   * (1.0 / sqrt(${dotSql("c.cent", "c.cent")})) DESC,
-              |                 c.cid DESC) AS rn
-              |    FROM embeddings e CROSS JOIN icents c) WHERE rn = 1),
-              |pcl AS (
-              |  SELECT vec_id AS query_id, cid FROM (
-              |    SELECT e.vec_id, c.cid,
-              |      row_number() OVER (PARTITION BY e.vec_id
-              |        ORDER BY ${dotSql("e.embedding", "c.cent")}
-              |                   * (1.0 / sqrt(${dotSql("c.cent", "c.cent")})) DESC,
-              |                 c.cid ASC) AS rn
-              |    FROM embeddings e CROSS JOIN icents c WHERE e.vec_id < 10)
-              |  WHERE rn <= 4),
-              |pos AS (SELECT unnest(generate_series(1, 8)) AS pos),
-              |sub AS (SELECT unnest(generate_series(0, 7)) AS mi),
-              |seeds AS (
-              |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ki, embedding
-              |  FROM half ORDER BY vec_id LIMIT 16),
-              |init AS (
-              |  SELECT s.mi, d.ki,
-              |    list_transform(generate_series(1, 8), p -> d.embedding[s.mi * 8 + p]) AS cent
-              |  FROM sub s CROSS JOIN seeds d),
-              |a0 AS (
-              |  SELECT e.vec_id, i.mi, i.ki,
-              |    row_number() OVER (PARTITION BY e.vec_id, i.mi
-              |      ORDER BY ${centSqSql("i.cent")}
-              |                 - 2.0 * ${subDotSql("e.embedding", "i.mi", "i.cent")} ASC,
-              |               i.ki ASC) AS rn
-              |  FROM half e CROSS JOIN init i),
-              |m0 AS (SELECT vec_id, mi, ki FROM a0 WHERE rn = 1),
-              |msum AS (
-              |  SELECT m.mi, m.ki, p.pos,
-              |         CAST(avg(e.embedding[m.mi * 8 + p.pos]) AS FLOAT) AS mv
-              |  FROM m0 m JOIN half e USING (vec_id) CROSS JOIN pos p
-              |  GROUP BY 1, 2, 3),
-              |cents AS (
-              |  SELECT i.mi, i.ki, list(coalesce(ms.mv, i.cent[p.pos]) ORDER BY p.pos) AS cent
-              |  FROM init i CROSS JOIN pos p
-              |  LEFT JOIN msum ms ON ms.mi = i.mi AND ms.ki = i.ki AND ms.pos = p.pos
-              |  GROUP BY i.mi, i.ki),
-              |c1 AS (
-              |  SELECT e.vec_id, c.mi, c.ki,
-              |    row_number() OVER (PARTITION BY e.vec_id, c.mi
-              |      ORDER BY ${centSqSql("c.cent")}
-              |                 - 2.0 * ${subDotSql("e.embedding", "c.mi", "c.cent")} ASC,
-              |               c.ki ASC) AS rn
-              |  FROM embeddings e CROSS JOIN cents c),
-              |codes AS (SELECT vec_id, mi, ki FROM c1 WHERE rn = 1),
-              |terms AS (
-              |  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, cd.mi,
-              |    ${centSqSql("ct.cent")}
-              |      - 2.0 * ${subDotSql("q.embedding", "ct.mi", "ct.cent")}
-              |      + ${svSqSql("q.embedding", "ct.mi")} AS term
-              |  FROM embeddings q
-              |  CROSS JOIN codes cd
-              |  JOIN cents ct ON ct.mi = cd.mi AND ct.ki = cd.ki
-              |  JOIN ccl nc ON nc.vec_id = cd.vec_id
-              |  JOIN pcl pc ON pc.query_id = q.vec_id AND pc.cid = nc.cid
-              |  WHERE q.vec_id < 10 AND q.vec_id <> cd.vec_id),
-              |dists AS (
-              |  SELECT query_id, neighbor_id,
-              |    list_reduce(list(term ORDER BY mi), (x, y) -> x + y) AS adc_dist
-              |  FROM terms GROUP BY 1, 2),
-              |r AS (
-              |  SELECT query_id, neighbor_id, adc_dist,
-              |    row_number() OVER (PARTITION BY query_id
-              |                       ORDER BY adc_dist ASC, neighbor_id) AS rank
-              |  FROM dists)
-              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
-              |       round(adc_dist, 6) AS adc_dist
-              |FROM r WHERE rank <= 5""".stripMargin)),
+      Some(ivfPqAppendOracle)),
+
+    // STREAMING index maintenance gold (r12 VERDICT #4): the same frozen
+    // half-model and the same LOGICAL index as v_ivfpq_append, but the
+    // second half arrives as a JSONL stream replayed in thirds — three
+    // micro-batches, each coded map-only into its own gen=<batchId>
+    // partition directory beside the bulk-built gen=base (exactly-once
+    // via the per-generation _SUCCESS adopt-or-overwrite protocol). The
+    // serve reads ONE index root — generations are a partition column —
+    // and must be bit-identical to the bulk append path, so the oracle
+    // IS v_ivfpq_append's: a lost batch, a replay-duplicated batch, or
+    // a generation the reader misses all change served ranks and
+    // hash-mismatch row-level.
+    GraftQuery("w_stream_ivfpq_gold",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.filter(col("vec_id") < 250)
+        val delta = emb.filter(col("vec_id") >= 250)
+        val (coarse, books) = ivfPqModels.computeIfAbsent(
+          modelKey("append", dir),
+          _ => Vectors.ivfPqModel(base, numClusters = 16, m = 8, pqK = 16,
+            dim = 64))
+        val root = Scratch.dir("stream_ivfpq", dir)
+        Scratch.buildOnce(root) {
+          Vectors.ivfPqWriteIndex(base, s"$root/index/gen=base", coarse,
+            books, dim = 64)
+          // the daily-delta feed: thirds by vec_id residue (index append
+          // is order-free, so any deterministic split grades the fold)
+          Seq(0, 1, 2).foreach { m =>
+            Scratch.dumpJsonl(
+              delta.filter(col("vec_id") % 3 === m).coalesce(1),
+              s"$root/stage$m", s"$root/src", s"d${m}_", "yyyy-MM-dd")
+          }
+          graft.streaming.StreamVectors.streamIvfPqGold(s, s"$root/src",
+            emb, s"$root/index", s"$root/cp", coarse, books, dim = 64)
+        }
+        Vectors.ivfPqTopKFromIndex(s, s"$root/index",
+          emb.filter(col("vec_id") < 10), coarse, books,
+          k = 5, nprobe = 4, dim = 64)
+      },
+      Some(ivfPqAppendOracle)),
 
     // ANN approximation-QUALITY gate: recall@5 of the production two-stage
     // serve — IVF-PQ ADC shortlist (top-100 from the materialized index,

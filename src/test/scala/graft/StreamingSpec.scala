@@ -683,6 +683,63 @@ class StreamingSpec extends SparkSpec {
     assert(!expected.values.toSet.contains(1L))
   }
 
+  test("streaming IVF-PQ generations match the bulk append bit-exactly; replay is exactly-once") {
+    import graft.operators.Vectors
+    import graft.streaming.StreamVectors
+    val emb = Tables.embeddings(spark, testDataDir)
+    val base = emb.filter(col("vec_id") < 30)
+    val delta = emb.filter(col("vec_id") >= 30)
+    val (coarse, books) =
+      Vectors.ivfPqModel(base, numClusters = 4, m = 8, pqK = 8, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("sivfpq").toString
+    // bulk truth: base + delta appended under the frozen model
+    Vectors.ivfPqWriteIndex(base, s"$dir/bulk", coarse, books, dim = 64)
+    Vectors.ivfPqAppendToIndex(delta, s"$dir/bulk", coarse, books, dim = 64)
+    // streaming twin: base as gen=base, delta in two micro-batches
+    Vectors.ivfPqWriteIndex(base, s"$dir/idx/gen=base", coarse, books,
+      dim = 64)
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    def stage(name: String, df: org.apache.spark.sql.DataFrame,
+              mtime: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite").json(s"$dir/st_$name")
+      new java.io.File(s"$dir/st_$name").listFiles()
+        .filter(_.getName.endsWith(".json")).foreach { f =>
+          val moved = new java.io.File(src, name + ".json")
+          java.nio.file.Files.move(f.toPath, moved.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          moved.setLastModified(mtime); ()
+        }
+    }
+    stage("a", delta.filter(col("vec_id") % 2 === 0), 1700000000000L)
+    stage("b", delta.filter(col("vec_id") % 2 === 1), 1700000002000L)
+    val gens = StreamVectors.streamIvfPqGold(spark, src, emb, s"$dir/idx",
+      s"$dir/cp", coarse, books, dim = 64)
+    assert(gens.size == 2, s"expected 2 stream generations, got $gens")
+    def serve(path: String) =
+      Vectors.ivfPqTopKFromIndex(spark, path, emb.filter(col("vec_id") < 5),
+          coarse, books, k = 3, nprobe = 2, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val bulk = serve(s"$dir/bulk")
+    assert(serve(s"$dir/idx") == bulk,
+      "streamed generations must serve bit-identically to the bulk append")
+    // exactly-once: wipe the checkpoint so both batches replay with their
+    // original batchIds — complete generations must be ADOPTED, not
+    // re-coded into duplicate rows (a duplicate neighbor would occupy two
+    // ranks of a served top-k)
+    def rmrf2(d: java.io.File): Unit = {
+      Option(d.listFiles).foreach(_.foreach(rmrf2)); d.delete(); ()
+    }
+    val nRows = spark.read.parquet(s"$dir/idx").count()
+    rmrf2(new java.io.File(s"$dir/cp"))
+    val replayed = StreamVectors.streamIvfPqGold(spark, src, emb,
+      s"$dir/idx", s"$dir/cp", coarse, books, dim = 64)
+    assert(replayed == gens)
+    assert(spark.read.parquet(s"$dir/idx").count() == nRows,
+      "replay must not duplicate index rows")
+    assert(serve(s"$dir/idx") == bulk)
+  }
+
   test("streamFoldGold replay is exactly-once: a committed batch version is adopted, not re-merged") {
     import graft.operators.Sketches
     import graft.streaming.StreamSketch
