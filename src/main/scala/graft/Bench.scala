@@ -119,7 +119,8 @@ object Bench {
     "w_stream_cdc_gold",   // streaming chunk-registry fold (read path after buildOnce)
     "d_winnow_pairs",      // MOSS candidate pairs (capped fingerprint self-join)
     "t_winnow_prod_hash",  // same pipeline, xxhash64 family (prices the md5 oracle hash)
-    "w_stream_sessions_tws") // transformWithState tagging (RocksDB state path)
+    "w_stream_sessions_tws", // transformWithState tagging (RocksDB state path)
+    "d_exact_substr")      // prefix-doubling suffix ranks (log2 L join rounds)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

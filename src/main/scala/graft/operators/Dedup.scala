@@ -195,6 +195,128 @@ object Dedup {
             .stripMargin).as("trimmed_text"))
   }
 
+  /** TRUE arbitrary-length ExactSubstr coverage (Lee et al., ACL 2022
+    * §4.1) via DISTRIBUTED PREFIX-DOUBLING SUFFIX RANKS — the r12
+    * stretch: collision-FREE duplicated-span detection for spans of any
+    * length ≥ `minLen`, where [[dupSpanFraction]] is exact only up to
+    * md5 collisions. Two exact facts carry the design:
+    *
+    *  1. COVERAGE EQUIVALENCE. The union of positions covered by
+    *     duplicated substrings of ANY length ≥ L equals the union of
+    *     positions covered by duplicated length-L windows taken at
+    *     EVERY offset: a longer duplicated span is tiled by length-L
+    *     sub-windows (each itself duplicated), and any duplicated
+    *     L-window is already a ≥ L span. Span detection therefore
+    *     needs only an exact "is the L-prefix at position p duplicated
+    *     anywhere in the corpus?" test — no LCP array and no full
+    *     lexicographic suffix order, just suffix-EQUALITY classes.
+    *  2. PREFIX-DOUBLING RANK TEST. After m = ⌊log₂ L⌋ doubling
+    *     rounds, rank classes are exactly 2^m-prefix equality classes,
+    *     and two positions share an L-prefix iff their
+    *     `(rank_m[p], rank_m[p + L − 2^m])` key pairs are equal (the
+    *     classic overlapping-window argument — the two 2^m windows
+    *     tile [p, p+L)). Ranks are EQUALITY REPRESENTATIVES, not
+    *     ordinals: each class is tagged by its minimum
+    *     `doc_id·2²⁰ + pos` member, so a doubling round is
+    *     join(shift) → groupBy(min) → join(back) — three hash
+    *     shuffles, NO global sort and no driver-side rank assignment
+    *     (the usual zipWithIndex re-ranking barrier disappears because
+    *     only equality, never order, reaches the final test).
+    *
+    * Scale: ⌈log₂ minLen⌉ rounds (25 → 4, 200 → 7), each three hash
+    * exchanges over (doc_id, pos, rank) rows — 24 bytes × corpus
+    * tokens, independent of minLen. The md5-gram path ships one
+    * exchange but hashes minLen tokens PER POSITION (O(n·L) compute);
+    * the doubling path wins when L is large or collision-freedom is
+    * contractual, the gram path when L is small — both are priced in
+    * SCALE.md. Suffixes shorter than a window rank with a −1 pad
+    * (the `$`-sentinel convention), which cannot collide with real
+    * representatives (≥ 0). Constraint: per-doc token count < 2²⁰
+    * (repr packing); web documents are orders of magnitude below it.
+    *
+    * @return one row per doc: (doc_id, n_tokens, n_dup_starts,
+    *         covered_tokens, dup_frac_micro) — [[dupSpanFraction]]'s
+    *         shape with starts counted instead of grams. */
+  def exactSubstrCoverage(df: DataFrame, id: Column, text: Column,
+                          minLen: Int = 25): DataFrame = {
+    require(minLen >= 2)
+    val toks = df.select(id.as("doc_id"), split(text, " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_tokens"))
+    val positions = toks
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val repr = col("doc_id") * (1L << 20) + col("pos")
+    // rank_1: token-equality classes tagged by their smallest member.
+    // EAGER localCheckpoint per round (the resolveRoots/pageRank
+    // discipline, Joins.scala): each round reads the previous rank
+    // table THREE times (shift projection, pair build, class-map
+    // groupBy) and feeds the next — without the barrier the lineage
+    // re-computes every prior round multiply (measured 3^rounds plan
+    // blowup, 1.1 MB task binaries at 500 docs). A superseded round's
+    // blocks are released as soon as its successor materializes.
+    var r = positions.join(
+      positions.groupBy("tok").agg(min(repr).as("rank")), "tok")
+      .select(col("doc_id"), col("pos"), col("rank"))
+      .localCheckpoint()
+    val m = 31 - Integer.numberOfLeadingZeros(minLen) // floor(log2 L)
+    var k = 1L
+    (1 to m).foreach { _ =>
+      // rank of the suffix k ahead, re-addressed to this position — a
+      // projection, not a join; missing (suffix ends) pads with -1
+      val shifted = r.select(col("doc_id"), (col("pos") - k).as("pos"),
+        col("rank").as("r2")).filter(col("pos") >= 1)
+      val paired = r.join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("rank").as("r1"),
+          coalesce(col("r2"), lit(-1L)).as("r2"))
+      val rmap = paired.groupBy("r1", "r2").agg(min(repr).as("rank"))
+      val next = paired.join(rmap, Seq("r1", "r2"))
+        .select(col("doc_id"), col("pos"), col("rank"))
+        .localCheckpoint()
+      graft.operators.Joins.unpersistLocalCheckpoint(r)
+      r = next
+      k *= 2
+    }
+    // k = 2^m. L-prefix equality key at p: (rank[p], rank[p + L - 2^m])
+    val off = minLen - k
+    val keys =
+      if (off == 0)
+        r.select(col("doc_id"), col("pos"), col("rank").as("r1"),
+          col("rank").as("r2"))
+      else {
+        val tail = r.select(col("doc_id"), (col("pos") - off).as("pos"),
+          col("rank").as("r2")).filter(col("pos") >= 1)
+        r.join(tail, Seq("doc_id", "pos"))
+          .select(col("doc_id"), col("pos"), col("rank").as("r1"),
+            col("r2"))
+      }
+    val starts = keys
+      .join(toks.select(col("doc_id"), col("n_tokens")), "doc_id")
+      .filter(col("pos") <= col("n_tokens") - (minLen - 1))
+    val dupKeys = starts.groupBy("r1", "r2")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select("r1", "r2")
+    val perDoc = starts.join(dupKeys, Seq("r1", "r2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_starts"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .withColumn("covered", expr(
+        s"""aggregate(ps, struct(0L AS cov, 0L AS reach),
+           |  (a, p) -> struct(
+           |    a.cov + greatest(0L, p + $minLen - greatest(a.reach, p)),
+           |    greatest(a.reach, p + $minLen)),
+           |  a -> a.cov)""".stripMargin))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc.select(col("doc_id"), col("n_dup_starts"),
+        col("covered")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_frac_micro",
+        expr("covered_tokens * 1000000L div n_tokens"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
     * §3): hash every k-char shingle of the text, slide a w-hash window
     * over the sequence, and select each window's MINIMUM hash. The

@@ -291,6 +291,72 @@ object DedupQueries {
               |SELECT a AS doc_id, least(a, min(b)) AS component
               |FROM reach GROUP BY a""".stripMargin)),
 
+    // TRUE arbitrary-length ExactSubstr (r12 VERDICT #5, the stretch):
+    // distributed prefix-doubling suffix ranks — collision-free span
+    // detection for ANY length >= 25, graded on PLANTED spans of length
+    // 25, 50 and 200 at arbitrary (doc_id-derived) offsets: each %97
+    // document contributes a clone holding tokens [o, o+len) of its
+    // source, so the corpus contains known duplicated spans with
+    // non-multiple-of-25 tails at both ends. The Spark side runs the
+    // suffix-rank algorithm (log2 L doubling rounds, equality-
+    // representative ranks, zero hashing); the oracle replays the
+    // INDEPENDENT every-offset md5-gram formulation — the two agree by
+    // the coverage-equivalence theorem in the operator's scaladoc, so a
+    // rank-class bug, a padding slip at short suffixes, or a tail
+    // rounded to gram stride all hash-mismatch row-level.
+    GraftQuery("d_exact_substr",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
+          .withColumn("len", expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
+              "ELSE 200 END"))
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= col("o") + col("len") - 1)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        Dedup.exactSubstrCoverage(docs.unionByName(planted),
+          col("doc_id"), col("text"), minLen = 25)
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |         (1 + doc_id % 7)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
+             |              ELSE 200 END AS len
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000,
+             |         array_to_string(w[o : o + len - 1], ' ')
+             |  FROM src WHERE length(w) >= o + len - 1),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |occ AS (SELECT doc_id, n_tokens, i::BIGINT AS pos,
+             |          md5(array_to_string(w[i:i+24], ' ')) AS h
+             |        FROM t, unnest(generate_series(1,
+             |          greatest(length(w) - 24, 0))) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |spans AS (
+             |  SELECT doc_id, pos,
+             |    greatest(0, pos + 25 - greatest(coalesce(
+             |      max(pos + 25) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0), pos)) AS adds
+             |  FROM occ JOIN dup USING (h)),
+             |pd AS (SELECT doc_id, count(*) AS n_dup_starts,
+             |         sum(adds) AS covered
+             |       FROM spans GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       coalesce(pd.n_dup_starts, 0)::BIGINT AS n_dup_starts,
+             |       coalesce(pd.covered, 0)::BIGINT AS covered_tokens,
+             |       (coalesce(pd.covered, 0) * 1000000 // t.n_tokens)::BIGINT
+             |         AS dup_frac_micro
+             |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
     // Duplicated-span fraction (Lee et al. ACL'22 ExactSubstr at fixed
     // gram length): per doc, the exact fraction of tokens covered by a
     // 25-token span occurring >= 2 times in the corpus — the trim/drop

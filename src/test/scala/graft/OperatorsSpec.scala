@@ -1674,6 +1674,68 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4L) == ((30L, 1L, 25L, 833333L)), s"$got")
   }
 
+  test("exactSubstrCoverage: planted 25/50/200-token spans at arbitrary offsets, exact tails") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    // a 200-token span planted at offset 4 of doc 1 and offset 31 of
+    // doc 2 — arbitrary offsets, arbitrary (non-multiple-of-25) tails
+    val span200 = toks("s", 200)
+    val d1 = toks("a", 3) ++ span200 ++ toks("a2", 17) // 220 tokens
+    val d2 = toks("b", 30) ++ span200 ++ toks("b2", 8) // 238 tokens
+    // a 50-token span shared between docs 3 and 4
+    val span50 = toks("t", 50)
+    val d3 = toks("c", 7) ++ span50 ++ toks("c2", 13) // 70 tokens
+    val d4 = span50 ++ toks("d", 40)                  // 90 tokens
+    // exactly 25 shared tokens (the threshold boundary) in docs 5/6
+    val span25 = toks("u", 25)
+    val d5 = toks("e", 2) ++ span25 ++ toks("e2", 3) // 30 tokens
+    val d6 = toks("f", 5) ++ span25                  // 30 tokens
+    // a 24-token shared run: BELOW threshold, must count nothing
+    val span24 = toks("v", 24)
+    val d7 = span24 ++ toks("g", 6)  // 30 tokens
+    val d8 = toks("h", 6) ++ span24  // 30 tokens
+    val docs = Seq(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4, 5L -> d5,
+      6L -> d6, 7L -> d7, 8L -> d8)
+      .map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactSubstrCoverage(
+        docs, col("doc_id"), col("text"), minLen = 25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // covered = exactly the planted span length (exact tails, no
+    // fixed-stride rounding); starts = len - 24
+    assert(got(1L) == ((220L, 176L, 200L)), s"$got")
+    assert(got(2L) == ((238L, 176L, 200L)), s"$got")
+    assert(got(3L) == ((70L, 26L, 50L)), s"$got")
+    assert(got(4L) == ((90L, 26L, 50L)), s"$got")
+    assert(got(5L) == ((30L, 1L, 25L)), s"$got")
+    assert(got(6L) == ((30L, 1L, 25L)), s"$got")
+    assert(got(7L) == ((30L, 0L, 0L)), s"$got")
+    assert(got(8L) == ((30L, 0L, 0L)), s"$got")
+  }
+
+  test("exactSubstrCoverage == every-offset md5-gram coverage (the equivalence, executable)") {
+    import spark.implicits._
+    // the proof in the scaladoc, run as code: on any corpus the
+    // suffix-rank path and dupSpanFraction's every-offset hashed grams
+    // must agree exactly (mismatch = either a rank-class bug or an md5
+    // collision). Corpus: real sf0.001 documents plus planted clones.
+    val docs = Tables.documents(spark, testDataDir)
+      .select(col("doc_id"), col("text")).limit(120)
+    val clones = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 3, 60))").as("text"))
+    val corpus = docs.unionByName(clones)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "covered_tokens", "dup_frac_micro")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val sa = asMap(graft.operators.Dedup.exactSubstrCoverage(
+      corpus, col("doc_id"), col("text"), minLen = 25))
+    val gram = asMap(graft.operators.Dedup.dupSpanFraction(
+      corpus, col("doc_id"), col("text"), g = 25))
+    assert(sa == gram, s"suffix-rank vs gram coverage diverged")
+  }
+
   test("dupSpanTrim: merges overlapping spans, keeps gap tokens, passes unique docs") {
     import spark.implicits._
     val docs = Seq(
