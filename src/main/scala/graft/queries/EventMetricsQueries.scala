@@ -450,13 +450,17 @@ object EventMetricsQueries {
     GraftQuery("w_stream_tws_ttl_readmit",
       (s, dir) => {
         val base = Scratch.dir("stream_tws_ttl", dir)
-        val ev = Tables.events(s, dir)
+        // the %11 user slice, NOT the full table: batch timestamps are
+        // the TTL clock, so the inside-horizon guarantee needs batch-1
+        // duration << the horizon at EVERY graded sf — the feed size
+        // must stay flat as the corpus scales (the TTL semantics under
+        // test are per-user and gain nothing from corpus-wide volume)
+        val ev = Tables.events(s, dir).filter(col("user_id") % 11 === 0)
         val replays = ev.filter(col("event_id") % 7 === 0)
         val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-        // horizon 30 s: micro-batches at any graded sf run seconds apart
-        // (sf0.1's 100k-event batch 1 measured well under 10 s), so the
-        // in-run replay lands far inside the horizon; the 35 s wait
-        // between the two runs lands far beyond it
+        // horizon 30 s: micro-batches of the sliced feed run ~1-3 s
+        // apart at any sf, far inside it; the 35 s wait between the two
+        // runs lands far beyond it
         val ttl = java.time.Duration.ofSeconds(30)
         Scratch.buildOnce(base) {
           dumpJsonl(ev.orderBy(col("ts"), col("event_id")).coalesce(1),
@@ -479,10 +483,13 @@ object EventMetricsQueries {
         s.read.parquet(s"$base/sessions")
           .select(col("user_id"), col("event_id"), col("session_seq"))
       },
-      Some("""WITH seq AS (
-             |  SELECT user_id, event_id, ts, 1 AS phase FROM events
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, ts FROM events
+             |  WHERE user_id % 11 = 0
+             |), seq AS (
+             |  SELECT user_id, event_id, ts, 1 AS phase FROM ev
              |  UNION ALL
-             |  SELECT user_id, event_id, ts, 2 AS phase FROM events
+             |  SELECT user_id, event_id, ts, 2 AS phase FROM ev
              |  WHERE event_id % 7 = 0
              |), g AS (
              |  SELECT user_id, event_id, ts, phase,
