@@ -297,6 +297,11 @@ object Dedup {
     val dupKeys = starts.groupBy("r1", "r2")
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
       .select("r1", "r2")
+    // reduce to DOC-grain before releasing the rank table: the final
+    // checkpoint pins one small row per doc, not corpus-token-sized
+    // rank blocks — 7 bench reps of the sf1 corpus would otherwise
+    // strand ~1.7 GB of executor storage and inflate every later
+    // in-set entry (the stage-cache lesson, PipelineQueries)
     val perDoc = starts.join(dupKeys, Seq("r1", "r2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_starts"),
@@ -307,9 +312,11 @@ object Dedup {
            |    a.cov + greatest(0L, p + $minLen - greatest(a.reach, p)),
            |    greatest(a.reach, p + $minLen)),
            |  a -> a.cov)""".stripMargin))
+      .select(col("doc_id"), col("n_dup_starts"), col("covered"))
+      .localCheckpoint()
+    graft.operators.Joins.unpersistLocalCheckpoint(r)
     toks.select(col("doc_id"), col("n_tokens"))
-      .join(perDoc.select(col("doc_id"), col("n_dup_starts"),
-        col("covered")), Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
         coalesce(col("covered"), lit(0L)).as("covered_tokens"))
