@@ -29,8 +29,13 @@ object Bench {
   /** Per-entry medians from the previous round's driver artifact (the
     * newest BENCH_r{N}.json in cwd), for the in-bench regression fence.
     * The values live in the artifact's bounded-tail capture of the full
-    * contract line, so extract them lexically rather than as JSON. */
-  def prevRoundMedians(): (Int, Map[String, Double]) = {
+    * contract line, so extract them lexically rather than as JSON.
+    * Cross-SCALE-FACTOR comparisons are refused: the driver artifact is
+    * sf0.1, so a dev/sf1 sweep (`sfDir` not containing the artifact's
+    * `"sf"` label) gets an empty baseline rather than a fence that
+    * flags every entry and burns re-measure time on 10x-data readings
+    * (measured: 12 spurious re-runs in the first sf1 trend sweep). */
+  def prevRoundMedians(sfDir: String): (Int, Map[String, Double]) = {
     val cwd = new java.io.File(".")
     val re = """BENCH_r(\d+)\.json""".r
     val files = Option(cwd.listFiles()).getOrElse(Array.empty).flatMap { f =>
@@ -41,6 +46,9 @@ object Bench {
     val txt = try {
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
     } catch { case _: Throwable => return (0, Map.empty) }
+    val sfLabel = """"sf"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1))
+    if (!sfLabel.exists(l => sfDir.contains(s"sf$l"))) return (n, Map.empty)
     val pair = """\\?"([a-z0-9_]+)\\?":(\d+\.\d+)""".r
     val m = pair.findAllMatchIn(txt).map(mm => mm.group(1) -> mm.group(2).toDouble)
       .filter { case (k, _) => headline.contains(k) }.toMap
@@ -233,7 +241,7 @@ object Bench {
     // official round (the artifact-inflation signature), get one fresh
     // 1-warm+3-timed pass; the reported value is min(median, re-median) —
     // steady state can only be <= an inflated first pass.
-    val (prevRound, prevMedians) = prevRoundMedians()
+    val (prevRound, prevMedians) = prevRoundMedians(sfDir)
     firstPass.foreach { case (name, v) =>
       prevMedians.get(name).foreach { p =>
         if (v > math.max(2.0 * p, p + 0.5)) flaggedForRerun += name
