@@ -1012,14 +1012,21 @@ object DedupQueries {
     // docs) must surface as candidate pairs under ANY hash family —
     // identical texts share every fingerprint, so only the stopword
     // cap can suppress a pair; >= 90% recall is the same bound
-    // d_byte_cdc_gear carries.
+    // d_byte_cdc_gear carries. The corpus is first canonicalized to ONE
+    // representative per distinct text (the production order: exact
+    // dedup BEFORE near-dup candidate generation) — the r13 sf1 gate
+    // caught the alternative: sf1's 10-clone families pushed every
+    // cross-family fingerprint past the maxDocsPerFp cap and the
+    // planted-pair recall assertion broke on testdata multiplicity, not
+    // on the kernel.
     GraftQuery("t_winnow_prod_hash",
       (s, dir) => {
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val aug = docs.unionAll(Tables.documents(s, dir)
-          .filter(col("doc_id") < 40)
+        val docs = Tables.documents(s, dir)
+          .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("text"))
+        val aug = docs.unionAll(docs.filter(col("doc_id") < 40)
           .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
-        val nClones = Tables.documents(s, dir).filter(col("doc_id") < 40)
+        val nClones = docs.filter(col("doc_id") < 40)
           .groupBy().agg(count(lit(1)).as("n_clones"))
         Dedup.winnowCandidatePairs(aug, col("doc_id"), col("text"),
             k = 8, w = 4, maxDocsPerFp = 20L, minShared = 3L,
@@ -1031,7 +1038,9 @@ object DedupQueries {
             (col("nd").cast("double") / col("n_clones") >= 0.9)
               .as("clone_recall_ok"))
       },
-      Some("""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+      Some("""WITH reps AS (SELECT min(doc_id) AS doc_id
+             |              FROM documents GROUP BY text)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM reps
              |        WHERE doc_id < 40) AS n_clones,
              |       TRUE AS clone_recall_ok""".stripMargin)),
 
