@@ -128,7 +128,8 @@ object Bench {
     "d_winnow_pairs",      // MOSS candidate pairs (capped fingerprint self-join)
     "t_winnow_prod_hash",  // same pipeline, xxhash64 family (prices the md5 oracle hash)
     "w_stream_sessions_tws", // transformWithState tagging (RocksDB state path)
-    "d_exact_substr")      // prefix-doubling suffix ranks (log2 L join rounds)
+    "d_exact_substr",      // prefix-doubling suffix ranks (log2 L join rounds)
+    "d_exact_substr_trim") // suffix-rank spans REMOVED (rank rounds + rebuild)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

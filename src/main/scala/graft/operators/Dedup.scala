@@ -164,8 +164,22 @@ object Dedup {
     val perDoc = occ.join(dup, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
-    toks.join(perDoc, Seq("doc_id"), "left")
-      .withColumn("ps", coalesce(col("ps"), array().cast("array<long>")))
+    trimCoveredSpans(
+      toks.join(perDoc, Seq("doc_id"), "left")
+        .withColumn("ps", coalesce(col("ps"), array().cast("array<long>"))),
+      g)
+  }
+
+  /** Within-row merged-interval trim shared by [[dupSpanTrim]] and
+    * [[exactSubstrTrim]]: input is one row per doc carrying the token
+    * array `w`, `n_tokens`, and the SORTED 1-based start positions `ps`
+    * of duplicated fixed-length-`g` spans (empty array when nothing is
+    * duplicated). Merges the intervals into maximal chains and rebuilds
+    * the text from the uncovered tokens; membership tests run against
+    * the MERGED intervals (≤ n/g of them by construction), so a
+    * fully-duplicated doc costs O(n²/g), never O(n²). */
+  private def trimCoveredSpans(withPs: DataFrame, g: Int): DataFrame =
+    withPs
       // maximal merged intervals [ss_j, es_j): a sorted fixed-length-g
       // interval starts a new chain iff its gap to the previous start
       // exceeds g; a chain ends at its last start + g
@@ -193,7 +207,6 @@ object Dedup {
             |         element_at(ss, j) <= t AND t < element_at(es, j))
             |       THEN element_at(w, t) END), x -> x IS NOT NULL))"""
             .stripMargin).as("trimmed_text"))
-  }
 
   /** TRUE arbitrary-length ExactSubstr coverage (Lee et al., ACL 2022
     * §4.1) via DISTRIBUTED PREFIX-DOUBLING SUFFIX RANKS — the r12
@@ -239,6 +252,58 @@ object Dedup {
     *         shape with starts counted instead of grams. */
   def exactSubstrCoverage(df: DataFrame, id: Column, text: Column,
                           minLen: Int = 25): DataFrame = {
+    val (toks, perDoc) = exactSubstrStarts(df, id, text, minLen)
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc
+        .withColumn("covered", expr(
+          s"""aggregate(ps, struct(0L AS cov, 0L AS reach),
+             |  (a, p) -> struct(
+             |    a.cov + greatest(0L, p + $minLen - greatest(a.reach, p)),
+             |    greatest(a.reach, p + $minLen)),
+             |  a -> a.cov)""".stripMargin))
+        .select(col("doc_id"), col("n_dup_starts"), col("covered")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_frac_micro",
+        expr("covered_tokens * 1000000L div n_tokens"))
+  }
+
+  /** TRUE arbitrary-length ExactSubstr TRIM (Lee et al., ACL 2022 §4.1,
+    * the removal transform the reference tool actually ships): where
+    * [[exactSubstrCoverage]] measures how much of each doc is covered
+    * by corpus-duplicated spans of ANY length ≥ `minLen`, this REMOVES
+    * those tokens and rejoins the survivors — [[dupSpanTrim]]'s
+    * collision-free twin, with the fixed-gram md5 test replaced by the
+    * prefix-doubling suffix-rank test (same [[exactSubstrStarts]]
+    * machinery, same doubling rounds). By the coverage-equivalence
+    * theorem in [[exactSubstrCoverage]]'s scaladoc the removed set is
+    * exactly the union of all duplicated ≥ minLen-token spans at every
+    * offset, so arbitrary lengths and non-multiple-of-minLen tails trim
+    * exactly; the within-row rebuild is [[trimCoveredSpans]]'s merged-
+    * interval scan (O(n²/g) worst case, documented there).
+    *
+    * @return one row per doc: (doc_id, n_tokens, n_removed,
+    *         trimmed_text) — [[dupSpanTrim]]'s shape. */
+  def exactSubstrTrim(df: DataFrame, id: Column, text: Column,
+                      minLen: Int = 25): DataFrame = {
+    val (toks, perDoc) = exactSubstrStarts(df, id, text, minLen)
+    trimCoveredSpans(
+      toks.join(perDoc.select(col("doc_id"), col("ps")),
+          Seq("doc_id"), "left")
+        .withColumn("ps", coalesce(col("ps"), array().cast("array<long>"))),
+      minLen)
+  }
+
+  /** Shared suffix-rank machinery for [[exactSubstrCoverage]] and
+    * [[exactSubstrTrim]] (the algorithm notes live on the coverage
+    * scaladoc): returns `(toks, perDoc)` — `toks` one row per doc
+    * (doc_id, w, n_tokens); `perDoc` one row per doc that HAS
+    * duplicated spans: (doc_id, n_dup_starts, ps) with `ps` the SORTED
+    * duplicated-window start positions (1-based). */
+  private def exactSubstrStarts(df: DataFrame, id: Column, text: Column,
+                                minLen: Int): (DataFrame, DataFrame) = {
     require(minLen >= 2)
     val toks = df.select(id.as("doc_id"), split(text, " ").as("w"))
       .select(col("doc_id"), col("w"),
@@ -306,22 +371,9 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_starts"),
         sort_array(collect_list(col("pos"))).as("ps"))
-      .withColumn("covered", expr(
-        s"""aggregate(ps, struct(0L AS cov, 0L AS reach),
-           |  (a, p) -> struct(
-           |    a.cov + greatest(0L, p + $minLen - greatest(a.reach, p)),
-           |    greatest(a.reach, p + $minLen)),
-           |  a -> a.cov)""".stripMargin))
-      .select(col("doc_id"), col("n_dup_starts"), col("covered"))
       .localCheckpoint()
     graft.operators.Joins.unpersistLocalCheckpoint(r)
-    toks.select(col("doc_id"), col("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
-        coalesce(col("covered"), lit(0L)).as("covered_tokens"))
-      .withColumn("dup_frac_micro",
-        expr("covered_tokens * 1000000L div n_tokens"))
+    (toks, perDoc)
   }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03

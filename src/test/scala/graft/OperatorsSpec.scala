@@ -1736,6 +1736,70 @@ class OperatorsSpec extends SparkSpec {
     assert(sa == gram, s"suffix-rank vs gram coverage diverged")
   }
 
+  test("exactSubstrTrim: planted arbitrary-length spans removed with exact tails") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    // the coverage spec's corpus shapes, graded on the REBUILT text:
+    // a 200-span at offsets 4/31, a 50-span, the 25 boundary, a 24-run
+    // below threshold — tails must cut exactly, never to gram stride
+    val span200 = toks("s", 200)
+    val d1 = toks("a", 3) ++ span200 ++ toks("a2", 17)
+    val d2 = toks("b", 30) ++ span200 ++ toks("b2", 8)
+    val span50 = toks("t", 50)
+    val d3 = toks("c", 7) ++ span50 ++ toks("c2", 13)
+    val d4 = span50 ++ toks("d", 40)
+    val span24 = toks("v", 24)
+    val d7 = span24 ++ toks("g", 6)
+    val d8 = toks("h", 6) ++ span24
+    val docs = Seq(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4,
+      7L -> d7, 8L -> d8)
+      .map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactSubstrTrim(
+        docs, col("doc_id"), col("text"), minLen = 25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((220L, 200L,
+      (toks("a", 3) ++ toks("a2", 17)).mkString(" "))), s"$got")
+    assert(got(2L) == ((238L, 200L,
+      (toks("b", 30) ++ toks("b2", 8)).mkString(" "))), s"$got")
+    assert(got(3L) == ((70L, 50L,
+      (toks("c", 7) ++ toks("c2", 13)).mkString(" "))), s"$got")
+    assert(got(4L) == ((90L, 50L, toks("d", 40).mkString(" "))), s"$got")
+    // below-threshold runs survive untouched
+    assert(got(7L) == ((30L, 0L, d7.mkString(" "))), s"$got")
+    assert(got(8L) == ((30L, 0L, d8.mkString(" "))), s"$got")
+  }
+
+  test("exactSubstrTrim removes exactly exactSubstrCoverage's covered tokens") {
+    import spark.implicits._
+    // the trim and the metric must agree doc-by-doc on a real corpus:
+    // n_removed == covered_tokens, and the surviving token count is
+    // n_tokens - covered (the rebuild drops nothing else)
+    val docs = Tables.documents(spark, testDataDir)
+      .select(col("doc_id"), col("text")).limit(120)
+    val clones = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 3, 60))").as("text"))
+    val corpus = docs.unionByName(clones)
+    val cov = graft.operators.Dedup.exactSubstrCoverage(
+        corpus, col("doc_id"), col("text"), minLen = 25)
+      .select("doc_id", "covered_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trim = graft.operators.Dedup.exactSubstrTrim(
+        corpus, col("doc_id"), col("text"), minLen = 25)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        when(col("trimmed_text") === "", lit(0))
+          .otherwise(size(split(col("trimmed_text"), " "))).as("n_kept"))
+      .collect()
+    assert(trim.nonEmpty && trim.exists(_.getLong(2) > 0L))
+    trim.foreach { r =>
+      assert(r.getLong(2) == cov(r.getLong(0)),
+        s"doc ${r.getLong(0)}: n_removed ${r.getLong(2)} != covered ${cov(r.getLong(0))}")
+      assert(r.getInt(3).toLong == r.getLong(1) - r.getLong(2),
+        s"doc ${r.getLong(0)}: kept ${r.getInt(3)} != ${r.getLong(1)} - ${r.getLong(2)}")
+    }
+  }
+
   test("dupSpanTrim: merges overlapping spans, keeps gap tokens, passes unique docs") {
     import spark.implicits._
     val docs = Seq(
