@@ -296,14 +296,45 @@ object Dedup {
       minLen)
   }
 
-  /** Shared suffix-rank machinery for [[exactSubstrCoverage]] and
-    * [[exactSubstrTrim]] (the algorithm notes live on the coverage
-    * scaladoc): returns `(toks, perDoc)` — `toks` one row per doc
-    * (doc_id, w, n_tokens); `perDoc` one row per doc that HAS
-    * duplicated spans: (doc_id, n_dup_starts, ps) with `ps` the SORTED
-    * duplicated-window start positions (1-based). */
+  /** [[exactSubstrTrim]] with the paper's KEEP-ONE-COPY semantics (Lee
+    * et al. 2022 release the dedup tool this way: every duplicated span
+    * survives in exactly one place corpus-wide): each duplicated window
+    * CLASS keeps its minimum `(doc_id, pos)` occurrence and trims the
+    * rest. Because the same document wins every window class of a
+    * shared span (the min is doc-major), a cross-doc duplicated span
+    * survives INTACT in the smallest-id doc and trims wholly from the
+    * others, and a self-repeated span keeps its first occurrence —
+    * clean whole-span semantics, not ragged window fragments. The
+    * winner is decided by the SAME representative packing the rank
+    * classes already use, so the oracle replays it with a window argmin
+    * bit-exactly; remove-all ([[exactSubstrTrim]]) remains the
+    * conservative default (keep-first retains boilerplate once, which a
+    * training corpus may still not want).
+    *
+    * @return one row per doc: (doc_id, n_tokens, n_removed,
+    *         trimmed_text). */
+  def exactSubstrTrimKeepFirst(df: DataFrame, id: Column, text: Column,
+                               minLen: Int = 25): DataFrame = {
+    val (toks, perDoc) =
+      exactSubstrStarts(df, id, text, minLen, keepFirst = true)
+    trimCoveredSpans(
+      toks.join(perDoc.select(col("doc_id"), col("ps")),
+          Seq("doc_id"), "left")
+        .withColumn("ps", coalesce(col("ps"), array().cast("array<long>"))),
+      minLen)
+  }
+
+  /** Shared suffix-rank machinery for [[exactSubstrCoverage]] and the
+    * trims (the algorithm notes live on the coverage scaladoc): returns
+    * `(toks, perDoc)` — `toks` one row per doc (doc_id, w, n_tokens);
+    * `perDoc` one row per doc that HAS trim-marked spans:
+    * (doc_id, n_dup_starts, ps) with `ps` the SORTED marked window
+    * start positions (1-based). With `keepFirst` each duplicated class
+    * leaves its min-representative occurrence UNMARKED (adds only a
+    * min() to the class agg — no extra exchange). */
   private def exactSubstrStarts(df: DataFrame, id: Column, text: Column,
-                                minLen: Int): (DataFrame, DataFrame) = {
+                                minLen: Int,
+                                keepFirst: Boolean = false): (DataFrame, DataFrame) = {
     require(minLen >= 2)
     val toks = df.select(id.as("doc_id"), split(text, " ").as("w"))
       .select(col("doc_id"), col("w"),
@@ -359,15 +390,23 @@ object Dedup {
     val starts = keys
       .join(toks.select(col("doc_id"), col("n_tokens")), "doc_id")
       .filter(col("pos") <= col("n_tokens") - (minLen - 1))
-    val dupKeys = starts.groupBy("r1", "r2")
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-      .select("r1", "r2")
+    val dupClasses = starts.groupBy("r1", "r2")
+      .agg(count(lit(1)).as("n"), min(repr).as("mn"))
+      .filter(col("n") >= 2)
+    // keep-first: the class's min-representative occurrence survives —
+    // a map-side filter above the same class join, no extra exchange
+    val marked =
+      if (keepFirst)
+        starts.join(dupClasses.select(col("r1"), col("r2"), col("mn")),
+            Seq("r1", "r2"))
+          .filter(repr =!= col("mn"))
+      else starts.join(dupClasses.select("r1", "r2"), Seq("r1", "r2"))
     // reduce to DOC-grain before releasing the rank table: the final
     // checkpoint pins one small row per doc, not corpus-token-sized
     // rank blocks — 7 bench reps of the sf1 corpus would otherwise
     // strand ~1.7 GB of executor storage and inflate every later
     // in-set entry (the stage-cache lesson, PipelineQueries)
-    val perDoc = starts.join(dupKeys, Seq("r1", "r2"))
+    val perDoc = marked
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_starts"),
         sort_array(collect_list(col("pos"))).as("ps"))

@@ -418,6 +418,73 @@ object DedupQueries {
              |       coalesce(k.txt, '') AS trimmed_text
              |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
 
+    // KEEP-ONE-COPY ExactSubstr trim (r13): the paper's released
+    // semantics — every duplicated window class keeps its minimum
+    // (doc_id, pos) occurrence; on this planted corpus the ORIGINAL
+    // docs (small ids) therefore keep their spans intact while the
+    // +1e9 clones trim to empty, and self-repetitions keep their first
+    // occurrence. The oracle replays the argmin with window functions
+    // over the same every-offset gram classes (identical class
+    // partition, identical doc*2^20+pos total order), so the winner
+    // choice, interval merge AND rebuilt string grade value-exact.
+    GraftQuery("d_exact_substr_keepfirst",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
+          .withColumn("len", expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
+              "ELSE 200 END"))
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= col("o") + col("len") - 1)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        Dedup.exactSubstrTrimKeepFirst(docs.unionByName(planted),
+          col("doc_id"), col("text"), minLen = 25)
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |         (1 + doc_id % 7)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
+             |              ELSE 200 END AS len
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000,
+             |         array_to_string(w[o : o + len - 1], ' ')
+             |  FROM src WHERE length(w) >= o + len - 1),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |occ AS (SELECT doc_id, i::BIGINT AS pos,
+             |          md5(array_to_string(w[i:i+24], ' ')) AS h
+             |        FROM t, unnest(generate_series(1,
+             |          greatest(length(w) - 24, 0))) AS u(i)),
+             |occ2 AS (SELECT doc_id, pos,
+             |           count(*) OVER (PARTITION BY h) AS n,
+             |           min(doc_id * 1048576 + pos) OVER (PARTITION BY h)
+             |             AS mn
+             |         FROM occ),
+             |marked AS (SELECT doc_id, pos FROM occ2
+             |           WHERE n >= 2 AND doc_id * 1048576 + pos <> mn),
+             |cov AS (SELECT DISTINCT m.doc_id, u.t::BIGINT AS t
+             |        FROM marked m,
+             |             unnest(generate_series(m.pos, m.pos + 24)) AS u(t)),
+             |tok AS (SELECT doc_id, i::BIGINT AS t, w[i] AS tok
+             |        FROM t, unnest(generate_series(1, length(w))) AS u(i)),
+             |kept AS (SELECT k.doc_id, count(*) AS n_kept,
+             |           string_agg(k.tok, ' ' ORDER BY k.t) AS txt
+             |         FROM (SELECT tok.* FROM tok LEFT JOIN cov
+             |                 ON cov.doc_id = tok.doc_id AND cov.t = tok.t
+             |               WHERE cov.doc_id IS NULL) k
+             |         GROUP BY k.doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       (t.n_tokens - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+             |       coalesce(k.txt, '') AS trimmed_text
+             |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
+
     // Duplicated-span fraction (Lee et al. ACL'22 ExactSubstr at fixed
     // gram length): per doc, the exact fraction of tokens covered by a
     // 25-token span occurring >= 2 times in the corpus — the trim/drop

@@ -1800,6 +1800,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstrTrimKeepFirst: duplicated spans survive in exactly one place") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    // cross-doc 50-span: the smaller doc id wins EVERY window class of
+    // the span (min repr is doc-major), so doc 1 keeps it INTACT and
+    // doc 2 trims the whole span — whole-span, never ragged fragments
+    val span50 = toks("t", 50)
+    val d1 = toks("c", 7) ++ span50 ++ toks("c2", 13) // 70 tokens
+    val d2 = span50 ++ toks("d", 40)                  // 90 tokens
+    // self-repetition: the same 30-token run twice with a 5-token gap —
+    // the FIRST occurrence survives, the second trims exactly
+    val run30 = toks("r", 30)
+    val d3 = run30 ++ toks("g", 5) ++ run30           // 65 tokens
+    val docs = Seq(1L -> d1, 2L -> d2, 3L -> d3)
+      .map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactSubstrTrimKeepFirst(
+        docs, col("doc_id"), col("text"), minLen = 25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((70L, 0L, d1.mkString(" "))), s"$got")
+    assert(got(2L) == ((90L, 50L, toks("d", 40).mkString(" "))), s"$got")
+    assert(got(3L) == ((65L, 30L,
+      (run30 ++ toks("g", 5)).mkString(" "))), s"$got")
+    // and remove-all on the same corpus keeps NO copy anywhere
+    val all = graft.operators.Dedup.exactSubstrTrim(
+        docs, col("doc_id"), col("text"), minLen = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(all == Map(1L -> 50L, 2L -> 50L, 3L -> 60L), s"$all")
+  }
+
   test("dupSpanTrim: merges overlapping spans, keeps gap tokens, passes unique docs") {
     import spark.implicits._
     val docs = Seq(

@@ -657,6 +657,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in RA:\n$p")
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnlj == 1, s"expected exactly the audit BNLJ, got $bnlj:\n$p")
+    // r13 rewrite pin: the wedge stream is generated WITHIN-ROW from
+    // per-center sorted neighbor lists (posexplode + tail-slice explode
+    // = two Generate nodes), never by a sort-merge self-join of the
+    // adjacency — the r12 plan's two adjacency sorts are gone
+    assert("Generate ".r.findAllIn(p).size >= 2,
+      s"within-row wedge generators missing:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"sort-merge join in RA at test SF (wedge self-join back?):\n$p")
     assert(p.indexOf("BroadcastNestedLoopJoin") < p.indexOf("TakeOrdered"),
       s"audit BNLJ not above the top-k:\n$p")
     // RUNTIME shuffle budget (the laziness fix removed the eager edge
