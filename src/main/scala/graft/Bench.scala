@@ -129,7 +129,8 @@ object Bench {
     "t_winnow_prod_hash",  // same pipeline, xxhash64 family (prices the md5 oracle hash)
     "w_stream_sessions_tws", // transformWithState tagging (RocksDB state path)
     "d_exact_substr",      // prefix-doubling suffix ranks (log2 L join rounds)
-    "d_exact_substr_trim") // suffix-rank spans REMOVED (rank rounds + rebuild)
+    "d_exact_substr_trim", // suffix-rank spans REMOVED (rank rounds + rebuild)
+    "d_exact_substr_keepfirst") // keep-one-copy variant (class argmin winner)
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a
