@@ -655,6 +655,53 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: suffix-rank trims match an independent window replay") {
+    // both removal semantics over tiny-vocab corpora (natural heavy
+    // duplication): remove-all must trim exactly the union of >= 2x
+    // window coverage; keep-first must leave exactly each class's
+    // minimum-(doc_id, pos) occurrence unmarked — the in-memory replay
+    // shares nothing with the prefix-doubling rank machinery, so a
+    // rank-class bug, a short-suffix pad slip, or a winner-filter slip
+    // all surface as a row mismatch
+    import spark.implicits._
+    val docGen: Gen[Seq[String]] = for {
+      n  <- Gen.choose(0, 15)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield ts
+    val corpusGen: Gen[List[Seq[String]]] =
+      Gen.choose(2, 5).flatMap(k => Gen.listOfN(k, docGen))
+    check(Prop.forAll(corpusGen, Gen.oneOf(2, 3, 4, 6)) { (docsToks, len) =>
+      val docs = docsToks.zipWithIndex.map { case (ts, i) =>
+        (i.toLong + 1L, ts.mkString(" "))
+      }
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val occ = toks.flatMap { case (id, w) =>
+        (0 to w.length - len).map(p =>
+          (w.slice(p, p + len).mkString(" "), id, p))
+      }
+      val classes = occ.groupBy(_._1).filter(_._2.size >= 2).values
+      def expectedOf(marked: Set[(Long, Int)]) = toks.map { case (id, w) =>
+        val covered = marked.collect { case (d, p) if d == id =>
+          p until p + len }.flatten.toSet
+        val kept = w.zipWithIndex.collect {
+          case (t, i) if !covered.contains(i) => t }
+        id -> ((w.length.toLong, covered.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val allMarked = classes.flatten.map(o => (o._2, o._3)).toSet
+      val kfMarked = classes.flatMap { os =>
+        os.map(o => (o._2, o._3)).toSeq.sorted.drop(1)
+      }.toSet
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val src = docs.toDF("doc_id", "text")
+      run(graft.operators.Dedup.exactSubstrTrim(
+          src, col("doc_id"), col("text"), len)) == expectedOf(allMarked) &&
+        run(graft.operators.Dedup.exactSubstrTrimKeepFirst(
+          src, col("doc_id"), col("text"), len)) == expectedOf(kfMarked)
+    })
+  }
+
   test("property: native md5-window CDC cuts are bit-identical to the lambda form") {
     // the r12 byte-range kernel must reproduce the composed SQL rule —
     // the form every d_byte_* DuckDB oracle replays — position-exact,
