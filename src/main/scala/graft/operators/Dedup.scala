@@ -231,12 +231,14 @@ object Dedup {
     *     tile [p, p+L)). Ranks are EQUALITY REPRESENTATIVES, not
     *     ordinals: each class is tagged by its minimum
     *     `doc_id·2²⁰ + pos` member, so a doubling round is
-    *     join(shift) → groupBy(min) → join(back) — three hash
-    *     shuffles, NO global sort and no driver-side rank assignment
+    *     lead(rank, k) over (doc_id, pos) → groupBy(min) → join(back)
+    *     — two hash shuffles (positions are contiguous per doc, so the
+    *     shifted rank is a window lead, not a self-join — r13), NO
+    *     global sort and no driver-side rank assignment
     *     (the usual zipWithIndex re-ranking barrier disappears because
     *     only equality, never order, reaches the final test).
     *
-    * Scale: ⌈log₂ minLen⌉ rounds (25 → 4, 200 → 7), each three hash
+    * Scale: ⌈log₂ minLen⌉ rounds (25 → 4, 200 → 7), each two hash
     * exchanges over (doc_id, pos, rank) rows — 24 bytes × corpus
     * tokens, independent of minLen. The md5-gram path ships one
     * exchange but hashes minLen tokens PER POSITION (O(n·L) compute);
@@ -357,15 +359,23 @@ object Dedup {
       .select(col("doc_id"), col("pos"), col("rank"))
       .localCheckpoint()
     val m = 31 - Integer.numberOfLeadingZeros(minLen) // floor(log2 L)
+    // positions are CONTIGUOUS 1..n per doc by construction, so
+    // rank[pos + k] is exactly lead(rank, k) over (doc_id ORDER BY pos)
+    // — one window pass where the r12 formulation self-joined the rank
+    // table on (doc_id, pos), saving a corpus-sized exchange + SMJ sort
+    // pair PER ROUND (the round's only remaining exchanges are the
+    // window's doc_id hash and the shared (r1, r2) class exchange).
+    // Skew bound: a doc occupies one window task, capped by the 2^20
+    // per-doc token contract the repr packing already imposes.
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
     var k = 1L
     (1 to m).foreach { _ =>
-      // rank of the suffix k ahead, re-addressed to this position — a
-      // projection, not a join; missing (suffix ends) pads with -1
-      val shifted = r.select(col("doc_id"), (col("pos") - k).as("pos"),
-        col("rank").as("r2")).filter(col("pos") >= 1)
-      val paired = r.join(shifted, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("rank").as("r1"),
-          coalesce(col("r2"), lit(-1L)).as("r2"))
+      // rank of the suffix k ahead; missing (suffix ends) pads with -1
+      val paired = r.select(col("doc_id"), col("pos"),
+        col("rank").as("r1"),
+        coalesce(lead(col("rank"), k.toInt).over(byDoc), lit(-1L))
+          .as("r2"))
       val rmap = paired.groupBy("r1", "r2").agg(min(repr).as("rank"))
       val next = paired.join(rmap, Seq("r1", "r2"))
         .select(col("doc_id"), col("pos"), col("rank"))
@@ -375,18 +385,18 @@ object Dedup {
       k *= 2
     }
     // k = 2^m. L-prefix equality key at p: (rank[p], rank[p + L - 2^m])
-    val off = minLen - k
+    val off = (minLen - k).toInt
     val keys =
       if (off == 0)
         r.select(col("doc_id"), col("pos"), col("rank").as("r1"),
           col("rank").as("r2"))
-      else {
-        val tail = r.select(col("doc_id"), (col("pos") - off).as("pos"),
-          col("rank").as("r2")).filter(col("pos") >= 1)
-        r.join(tail, Seq("doc_id", "pos"))
-          .select(col("doc_id"), col("pos"), col("rank").as("r1"),
-            col("r2"))
-      }
+      else
+        // a null lead = no position p + off in the doc; such a p cannot
+        // start a full L-window, so dropping it mirrors the start
+        // filter below (inner-join semantics of the r12 tail join)
+        r.select(col("doc_id"), col("pos"), col("rank").as("r1"),
+            lead(col("rank"), off).over(byDoc).as("r2"))
+          .filter(col("r2").isNotNull)
     val starts = keys
       .join(toks.select(col("doc_id"), col("n_tokens")), "doc_id")
       .filter(col("pos") <= col("n_tokens") - (minLen - 1))
