@@ -130,7 +130,8 @@ object Bench {
     "w_stream_sessions_tws", // transformWithState tagging (RocksDB state path)
     "d_exact_substr",      // prefix-doubling suffix ranks (log2 L join rounds)
     "d_exact_substr_trim", // suffix-rank spans REMOVED (rank rounds + rebuild)
-    "d_exact_substr_keepfirst") // keep-one-copy variant (class argmin winner)
+    "d_exact_substr_keepfirst", // keep-one-copy variant (class argmin winner)
+    "d_exact_substr_l200") // 7 doubling rounds — the rank-vs-gram crossover depth
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

@@ -357,6 +357,68 @@ object DedupQueries {
              |         AS dup_frac_micro
              |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
+    // Deep-round suffix ranks (r13): the SAME planted corpus at
+    // minLen=200 — seven doubling rounds (vs four at L=25) and a
+    // k=128/off=72 final shift, the depth where the rank path's
+    // L-independent per-position bytes beat the gram path's 200-token
+    // md5 per position (the documented crossover). Only the planted
+    // 200-spans (doc_id % 3 = 2) are long enough to surface, so the
+    // expected signal is sparse and the short-suffix -1 padding is
+    // stressed on every doc shorter than 128 tokens. Oracle: the
+    // independent every-offset 200-gram formulation.
+    GraftQuery("d_exact_substr_l200",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
+          .withColumn("len", expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
+              "ELSE 200 END"))
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= col("o") + col("len") - 1)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        Dedup.exactSubstrCoverage(docs.unionByName(planted),
+          col("doc_id"), col("text"), minLen = 200)
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |         (1 + doc_id % 7)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
+             |              ELSE 200 END AS len
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000,
+             |         array_to_string(w[o : o + len - 1], ' ')
+             |  FROM src WHERE length(w) >= o + len - 1),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |occ AS (SELECT doc_id, n_tokens, i::BIGINT AS pos,
+             |          md5(array_to_string(w[i:i+199], ' ')) AS h
+             |        FROM t, unnest(generate_series(1,
+             |          greatest(length(w) - 199, 0))) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |spans AS (
+             |  SELECT doc_id, pos,
+             |    greatest(0, pos + 200 - greatest(coalesce(
+             |      max(pos + 200) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0), pos)) AS adds
+             |  FROM occ JOIN dup USING (h)),
+             |pd AS (SELECT doc_id, count(*) AS n_dup_starts,
+             |         sum(adds) AS covered
+             |       FROM spans GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       coalesce(pd.n_dup_starts, 0)::BIGINT AS n_dup_starts,
+             |       coalesce(pd.covered, 0)::BIGINT AS covered_tokens,
+             |       (coalesce(pd.covered, 0) * 1000000 // t.n_tokens)::BIGINT
+             |         AS dup_frac_micro
+             |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
     // Arbitrary-length ExactSubstr TRIM (r13): the removal transform on
     // the same planted corpus as d_exact_substr — the suffix-rank
     // machinery feeds dupSpanTrim's within-row merged-interval rebuild,
