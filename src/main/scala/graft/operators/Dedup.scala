@@ -247,7 +247,10 @@ object Dedup {
     * SCALE.md. Suffixes shorter than a window rank with a −1 pad
     * (the `$`-sentinel convention), which cannot collide with real
     * representatives (≥ 0). Constraint: per-doc token count < 2²⁰
-    * (repr packing); web documents are orders of magnitude below it.
+    * (repr packing); web documents are orders of magnitude below it,
+    * and the contract is ENFORCED in-plan — a doc past the width hits
+    * a raise_error branch on the token scan (r13), never a silently
+    * aliased rank class.
     *
     * @return one row per doc: (doc_id, n_tokens, n_dup_starts,
     *         covered_tokens, dup_frac_micro) — [[dupSpanFraction]]'s
@@ -345,6 +348,17 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         col("tok"))
+      // the repr packing below aliases for pos ≥ 2²⁰ — a silent-
+      // wrongness cliff at exactly the book-length-doc scale a large
+      // corpus contains. Enforce the documented contract IN the plan:
+      // a per-row branch on the token-grain scan (codegen'd, ~free)
+      // that fails loudly instead of merging rank classes silently.
+      .withColumn("pos", when(col("pos") < lit(1L << 20), col("pos"))
+        .otherwise(raise_error(concat(
+          lit(s"exactSubstr: doc "), col("doc_id"),
+          lit(s" exceeds 2^20 tokens — repr packing would alias; " +
+            "split the doc or raise the packing width")))
+          .cast("long")))
     val repr = col("doc_id") * (1L << 20) + col("pos")
     // rank_1: token-equality classes tagged by their smallest member.
     // EAGER localCheckpoint per round (the resolveRoots/pageRank

@@ -1800,6 +1800,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstr refuses docs past the repr packing width (loud, not aliased)") {
+    import spark.implicits._
+    // a doc of 2^20 + 1 tokens would alias the doc*2^20 + pos packing;
+    // the in-plan guard must fail loudly at the token scan instead
+    val big = ("a " * ((1 << 20) + 1)).trim
+    val docs = Seq((1L, big), (2L, "b c d")).toDF("doc_id", "text")
+    val ex = intercept[Throwable] {
+      graft.operators.Dedup.exactSubstrCoverage(
+        docs, col("doc_id"), col("text"), minLen = 25).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(ex).contains("exceeds 2^20"), chain(ex))
+  }
+
   test("exactSubstrTrimKeepFirst: duplicated spans survive in exactly one place") {
     import spark.implicits._
     def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
