@@ -133,6 +133,18 @@ object Bench {
     "d_exact_substr_keepfirst", // keep-one-copy variant (class argmin winner)
     "d_exact_substr_l200") // 7 doubling rounds — the rank-vs-gram crossover depth
 
+  /** Plan-sibling families (r13 VERDICT #1b): members of a family share
+    * the same physical plan shape and build cost (verified by isolated
+    * medians within ±4% at sf1), so an in-sweep reading >2x the family
+    * median is measurement churn by construction and earns a re-measure.
+    * d_exact_substr_l200 belongs despite its 7 doubling rounds vs 4: the
+    * per-round cost is L-independent and the measured sf1 medians match
+    * (SCALE.md). d_exact_substr_bytes does NOT belong — byte positions
+    * are ~5x word positions, a genuinely different corpus size. */
+  val planSiblings: Seq[Seq[String]] = Seq(
+    Seq("d_exact_substr", "d_exact_substr_trim",
+      "d_exact_substr_keepfirst", "d_exact_substr_l200"))
+
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a
     * regression (sub-second queries were at the edge of n=1 noise). */
@@ -239,18 +251,43 @@ object Bench {
       name -> median
     }
 
-    // Post-sweep targeted re-measures (r12 VERDICT #1b/#6): entries from
-    // out-of-band canary windows, plus entries reading >2x their previous
-    // official round (the artifact-inflation signature), get one fresh
-    // 1-warm+3-timed pass; the reported value is min(median, re-median) —
-    // steady state can only be <= an inflated first pass.
+    // Post-sweep targeted re-measures (r12 VERDICT #1b/#6, r13 #1):
+    // entries from out-of-band canary windows, plus entries reading >2x
+    // their previous official round (the artifact-inflation signature),
+    // get one fresh 1-warm+3-timed pass; the reported value is
+    // min(median, re-median) — steady state can only be <= an inflated
+    // first pass. Two fences the r13 keep-first phantom proved necessary:
+    //  (a) NEW entries — a query with no prior-round median is exempt
+    //      from the delta fence by construction, so a first-round entry
+    //      can ship 3x its steady state unchallenged (BENCH_r13 read
+    //      d_exact_substr_keepfirst at 8.78 s vs 2.96 s isolated). Any
+    //      entry absent from a non-empty prior baseline re-measures
+    //      unconditionally.
+    //  (b) PLAN-SIBLING outliers — entries that share a build (the four
+    //      d_exact_substr* variants run the same doubling rounds; the
+    //      sf1 isolated medians agree within ±4%) must read alike; one
+    //      member >2x its family median is sweep-position churn, not a
+    //      plan difference. Siblings are declared, not inferred.
     val (prevRound, prevMedians) = prevRoundMedians(sfDir)
     firstPass.foreach { case (name, v) =>
       prevMedians.get(name).foreach { p =>
         if (v > math.max(2.0 * p, p + 0.5)) flaggedForRerun += name
       }
+      if (prevMedians.nonEmpty && !prevMedians.contains(name) && v >= 0)
+        flaggedForRerun += name
     }
-    val rerunCap = 12 // bound the extra sweep time
+    planSiblings.foreach { fam =>
+      val vals = fam.flatMap(n => firstPass.toMap.get(n)).filter(_ >= 0)
+      if (vals.size >= 3) {
+        val med = vals.sorted.apply(vals.size / 2)
+        fam.foreach { n =>
+          firstPass.toMap.get(n).foreach { v =>
+            if (v > math.max(2.0 * med, med + 0.5)) flaggedForRerun += n
+          }
+        }
+      }
+    }
+    val rerunCap = 16 // bound the extra sweep time
     val reruns = flaggedForRerun.take(rerunCap).map { name =>
       name -> timeQuery(name, 1, 3)
     }.toMap
@@ -274,13 +311,19 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val usedEndMb = codeCacheUsedMb
     spark.stop()
-    // Robust-tail output contract (r11 VERDICT #3): per-query lines first,
-    // then the full contract line, then a SHORT total-only line as the
-    // final stdout line — any tail window that keeps even one complete
-    // trailing line always contains a parseable {"metric":"total"...}.
+    // Robust-tail output contract (r11 VERDICT #3, r13 #6): per-query
+    // lines first, then the full contract line, then the TELEMETRY lines,
+    // then a SHORT total-only line as the final stdout line. The driver
+    // artifact keeps only a bounded tail window — telemetry printed
+    // BEFORE the ~2 KB contract line fell out of BENCH_r13.json; below
+    // it, the artifact self-certifies (codecache flag + delta fence
+    // survive any tail that keeps the contract line), and the trailing
+    // short line still guarantees a parseable {"metric":"total"...} in
+    // even a one-line tail.
     results.toSeq.sortBy(_._1).foreach { case (k, v) =>
       println(s"""{"metric":"$k","value":${fmt(v)},"unit":"sec","sf":"$sfDir"}""")
     }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // Telemetry contract (r12 VERDICT #1a): the artifact itself proves
     // whether -XX:ReservedCodeCacheSize reached the measuring JVM and how
     // full the cache ran; "flag":"unset" or used_end near reserved means
@@ -299,7 +342,6 @@ object Bench {
       }
     }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_delta","prev_round":$prevRound,"flagged":$delta}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
   }
 }

@@ -351,10 +351,16 @@ object DedupQueries {
              |         sum(adds) AS covered
              |       FROM spans GROUP BY doc_id)
              |SELECT t.doc_id, t.n_tokens,
-             |       coalesce(pd.n_dup_starts, 0)::BIGINT AS n_dup_starts,
-             |       coalesce(pd.covered, 0)::BIGINT AS covered_tokens,
-             |       (coalesce(pd.covered, 0) * 1000000 // t.n_tokens)::BIGINT
-             |         AS dup_frac_micro
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.n_dup_starts, 0) END::BIGINT
+             |         AS n_dup_starts,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) END::BIGINT
+             |         AS covered_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) * 1000000 // t.n_tokens
+             |            END::BIGINT AS dup_frac_micro,
+             |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
     // Deep-round suffix ranks (r13): the SAME planted corpus at
@@ -413,10 +419,16 @@ object DedupQueries {
              |         sum(adds) AS covered
              |       FROM spans GROUP BY doc_id)
              |SELECT t.doc_id, t.n_tokens,
-             |       coalesce(pd.n_dup_starts, 0)::BIGINT AS n_dup_starts,
-             |       coalesce(pd.covered, 0)::BIGINT AS covered_tokens,
-             |       (coalesce(pd.covered, 0) * 1000000 // t.n_tokens)::BIGINT
-             |         AS dup_frac_micro
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.n_dup_starts, 0) END::BIGINT
+             |         AS n_dup_starts,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) END::BIGINT
+             |         AS covered_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) * 1000000 // t.n_tokens
+             |            END::BIGINT AS dup_frac_micro,
+             |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
     // Arbitrary-length ExactSubstr TRIM (r13): the removal transform on
@@ -476,13 +488,18 @@ object DedupQueries {
              |               WHERE cov.doc_id IS NULL) k
              |         GROUP BY k.doc_id)
              |SELECT t.doc_id, t.n_tokens,
-             |       (t.n_tokens - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
-             |       coalesce(k.txt, '') AS trimmed_text
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE t.n_tokens - coalesce(k.n_kept, 0) END::BIGINT
+             |         AS n_removed,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(k.txt, '') END AS trimmed_text,
+             |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
 
-    // KEEP-ONE-COPY ExactSubstr trim (r13): the paper's released
-    // semantics — every duplicated window class keeps its minimum
-    // (doc_id, pos) occurrence; on this planted corpus the ORIGINAL
+    // KEEP-ONE-COPY ExactSubstr trim (r13): the variant the paper
+    // DISCUSSES (the authors' released tool removes all copies — that
+    // is d_exact_substr_trim) — every duplicated window class keeps its
+    // minimum (doc_id, pos) occurrence; on this planted corpus the ORIGINAL
     // docs (small ids) therefore keep their spans intact while the
     // +1e9 clones trim to empty, and self-repetitions keep their first
     // occurrence. The oracle replays the argmin with window functions
@@ -543,8 +560,12 @@ object DedupQueries {
              |               WHERE cov.doc_id IS NULL) k
              |         GROUP BY k.doc_id)
              |SELECT t.doc_id, t.n_tokens,
-             |       (t.n_tokens - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
-             |       coalesce(k.txt, '') AS trimmed_text
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE t.n_tokens - coalesce(k.n_kept, 0) END::BIGINT
+             |         AS n_removed,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(k.txt, '') END AS trimmed_text,
+             |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
 
     // Duplicated-span fraction (Lee et al. ACL'22 ExactSubstr at fixed

