@@ -568,6 +568,164 @@ object DedupQueries {
              |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
 
+    // Over-width QUARANTINE (r13 VERDICT #2): the graded proof that one
+    // pathological book-length doc can no longer kill a corpus
+    // ExactSubstr run. The corpus is d_exact_substr's planted set PLUS
+    // a synthetic giant — doc 0's text repeated past the 2^20-token
+    // repr-packing width (doc_id 2e9). The run COMPLETES: the giant
+    // surfaces flagged quarantined=true with NULL measures, its content
+    // neither marks nor is marked (doc 0's own coverage is unchanged
+    // even though the giant replicates it R times), and every other
+    // doc's spans stay exact against the independent every-offset
+    // md5-gram replay, which excludes over-width docs by the same width
+    // predicate.
+    GraftQuery("d_exact_substr_quarantine",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
+          .withColumn("len", expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
+              "ELSE 200 END"))
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= col("o") + col("len") - 1)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        // repeat doc 0's tokens floor(2^20/W)+1 times: always past the
+        // width, never more than one repetition past it
+        val giant = docs.filter(col("doc_id") === 0)
+          .withColumn("w", split(col("text"), " "))
+          .select(lit(2000000000L).as("doc_id"),
+            concat_ws(" ", flatten(array_repeat(col("w"),
+              (lit(1048576) / size(col("w"))).cast("int") + 1)))
+              .as("text"))
+        Dedup.exactSubstrCoverage(
+          docs.unionByName(planted).unionByName(giant),
+          col("doc_id"), col("text"), minLen = 25)
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |         (1 + doc_id % 7)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
+             |              ELSE 200 END AS len
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000,
+             |         array_to_string(w[o : o + len - 1], ' ')
+             |  FROM src WHERE length(w) >= o + len - 1
+             |  UNION ALL
+             |  SELECT 2000000000::BIGINT,
+             |         rtrim(repeat(text || ' ',
+             |           (1048576 // length(string_split(text, ' ')))::INT
+             |             + 1))
+             |  FROM documents WHERE doc_id = 0),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |-- width exclusion BEFORE the lateral unnest: DuckDB does not
+             |-- push the predicate below it, and the giant doc would
+             |-- otherwise materialize its 2^20-element list per position
+             |el AS (SELECT * FROM t WHERE n_tokens < 1048576),
+             |occ AS (SELECT doc_id, n_tokens, i::BIGINT AS pos,
+             |          md5(array_to_string(w[i:i+24], ' ')) AS h
+             |        FROM el, unnest(generate_series(1,
+             |          greatest(length(w) - 24, 0))) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |spans AS (
+             |  SELECT doc_id, pos,
+             |    greatest(0, pos + 25 - greatest(coalesce(
+             |      max(pos + 25) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0), pos)) AS adds
+             |  FROM occ JOIN dup USING (h)),
+             |pd AS (SELECT doc_id, count(*) AS n_dup_starts,
+             |         sum(adds) AS covered
+             |       FROM spans GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.n_dup_starts, 0) END::BIGINT
+             |         AS n_dup_starts,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) END::BIGINT
+             |         AS covered_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) * 1000000 // t.n_tokens
+             |            END::BIGINT AS dup_frac_micro,
+             |       (t.n_tokens >= 1048576) AS quarantined
+             |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
+    // BYTE-grain ExactSubstr (r13 VERDICT #3, the last fidelity delta
+    // with Lee et al. §4.1, which dedups byte sequences where the word
+    // path dedups space-split tokens): the SAME suffix-rank machinery
+    // at single-character positions — rank_1's class dimension is
+    // alphabet-sized (broadcasts instead of shuffling), positions are
+    // ~5x the word count for the same corpus (priced in SCALE.md), and
+    // minLen=40 CHARS exercises the k=32/off=8 final-shift path over
+    // five doubling rounds. Planted: each %89 doc contributes a clone
+    // of chars [o, o+len) at char offsets derived from its id, len in
+    // {40, 90, 200} — substring duplicates that word grain cannot even
+    // express (they cut mid-word). Oracle: the independent every-
+    // CHAR-offset md5 40-gram replay.
+    GraftQuery("d_exact_substr_bytes",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") % 89 === 0)
+          .withColumn("o", (col("doc_id") % 11 + 1).cast("int"))
+          .withColumn("len", expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 40 WHEN 1 THEN 90 " +
+              "ELSE 200 END"))
+          .filter(length(col("text")) >= col("o") + col("len") - 1)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            expr("substring(text, o, len)").as("text"))
+        Dedup.exactSubstrCoverage(docs.unionByName(planted),
+          col("doc_id"), col("text"), minLen = 40, grain = "char")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, text,
+             |         (1 + doc_id % 11)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 40 WHEN 1 THEN 90
+             |              ELSE 200 END AS len
+             |  FROM documents WHERE doc_id % 89 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000, substring(text, o, len)
+             |  FROM src WHERE length(text) >= o + len - 1),
+             |t AS (SELECT doc_id, length(text)::BIGINT AS n_tokens, text
+             |      FROM corpus),
+             |el AS (SELECT * FROM t WHERE n_tokens < 1048576),
+             |occ AS (SELECT doc_id, n_tokens, i::BIGINT AS pos,
+             |          md5(substring(text, i::INT, 40)) AS h
+             |        FROM el, unnest(generate_series(1,
+             |          greatest(length(text) - 39, 0))) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |spans AS (
+             |  SELECT doc_id, pos,
+             |    greatest(0, pos + 40 - greatest(coalesce(
+             |      max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0), pos)) AS adds
+             |  FROM occ JOIN dup USING (h)),
+             |pd AS (SELECT doc_id, count(*) AS n_dup_starts,
+             |         sum(adds) AS covered
+             |       FROM spans GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.n_dup_starts, 0) END::BIGINT
+             |         AS n_dup_starts,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) END::BIGINT
+             |         AS covered_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) * 1000000 // t.n_tokens
+             |            END::BIGINT AS dup_frac_micro,
+             |       (t.n_tokens >= 1048576) AS quarantined
+             |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
     // Duplicated-span fraction (Lee et al. ACL'22 ExactSubstr at fixed
     // gram length): per doc, the exact fraction of tokens covered by a
     // 25-token span occurring >= 2 times in the corpus — the trim/drop

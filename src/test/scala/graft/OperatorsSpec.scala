@@ -1800,19 +1800,80 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("exactSubstr refuses docs past the repr packing width (loud, not aliased)") {
+  test("exactSubstr quarantines docs past the repr packing width (complete, not abort)") {
     import spark.implicits._
-    // a doc of 2^20 + 1 tokens would alias the doc*2^20 + pos packing;
-    // the in-plan guard must fail loudly at the token scan instead
-    val big = ("a " * ((1 << 20) + 1)).trim
-    val docs = Seq((1L, big), (2L, "b c d")).toDF("doc_id", "text")
-    val ex = intercept[Throwable] {
-      graft.operators.Dedup.exactSubstrCoverage(
-        docs, col("doc_id"), col("text"), minLen = 25).collect()
-    }
+    // a doc of 2^20 + 1 DISTINCT tokens would alias the doc*2^20 + pos
+    // packing; the run must COMPLETE (r13's raise_error let one
+    // pathological doc kill a corpus job) with the giant flagged and
+    // fully inert: doc 4 repeats the giant's first tokens, and must
+    // read ZERO duplication — the quarantined content neither marks
+    // nor is marked
+    val n = (1 << 20) + 1
+    val big = (1 to n).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (1L, big),
+      (2L, "b c d e"), (3L, "b c d e"), // real cross-doc duplication
+      (4L, "g1 g2 g3 g4 g5")            // giant content, giant inert
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactSubstrCoverage(
+        docs, col("doc_id"), col("text"), minLen = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(got(1L).fieldIndex("quarantined")))
+    assert(got(1L).isNullAt(got(1L).fieldIndex("n_dup_starts")))
+    assert(got(1L).isNullAt(got(1L).fieldIndex("dup_frac_micro")))
+    def cov(id: Long) =
+      got(id).getLong(got(id).fieldIndex("covered_tokens"))
+    assert(!got(2L).getBoolean(got(2L).fieldIndex("quarantined")))
+    assert(cov(2L) == 4L && cov(3L) == 4L, s"${got(2L)} ${got(3L)}")
+    assert(cov(4L) == 0L, s"giant content marked doc 4: ${got(4L)}")
+    // the trims complete under the same contract: giant NULL/flagged,
+    // the real duplicate pair still trims exactly
+    val trim = graft.operators.Dedup.exactSubstrTrim(
+        docs, col("doc_id"), col("text"), minLen = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(trim(1L).getBoolean(trim(1L).fieldIndex("quarantined")))
+    assert(trim(1L).isNullAt(trim(1L).fieldIndex("trimmed_text")))
+    assert(trim(2L).getString(trim(2L).fieldIndex("trimmed_text")) == "")
+    assert(trim(4L).getString(trim(4L).fieldIndex("trimmed_text"))
+      == "g1 g2 g3 g4 g5")
+  }
+
+  test("exactSubstr fails loudly on doc_id outside the packing range") {
+    import spark.implicits._
+    // unlike token width (a legitimate big document -> quarantine), an
+    // out-of-range id is upstream corruption: no diversion makes the
+    // repr packing safe, so the in-plan guard must abort
     def chain(t: Throwable): String =
       if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
-    assert(chain(ex).contains("exceeds 2^20"), chain(ex))
+    for (bad <- Seq(-1L, 1L << 43)) {
+      val docs = Seq((bad, "a b c d e"), (2L, "b c d"))
+        .toDF("doc_id", "text")
+      val ex = intercept[Throwable] {
+        graft.operators.Dedup.exactSubstrCoverage(
+          docs, col("doc_id"), col("text"), minLen = 4).collect()
+      }
+      assert(chain(ex).contains("outside [0, 2^43)"), chain(ex))
+    }
+  }
+
+  test("exactSubstrCoverage char grain: mid-word substring duplicates word grain cannot see") {
+    import spark.implicits._
+    // docs share the 6-char run "cdefgh" at char offset 3 — no shared
+    // WORD exists (the run cuts mid-token), so word grain reads zero
+    // while char grain must find exactly the duplicated-window union:
+    // starts 3,4,5 (len-4 windows of a 6-char run), covered [3,9) = 6
+    val docs = Seq((1L, "abcdefghij"), (2L, "XXcdefghYY"))
+      .toDF("doc_id", "text")
+    val ch = graft.operators.Dedup.exactSubstrCoverage(
+        docs, col("doc_id"), col("text"), minLen = 4, grain = "char")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ch(1L) == ((10L, 3L, 6L)), s"$ch")
+    assert(ch(2L) == ((10L, 3L, 6L)), s"$ch")
+    val wd = graft.operators.Dedup.exactSubstrCoverage(
+        docs, col("doc_id"), col("text"), minLen = 4, grain = "word")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(wd(1L) == 0L && wd(2L) == 0L, s"$wd")
   }
 
   test("exactSubstrTrimKeepFirst: duplicated spans survive in exactly one place") {
