@@ -283,19 +283,7 @@ object Dedup {
     val (toks, perDoc) =
       exactSubstrStarts(df, id, text, minLen, grain = grain,
         foldCoverage = true)
-    toks.select(col("doc_id"), col("n_tokens"), col("quarantined"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        when(col("quarantined"), lit(null).cast("long"))
-          .otherwise(coalesce(col("n_dup_starts"), lit(0L)))
-          .as("n_dup_starts"),
-        when(col("quarantined"), lit(null).cast("long"))
-          .otherwise(coalesce(col("covered"), lit(0L)))
-          .as("covered_tokens"),
-        col("quarantined"))
-      // NULL covered_tokens (quarantined) propagates to a NULL fraction
-      .withColumn("dup_frac_micro",
-        expr("covered_tokens * 1000000L div n_tokens"))
+    coverageOutput(toks, perDoc)
   }
 
   /** TRUE arbitrary-length ExactSubstr TRIM (Lee et al., ACL 2022 §4.1;
@@ -522,6 +510,156 @@ object Dedup {
     graft.operators.Joins.unpersistLocalCheckpoint(r)
     (toks, perDoc)
   }
+
+  /** The common coverage-output tail: left-join the per-doc folded
+    * duplication scalars onto the doc dimension and apply the
+    * quarantine contract (flagged docs emit NULL measures). */
+  private def coverageOutput(docs: DataFrame, perDoc: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_tokens"), col("quarantined"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("quarantined"), lit(null).cast("long"))
+          .otherwise(coalesce(col("n_dup_starts"), lit(0L)))
+          .as("n_dup_starts"),
+        when(col("quarantined"), lit(null).cast("long"))
+          .otherwise(coalesce(col("covered"), lit(0L)))
+          .as("covered_tokens"),
+        col("quarantined"))
+      // NULL covered_tokens (quarantined) propagates to a NULL fraction
+      .withColumn("dup_frac_micro",
+        expr("covered_tokens * 1000000L div n_tokens"))
+
+  /** Interval-union fold from raw marked start positions to the
+    * [[exactSubstrCoverage]] output shape — the serve step of the
+    * incremental path (state `marks` → per-doc coverage row). */
+  def exactSubstrCoverageFromMarks(docs: DataFrame, marks: DataFrame,
+                                   minLen: Int = 25): DataFrame =
+    coverageOutput(docs, marks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_starts"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .withColumn("covered", expr(
+        s"""aggregate(ps, struct(0L AS cov, 0L AS reach),
+           |  (a, p) -> struct(
+           |    a.cov + greatest(0L, p + $minLen - greatest(a.reach, p)),
+           |    greatest(a.reach, p + $minLen)),
+           |  a -> a.cov)""".stripMargin))
+      .select(col("doc_id"), col("n_dup_starts"), col("covered")))
+
+  /** Frozen-corpus state for INCREMENTAL ExactSubstr (r13 VERDICT #4 —
+    * the last dedup operator without an incremental twin). Suffix-RANK
+    * tables are not mergeable (a rank class is an equality class over
+    * the WHOLE corpus; appending docs invalidates every class), so the
+    * honest incremental design is the repo's registry discipline
+    * ([[byteCdcIncremental]]): keep the every-offset md5 L-gram
+    * registry as mergeable state, probe it with each delta, and let a
+    * PERIODIC exact suffix-rank recompute ([[exactSubstrCoverage]] +
+    * a fresh state build) re-establish collision-freedom. By the
+    * coverage-equivalence theorem the gram formulation equals the
+    * arbitrary-length exact result up to md5 collisions (~n²/2¹²⁸
+    * corpus-wide — at 10¹² grams, ~10⁻¹⁵); the documented recompute
+    * trigger is "every K deltas or when the registry has grown 2×
+    * since the last exact pass", whichever first.
+    *
+    * State tables (all hash-partitioned, never re-derived from text):
+    *  - docs     (doc_id, n_tokens, quarantined) — the doc dimension;
+    *  - marks    (doc_id, pos) — duplicated window starts so far;
+    *  - registry (h, cnt, d1, p1) — per distinct gram: corpus count
+    *    and, meaningful when cnt = 1, its unique occurrence — the row
+    *    that lets a later delta retro-mark a frozen position WITHOUT
+    *    ever re-reading frozen text.
+    *
+    * Over-width docs follow the quarantine contract (excluded from
+    * grams, flagged in `docs`). */
+  def exactSubstrGramState(df: DataFrame, id: Column, text: Column,
+                           minLen: Int = 25)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(minLen >= 2)
+    val toks = df.select(id.as("doc_id"), split(text, " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_tokens"))
+      .withColumn("quarantined", col("n_tokens") >= lit(1L << 20))
+    val docs = toks.select(col("doc_id"), col("n_tokens"),
+      col("quarantined"))
+    val occ = gramOcc(toks, minLen)
+    val registry = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("one"))
+      .select(col("h"), col("cnt"),
+        col("one.doc_id").as("d1"), col("one.pos").as("p1"))
+    val marks = occ
+      .join(registry.filter(col("cnt") >= 2).select("h"), Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    (docs, marks, registry)
+  }
+
+  /** One incremental ExactSubstr fold (design notes on
+    * [[exactSubstrGramState]]): gram the DELTA docs only, probe the
+    * frozen registry, and return the updated state triple. Exactly the
+    * full recompute over frozen ∪ delta (at the md5 grain), because a
+    * gram occurrence is duplicated iff its corpus-wide count ≥ 2:
+    *  - a delta occurrence marks iff delta-count + frozen-count ≥ 2;
+    *  - a frozen occurrence newly marks iff its gram was UNIQUE
+    *    (cnt = 1 → its (d1, p1) slot is the occurrence) and the delta
+    *    hit it — cnt ≥ 2 frozen grams are already in `marks`, so the
+    *    three mark sets are disjoint by construction (no dedup pass).
+    * Per-delta cost: one explode of the delta + one registry probe +
+    * the doc-grain fold — frozen text is never re-read, the
+    * [[byteCdcIncremental]] discipline. Serve coverage from the
+    * returned state via [[exactSubstrCoverageFromMarks]]. */
+  def exactSubstrIncremental(prevDocs: DataFrame, prevMarks: DataFrame,
+                             prevRegistry: DataFrame, delta: DataFrame,
+                             id: Column, text: Column,
+                             minLen: Int = 25)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(minLen >= 2)
+    val toks = delta.select(id.as("doc_id"), split(text, " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_tokens"))
+      .withColumn("quarantined", col("n_tokens") >= lit(1L << 20))
+    val dDocs = toks.select(col("doc_id"), col("n_tokens"),
+      col("quarantined"))
+    // read twice (per-gram agg + mark join): checkpoint the one explode
+    val dOcc = gramOcc(toks, minLen).localCheckpoint(false)
+    val dReg = dOcc.groupBy(col("h"))
+      .agg(count(lit(1)).as("dcnt"),
+        min(struct(col("doc_id"), col("pos"))).as("done"))
+    val probe = dReg.join(prevRegistry, Seq("h"), "left")
+      .localCheckpoint(false) // read twice: dup set + retro-marks
+    val dupH = probe
+      .filter(col("dcnt") + coalesce(col("cnt"), lit(0L)) >= 2)
+      .select(col("h"))
+    val dMarks = dOcc.join(dupH, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    val frozenNew = probe.filter(col("cnt") === 1)
+      .select(col("d1").as("doc_id"), col("p1").as("pos"))
+    val marks = prevMarks.unionByName(frozenNew).unionByName(dMarks)
+    val docs = prevDocs.unionByName(dDocs)
+    // merged registry for the next delta: counts add; the unique-
+    // occurrence slot is the least surviving occurrence (struct order
+    // is doc-major — the same total order the rank path packs)
+    val one = least(
+      when(col("d1").isNotNull,
+        struct(col("d1").as("doc_id"), col("p1").as("pos"))),
+      col("done"))
+    val registry = prevRegistry.join(dReg, Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+          .as("cnt"),
+        one.getField("doc_id").as("d1"), one.getField("pos").as("p1"))
+    (docs, marks, registry)
+  }
+
+  /** Every-offset L-gram explode shared by the incremental state
+    * builders: (doc_id, pos, h) for each window start of each eligible
+    * (non-quarantined, ≥ minLen tokens) doc. */
+  private def gramOcc(toks: DataFrame, minLen: Int): DataFrame =
+    toks.filter(!col("quarantined") && col("n_tokens") >= minLen)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${minLen - 1}),
+           |  i -> struct(cast(i AS LONG) AS pos,
+           |              md5(concat_ws(' ', slice(w, i, $minLen))) AS h))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
     * §3): hash every k-char shingle of the text, slide a w-hash window

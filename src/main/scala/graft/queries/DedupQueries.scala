@@ -726,6 +726,108 @@ object DedupQueries {
              |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
+    // INCREMENTAL ExactSubstr (r13 VERDICT #4, the last dedup operator
+    // without an incremental twin): suffix-rank tables are not
+    // mergeable, so the fold is the gram-registry discipline — frozen
+    // state (docs/marks/registry parquet, built once) + one delta
+    // probe, frozen text never re-read. The delta exercises BOTH
+    // retro-mark directions: the %97 planted clones duplicate frozen
+    // spans (previously-UNIQUE frozen grams must newly mark via their
+    // registry (d1,p1) slot), and two reversed-token copies of each
+    // %113 doc duplicate only each other (delta-internal marks with no
+    // frozen hit). The oracle is the full-recompute every-offset
+    // replay over frozen ∪ delta — bit-equality IS the graded
+    // contract; the periodic-exact-recompute trigger is documented on
+    // the operator.
+    GraftQuery("d_exact_substr_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
+          .withColumn("len", expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
+              "ELSE 200 END"))
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= col("o") + col("len") - 1)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        val rev = docs.filter(col("doc_id") % 113 === 0)
+          .select(col("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+        val delta = planted
+          .unionByName(rev.select((col("doc_id") + 1200000000L)
+            .as("doc_id"), col("text")))
+          .unionByName(rev.select((col("doc_id") + 1300000000L)
+            .as("doc_id"), col("text")))
+        val base = Scratch.dir("exact_substr_incr", dir)
+        Scratch.buildOnce(base) {
+          val (d0, m0, r0) = Dedup.exactSubstrGramState(
+            docs, col("doc_id"), col("text"), minLen = 25)
+          d0.write.mode("overwrite").parquet(s"$base/docs")
+          m0.write.mode("overwrite").parquet(s"$base/marks")
+          r0.write.mode("overwrite").parquet(s"$base/registry")
+        }
+        val (d1, m1, _) = Dedup.exactSubstrIncremental(
+          s.read.parquet(s"$base/docs"),
+          s.read.parquet(s"$base/marks"),
+          s.read.parquet(s"$base/registry"),
+          delta, col("doc_id"), col("text"), minLen = 25)
+        Dedup.exactSubstrCoverageFromMarks(d1, m1, minLen = 25)
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |         (1 + doc_id % 7)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
+             |              ELSE 200 END AS len
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000,
+             |         array_to_string(w[o : o + len - 1], ' ')
+             |  FROM src WHERE length(w) >= o + len - 1
+             |  UNION ALL
+             |  SELECT doc_id + 1200000000,
+             |         array_to_string(list_reverse(string_split(text, ' ')),
+             |                         ' ')
+             |  FROM documents WHERE doc_id % 113 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1300000000,
+             |         array_to_string(list_reverse(string_split(text, ' ')),
+             |                         ' ')
+             |  FROM documents WHERE doc_id % 113 = 0),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |occ AS (SELECT doc_id, n_tokens, i::BIGINT AS pos,
+             |          md5(array_to_string(w[i:i+24], ' ')) AS h
+             |        FROM t, unnest(generate_series(1,
+             |          greatest(length(w) - 24, 0))) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |spans AS (
+             |  SELECT doc_id, pos,
+             |    greatest(0, pos + 25 - greatest(coalesce(
+             |      max(pos + 25) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0), pos)) AS adds
+             |  FROM occ JOIN dup USING (h)),
+             |pd AS (SELECT doc_id, count(*) AS n_dup_starts,
+             |         sum(adds) AS covered
+             |       FROM spans GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.n_dup_starts, 0) END::BIGINT
+             |         AS n_dup_starts,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) END::BIGINT
+             |         AS covered_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) * 1000000 // t.n_tokens
+             |            END::BIGINT AS dup_frac_micro,
+             |       (t.n_tokens >= 1048576) AS quarantined
+             |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
     // Duplicated-span fraction (Lee et al. ACL'22 ExactSubstr at fixed
     // gram length): per doc, the exact fraction of tokens covered by a
     // 25-token span occurring >= 2 times in the corpus — the trim/drop

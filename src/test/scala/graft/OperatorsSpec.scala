@@ -1876,6 +1876,56 @@ class OperatorsSpec extends SparkSpec {
     assert(wd(1L) == 0L && wd(2L) == 0L, s"$wd")
   }
 
+  test("exactSubstrIncremental == full recompute over frozen ∪ delta (bit-equal)") {
+    import spark.implicits._
+    // the graded contract, run in-engine: freeze a corpus, fold in a
+    // delta that (a) duplicates frozen spans — previously-unique frozen
+    // grams must RETRO-mark via their registry slot — and (b) contains
+    // its own internal duplicate pair with no frozen hit; the served
+    // coverage must equal both the gram full recompute AND the exact
+    // suffix-rank operator (coverage equivalence, no md5 collision at
+    // this scale)
+    val frozen = Tables.documents(spark, testDataDir)
+      .select(col("doc_id"), col("text")).limit(150)
+    val clones = frozen.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 3, 60))").as("text"))
+    val rev = frozen.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    val delta = clones
+      .unionByName(rev.select((col("doc_id") + 2000000L).as("doc_id"),
+        col("text")))
+      .unionByName(rev.select((col("doc_id") + 3000000L).as("doc_id"),
+        col("text")))
+    val (d0, m0, r0) = graft.operators.Dedup.exactSubstrGramState(
+      frozen, col("doc_id"), col("text"), minLen = 25)
+    val (d1, m1, r1) = graft.operators.Dedup.exactSubstrIncremental(
+      d0, m0, r0, delta, col("doc_id"), col("text"), minLen = 25)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "n_dup_starts", "covered_tokens")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val inc = asMap(graft.operators.Dedup.exactSubstrCoverageFromMarks(
+      d1, m1, minLen = 25))
+    val union = frozen.unionByName(delta)
+    val full = asMap(graft.operators.Dedup.exactSubstrCoverage(
+      union, col("doc_id"), col("text"), minLen = 25))
+    assert(inc == full, "incremental fold diverged from full recompute")
+    // both retro-mark directions actually fired
+    val frozenIds = frozen.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inc.exists { case (id, (_, s, _)) => frozenIds(id) && s > 0 },
+      "no frozen doc was retro-marked")
+    assert(inc.exists { case (id, (_, s, _)) => id >= 2000000L && s > 0 },
+      "no delta-internal duplicate marked")
+    // the merged registry equals a from-scratch state build (mergeable-
+    // summary property): same (h, cnt) multiset and same unique slots
+    val (_, _, rFull) = graft.operators.Dedup.exactSubstrGramState(
+      union, col("doc_id"), col("text"), minLen = 25)
+    assert(r1.exceptAll(rFull).isEmpty && rFull.exceptAll(r1).isEmpty,
+      "merged registry != from-scratch registry")
+  }
+
   test("exactSubstrTrimKeepFirst: duplicated spans survive in exactly one place") {
     import spark.implicits._
     def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
