@@ -1063,5 +1063,88 @@ object JoinQueries {
              |         AS n_hubs_dropped
              |FROM sc
              |ORDER BY score_micro DESC, a, b LIMIT 100""".stripMargin)),
+
+    // SAMPLED RA scoring (r13 VERDICT #7) on its SOUND contract — the
+    // monitoring composition: yesterday's exact top-100 (built once,
+    // the v_ivfpq_topk amortization discipline) re-scored on the graph
+    // by an unbiased q=1/2 neighbor-sampled estimator whose wedge
+    // stream dies into a broadcast candidate probe instead of the
+    // corpus-pair agg. Sampled top-k SELECTION is graded nowhere
+    // because it is measurably unsound (recall 0.07-0.17 here, 0.13
+    // even on a heavy-overlap graph; winner's-curse inflation +42% —
+    // the full negative result and the Hoeffding per-pair bound live
+    // on the operator scaladoc). The hash-derived sample is
+    // deterministic, so the oracle replays the serve exactly,
+    // candidates and sampling included.
+    GraftQuery("j_ra_linkpred_sampled",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"))
+        val edges = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+          .filter(col("dst").isNotNull && col("dst") =!= col("l_partkey"))
+          .select(col("l_partkey").as("src"), col("dst"))
+        val base = Scratch.dir("ra_sampled_cands", dir)
+        Scratch.buildOnce(base) {
+          Joins.resourceAllocationPairs(edges, maxWedgeDegree = 64L,
+              topK = 100)
+            .select(col("a"), col("b"))
+            .write.mode("overwrite").parquet(s"$base/cands")
+        }
+        Joins.resourceAllocationScoresSampled(edges,
+          s.read.parquet(s"$base/cands"),
+          maxWedgeDegree = 64L, sampleDiv = 2)
+      },
+      Some("""WITH e0 AS (
+             |  SELECT l_partkey,
+             |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+             |                               ORDER BY l_linenumber, l_partkey) AS dst
+             |  FROM lineitem),
+             |raw AS (SELECT l_partkey AS src, dst FROM e0
+             |        WHERE dst IS NOT NULL AND dst <> l_partkey),
+             |und AS (SELECT DISTINCT least(src, dst) AS a,
+             |               greatest(src, dst) AS b FROM raw),
+             |adj AS (SELECT a AS w, b AS x FROM und
+             |        UNION ALL SELECT b, a FROM und),
+             |deg AS (SELECT w, count(*) AS d FROM adj GROUP BY 1),
+             |ok AS (SELECT adj.w, adj.x, deg.d
+             |       FROM adj JOIN deg USING (w) WHERE d <= 64),
+             |wedge AS (SELECT o1.x AS a, o2.x AS b, o1.d
+             |          FROM ok o1 JOIN ok o2
+             |            ON o1.w = o2.w AND o1.x < o2.x),
+             |nw AS (SELECT a, b FROM wedge
+             |       WHERE NOT EXISTS (SELECT 1 FROM und
+             |                         WHERE und.a = wedge.a
+             |                           AND und.b = wedge.b)),
+             |sc AS (SELECT w2.a, w2.b,
+             |              CAST(sum(1000000 // w2.d) AS BIGINT)
+             |                AS score_micro
+             |       FROM wedge w2 JOIN (SELECT DISTINCT a, b FROM nw) n2
+             |         ON w2.a = n2.a AND w2.b = n2.b
+             |       GROUP BY 1, 2),
+             |cand AS (SELECT a, b FROM sc
+             |         ORDER BY score_micro DESC, a, b LIMIT 100),
+             |oks AS (SELECT adj.w, adj.x, deg.d
+             |        FROM adj JOIN deg USING (w)
+             |        WHERE d <= 64
+             |          AND ('0x' || substring(md5(adj.w::VARCHAR || ','
+             |                || adj.x::VARCHAR), 1, 15))::BIGINT % 2 = 0),
+             |sw AS (SELECT o1.x AS a, o2.x AS b, o1.d
+             |       FROM oks o1 JOIN oks o2
+             |         ON o1.w = o2.w AND o1.x < o2.x),
+             |est AS (SELECT sw.a, sw.b,
+             |               CAST(sum(1000000 // sw.d) * 4 AS BIGINT)
+             |                 AS score_est_micro,
+             |               count(*)::BIGINT AS n_common_sampled
+             |        FROM sw JOIN cand ON sw.a = cand.a AND sw.b = cand.b
+             |        GROUP BY 1, 2)
+             |SELECT c.a, c.b,
+             |       coalesce(e.score_est_micro, 0)::BIGINT
+             |         AS score_est_micro,
+             |       coalesce(e.n_common_sampled, 0)::BIGINT
+             |         AS n_common_sampled
+             |FROM cand c LEFT JOIN est e
+             |  ON e.a = c.a AND e.b = c.b""".stripMargin)),
   )
 }

@@ -2071,6 +2071,46 @@ class OperatorsSpec extends SparkSpec {
       s"${uncapped.toSeq}")
   }
 
+  test("resourceAllocationScoresSampled: per-pair error band on fixed candidates") {
+    import spark.implicits._
+    // the SOUND sampled contract (candidates fixed BEFORE the sample —
+    // no winner's-curse selection): a bipartite co-access graph of
+    // 300 users × 60 items with varying popularity; the exact top-30
+    // pairs hold t ≈ 100-170 wedges each, so at q = 1/2 the Hoeffding
+    // relative σ = √((1−q²)/(t·q²)) ≈ 0.14 and every fixed-pair
+    // estimate must sit well inside ±4σ with near-zero mean error.
+    // Graph seeded + hash-derived sample → deterministic pin.
+    val rnd = new scala.util.Random(42)
+    val edges = (for {
+      u <- 1L to 300L
+      i <- 0 until 60
+      if rnd.nextDouble() < 0.25 + 0.5 * i / 60.0
+    } yield (u, 1001001L + i)).toDF("src", "dst")
+    val exact = graft.operators.Joins.resourceAllocationPairs(
+        edges, maxWedgeDegree = 512L, topK = 30)
+      .select("a", "b", "score_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    val cands = exact.map(_._1).toSeq.toDF("a", "b")
+    val est = graft.operators.Joins.resourceAllocationScoresSampled(
+        edges, cands, maxWedgeDegree = 512L, sampleDiv = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(est.size == 30, s"${est.size} rows for 30 candidates")
+    val errs = exact.map { case (p, s) => (est(p) - s).toDouble / s }
+    errs.foreach(e => assert(math.abs(e) <= 0.5, s"rel err $e"))
+    val mean = errs.sum / errs.length
+    assert(math.abs(mean) <= 0.1,
+      f"mean signed error $mean%.3f — estimator biased")
+    // zero-fill contract: a candidate no surviving wedge ever touches
+    // still emits its row with zero evidence
+    val ghost = graft.operators.Joins.resourceAllocationScoresSampled(
+        edges, Seq((900001L, 900002L)).toDF("a", "b"),
+        maxWedgeDegree = 512L, sampleDiv = 2)
+      .collect()
+    assert(ghost.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq((900001L, 900002L, 0L, 0L)))
+  }
+
   test("resourceAllocationPairs is plan-building only: zero jobs at call time") {
     import spark.implicits._
     // r11 VERDICT #1: the eager audit count charged every caller a full
