@@ -445,15 +445,7 @@ object Dedup {
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     var k = 1L
     (1 to m).foreach { _ =>
-      // rank of the suffix k ahead; missing (suffix ends) pads with -1
-      val paired = r.select(col("doc_id"), col("pos"),
-        col("rank").as("r1"),
-        coalesce(lead(col("rank"), k.toInt).over(byDoc), lit(-1L))
-          .as("r2"))
-      val rmap = paired.groupBy("r1", "r2").agg(min(repr).as("rank"))
-      val next = paired.join(rmap, Seq("r1", "r2"))
-        .select(col("doc_id"), col("pos"), col("rank"))
-        .localCheckpoint()
+      val next = doublingRound(r, k.toInt).localCheckpoint()
       graft.operators.Joins.unpersistLocalCheckpoint(r)
       r = next
       k *= 2
@@ -509,6 +501,42 @@ object Dedup {
     else perDocPs).localCheckpoint()
     graft.operators.Joins.unpersistLocalCheckpoint(r)
     (toks, perDoc)
+  }
+
+  /** ONE prefix-doubling round over a rank table (doc_id, pos, rank):
+    * fetch rank[pos + k] as a window lead (positions are contiguous
+    * 1..n per doc — the r13 rewrite that retired the r12 shift
+    * self-join), pad suffix ends with −1, and re-tag each (r1, r2)
+    * class with its min representative.
+    *
+    * EXCHANGE BUDGET — exactly TWO shuffle exchanges per round, pinned
+    * by PlanSpec: the window's doc_id hash and ONE explicit (r1, r2)
+    * repartition that ReuseExchange shares between the class-map
+    * groupBy and the join probe (the [[winnowCandidatePairs]]
+    * one-exchange-three-consumers discipline). Extracting the r14 pin
+    * spec exposed that the r13 shape actually EXECUTED three: letting
+    * the planner insert ENSURE_REQUIREMENTS exchanges gave the groupBy
+    * and the join each their own (r1, r2) shuffle — textually
+    * different children (partial agg vs raw projection), so
+    * ReuseExchange could not merge them — and re-ran the window + its
+    * doc_id sort once per consumer. The explicit repartition trades
+    * the class map's map-side partial min (tiny — class-count rows)
+    * for shipping `paired` ONCE and computing the window ONCE.
+    * Package-private for the spec; [[exactSubstrStarts]] is the only
+    * production caller. */
+  private[graft] def doublingRound(r: DataFrame, k: Int): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val repr = col("doc_id") * (1L << 20) + col("pos")
+    // rank of the suffix k ahead; missing (suffix ends) pads with -1
+    val paired = r.select(col("doc_id"), col("pos"),
+      col("rank").as("r1"),
+      coalesce(lead(col("rank"), k).over(byDoc), lit(-1L))
+        .as("r2"))
+      .repartition(col("r1"), col("r2"))
+    val rmap = paired.groupBy("r1", "r2").agg(min(repr).as("rank"))
+    paired.join(rmap, Seq("r1", "r2"))
+      .select(col("doc_id"), col("pos"), col("rank"))
   }
 
   /** The common coverage-output tail: left-join the per-doc folded

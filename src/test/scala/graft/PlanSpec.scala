@@ -738,4 +738,63 @@ class PlanSpec extends SparkSpec {
     assert(!tp.contains("Exchange") && !tp.contains("Join"),
       s"temperature gate not map-only:\n$tp")
   }
+
+  test("suffix-rank doubling round: two executed exchanges, class exchange reused") {
+    import spark.implicits._
+    // r13 VERDICT #8: the window-lead rewrite's whole value is "two
+    // hash exchanges per doubling round" — the window's doc_id hash
+    // plus ONE (r1, r2) class hash that ReuseExchange shares between
+    // the class-map groupBy and the join probe. Pin it under the AT-
+    // SCALE join regime (broadcast off — at real corpus size the class
+    // map is corpus-sized and can never broadcast): a Spark upgrade
+    // that stops reusing the groupBy's exchange would re-shuffle the
+    // rank table a third time and multiply the whole build ~1.5x.
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBcast =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (1L to 40L)
+        .map(i => (i, (1 to 30).map(t => s"w${(i * 7 + t) % 13}")
+          .mkString(" ")))
+        .toDF("doc_id", "text")
+      // rank_1 exactly as exactSubstrStarts builds it, checkpointed so
+      // the round's plan starts from a bare rank table as in the loop
+      val positions = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("tok"))
+      val r1 = positions.join(
+          positions.groupBy("tok")
+            .agg(min(expr("doc_id * 1048576 + pos")).as("rank")), "tok")
+        .select("doc_id", "pos", "rank").localCheckpoint()
+      val round = graft.operators.Dedup.doublingRound(r1, 1)
+      round.collect()
+      val fin = round.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(fin.contains("isFinalPlan=true"), fin)
+      val real = "\\+- Exchange hashpartitioning.*?plan_id=(\\d+)".r
+        .findAllMatchIn(fin).map(_.group(1)).toSet
+      assert(real.size <= 2,
+        s"doubling round grew a third exchange (${real.size}):\n$fin")
+      assert("ReusedExchange".r.findAllIn(fin).size >= 1,
+        s"(r1, r2) class exchange not reused:\n$fin")
+      // the shifted rank comes from ONE window lead, never a rank-table
+      // self-join on (doc_id, pos), and nothing range-partitions
+      assert("(?m)^[\\s:+\\-|*]*Window".r.findAllIn(fin).size == 1,
+        s"window count drifted:\n$fin")
+      assert(!fin.contains("Exchange rangepartitioning"),
+        s"global sort inside a doubling round:\n$fin")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      aqeBcast match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
