@@ -131,7 +131,10 @@ object Bench {
     "d_exact_substr",      // prefix-doubling suffix ranks (log2 L join rounds)
     "d_exact_substr_trim", // suffix-rank spans REMOVED (rank rounds + rebuild)
     "d_exact_substr_keepfirst", // keep-one-copy variant (class argmin winner)
-    "d_exact_substr_l200") // 7 doubling rounds — the rank-vs-gram crossover depth
+    "d_exact_substr_l200", // 7 doubling rounds — the rank-vs-gram crossover depth
+    "d_exact_substr_bytes", // char-grain twin (~5x positions, 5 rounds)
+    "d_exact_substr_incremental", // delta gram probe (frozen state amortized once)
+    "j_ra_linkpred_sampled") // sampled candidate re-score (exact top-k amortized once)
 
   /** Plan-sibling families (r13 VERDICT #1b): members of a family share
     * the same physical plan shape and build cost (verified by isolated
