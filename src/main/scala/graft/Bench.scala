@@ -133,6 +133,7 @@ object Bench {
     "d_exact_substr_keepfirst", // keep-one-copy variant (class argmin winner)
     "d_exact_substr_l200", // 7 doubling rounds — the rank-vs-gram crossover depth
     "d_exact_substr_bytes", // char-grain twin (~5x positions, 5 rounds)
+    "d_exact_substr_quarantine", // planted 2^20-token giant (must price ≈ substr)
     "d_exact_substr_incremental", // delta gram probe (frozen state amortized once)
     "j_ra_linkpred_sampled") // sampled candidate re-score (exact top-k amortized once)
 

@@ -1113,17 +1113,18 @@ object JoinQueries {
              |wedge AS (SELECT o1.x AS a, o2.x AS b, o1.d
              |          FROM ok o1 JOIN ok o2
              |            ON o1.w = o2.w AND o1.x < o2.x),
-             |nw AS (SELECT a, b FROM wedge
-             |       WHERE NOT EXISTS (SELECT 1 FROM und
-             |                         WHERE und.a = wedge.a
-             |                           AND und.b = wedge.b)),
-             |sc AS (SELECT w2.a, w2.b,
-             |              CAST(sum(1000000 // w2.d) AS BIGINT)
+             |-- agg BEFORE the new-link anti-filter (commutes: the anti
+             |-- key is exactly the grouping key — the Spark operator's
+             |-- own plan) so the 10x-data wedge CTE is referenced ONCE;
+             |-- the r14 sf1 gate OOM-spilled the disk on the two-pass
+             |-- NOT EXISTS formulation
+             |sc AS (SELECT a, b, CAST(sum(1000000 // d) AS BIGINT)
              |                AS score_micro
-             |       FROM wedge w2 JOIN (SELECT DISTINCT a, b FROM nw) n2
-             |         ON w2.a = n2.a AND w2.b = n2.b
-             |       GROUP BY 1, 2),
-             |cand AS (SELECT a, b FROM sc
+             |       FROM wedge GROUP BY 1, 2),
+             |nsc AS (SELECT sc.* FROM sc LEFT JOIN und
+             |          ON und.a = sc.a AND und.b = sc.b
+             |        WHERE und.a IS NULL),
+             |cand AS (SELECT a, b FROM nsc
              |         ORDER BY score_micro DESC, a, b LIMIT 100),
              |oks AS (SELECT adj.w, adj.x, deg.d
              |        FROM adj JOIN deg USING (w)
