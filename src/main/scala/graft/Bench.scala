@@ -133,6 +133,7 @@ object Bench {
     "d_exact_substr_keepfirst", // keep-one-copy variant (class argmin winner)
     "d_exact_substr_l200", // 7 doubling rounds — the rank-vs-gram crossover depth
     "d_exact_substr_bytes", // char-grain twin (~5x positions, 5 rounds)
+    "d_exact_substr_trim_bytes", // the released tool's transform (same char build + rebuild)
     "d_exact_substr_quarantine", // planted 2^20-token giant (must price ≈ substr)
     "d_exact_substr_incremental", // delta gram probe (frozen state amortized once)
     "j_ra_linkpred_sampled") // sampled candidate re-score (exact top-k amortized once)
@@ -147,7 +148,11 @@ object Bench {
     * are ~5x word positions, a genuinely different corpus size. */
   val planSiblings: Seq[Seq[String]] = Seq(
     Seq("d_exact_substr", "d_exact_substr_trim",
-      "d_exact_substr_keepfirst", "d_exact_substr_l200"))
+      "d_exact_substr_keepfirst", "d_exact_substr_l200"),
+    // the char-grain pair shares the 5-round byte build; the family
+    // median rule needs >= 3 members to fire, so the pair rides the
+    // new-entry re-measure until a third char-grain entry exists
+    Seq("d_exact_substr_bytes", "d_exact_substr_trim_bytes"))
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a

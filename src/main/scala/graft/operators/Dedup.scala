@@ -181,7 +181,8 @@ object Dedup {
     * names input columns carried verbatim into the output (the
     * quarantine flag on the suffix-rank path). */
   private def trimCoveredSpans(withPs: DataFrame, g: Int,
-                               passThrough: Seq[String] = Nil): DataFrame =
+                               passThrough: Seq[String] = Nil,
+                               sep: String = " "): DataFrame =
     withPs
       // maximal merged intervals [ss_j, es_j): a sorted fixed-length-g
       // interval starts a new chain iff its gap to the previous start
@@ -205,7 +206,7 @@ object Dedup {
         expr("aggregate(zip_with(es, ss, (e, s) -> e - s), 0L, (a, x) -> a + x)")
           .as("n_removed"),
         expr(
-          """concat_ws(' ', filter(transform(sequence(1, size(w)), t ->
+          s"""concat_ws('$sep', filter(transform(sequence(1, size(w)), t ->
             |  CASE WHEN size(ss) = 0 OR NOT exists(sequence(1, size(ss)), j ->
             |         element_at(ss, j) <= t AND t < element_at(es, j))
             |       THEN element_at(w, t) END), x -> x IS NOT NULL))"""
@@ -302,14 +303,20 @@ object Dedup {
     * interval scan (O(n²/g) worst case, documented there). Over-width
     * docs follow the quarantine contract ([[exactSubstrCoverage]]):
     * flagged, NULL measures, content untouched by the rank build.
+    * `grain = "char"` is the released tool's actual transform — byte
+    * spans removed, survivors rejoined with NO separator (the
+    * characters ARE the text); see the coverage scaladoc for the grain
+    * contract.
     *
     * @return one row per doc: (doc_id, n_tokens, n_removed,
     *         trimmed_text, quarantined) — [[dupSpanTrim]]'s shape plus
     *         the quarantine flag. */
   def exactSubstrTrim(df: DataFrame, id: Column, text: Column,
-                      minLen: Int = 25): DataFrame = {
-    val (toks, perDoc) = exactSubstrStarts(df, id, text, minLen)
-    quarantineAwareTrim(toks, perDoc, minLen)
+                      minLen: Int = 25,
+                      grain: String = "word"): DataFrame = {
+    val (toks, perDoc) =
+      exactSubstrStarts(df, id, text, minLen, grain = grain)
+    quarantineAwareTrim(toks, perDoc, minLen, grain)
   }
 
   /** [[exactSubstrTrim]] with KEEP-ONE-COPY semantics — the variant the
@@ -344,14 +351,18 @@ object Dedup {
     * giant doc never pays the O(n) membership scan for a result that
     * is nulled anyway) and its measures emit as NULL. */
   private def quarantineAwareTrim(toks: DataFrame, perDoc: DataFrame,
-                                  minLen: Int): DataFrame =
+                                  minLen: Int,
+                                  grain: String = "word"): DataFrame =
     trimCoveredSpans(
       toks.join(perDoc.select(col("doc_id"), col("ps")),
           Seq("doc_id"), "left")
         .withColumn("ps", coalesce(col("ps"), array().cast("array<long>")))
         .withColumn("w", when(col("quarantined"), array(lit("")))
           .otherwise(col("w"))),
-      minLen, passThrough = Seq("quarantined"))
+      minLen, passThrough = Seq("quarantined"),
+      // char-grain docs rejoin WITHOUT a separator (the tokens ARE the
+      // characters); word grain keeps the single-space rejoin
+      sep = if (grain == "char") "" else " ")
       .select(col("doc_id"), col("n_tokens"),
         when(col("quarantined"), lit(null).cast("long"))
           .otherwise(col("n_removed")).as("n_removed"),

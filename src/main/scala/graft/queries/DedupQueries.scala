@@ -726,6 +726,72 @@ object DedupQueries {
              |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
+    // BYTE-grain ExactSubstr TRIM — the released deduplicate-text-
+    // datasets transform exactly: duplicated BYTE spans (>= 40 chars,
+    // any length, any offset) REMOVED from every doc, survivors
+    // rejoined with NO separator. Same planted char-offset clones as
+    // d_exact_substr_bytes (clones of len 40/90/200 trim to empty;
+    // their source docs lose the cloned span even when it cuts
+    // mid-word). Oracle: every-CHAR-offset md5 40-gram classes +
+    // exploded covered-set + ordered no-separator string_agg rebuild —
+    // interval merge, tail arithmetic AND the reassembled string grade
+    // value-exact.
+    GraftQuery("d_exact_substr_trim_bytes",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") % 89 === 0)
+          .withColumn("o", (col("doc_id") % 11 + 1).cast("int"))
+          .withColumn("len", expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 40 WHEN 1 THEN 90 " +
+              "ELSE 200 END"))
+          .filter(length(col("text")) >= col("o") + col("len") - 1)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            expr("substring(text, o, len)").as("text"))
+        Dedup.exactSubstrTrim(docs.unionByName(planted),
+          col("doc_id"), col("text"), minLen = 40, grain = "char")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, text,
+             |         (1 + doc_id % 11)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 40 WHEN 1 THEN 90
+             |              ELSE 200 END AS len
+             |  FROM documents WHERE doc_id % 89 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000, substring(text, o, len)
+             |  FROM src WHERE length(text) >= o + len - 1),
+             |t AS (SELECT doc_id, length(text)::BIGINT AS n_tokens, text
+             |      FROM corpus),
+             |el AS (SELECT * FROM t WHERE n_tokens < 1048576),
+             |occ AS (SELECT doc_id, i::BIGINT AS pos,
+             |          md5(substring(text, i::INT, 40)) AS h
+             |        FROM el, unnest(generate_series(1,
+             |          greatest(length(text) - 39, 0))) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT o.doc_id, u.t::BIGINT AS t
+             |        FROM occ o JOIN dup USING (h),
+             |             unnest(generate_series(o.pos, o.pos + 39)) AS u(t)),
+             |tok AS (SELECT doc_id, i::BIGINT AS t,
+             |          substring(text, i::INT, 1) AS tok
+             |        FROM el, unnest(generate_series(1,
+             |          length(text))) AS u(i)),
+             |kept AS (SELECT k.doc_id, count(*) AS n_kept,
+             |           string_agg(k.tok, '' ORDER BY k.t) AS txt
+             |         FROM (SELECT tok.* FROM tok LEFT JOIN cov
+             |                 ON cov.doc_id = tok.doc_id AND cov.t = tok.t
+             |               WHERE cov.doc_id IS NULL) k
+             |         GROUP BY k.doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE t.n_tokens - coalesce(k.n_kept, 0) END::BIGINT
+             |         AS n_removed,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(k.txt, '') END AS trimmed_text,
+             |       (t.n_tokens >= 1048576) AS quarantined
+             |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
+
     // INCREMENTAL ExactSubstr (r13 VERDICT #4, the last dedup operator
     // without an incremental twin): suffix-rank tables are not
     // mergeable, so the fold is the gram-registry discipline — frozen

@@ -1876,6 +1876,21 @@ class OperatorsSpec extends SparkSpec {
     assert(wd(1L) == 0L && wd(2L) == 0L, s"$wd")
   }
 
+  test("exactSubstrTrim char grain: byte spans removed, no-separator rebuild") {
+    import spark.implicits._
+    // the released tool's transform: the shared 6-char run "cdefgh"
+    // (chars [3,9)) trims from BOTH docs and the survivors rejoin with
+    // no separator — "ab"+"ij" and "XX"+"YY"
+    val docs = Seq((1L, "abcdefghij"), (2L, "XXcdefghYY"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactSubstrTrim(
+        docs, col("doc_id"), col("text"), minLen = 4, grain = "char")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((10L, 6L, "abij")), s"$got")
+    assert(got(2L) == ((10L, 6L, "XXYY")), s"$got")
+  }
+
   test("exactSubstrIncremental == full recompute over frozen ∪ delta (bit-equal)") {
     import spark.implicits._
     // the graded contract, run in-engine: freeze a corpus, fold in a
