@@ -426,19 +426,11 @@ object Dedup {
       // r13 raise_error that let one pathological doc abort a corpus
       // run (r13 VERDICT #2, the s2_quarantine_split discipline).
       .withColumn("quarantined", col("n_tokens") >= lit(1L << 20))
-    // PACKED position key through the whole ladder (r14): the repr
-    // `doc_id·2²⁰ + pos` is already the class representative, is
-    // doc-major monotonic (ordering by it within a doc = pos order,
-    // and rows are one per position, so lead(k) over it is still
-    // rank[pos + k]), and unpacks losslessly — so the rank table rows
-    // are (repr, rank), 16 bytes instead of the 24-byte
-    // (doc_id, pos, rank), through every round's two exchanges, every
-    // sort, and every localCheckpoint block. doc_id/pos re-emerge only
-    // at the doc-grain tail.
     val positions = toks.filter(!col("quarantined"))
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
-      .select((col("doc_id") * (1L << 20) + col("p0") + 1L).as("repr"),
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         col("tok"))
+    val repr = col("doc_id") * (1L << 20) + col("pos")
     // rank_1: token-equality classes tagged by their smallest member.
     // EAGER localCheckpoint per round (the resolveRoots/pageRank
     // discipline, Joins.scala): each round reads the previous rank
@@ -448,20 +440,20 @@ object Dedup {
     // blowup, 1.1 MB task binaries at 500 docs). A superseded round's
     // blocks are released as soon as its successor materializes.
     var r = positions.join(
-      positions.groupBy("tok").agg(min(col("repr")).as("rank")), "tok")
-      .select(col("repr"), col("rank"))
+      positions.groupBy("tok").agg(min(repr).as("rank")), "tok")
+      .select(col("doc_id"), col("pos"), col("rank"))
       .localCheckpoint()
     val m = 31 - Integer.numberOfLeadingZeros(minLen) // floor(log2 L)
     // positions are CONTIGUOUS 1..n per doc by construction, so
-    // rank[pos + k] is exactly lead(rank, k) over (doc ORDER BY repr)
+    // rank[pos + k] is exactly lead(rank, k) over (doc_id ORDER BY pos)
     // — one window pass where the r12 formulation self-joined the rank
     // table on (doc_id, pos), saving a corpus-sized exchange + SMJ sort
     // pair PER ROUND (the round's only remaining exchanges are the
-    // window's doc hash and the shared (r1, r2) class exchange).
+    // window's doc_id hash and the shared (r1, r2) class exchange).
     // Skew bound: a doc occupies one window task, capped by the 2^20
     // per-doc token contract the repr packing already imposes.
     val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(docOf(col("repr"))).orderBy(col("repr"))
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
     var k = 1L
     (1 to m).foreach { _ =>
       val next = doublingRound(r, k.toInt).localCheckpoint()
@@ -473,20 +465,16 @@ object Dedup {
     val off = (minLen - k).toInt
     val keys =
       if (off == 0)
-        r.select(col("repr"), col("rank").as("r1"),
+        r.select(col("doc_id"), col("pos"), col("rank").as("r1"),
           col("rank").as("r2"))
       else
         // a null lead = no position p + off in the doc; such a p cannot
         // start a full L-window, so dropping it mirrors the start
         // filter below (inner-join semantics of the r12 tail join)
-        r.select(col("repr"), col("rank").as("r1"),
+        r.select(col("doc_id"), col("pos"), col("rank").as("r1"),
             lead(col("rank"), off).over(byDoc).as("r2"))
           .filter(col("r2").isNotNull)
-    val repr = col("repr")
     val starts = keys
-      .select(docOf(col("repr")).as("doc_id"),
-        (col("repr") % (1L << 20)).as("pos"), col("repr"),
-        col("r1"), col("r2"))
       .join(toks.select(col("doc_id"), col("n_tokens")), "doc_id")
       .filter(col("pos") <= col("n_tokens") - (minLen - 1))
     val dupClasses = starts.groupBy("r1", "r2")
@@ -548,32 +536,19 @@ object Dedup {
     * Package-private for the spec; [[exactSubstrStarts]] is the only
     * production caller. */
   private[graft] def doublingRound(r: DataFrame, k: Int): DataFrame = {
-    // rows are (repr, rank) — the packed key doubles as the class
-    // representative AND the window order (doc-major monotonic, one
-    // row per position → lead(k) is rank[pos + k]); 16-byte rows
-    // through both exchanges instead of 24 (r14)
     val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(docOf(col("repr"))).orderBy(col("repr"))
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val repr = col("doc_id") * (1L << 20) + col("pos")
     // rank of the suffix k ahead; missing (suffix ends) pads with -1
-    val paired = r.select(col("repr"),
+    val paired = r.select(col("doc_id"), col("pos"),
       col("rank").as("r1"),
       coalesce(lead(col("rank"), k).over(byDoc), lit(-1L))
         .as("r2"))
       .repartition(col("r1"), col("r2"))
-    val rmap = paired.groupBy("r1", "r2")
-      .agg(min(col("repr")).as("rank"))
-    // join mechanism deliberately left to the planner (SMJ at scale):
-    // a shuffle_hash hint measured FLAT at sf1 (144 vs 138 s on the
-    // 5-round byte build — the sorts are not the bottleneck; unit cost
-    // is ~rows×rounds across grains) and SMJ spills gracefully where a
-    // hash build can OOM a mis-sized partition at 100 TB.
+    val rmap = paired.groupBy("r1", "r2").agg(min(repr).as("rank"))
     paired.join(rmap, Seq("r1", "r2"))
-      .select(col("repr"), col("rank"))
+      .select(col("doc_id"), col("pos"), col("rank"))
   }
-
-  /** The doc component of a packed `doc_id·2²⁰ + pos` representative
-    * (repr ≥ 0 by the doc_id/pos guards, so the shift is the div). */
-  private def docOf(repr: Column): Column = shiftright(repr, 20)
 
   /** The common coverage-output tail: left-join the per-doc folded
     * duplication scalars onto the doc dimension and apply the

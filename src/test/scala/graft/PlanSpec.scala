@@ -764,10 +764,12 @@ class PlanSpec extends SparkSpec {
       val positions = docs
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
-        .select(expr("doc_id * 1048576 + p0 + 1").as("repr"), col("tok"))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("tok"))
       val r1 = positions.join(
-          positions.groupBy("tok").agg(min(col("repr")).as("rank")), "tok")
-        .select("repr", "rank").localCheckpoint()
+          positions.groupBy("tok")
+            .agg(min(expr("doc_id * 1048576 + pos")).as("rank")), "tok")
+        .select("doc_id", "pos", "rank").localCheckpoint()
       val round = graft.operators.Dedup.doublingRound(r1, 1)
       round.collect()
       val fin = round.queryExecution.executedPlan.toString
