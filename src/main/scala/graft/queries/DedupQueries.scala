@@ -657,6 +657,101 @@ object DedupQueries {
              |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
+    // Over-width SEGMENTATION (r14 VERDICT #2: quarantine keeps the run
+    // alive but leaves a book's duplication unexamined): the SAME
+    // giant-bearing corpus as d_exact_substr_quarantine, run through
+    // exactSubstrCoverageSegmented — the giant is cut into overlap
+    // segments (synthetic rank units), its marks decode back, and its
+    // duplicated spans ARE detected: the giant is doc 0's text repeated
+    // R times, so (unlike the quarantine entry, where both read
+    // inert/NULL) doc 0 must now read near-fully covered and the giant
+    // itself near-fully self-covered. Oracle: the every-offset replay
+    // with NO width exclusion — the giant's 2^20-token gram stream is
+    // formulated as a zipped unnest + windowed string_agg (a streaming
+    // O(n·g) scan) because the lateral-unnest + per-position list slice
+    // the narrower entries use would materialize the giant's token list
+    // once per position (the DuckDB scale trap recorded in r14).
+    GraftQuery("d_exact_substr_segmented",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
+          .withColumn("len", expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
+              "ELSE 200 END"))
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= col("o") + col("len") - 1)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        val giant = docs.filter(col("doc_id") === 0)
+          .withColumn("w", split(col("text"), " "))
+          .select(lit(2000000000L).as("doc_id"),
+            concat_ws(" ", flatten(array_repeat(col("w"),
+              (lit(1048576) / size(col("w"))).cast("int") + 1)))
+              .as("text"))
+        Dedup.exactSubstrCoverageSegmented(
+          docs.unionByName(planted).unionByName(giant),
+          col("doc_id"), col("text"), minLen = 25)
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |         (1 + doc_id % 7)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
+             |              ELSE 200 END AS len
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000,
+             |         array_to_string(w[o : o + len - 1], ' ')
+             |  FROM src WHERE length(w) >= o + len - 1
+             |  UNION ALL
+             |  SELECT 2000000000::BIGINT,
+             |         rtrim(repeat(text || ' ',
+             |           (1048576 // length(string_split(text, ' ')))::INT
+             |             + 1))
+             |  FROM documents WHERE doc_id = 0),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |-- zipped unnest: one streamed row per token, no per-position
+             |-- list slicing (the giant would otherwise copy its 2^20-
+             |-- element list once per unnested position)
+             |tok AS (SELECT doc_id, n_tokens,
+             |          unnest(generate_series(1, length(w)))::BIGINT AS pos,
+             |          unnest(w) AS tok
+             |        FROM t),
+             |occ AS (SELECT doc_id, n_tokens, pos,
+             |          md5(string_agg(tok, ' ') OVER (
+             |            PARTITION BY doc_id ORDER BY pos
+             |            ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING)) AS h
+             |        FROM tok
+             |        QUALIFY pos <= n_tokens - 24),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |spans AS (
+             |  SELECT doc_id, pos,
+             |    greatest(0, pos + 25 - greatest(coalesce(
+             |      max(pos + 25) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0), pos)) AS adds
+             |  FROM occ JOIN dup USING (h)),
+             |pd AS (SELECT doc_id, count(*) AS n_dup_starts,
+             |         sum(adds) AS covered
+             |       FROM spans GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens > 1073716248 THEN NULL
+             |            ELSE coalesce(pd.n_dup_starts, 0) END::BIGINT
+             |         AS n_dup_starts,
+             |       CASE WHEN t.n_tokens > 1073716248 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) END::BIGINT
+             |         AS covered_tokens,
+             |       CASE WHEN t.n_tokens > 1073716248 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) * 1000000 // t.n_tokens
+             |            END::BIGINT AS dup_frac_micro,
+             |       (t.n_tokens > 1073716248) AS quarantined
+             |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
     // BYTE-grain ExactSubstr (r13 VERDICT #3, the last fidelity delta
     // with Lee et al. §4.1, which dedups byte sequences where the word
     // path dedups space-split tokens): the SAME suffix-rank machinery
@@ -792,6 +887,80 @@ object DedupQueries {
              |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
 
+    // UTF-8 BYTE-addressed ExactSubstr (r14 VERDICT #3: grain="char"
+    // indexes characters; the released deduplicate-text-datasets tool
+    // indexes BYTES — divergent on multi-byte text). The corpus is the
+    // documents table with 'a'/'e' translated to 'ä'/'é' (every doc
+    // multi-byte, ~2 bytes per translated char), plus char-offset
+    // clones of the %89 docs: grain="byte" must report byte-addressed
+    // n_tokens/positions/coverage — on THIS corpus provably different
+    // from char grain (byte lengths exceed char lengths wherever a
+    // 2-byte char appears; the unit spec pins the divergence).
+    // Oracle: every-BYTE-offset md5 windows over the hex encoding of
+    // the UTF-8 bytes (hex is a bijection, so hex-pair windows group
+    // byte windows exactly — no blob arithmetic needed).
+    GraftQuery("d_exact_substr_utf8",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            translate(col("text"), "ae", "äé").as("text"))
+        val planted = docs.filter(col("doc_id") % 89 === 0)
+          .withColumn("o", (col("doc_id") % 11 + 1).cast("int"))
+          .withColumn("len", expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 40 WHEN 1 THEN 90 " +
+              "ELSE 200 END"))
+          .filter(length(col("text")) >= col("o") + col("len") - 1)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            expr("substring(text, o, len)").as("text"))
+        Dedup.exactSubstrCoverage(docs.unionByName(planted),
+          col("doc_id"), col("text"), minLen = 40, grain = "byte")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, translate(text, 'ae', 'äé') AS text
+             |  FROM documents),
+             |src AS (
+             |  SELECT doc_id, text,
+             |         (1 + doc_id % 11)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 40 WHEN 1 THEN 90
+             |              ELSE 200 END AS len
+             |  FROM base WHERE doc_id % 89 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000, substring(text, o, len)
+             |  FROM src WHERE length(text) >= o + len - 1),
+             |t AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |        octet_length(encode(text))::BIGINT AS n_tokens
+             |      FROM corpus),
+             |el AS (SELECT * FROM t WHERE n_tokens < 1048576),
+             |occ AS (SELECT doc_id, n_tokens, i::BIGINT AS pos,
+             |          md5(substring(hx, (2 * i - 1)::INT, 80)) AS h
+             |        FROM el, unnest(generate_series(1,
+             |          greatest(n_tokens - 39, 0)::INT)) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |spans AS (
+             |  SELECT doc_id, pos,
+             |    greatest(0, pos + 40 - greatest(coalesce(
+             |      max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0), pos)) AS adds
+             |  FROM occ JOIN dup USING (h)),
+             |pd AS (SELECT doc_id, count(*) AS n_dup_starts,
+             |         sum(adds) AS covered
+             |       FROM spans GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.n_dup_starts, 0) END::BIGINT
+             |         AS n_dup_starts,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) END::BIGINT
+             |         AS covered_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) * 1000000 // t.n_tokens
+             |            END::BIGINT AS dup_frac_micro,
+             |       (t.n_tokens >= 1048576) AS quarantined
+             |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
     // INCREMENTAL ExactSubstr (r13 VERDICT #4, the last dedup operator
     // without an incremental twin): suffix-rank tables are not
     // mergeable, so the fold is the gram-registry discipline — frozen
@@ -866,9 +1035,13 @@ object DedupQueries {
              |d AS (SELECT doc_id, string_split(text, ' ') AS w
              |      FROM corpus),
              |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |-- same width exclusion as the engine's gramOcc (r14 ADVICE:
+             |-- an over-width doc's grams must neither mark nor be marked,
+             |-- and the predicate does not push below the lateral unnest)
+             |el AS (SELECT * FROM t WHERE n_tokens < 1048576),
              |occ AS (SELECT doc_id, n_tokens, i::BIGINT AS pos,
              |          md5(array_to_string(w[i:i+24], ' ')) AS h
-             |        FROM t, unnest(generate_series(1,
+             |        FROM el, unnest(generate_series(1,
              |          greatest(length(w) - 24, 0))) AS u(i)),
              |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
              |spans AS (
@@ -893,6 +1066,103 @@ object DedupQueries {
              |            END::BIGINT AS dup_frac_micro,
              |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
+    // INCREMENTAL TRIM serve (r14 VERDICT residual #4 → r15 directive
+    // #6): the gram-registry state stored `marks` but could only serve
+    // coverage — exactSubstrTrimFromMarks now emits TRIMMED TEXT from
+    // the same state with no rank rounds and no gram explode (one
+    // tokenize pass over the corpus text — the cost any trim pays —
+    // plus the marks join and the within-row interval rebuild). Same
+    // frozen state + delta as d_exact_substr_incremental (the Scratch
+    // base is shared, so the state build amortizes once per run);
+    // graded bit-equal to the full-recompute trim over frozen ∪ delta.
+    GraftQuery("d_exact_substr_incr_trim",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
+          .withColumn("len", expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
+              "ELSE 200 END"))
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= col("o") + col("len") - 1)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        val rev = docs.filter(col("doc_id") % 113 === 0)
+          .select(col("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+        val delta = planted
+          .unionByName(rev.select((col("doc_id") + 1200000000L)
+            .as("doc_id"), col("text")))
+          .unionByName(rev.select((col("doc_id") + 1300000000L)
+            .as("doc_id"), col("text")))
+        val base = Scratch.dir("exact_substr_incr", dir)
+        Scratch.buildOnce(base) {
+          val (d0, m0, r0) = Dedup.exactSubstrGramState(
+            docs, col("doc_id"), col("text"), minLen = 25)
+          d0.write.mode("overwrite").parquet(s"$base/docs")
+          m0.write.mode("overwrite").parquet(s"$base/marks")
+          r0.write.mode("overwrite").parquet(s"$base/registry")
+        }
+        val (_, m1, _) = Dedup.exactSubstrIncremental(
+          s.read.parquet(s"$base/docs"),
+          s.read.parquet(s"$base/marks"),
+          s.read.parquet(s"$base/registry"),
+          delta, col("doc_id"), col("text"), minLen = 25)
+        Dedup.exactSubstrTrimFromMarks(docs.unionByName(delta),
+          col("doc_id"), col("text"), m1, minLen = 25)
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |         (1 + doc_id % 7)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
+             |              ELSE 200 END AS len
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000,
+             |         array_to_string(w[o : o + len - 1], ' ')
+             |  FROM src WHERE length(w) >= o + len - 1
+             |  UNION ALL
+             |  SELECT doc_id + 1200000000,
+             |         array_to_string(list_reverse(string_split(text, ' ')),
+             |                         ' ')
+             |  FROM documents WHERE doc_id % 113 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1300000000,
+             |         array_to_string(list_reverse(string_split(text, ' ')),
+             |                         ' ')
+             |  FROM documents WHERE doc_id % 113 = 0),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |el AS (SELECT * FROM t WHERE n_tokens < 1048576),
+             |occ AS (SELECT doc_id, i::BIGINT AS pos,
+             |          md5(array_to_string(w[i:i+24], ' ')) AS h
+             |        FROM el, unnest(generate_series(1,
+             |          greatest(length(w) - 24, 0))) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT o.doc_id, u.t::BIGINT AS t
+             |        FROM occ o JOIN dup USING (h),
+             |             unnest(generate_series(o.pos, o.pos + 24)) AS u(t)),
+             |tok AS (SELECT doc_id, i::BIGINT AS t, w[i] AS tok
+             |        FROM el, unnest(generate_series(1, length(w))) AS u(i)),
+             |kept AS (SELECT k.doc_id, count(*) AS n_kept,
+             |           string_agg(k.tok, ' ' ORDER BY k.t) AS txt
+             |         FROM (SELECT tok.* FROM tok LEFT JOIN cov
+             |                 ON cov.doc_id = tok.doc_id AND cov.t = tok.t
+             |               WHERE cov.doc_id IS NULL) k
+             |         GROUP BY k.doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE t.n_tokens - coalesce(k.n_kept, 0) END::BIGINT
+             |         AS n_removed,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(k.txt, '') END AS trimmed_text,
+             |       (t.n_tokens >= 1048576) AS quarantined
+             |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
 
     // Duplicated-span fraction (Lee et al. ACL'22 ExactSubstr at fixed
     // gram length): per doc, the exact fraction of tokens covered by a

@@ -467,7 +467,13 @@ object EventMetricsQueries {
         // had at the same cadence, where the suggested 5 s would leave
         // only ~1.7x at the sf1 worst case. Suppression inside, readmit
         // outside: identical semantics, 23 s less sleep per sweep.
-        val ttl = java.time.Duration.ofSeconds(10)
+        // Env-overridable (r14 ADVICE): a loaded/slow machine whose
+        // micro-batch turnaround erodes the 3x margin can widen the
+        // horizon (SPARK_GRAFT_TTL_HORIZON_S=30) instead of debugging a
+        // value mismatch that is really scheduler latency.
+        val ttl = java.time.Duration.ofSeconds(
+          sys.env.get("SPARK_GRAFT_TTL_HORIZON_S").map(_.toLong)
+            .getOrElse(10L))
         Scratch.buildOnce(base) {
           dumpJsonl(ev.orderBy(col("ts"), col("event_id")).coalesce(1),
             s"$base/stage1", s"$base/src", "ev_", fmt)
