@@ -139,6 +139,7 @@ object Bench {
     "d_dup_span_trim",     // ExactSubstr span removal (union fold + within-row rebuild)
     "w_stream_cdc_gold",   // streaming chunk-registry fold (read path after buildOnce)
     "d_winnow_pairs",      // MOSS candidate pairs (capped fingerprint self-join)
+    "d_winnow_incremental", // delta fingerprint fold (registry probe + pair adds/retracts)
     "t_winnow_prod_hash",  // same pipeline, xxhash64 family (prices the md5 oracle hash)
     "w_stream_sessions_tws", // transformWithState tagging (RocksDB state path)
     "d_exact_substr",      // prefix-doubling suffix ranks (log2 L join rounds)

@@ -990,6 +990,121 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** All unordered pairs WITHIN a sorted doc-id array, as an exploded
+    * struct column — bounded by C(maxDocsPerFp, 2) per row on every
+    * call site (the arrays are under-cap fingerprint postings). */
+  private def withinPairs(docsCol: String): Column =
+    expr(s"""flatten(transform($docsCol, (a, ai) ->
+            |  transform(slice($docsCol, ai + 2, size($docsCol)),
+            |            b -> struct(a AS i, b AS j))))""".stripMargin)
+
+  /** Mergeable fingerprint-registry STATE for incremental winnowing
+    * pairs (r14 VERDICT #8, the stretch: [[winnowCandidatePairs]] was
+    * the last fingerprint family without an incremental fold — it
+    * rebuilt its inverted index per run). Two state tables, both
+    * hash-partitioned and never re-derived from frozen text:
+    *  - fpreg (fp, cnt, docs): per distinct fingerprint, the corpus doc
+    *    count and — only while cnt ≤ maxDocsPerFp — its doc list. A
+    *    fingerprint past the cap is a stopword FOREVER (counts only
+    *    grow), so its list is dropped: per-fp state is cap-bounded.
+    *  - pairs (i, j, n_shared): exact pair support over under-cap
+    *    fingerprints, every n_shared ≥ 1 retained (the serve,
+    *    [[winnowPairsFromState]], filters to the contract's minShared).
+    * [[winnowIncremental]] folds a delta in O(delta fingerprints +
+    * registry probe): pair ADDS (delta × frozen posting cross + within-
+    * delta, both cap-bounded per fp) and pair RETRACTIONS for
+    * fingerprints the delta pushes past the cap — the batch semantics
+    * EXCLUDE capped fps entirely, so their past contribution must leave
+    * with them, which the stored posting list makes possible without
+    * re-reading frozen text. Bit-equal to a batch recompute (spec +
+    * graded oracle). Delta doc_ids must be disjoint from frozen docs
+    * (a doc cannot grow new text; the [[exactSubstrIncremental]]
+    * precondition). */
+  def winnowPairState(df: DataFrame, id: Column, text: Column,
+                      k: Int = 8, w: Int = 4,
+                      maxDocsPerFp: Long = 20L,
+                      hashMode: String = "oracle")
+      : (DataFrame, DataFrame) = {
+    require(maxDocsPerFp >= 2)
+    val f = winnowFingerprints(df, id, text, k, w, hashMode)
+      .repartition(col("fp"))
+    val reg = f.groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"),
+        sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(col("fp"), col("cnt"),
+        when(col("cnt") <= maxDocsPerFp, col("ds"))
+          .otherwise(lit(null).cast("array<long>")).as("docs"))
+    val pairs = reg
+      .filter(col("cnt") >= 2 && col("cnt") <= maxDocsPerFp)
+      .select(explode(withinPairs("docs")).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+    (reg, pairs)
+  }
+
+  /** One incremental winnow fold (design notes on [[winnowPairState]]):
+    * fingerprint the DELTA docs only, probe the registry, return the
+    * updated (fpreg, pairs) state. Exactly the batch recompute because
+    * a pair's support is the number of CURRENTLY-under-cap fps
+    * containing both docs: an under-cap fp with delta members adds its
+    * new cross/within pairs; an fp the delta pushes past the cap
+    * retracts its stored within-frozen pairs (its delta pairs were
+    * never added); an already-capped fp contributes nothing. */
+  def winnowIncremental(prevReg: DataFrame, prevPairs: DataFrame,
+                        delta: DataFrame, id: Column, text: Column,
+                        k: Int = 8, w: Int = 4,
+                        maxDocsPerFp: Long = 20L,
+                        hashMode: String = "oracle")
+      : (DataFrame, DataFrame) = {
+    require(maxDocsPerFp >= 2)
+    val dAgg = winnowFingerprints(delta, id, text, k, w, hashMode)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("dcnt"),
+        sort_array(collect_list(col("doc_id"))).as("dd0"))
+    // read thrice (registry rebuild + adds + retracts): pin the probe
+    val joined = prevReg.join(dAgg, Seq("fp"), "full_outer")
+      .select(col("fp"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+          .as("ncnt"),
+        coalesce(col("cnt"), lit(0L)).as("c0"),
+        coalesce(col("docs"), array().cast("array<long>")).as("d0"),
+        coalesce(col("dd0"), array().cast("array<long>")).as("dd"))
+      .localCheckpoint(false)
+    // sort_array keeps the merged posting canonical (bit-equal to a
+    // from-scratch state build) — cap-bounded, so the sort is O(cap)
+    val reg = joined.select(col("fp"), col("ncnt").as("cnt"),
+      when(col("ncnt") <= maxDocsPerFp,
+        sort_array(concat(col("d0"), col("dd"))))
+        .otherwise(lit(null).cast("array<long>")).as("docs"))
+    val adds = joined
+      .filter(col("ncnt") <= maxDocsPerFp && size(col("dd")) >= 1)
+      .select(explode(concat(
+        // frozen × delta cross (ids interleave, so order via least/greatest)
+        expr("""flatten(transform(d0, a -> transform(dd, b ->
+               |  struct(least(a, b) AS i, greatest(a, b) AS j))))"""
+            .stripMargin),
+        withinPairs("dd"))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), lit(1L).as("dn"))
+    val retracts = joined
+      .filter(col("c0") <= maxDocsPerFp && col("ncnt") > maxDocsPerFp &&
+        size(col("d0")) >= 2)
+      .select(explode(withinPairs("d0")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), lit(-1L).as("dn"))
+    val pairs = prevPairs
+      .select(col("i"), col("j"), col("n_shared").as("dn"))
+      .unionByName(adds).unionByName(retracts)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("dn")).as("n_shared"))
+      .filter(col("n_shared") > 0)
+    (reg, pairs)
+  }
+
+  /** Serve step for the incremental winnow state: the
+    * [[winnowCandidatePairs]] output shape from stored pair support. */
+  def winnowPairsFromState(pairs: DataFrame,
+                           minShared: Long = 3L): DataFrame =
+    pairs.filter(col("n_shared") >= minShared)
+
   /** Exact dedup: group by content hash, keep the smallest id as canonical.
     * One shuffle on the (high-cardinality, skew-free) hash. */
   def exactDedup(df: DataFrame, id: Column, content: Column): DataFrame =

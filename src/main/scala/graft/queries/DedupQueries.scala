@@ -1810,6 +1810,72 @@ object DedupQueries {
              |SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared
              |FROM p WHERE n_shared >= 3""".stripMargin)),
 
+    // INCREMENTAL winnowing pairs (r14 VERDICT #8, the stretch: the
+    // last fingerprint family without an incremental fold — the batch
+    // operator rebuilt its inverted index per run). State = mergeable
+    // fingerprint registry (cap-bounded posting lists; a fingerprint
+    // past maxDocsPerFp drops its list forever) + exact pair support;
+    // the fold fingerprints ONLY the delta, probes the registry, adds
+    // cross/within pairs for still-under-cap fps and RETRACTS the
+    // stored pairs of fps the delta pushes past the cap (batch
+    // semantics exclude capped fps entirely). Delta: full clones of
+    // the <40 docs (pushing their fps' counts up — clone-family fps
+    // near the cap cross it) plus 120-char prefix clones of the %61
+    // docs (positional-overlap adds, the winnow specialty). Oracle:
+    // the full d_winnow_pairs recompute over frozen ∪ delta —
+    // bit-equality IS the graded contract.
+    GraftQuery("d_winnow_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val delta = docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 61 === 0)
+            .select((col("doc_id") + 950000L).as("doc_id"),
+              expr("substring(text, 1, 120)").as("text")))
+        val base = Scratch.dir("winnow_incr", dir)
+        Scratch.buildOnce(base) {
+          val (r0, p0) = Dedup.winnowPairState(docs,
+            col("doc_id"), col("text"), k = 8, w = 4,
+            maxDocsPerFp = 20L)
+          r0.write.mode("overwrite").parquet(s"$base/fpreg")
+          p0.write.mode("overwrite").parquet(s"$base/pairs")
+        }
+        val (_, p1) = Dedup.winnowIncremental(
+          s.read.parquet(s"$base/fpreg"),
+          s.read.parquet(s"$base/pairs"),
+          delta, col("doc_id"), col("text"), k = 8, w = 4,
+          maxDocsPerFp = 20L)
+        Dedup.winnowPairsFromState(p1, minShared = 3L)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 900000, text FROM documents
+             |  WHERE doc_id < 40
+             |  UNION ALL
+             |  SELECT doc_id + 950000, substring(text, 1, 120)
+             |  FROM documents WHERE doc_id % 61 = 0),
+             |h AS (
+             |  SELECT doc_id,
+             |    list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+             |      i -> ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::BIGINT)
+             |      AS hs
+             |  FROM corpus),
+             |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |        generate_series(1, greatest(length(hs) - 3, 1)),
+             |        j -> list_min(hs[j:j+3])))) AS fp
+             |      FROM h),
+             |keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+             |fk AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp)),
+             |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+             |        count(*) AS n_shared
+             |      FROM fk a JOIN fk b ON a.fp = b.fp
+             |                         AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT i, j, CAST(n_shared AS BIGINT) AS n_shared
+             |FROM p WHERE n_shared >= 3""".stripMargin)),
+
     // Prod-hash twin of d_winnow_pairs (the d_cdc_prod_hash pricing
     // discipline at char grain): same selection kernel, hash family
     // xxhash64 instead of the oracle's 60-bit md5 — BENCH_r compares

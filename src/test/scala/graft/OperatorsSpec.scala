@@ -2171,6 +2171,63 @@ class OperatorsSpec extends SparkSpec {
       s"${uncapped.toSeq.take(5)}")
   }
 
+  test("winnowIncremental: fold == batch recompute; cap-crossing retracts stored pairs") {
+    import spark.implicits._
+    def pmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    // engineered retraction at cap 3: frozen docs 1/2 share a 60-char
+    // span (pair stored with real support); the delta adds two more
+    // docs carrying the SAME span, pushing every span fingerprint past
+    // the cap — batch semantics exclude them entirely, so the stored
+    // (1,2) support must RETRACT to whatever the batch reads
+    val span = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWX"
+    val frozen = Seq(
+      (1L, s"xx1yy $span zzq1"),
+      (2L, s"qq2 $span ttv2")).toDF("doc_id", "text")
+    val (r0, p0) = graft.operators.Dedup.winnowPairState(
+      frozen, col("doc_id"), col("text"), k = 8, w = 4,
+      maxDocsPerFp = 3L)
+    val s0 = pmap(p0).getOrElse((1L, 2L), 0L)
+    assert(s0 >= 3L, s"span pair not stored: ${pmap(p0)}")
+    val delta = Seq((7L, s"aa7 $span bb7"), (8L, s"cc8 $span dd8"))
+      .toDF("doc_id", "text")
+    val (r1, p1) = graft.operators.Dedup.winnowIncremental(
+      r0, p0, delta, col("doc_id"), col("text"), k = 8, w = 4,
+      maxDocsPerFp = 3L)
+    val union = frozen.unionByName(delta)
+    val batch = pmap(graft.operators.Dedup.winnowCandidatePairs(
+      union, col("doc_id"), col("text"), k = 8, w = 4,
+      maxDocsPerFp = 3L, minShared = 1L))
+    assert(pmap(graft.operators.Dedup.winnowPairsFromState(p1, 1L))
+      == batch, "fold diverged from batch recompute")
+    assert(batch.getOrElse((1L, 2L), 0L) < s0,
+      "cap crossing did not retract the stored pair support")
+    // the merged registry equals a from-scratch state build
+    val (rFull, _) = graft.operators.Dedup.winnowPairState(
+      union, col("doc_id"), col("text"), k = 8, w = 4,
+      maxDocsPerFp = 3L)
+    assert(r1.exceptAll(rFull).isEmpty && rFull.exceptAll(r1).isEmpty,
+      "merged registry != from-scratch registry")
+    // and on real docs with mixed adds (full clones + prefix clones)
+    val docs = Tables.documents(spark, testDataDir)
+      .select(col("doc_id"), col("text")).limit(150)
+    val d2 = docs.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 700000L).as("doc_id"),
+        expr("substring(text, 1, 100)").as("text"))
+    val (ra, pa) = graft.operators.Dedup.winnowPairState(
+      docs, col("doc_id"), col("text"), k = 8, w = 4,
+      maxDocsPerFp = 20L)
+    val (_, pb) = graft.operators.Dedup.winnowIncremental(
+      ra, pa, d2, col("doc_id"), col("text"), k = 8, w = 4,
+      maxDocsPerFp = 20L)
+    val batch2 = pmap(graft.operators.Dedup.winnowCandidatePairs(
+      docs.unionByName(d2), col("doc_id"), col("text"), k = 8, w = 4,
+      maxDocsPerFp = 20L, minShared = 3L))
+    assert(pmap(graft.operators.Dedup.winnowPairsFromState(pb, 3L))
+      == batch2, "real-corpus fold diverged from batch recompute")
+  }
+
   test("winnowFingerprints: shared long substring guarantees a common fingerprint") {
     import spark.implicits._
     val shared = "zqxjkvbnmlpwortyu" // 17 chars >= w + k - 1 = 11
