@@ -45,28 +45,58 @@ object Bench {
     * medians map is non-empty, i.e. same-sf. */
   def prevRoundMedians(sfDir: String): (Int, Map[String, Double], Double) = {
     val cwd = new java.io.File(".")
-    val re = """BENCH_r(\d+)\.json""".r
+    // sf1 sweeps fence against their OWN artifact lineage (r15: the
+    // sf1 trend previously had no fence at all — the driver artifact
+    // is sf0.1, so the cross-sf refusal below disabled it — and
+    // j_ra_linkpred shipped trend readings of 24.8/38.9/53.7 s across
+    // three same-tree sweeps); everything else uses the driver's
+    // BENCH_r{N}.json as before.
+    val isSf1 = sfDir.contains("graft_sf1")
+    val re =
+      if (isSf1) """BENCH_sf1_r(\d+)\.json""".r
+      else """BENCH_r(\d+)\.json""".r
     val files = Option(cwd.listFiles()).getOrElse(Array.empty).flatMap { f =>
       f.getName match { case re(n) => Some((n.toInt, f)); case _ => None }
-    }
-    if (files.isEmpty) return (0, Map.empty, -1.0)
-    val (n, f) = files.maxBy(_._1)
-    val txt = try {
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-    } catch { case _: Throwable => return (0, Map.empty, -1.0) }
-    // the driver's tail capture stores the line with escaped quotes
-    // (canary_base\":0.4508) — tolerate both forms, like the medians
-    val prevCanary = """\\?"canary_base\\?"\s*:\s*([0-9.]+)""".r
-      .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(-1.0)
-    val sfLabel = """"sf"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
-      .map(_.group(1))
-    if (!sfLabel.exists(l => sfDir.contains(s"sf$l")))
-      return (n, Map.empty, prevCanary)
+    }.sortBy(-_._1)
     val pair = """\\?"([a-z0-9_]+)\\?":(\d+\.\d+)""".r
-    val m = pair.findAllMatchIn(txt).map(mm => mm.group(1) -> mm.group(2).toDouble)
-      .filter { case (k, _) => headline.contains(k) }.toMap
-    (n, m, prevCanary)
+    // newest PARSEABLE artifact wins: an in-progress trend re-run
+    // truncates its own output file first, and a truncated/garbled
+    // artifact must not silently disable the fence
+    files.foreach { case (n, f) =>
+      val txt = try {
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      } catch { case _: Throwable => "" }
+      // the driver's tail capture stores lines with escaped quotes
+      // (canary_base\":0.4508) — tolerate both forms
+      val prevCanary = """\\?"canary_base\\?"\s*:\s*([0-9.]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(-1.0)
+      // cross-SCALE-FACTOR refusal (non-sf1 path): a dev/sf1 sweep must
+      // not fence against 10x-different data (measured: 12 spurious
+      // re-runs in the first sf1 trend sweep)
+      val sfOk =
+        if (isSf1) txt.nonEmpty
+        else """"sf"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).exists(l => sfDir.contains(s"sf$l"))
+      if (sfOk) {
+        val m = pair.findAllMatchIn(txt)
+          .map(mm => mm.group(1) -> mm.group(2).toDouble)
+          .filter { case (k, _) => headline.contains(k) }.toMap
+        if (m.nonEmpty) return (n, m, prevCanary)
+      }
+    }
+    (files.headOption.map(_._1).getOrElse(0), Map.empty, -1.0)
   }
+
+  /** Entries with a DECLARED wide in-set noise band: always re-measured
+    * once post-sweep regardless of fences (reported value = min of the
+    * two passes). j_ra_linkpred is the repeat offender — official/trend
+    * in-set readings of 4.1→7.69 (r13→r14 sf0.1) and 24.8/38.9/53.7
+    * (three same-tree r14/r15 sf1 sweeps) against isolated
+    * control-normalized steady states of ~3 and ~23-29 s: the capped
+    * wedge join's reduce-side peak makes it uniquely sensitive to
+    * sweep-position storage churn, and a single in-set pass is a
+    * lottery no fence threshold can fix. */
+  val alwaysRemeasure: Set[String] = Set("j_ra_linkpred")
   /** Headline set: one representative per operator family (full coverage
     * runs in Verify; bench measures the perf-critical shapes). */
   val headline: Seq[String] = Seq(
@@ -340,6 +370,7 @@ object Bench {
       }
       if (prevMedians.nonEmpty && !prevMedians.contains(name) && v >= 0)
         flaggedForRerun += name
+      if (alwaysRemeasure.contains(name) && v >= 0) flaggedForRerun += name
     }
     planSiblings.foreach { fam =>
       val vals = fam.flatMap(n => firstPass.toMap.get(n)).filter(_ >= 0)
@@ -395,14 +426,20 @@ object Bench {
     // any late-entry inflation is JIT starvation, not the engine.
     // canary_prev/canary_ratio/hot_environment (r14 VERDICT #1b): the
     // artifact itself certifies whether the sweep ran against a hot
-    // machine relative to the prior official round
+    // machine relative to the prior official round. Same-sf only
+    // (prevMedians is empty cross-sf): an sf1 sweep's q1 is 10x data,
+    // so comparing it against the sf0.1 artifact's base would print a
+    // spurious ~1.4x "ratio" in every sf1 trend artifact.
+    val sameSf = prevMedians.nonEmpty
     val canaryRatio =
-      if (prevCanary > 0 && canaryBase > 0) canaryBase / prevCanary
+      if (sameSf && prevCanary > 0 && canaryBase > 0)
+        canaryBase / prevCanary
       else -1.0
     println(s"""{"metric":"codecache","flag":"$codeCacheFlag",""" +
       s""""reserved_mb":$codeCacheReservedMb,"used_warm_mb":$usedWarmMb,""" +
       s""""used_end_mb":$usedEndMb,"canary_base":${fmt(canaryBase)},""" +
-      s""""canary_worst":${fmt(canaryWorst)},"canary_prev":${fmt(prevCanary)},""" +
+      s""""canary_worst":${fmt(canaryWorst)},""" +
+      s""""canary_prev":${fmt(if (sameSf) prevCanary else -1.0)},""" +
       s""""canary_ratio":${fmt(canaryRatio)},""" +
       s""""hot_environment":$hotEnvironment,"reruns":${reruns.size}}""")
     // Regression fence (r12 VERDICT #6): self-report entries >1.5x (and

@@ -36,7 +36,11 @@ SPARK_GRAFT_SF1_DIR="$SF1" sbt -batch "testOnly graft.ScaleSpec"
 # the rank build — the entry where segment-cut overhead would surface)
 # and the incremental trim serve (marks join + rebuild, no rank rounds).
 HEAVY="q5_star_join,j3_closure_pairs,v_ivfpq_topk,d_minhash_lsh,q3_shipping_priority,j1_equi_normalized,a4_session_rollup,d_chunk_dedup,d_cdc_chunk_dedup,t_top_ngrams,q1_pricing_summary,j_pagerank,j_scd2_dimension,j_merge_apply,q8_market_share,d_byte_cdc_dedup,d_byte_cdc_gear,j_pagerank_incremental,a_exact_quantiles,d_incremental_components,a_kmv_cohort_overlap,j_triangle_count,a_topk_sliding,a_hist_sliding_quantiles,j_ra_linkpred,j_label_propagation,j_pagerank_personalized,p_pipeline_e2e,t_winnow_fingerprints,t_winnow_prod_hash,d_winnow_pairs,d_dup_span_fraction,d_dup_span_trim,w_stream_sessions_tws,w_stream_cdc_gold,d_exact_substr,d_exact_substr_trim,d_exact_substr_keepfirst,d_exact_substr_l200,d_exact_substr_bytes,d_exact_substr_incremental,d_exact_substr_quarantine,d_exact_substr_segmented,d_exact_substr_incr_trim,d_winnow_incremental,j_ra_linkpred_sampled"
+# temp + mv: the bench fences against the newest parseable sf1 trend
+# artifact (r15) — truncating the target file in place would erase the
+# baseline mid-run (and lose the old artifact if the sweep dies)
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_BENCH_ONLY="$HEAVY" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
-  > "BENCH_sf1_r${ROUND}.json"
+  > "BENCH_sf1_r${ROUND}.json.tmp"
+mv "BENCH_sf1_r${ROUND}.json.tmp" "BENCH_sf1_r${ROUND}.json"
 cat "BENCH_sf1_r${ROUND}.json"
