@@ -175,11 +175,19 @@ object Dedup {
     * array `w`, `n_tokens`, and the SORTED 1-based start positions `ps`
     * of duplicated fixed-length-`g` spans (empty array when nothing is
     * duplicated). Merges the intervals into maximal chains and rebuilds
-    * the text from the uncovered tokens; membership tests run against
-    * the MERGED intervals (≤ n/g of them by construction), so a
-    * fully-duplicated doc costs O(n²/g), never O(n²). `passThrough`
-    * names input columns carried verbatim into the output (the
-    * quarantine flag on the suffix-rank path). */
+    * the text from the COMPLEMENT intervals — the kept segments
+    * [1, ss₁), [es₁, ss₂), …, [es_K, n+1) — by slicing the token array
+    * per kept segment (r15: the previous rebuild tested EVERY token
+    * against the merged intervals with a per-token `exists`, the
+    * documented O(n²/g) worst case on boilerplate-heavy docs; the
+    * complement rebuild is O(n + K), which is what lets a SEGMENTED
+    * 2²⁰-token giant trim at scan speed). Merged chains never touch
+    * (es_i < ss_{i+1} strictly, because a gap > g starts a new chain),
+    * so the zip of (1 ∷ es) with (ss ∷ n+1) enumerates the kept
+    * segments exactly; empty segments (span at position 1 or reaching
+    * the end) drop via the s < e filter. `passThrough` names input
+    * columns carried verbatim into the output (the quarantine flag on
+    * the suffix-rank path). */
   private def trimCoveredSpans(withPs: DataFrame, g: Int,
                                passThrough: Seq[String] = Nil,
                                sep: String = " "): DataFrame =
@@ -206,10 +214,12 @@ object Dedup {
         expr("aggregate(zip_with(es, ss, (e, s) -> e - s), 0L, (a, x) -> a + x)")
           .as("n_removed"),
         expr(
-          s"""concat_ws('$sep', filter(transform(sequence(1, size(w)), t ->
-            |  CASE WHEN size(ss) = 0 OR NOT exists(sequence(1, size(ss)), j ->
-            |         element_at(ss, j) <= t AND t < element_at(es, j))
-            |       THEN element_at(w, t) END), x -> x IS NOT NULL))"""
+          s"""concat_ws('$sep', flatten(transform(
+            |  filter(zip_with(concat(array(1L), es),
+            |                  concat(ss, array(size(w) + 1L)),
+            |                  (s, e) -> struct(s AS s, e AS e)),
+            |         p -> p.s < p.e),
+            |  p -> slice(w, cast(p.s AS int), cast(p.e - p.s AS int)))))"""
             .stripMargin).as("trimmed_text")) ++ passThrough.map(col): _*)
 
   /** TRUE arbitrary-length ExactSubstr coverage (Lee et al., ACL 2022
@@ -321,6 +331,39 @@ object Dedup {
   def exactSubstrCoverageSegmented(df: DataFrame, id: Column,
                                    text: Column, minLen: Int = 25,
                                    grain: String = "word"): DataFrame = {
+    val (toks, perDoc) =
+      segmentedStarts(df, id, text, minLen, grain, foldCoverage = true)
+    coverageOutput(toks, perDoc)
+  }
+
+  /** [[exactSubstrTrim]] with the [[exactSubstrCoverageSegmented]]
+    * over-width contract: books are TRIMMED, not just measured — the
+    * segmented rank build marks duplicated window starts, the marks
+    * decode back to original positions, and the complement-interval
+    * rebuild in [[trimCoveredSpans]] (O(n + intervals) since r15)
+    * reassembles the giant's survivors at scan speed. Same layered
+    * width contract; only beyond-segmentable docs emit NULL text. */
+  def exactSubstrTrimSegmented(df: DataFrame, id: Column, text: Column,
+                               minLen: Int = 25,
+                               grain: String = "word"): DataFrame = {
+    val (toks, perDoc) =
+      segmentedStarts(df, id, text, minLen, grain, foldCoverage = false)
+    quarantineAwareTrim(toks, perDoc, minLen, grain)
+  }
+
+  /** Shared segmentation front half (contract notes on
+    * [[exactSubstrCoverageSegmented]]): classify docs into direct /
+    * segmented / quarantined, run the rank build over direct ∪
+    * segments, and decode marks back to original (doc, pos) before the
+    * per-doc fold. Returns the same (toks, perDoc) pair as
+    * [[exactSubstrStarts]]. For the trim path (`foldCoverage = false`)
+    * a boilerplate-heavy giant's `ps` array is near-token-scale in ONE
+    * checkpointed row (~8 MB at the 2²⁰ width) — the same bound any
+    * max-width doc already has on the plain trim path. */
+  private def segmentedStarts(df: DataFrame, id: Column, text: Column,
+                              minLen: Int, grain: String,
+                              foldCoverage: Boolean)
+      : (DataFrame, DataFrame) = {
     require(minLen >= 2)
     val S = (1L << 20) - minLen
     val segLen = (1L << 20) - 1 // = S + minLen - 1
@@ -345,14 +388,14 @@ object Dedup {
         expr(s"slice(w, cast(k * $S + 1 AS int), $segLen)").as("w"))
     val isSeg = col("doc_id") >= lit(1L << 42)
     val perDoc = rankPerDoc(direct.unionByName(segments), minLen,
-      keepFirst = false, foldCoverage = true,
+      keepFirst = false, foldCoverage = foldCoverage,
       mapMarks = m => m.select(
         when(isSeg, shiftright(col("doc_id") - lit(1L << 42), 10))
           .otherwise(col("doc_id")).as("doc_id"),
         (col("pos") + when(isSeg,
           (col("doc_id") - lit(1L << 42)).bitwiseAND(lit(1023L)) * S)
           .otherwise(lit(0L))).as("pos")))
-    coverageOutput(toks, perDoc)
+    (toks, perDoc)
   }
 
   /** TRUE arbitrary-length ExactSubstr TRIM (Lee et al., ACL 2022 §4.1;

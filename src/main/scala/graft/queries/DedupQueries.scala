@@ -752,6 +752,91 @@ object DedupQueries {
              |       (t.n_tokens > 1073716248) AS quarantined
              |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
+    // Segmented TRIM (r15): the giant is REMOVED from, not just
+    // measured — the segmented rank build marks its duplicated window
+    // starts (here: everything, the giant being doc 0 repeated R
+    // times), marks decode back, and the r15 complement-interval
+    // rebuild reassembles survivors in O(n + intervals) where the old
+    // per-token exists() scan would have paid ~n²/g on a fully-covered
+    // 2^20-token doc. Giant and doc 0 both trim to '' (each fully
+    // covered by the other); every other doc matches the
+    // width-unlimited replay. Oracle: streaming tok/window-gram
+    // formulation (the segmented-coverage lesson) + anti-join kept
+    // rebuild with ordered string_agg.
+    GraftQuery("d_exact_substr_trim_segmented",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = docs.filter(col("doc_id") % 97 === 0)
+          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
+          .withColumn("len", expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
+              "ELSE 200 END"))
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= col("o") + col("len") - 1)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        val giant = docs.filter(col("doc_id") === 0)
+          .withColumn("w", split(col("text"), " "))
+          .select(lit(2000000000L).as("doc_id"),
+            concat_ws(" ", flatten(array_repeat(col("w"),
+              (lit(1048576) / size(col("w"))).cast("int") + 1)))
+              .as("text"))
+        Dedup.exactSubstrTrimSegmented(
+          docs.unionByName(planted).unionByName(giant),
+          col("doc_id"), col("text"), minLen = 25)
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |         (1 + doc_id % 7)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
+             |              ELSE 200 END AS len
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000,
+             |         array_to_string(w[o : o + len - 1], ' ')
+             |  FROM src WHERE length(w) >= o + len - 1
+             |  UNION ALL
+             |  SELECT 2000000000::BIGINT,
+             |         rtrim(repeat(text || ' ',
+             |           (1048576 // length(string_split(text, ' ')))::INT
+             |             + 1))
+             |  FROM documents WHERE doc_id = 0),
+             |d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |tok AS (SELECT doc_id, n_tokens,
+             |          unnest(generate_series(1, length(w)))::BIGINT AS pos,
+             |          unnest(w) AS tok
+             |        FROM t),
+             |occ AS (SELECT doc_id, pos,
+             |          md5(string_agg(tok, ' ') OVER (
+             |            PARTITION BY doc_id ORDER BY pos
+             |            ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING)) AS h
+             |        FROM tok
+             |        QUALIFY pos <= n_tokens - 24),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT o.doc_id, u.t::BIGINT AS t
+             |        FROM occ o JOIN dup USING (h),
+             |             unnest(generate_series(o.pos, o.pos + 24)) AS u(t)),
+             |kept AS (SELECT k.doc_id, count(*) AS n_kept,
+             |           string_agg(k.tok, ' ' ORDER BY k.t) AS txt
+             |         FROM (SELECT tok.doc_id, tok.pos AS t, tok.tok
+             |               FROM tok LEFT JOIN cov
+             |                 ON cov.doc_id = tok.doc_id AND cov.t = tok.pos
+             |               WHERE cov.doc_id IS NULL) k
+             |         GROUP BY k.doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens > 1073716248 THEN NULL
+             |            ELSE t.n_tokens - coalesce(k.n_kept, 0) END::BIGINT
+             |         AS n_removed,
+             |       CASE WHEN t.n_tokens > 1073716248 THEN NULL
+             |            ELSE coalesce(k.txt, '') END AS trimmed_text,
+             |       (t.n_tokens > 1073716248) AS quarantined
+             |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
+
     // BYTE-grain ExactSubstr (r13 VERDICT #3, the last fidelity delta
     // with Lee et al. §4.1, which dedups byte sequences where the word
     // path dedups space-split tokens): the SAME suffix-rank machinery

@@ -1962,6 +1962,22 @@ class OperatorsSpec extends SparkSpec {
     }
     // the giant's three 20-token spans each cover 20 positions
     assert(got(5L).getLong(got(5L).fieldIndex("covered_tokens")) == 60L)
+    // and the segmented TRIM actually removes them: bit-equal to the
+    // width-unlimited gram trim (dupSpanTrim at g = minLen) doc-by-doc,
+    // including the giant's reassembled megabyte-scale survivor text —
+    // the complement-interval rebuild at work
+    val trim = graft.operators.Dedup.exactSubstrTrimSegmented(
+        docs, col("doc_id"), col("text"), minLen = minLen)
+      .select("doc_id", "n_tokens", "n_removed", "trimmed_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val gramTrim = graft.operators.Dedup.dupSpanTrim(
+        docs, col("doc_id"), col("text"), g = minLen)
+      .select("doc_id", "n_tokens", "n_removed", "trimmed_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(trim == gramTrim, "segmented trim != width-unlimited gram trim")
+    assert(trim(5L)._2 == 60L, s"giant n_removed ${trim(5L)._2}")
   }
 
   test("exactSubstrCoverageSegmented == exactSubstrCoverage on an all-direct corpus") {
