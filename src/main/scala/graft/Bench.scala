@@ -70,11 +70,15 @@ object Bench {
       // (canary_base\":0.4508) — tolerate both forms
       val prevCanary = """\\?"canary_base\\?"\s*:\s*([0-9.]+)""".r
         .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(-1.0)
-      // cross-SCALE-FACTOR refusal (non-sf1 path): a dev/sf1 sweep must
-      // not fence against 10x-different data (measured: 12 spurious
-      // re-runs in the first sf1 trend sweep)
+      // cross-SCALE-FACTOR refusal: a dev/sf1 sweep must not fence
+      // against 10x-different data (measured: 12 spurious re-runs in
+      // the first sf1 trend sweep). The sf1 lineage matches on the
+      // artifact's RECORDED data dir (r15 review: accepting any sf1
+      // artifact would fence a factor-20 regen of a DIFFERENT dir
+      // against factor-10 numbers; a same-dir regen at a new factor
+      // remains undetectable — regenerate and accept one noisy sweep)
       val sfOk =
-        if (isSf1) txt.nonEmpty
+        if (isSf1) txt.contains("\"sf\":\"" + sfDir + "\"")
         else """"sf"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
           .map(_.group(1)).exists(l => sfDir.contains(s"sf$l"))
       if (sfOk) {

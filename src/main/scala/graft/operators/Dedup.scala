@@ -477,13 +477,19 @@ object Dedup {
       sep = if (grain == "word") " " else "")
     // byte grain: the survivors are hex pairs — decode them back to
     // text. If the removed byte spans cut a multi-byte char (possible:
-    // a duplicated BYTE window may start mid-char), the Java charset
-    // decoder substitutes U+FFFD rather than failing — the released
-    // tool has the same edge (it emits raw bytes and defers decoding).
+    // a duplicated BYTE window may start mid-char), the LENIENT decoder
+    // substitutes U+FFFD — Spark 4's builtin decode() THROWS
+    // MALFORMED_CHARACTER_CODING there, and one such doc would abort a
+    // whole corpus trim (the job-kill class the quarantine contract
+    // bans; r15 review finding). The released tool has the same edge
+    // (it emits raw bytes and defers decoding).
     val decoded =
       if (grain == "byte")
         trimmed.withColumn("trimmed_text",
-          decode(unhex(col("trimmed_text")), "UTF-8"))
+          org.apache.spark.sql.GraftShims.column(
+            graft.plans.LenientUtf8DecodeExpr(
+              org.apache.spark.sql.GraftShims.expression(
+                unhex(col("trimmed_text"))))))
       else trimmed
     decoded
       .select(col("doc_id"), col("n_tokens"),
@@ -1044,8 +1050,12 @@ object Dedup {
   /** Mergeable fingerprint-registry STATE for incremental winnowing
     * pairs (r14 VERDICT #8, the stretch: [[winnowCandidatePairs]] was
     * the last fingerprint family without an incremental fold — it
-    * rebuilt its inverted index per run). Two state tables, both
+    * rebuilt its inverted index per run). Three state tables, all
     * hash-partitioned and never re-derived from frozen text:
+    *  - docs (doc_id): the frozen doc dimension — carried for the
+    *    disjointness guard below (a capped fingerprint drops its
+    *    posting list, so the registry alone cannot reconstruct the
+    *    full doc set).
     *  - fpreg (fp, cnt, docs): per distinct fingerprint, the corpus doc
     *    count and — only while cnt ≤ maxDocsPerFp — its doc list. A
     *    fingerprint past the cap is a stopword FOREVER (counts only
@@ -1062,12 +1072,15 @@ object Dedup {
     * re-reading frozen text. Bit-equal to a batch recompute (spec +
     * graded oracle). Delta doc_ids must be disjoint from frozen docs
     * (a doc cannot grow new text; the [[exactSubstrIncremental]]
-    * precondition). */
+    * precondition) — GUARDED in-plan like the exactSubstr fold: a
+    * frozen id reappearing in a delta would double-count fingerprints,
+    * push legitimate fps past the cap (retracting real pairs), and
+    * emit degenerate (x, x) self-pairs, all silently. */
   def winnowPairState(df: DataFrame, id: Column, text: Column,
                       k: Int = 8, w: Int = 4,
                       maxDocsPerFp: Long = 20L,
                       hashMode: String = "oracle")
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     require(maxDocsPerFp >= 2)
     val f = winnowFingerprints(df, id, text, k, w, hashMode)
       .repartition(col("fp"))
@@ -1082,25 +1095,40 @@ object Dedup {
       .select(explode(withinPairs("docs")).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).cast("long").as("n_shared"))
-    (reg, pairs)
+    (df.select(id.as("doc_id")), reg, pairs)
   }
 
   /** One incremental winnow fold (design notes on [[winnowPairState]]):
     * fingerprint the DELTA docs only, probe the registry, return the
-    * updated (fpreg, pairs) state. Exactly the batch recompute because
-    * a pair's support is the number of CURRENTLY-under-cap fps
+    * updated (docs, fpreg, pairs) state. Exactly the batch recompute
+    * because a pair's support is the number of CURRENTLY-under-cap fps
     * containing both docs: an under-cap fp with delta members adds its
     * new cross/within pairs; an fp the delta pushes past the cap
     * retracts its stored within-frozen pairs (its delta pairs were
     * never added); an already-capped fp contributes nothing. */
-  def winnowIncremental(prevReg: DataFrame, prevPairs: DataFrame,
+  def winnowIncremental(prevDocs: DataFrame, prevReg: DataFrame,
+                        prevPairs: DataFrame,
                         delta: DataFrame, id: Column, text: Column,
                         k: Int = 8, w: Int = 4,
                         maxDocsPerFp: Long = 20L,
                         hashMode: String = "oracle")
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     require(maxDocsPerFp >= 2)
-    val dAgg = winnowFingerprints(delta, id, text, k, w, hashMode)
+    // disjointness guard (r15 review): the fingerprint scan reads
+    // doc_id through this branch, so every downstream state consumer
+    // fails loudly on a frozen-id reuse instead of corrupting counts
+    val guarded = delta.select(id.as("doc_id"), text.as("__text"))
+      .join(prevDocs.select(col("doc_id"), lit(true).as("__frozen")),
+        Seq("doc_id"), "left")
+      .select(when(col("__frozen").isNull, col("doc_id"))
+        .otherwise(raise_error(concat(
+          lit("winnowIncremental: delta doc_id "), col("doc_id"),
+          lit(" already in frozen docs — fold would double-count")))
+          .cast("long")).as("doc_id"),
+        col("__text"))
+    val docs = prevDocs.unionByName(guarded.select(col("doc_id")))
+    val dAgg = winnowFingerprints(guarded, col("doc_id"), col("__text"),
+        k, w, hashMode)
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("dcnt"),
         sort_array(collect_list(col("doc_id"))).as("dd0"))
@@ -1139,7 +1167,7 @@ object Dedup {
       .groupBy(col("i"), col("j"))
       .agg(sum(col("dn")).as("n_shared"))
       .filter(col("n_shared") > 0)
-    (reg, pairs)
+    (docs, reg, pairs)
   }
 
   /** Serve step for the incremental winnow state: the

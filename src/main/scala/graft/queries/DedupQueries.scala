@@ -69,6 +69,111 @@ object DedupQueries {
        |          UNION
        |          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)""".stripMargin
 
+  /** Planted word-grain clones shared by the ExactSubstr entries (r15
+    * review: nine entries carried this block verbatim, and the
+    * coverage/trim pairs' contracts require their corpora identical by
+    * construction): each %97 doc contributes a clone of tokens
+    * [o, o+len) at a doc_id-derived offset, len ∈ {25, 50, 200}. */
+  private def plantedClones(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") % 97 === 0)
+      .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
+      .withColumn("len", expr(
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
+          "ELSE 200 END"))
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= col("o") + col("len") - 1)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+
+  /** Planted char-offset clones for the char/byte-grain entries: each
+    * %89 doc contributes chars [o, o+len), len ∈ {40, 90, 200}. */
+  private def charClones(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") % 89 === 0)
+      .withColumn("o", (col("doc_id") % 11 + 1).cast("int"))
+      .withColumn("len", expr(
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 40 WHEN 1 THEN 90 " +
+          "ELSE 200 END"))
+      .filter(length(col("text")) >= col("o") + col("len") - 1)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        expr("substring(text, o, len)").as("text"))
+
+  /** The synthetic over-width giant: doc 0's text repeated past the
+    * 2²⁰-token repr-packing width (always past it, never more than one
+    * repetition past), doc_id 2e9. */
+  private def giantOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") === 0)
+      .withColumn("w", split(col("text"), " "))
+      .select(lit(2000000000L).as("doc_id"),
+        concat_ws(" ", flatten(array_repeat(col("w"),
+          (lit(1048576) / size(col("w"))).cast("int") + 1)))
+          .as("text"))
+
+  /** Oracle twin of documents ∪ [[plantedClones]] (src + corpus CTEs). */
+  private val PlantedCorpusCte: String =
+    """src AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |         (1 + doc_id % 7)::INT AS o,
+      |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
+      |              ELSE 200 END AS len
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000,
+      |         array_to_string(w[o : o + len - 1], ' ')
+      |  FROM src WHERE length(w) >= o + len - 1)""".stripMargin
+
+  /** [[PlantedCorpusCte]] plus the [[giantOf]] row — the quarantine /
+    * segmented corpus. */
+  private val GiantCorpusCte: String =
+    """src AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |         (1 + doc_id % 7)::INT AS o,
+      |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
+      |              ELSE 200 END AS len
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000,
+      |         array_to_string(w[o : o + len - 1], ' ')
+      |  FROM src WHERE length(w) >= o + len - 1
+      |  UNION ALL
+      |  SELECT 2000000000::BIGINT,
+      |         rtrim(repeat(text || ' ',
+      |           (1048576 // length(string_split(text, ' ')))::INT
+      |             + 1))
+      |  FROM documents WHERE doc_id = 0)""".stripMargin
+
+  /** [[PlantedCorpusCte]] plus the two reversed-token copies of each
+    * %113 doc — the incremental entries' frozen ∪ delta corpus. */
+  private val IncrCorpusCte: String =
+    """src AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |         (1 + doc_id % 7)::INT AS o,
+      |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
+      |              ELSE 200 END AS len
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000,
+      |         array_to_string(w[o : o + len - 1], ' ')
+      |  FROM src WHERE length(w) >= o + len - 1
+      |  UNION ALL
+      |  SELECT doc_id + 1200000000,
+      |         array_to_string(list_reverse(string_split(text, ' ')),
+      |                         ' ')
+      |  FROM documents WHERE doc_id % 113 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1300000000,
+      |         array_to_string(list_reverse(string_split(text, ' ')),
+      |                         ' ')
+      |  FROM documents WHERE doc_id % 113 = 0)""".stripMargin
+
   val entries: Seq[GraftQuery] = Seq(
 
     // Exact dedup: content-hash group, min-id survivor. One shuffle on the
@@ -308,30 +413,11 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val planted = docs.filter(col("doc_id") % 97 === 0)
-          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
-          .withColumn("len", expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
-              "ELSE 200 END"))
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= col("o") + col("len") - 1)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        val planted = plantedClones(docs)
         Dedup.exactSubstrCoverage(docs.unionByName(planted),
           col("doc_id"), col("text"), minLen = 25)
       },
-      Some("""WITH src AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w,
-             |         (1 + doc_id % 7)::INT AS o,
-             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
-             |              ELSE 200 END AS len
-             |  FROM documents WHERE doc_id % 97 = 0),
-             |corpus AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 1000000000,
-             |         array_to_string(w[o : o + len - 1], ' ')
-             |  FROM src WHERE length(w) >= o + len - 1),
+      Some(s"""WITH $PlantedCorpusCte,
              |d AS (SELECT doc_id, string_split(text, ' ') AS w
              |      FROM corpus),
              |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
@@ -376,30 +462,11 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val planted = docs.filter(col("doc_id") % 97 === 0)
-          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
-          .withColumn("len", expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
-              "ELSE 200 END"))
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= col("o") + col("len") - 1)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        val planted = plantedClones(docs)
         Dedup.exactSubstrCoverage(docs.unionByName(planted),
           col("doc_id"), col("text"), minLen = 200)
       },
-      Some("""WITH src AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w,
-             |         (1 + doc_id % 7)::INT AS o,
-             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
-             |              ELSE 200 END AS len
-             |  FROM documents WHERE doc_id % 97 = 0),
-             |corpus AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 1000000000,
-             |         array_to_string(w[o : o + len - 1], ' ')
-             |  FROM src WHERE length(w) >= o + len - 1),
+      Some(s"""WITH $PlantedCorpusCte,
              |d AS (SELECT doc_id, string_split(text, ' ') AS w
              |      FROM corpus),
              |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
@@ -444,30 +511,11 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val planted = docs.filter(col("doc_id") % 97 === 0)
-          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
-          .withColumn("len", expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
-              "ELSE 200 END"))
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= col("o") + col("len") - 1)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        val planted = plantedClones(docs)
         Dedup.exactSubstrTrim(docs.unionByName(planted),
           col("doc_id"), col("text"), minLen = 25)
       },
-      Some("""WITH src AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w,
-             |         (1 + doc_id % 7)::INT AS o,
-             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
-             |              ELSE 200 END AS len
-             |  FROM documents WHERE doc_id % 97 = 0),
-             |corpus AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 1000000000,
-             |         array_to_string(w[o : o + len - 1], ' ')
-             |  FROM src WHERE length(w) >= o + len - 1),
+      Some(s"""WITH $PlantedCorpusCte,
              |d AS (SELECT doc_id, string_split(text, ' ') AS w
              |      FROM corpus),
              |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
@@ -510,30 +558,11 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val planted = docs.filter(col("doc_id") % 97 === 0)
-          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
-          .withColumn("len", expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
-              "ELSE 200 END"))
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= col("o") + col("len") - 1)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        val planted = plantedClones(docs)
         Dedup.exactSubstrTrimKeepFirst(docs.unionByName(planted),
           col("doc_id"), col("text"), minLen = 25)
       },
-      Some("""WITH src AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w,
-             |         (1 + doc_id % 7)::INT AS o,
-             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
-             |              ELSE 200 END AS len
-             |  FROM documents WHERE doc_id % 97 = 0),
-             |corpus AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 1000000000,
-             |         array_to_string(w[o : o + len - 1], ' ')
-             |  FROM src WHERE length(w) >= o + len - 1),
+      Some(s"""WITH $PlantedCorpusCte,
              |d AS (SELECT doc_id, string_split(text, ' ') AS w
              |      FROM corpus),
              |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
@@ -583,45 +612,15 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val planted = docs.filter(col("doc_id") % 97 === 0)
-          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
-          .withColumn("len", expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
-              "ELSE 200 END"))
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= col("o") + col("len") - 1)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        val planted = plantedClones(docs)
         // repeat doc 0's tokens floor(2^20/W)+1 times: always past the
         // width, never more than one repetition past it
-        val giant = docs.filter(col("doc_id") === 0)
-          .withColumn("w", split(col("text"), " "))
-          .select(lit(2000000000L).as("doc_id"),
-            concat_ws(" ", flatten(array_repeat(col("w"),
-              (lit(1048576) / size(col("w"))).cast("int") + 1)))
-              .as("text"))
+        val giant = giantOf(docs)
         Dedup.exactSubstrCoverage(
           docs.unionByName(planted).unionByName(giant),
           col("doc_id"), col("text"), minLen = 25)
       },
-      Some("""WITH src AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w,
-             |         (1 + doc_id % 7)::INT AS o,
-             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
-             |              ELSE 200 END AS len
-             |  FROM documents WHERE doc_id % 97 = 0),
-             |corpus AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 1000000000,
-             |         array_to_string(w[o : o + len - 1], ' ')
-             |  FROM src WHERE length(w) >= o + len - 1
-             |  UNION ALL
-             |  SELECT 2000000000::BIGINT,
-             |         rtrim(repeat(text || ' ',
-             |           (1048576 // length(string_split(text, ' ')))::INT
-             |             + 1))
-             |  FROM documents WHERE doc_id = 0),
+      Some(s"""WITH $GiantCorpusCte,
              |d AS (SELECT doc_id, string_split(text, ' ') AS w
              |      FROM corpus),
              |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
@@ -675,43 +674,13 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val planted = docs.filter(col("doc_id") % 97 === 0)
-          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
-          .withColumn("len", expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
-              "ELSE 200 END"))
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= col("o") + col("len") - 1)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
-        val giant = docs.filter(col("doc_id") === 0)
-          .withColumn("w", split(col("text"), " "))
-          .select(lit(2000000000L).as("doc_id"),
-            concat_ws(" ", flatten(array_repeat(col("w"),
-              (lit(1048576) / size(col("w"))).cast("int") + 1)))
-              .as("text"))
+        val planted = plantedClones(docs)
+        val giant = giantOf(docs)
         Dedup.exactSubstrCoverageSegmented(
           docs.unionByName(planted).unionByName(giant),
           col("doc_id"), col("text"), minLen = 25)
       },
-      Some("""WITH src AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w,
-             |         (1 + doc_id % 7)::INT AS o,
-             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
-             |              ELSE 200 END AS len
-             |  FROM documents WHERE doc_id % 97 = 0),
-             |corpus AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 1000000000,
-             |         array_to_string(w[o : o + len - 1], ' ')
-             |  FROM src WHERE length(w) >= o + len - 1
-             |  UNION ALL
-             |  SELECT 2000000000::BIGINT,
-             |         rtrim(repeat(text || ' ',
-             |           (1048576 // length(string_split(text, ' ')))::INT
-             |             + 1))
-             |  FROM documents WHERE doc_id = 0),
+      Some(s"""WITH $GiantCorpusCte,
              |d AS (SELECT doc_id, string_split(text, ' ') AS w
              |      FROM corpus),
              |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
@@ -767,43 +736,13 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val planted = docs.filter(col("doc_id") % 97 === 0)
-          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
-          .withColumn("len", expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
-              "ELSE 200 END"))
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= col("o") + col("len") - 1)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
-        val giant = docs.filter(col("doc_id") === 0)
-          .withColumn("w", split(col("text"), " "))
-          .select(lit(2000000000L).as("doc_id"),
-            concat_ws(" ", flatten(array_repeat(col("w"),
-              (lit(1048576) / size(col("w"))).cast("int") + 1)))
-              .as("text"))
+        val planted = plantedClones(docs)
+        val giant = giantOf(docs)
         Dedup.exactSubstrTrimSegmented(
           docs.unionByName(planted).unionByName(giant),
           col("doc_id"), col("text"), minLen = 25)
       },
-      Some("""WITH src AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w,
-             |         (1 + doc_id % 7)::INT AS o,
-             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
-             |              ELSE 200 END AS len
-             |  FROM documents WHERE doc_id % 97 = 0),
-             |corpus AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 1000000000,
-             |         array_to_string(w[o : o + len - 1], ' ')
-             |  FROM src WHERE length(w) >= o + len - 1
-             |  UNION ALL
-             |  SELECT 2000000000::BIGINT,
-             |         rtrim(repeat(text || ' ',
-             |           (1048576 // length(string_split(text, ' ')))::INT
-             |             + 1))
-             |  FROM documents WHERE doc_id = 0),
+      Some(s"""WITH $GiantCorpusCte,
              |d AS (SELECT doc_id, string_split(text, ' ') AS w
              |      FROM corpus),
              |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
@@ -853,14 +792,7 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val planted = docs.filter(col("doc_id") % 89 === 0)
-          .withColumn("o", (col("doc_id") % 11 + 1).cast("int"))
-          .withColumn("len", expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 40 WHEN 1 THEN 90 " +
-              "ELSE 200 END"))
-          .filter(length(col("text")) >= col("o") + col("len") - 1)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            expr("substring(text, o, len)").as("text"))
+        val planted = charClones(docs)
         Dedup.exactSubstrCoverage(docs.unionByName(planted),
           col("doc_id"), col("text"), minLen = 40, grain = "char")
       },
@@ -920,14 +852,7 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val planted = docs.filter(col("doc_id") % 89 === 0)
-          .withColumn("o", (col("doc_id") % 11 + 1).cast("int"))
-          .withColumn("len", expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 40 WHEN 1 THEN 90 " +
-              "ELSE 200 END"))
-          .filter(length(col("text")) >= col("o") + col("len") - 1)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            expr("substring(text, o, len)").as("text"))
+        val planted = charClones(docs)
         Dedup.exactSubstrTrim(docs.unionByName(planted),
           col("doc_id"), col("text"), minLen = 40, grain = "char")
       },
@@ -989,14 +914,7 @@ object DedupQueries {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"),
             translate(col("text"), "ae", "äé").as("text"))
-        val planted = docs.filter(col("doc_id") % 89 === 0)
-          .withColumn("o", (col("doc_id") % 11 + 1).cast("int"))
-          .withColumn("len", expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 40 WHEN 1 THEN 90 " +
-              "ELSE 200 END"))
-          .filter(length(col("text")) >= col("o") + col("len") - 1)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            expr("substring(text, o, len)").as("text"))
+        val planted = charClones(docs)
         Dedup.exactSubstrCoverage(docs.unionByName(planted),
           col("doc_id"), col("text"), minLen = 40, grain = "byte")
       },
@@ -1063,15 +981,7 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val planted = docs.filter(col("doc_id") % 97 === 0)
-          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
-          .withColumn("len", expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
-              "ELSE 200 END"))
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= col("o") + col("len") - 1)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        val planted = plantedClones(docs)
         val rev = docs.filter(col("doc_id") % 113 === 0)
           .select(col("doc_id"),
             concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
@@ -1095,28 +1005,7 @@ object DedupQueries {
           delta, col("doc_id"), col("text"), minLen = 25)
         Dedup.exactSubstrCoverageFromMarks(d1, m1, minLen = 25)
       },
-      Some("""WITH src AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w,
-             |         (1 + doc_id % 7)::INT AS o,
-             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
-             |              ELSE 200 END AS len
-             |  FROM documents WHERE doc_id % 97 = 0),
-             |corpus AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 1000000000,
-             |         array_to_string(w[o : o + len - 1], ' ')
-             |  FROM src WHERE length(w) >= o + len - 1
-             |  UNION ALL
-             |  SELECT doc_id + 1200000000,
-             |         array_to_string(list_reverse(string_split(text, ' ')),
-             |                         ' ')
-             |  FROM documents WHERE doc_id % 113 = 0
-             |  UNION ALL
-             |  SELECT doc_id + 1300000000,
-             |         array_to_string(list_reverse(string_split(text, ' ')),
-             |                         ' ')
-             |  FROM documents WHERE doc_id % 113 = 0),
+      Some(s"""WITH $IncrCorpusCte,
              |d AS (SELECT doc_id, string_split(text, ' ') AS w
              |      FROM corpus),
              |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
@@ -1165,15 +1054,7 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
-        val planted = docs.filter(col("doc_id") % 97 === 0)
-          .withColumn("o", (col("doc_id") % 7 + 1).cast("int"))
-          .withColumn("len", expr(
-            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 25 WHEN 1 THEN 50 " +
-              "ELSE 200 END"))
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= col("o") + col("len") - 1)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            concat_ws(" ", expr("slice(w, o, len)")).as("text"))
+        val planted = plantedClones(docs)
         val rev = docs.filter(col("doc_id") % 113 === 0)
           .select(col("doc_id"),
             concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
@@ -1198,28 +1079,7 @@ object DedupQueries {
         Dedup.exactSubstrTrimFromMarks(docs.unionByName(delta),
           col("doc_id"), col("text"), m1, minLen = 25)
       },
-      Some("""WITH src AS (
-             |  SELECT doc_id, string_split(text, ' ') AS w,
-             |         (1 + doc_id % 7)::INT AS o,
-             |         CASE (doc_id % 3)::INT WHEN 0 THEN 25 WHEN 1 THEN 50
-             |              ELSE 200 END AS len
-             |  FROM documents WHERE doc_id % 97 = 0),
-             |corpus AS (
-             |  SELECT doc_id, text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 1000000000,
-             |         array_to_string(w[o : o + len - 1], ' ')
-             |  FROM src WHERE length(w) >= o + len - 1
-             |  UNION ALL
-             |  SELECT doc_id + 1200000000,
-             |         array_to_string(list_reverse(string_split(text, ' ')),
-             |                         ' ')
-             |  FROM documents WHERE doc_id % 113 = 0
-             |  UNION ALL
-             |  SELECT doc_id + 1300000000,
-             |         array_to_string(list_reverse(string_split(text, ' ')),
-             |                         ' ')
-             |  FROM documents WHERE doc_id % 113 = 0),
+      Some(s"""WITH $IncrCorpusCte,
              |d AS (SELECT doc_id, string_split(text, ' ') AS w
              |      FROM corpus),
              |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
@@ -1920,13 +1780,15 @@ object DedupQueries {
               expr("substring(text, 1, 120)").as("text")))
         val base = Scratch.dir("winnow_incr", dir)
         Scratch.buildOnce(base) {
-          val (r0, p0) = Dedup.winnowPairState(docs,
+          val (d0, r0, p0) = Dedup.winnowPairState(docs,
             col("doc_id"), col("text"), k = 8, w = 4,
             maxDocsPerFp = 20L)
+          d0.write.mode("overwrite").parquet(s"$base/docs")
           r0.write.mode("overwrite").parquet(s"$base/fpreg")
           p0.write.mode("overwrite").parquet(s"$base/pairs")
         }
-        val (_, p1) = Dedup.winnowIncremental(
+        val (_, _, p1) = Dedup.winnowIncremental(
+          s.read.parquet(s"$base/docs"),
           s.read.parquet(s"$base/fpreg"),
           s.read.parquet(s"$base/pairs"),
           delta, col("doc_id"), col("text"), k = 8, w = 4,

@@ -472,8 +472,14 @@ object EventMetricsQueries {
         // horizon (SPARK_GRAFT_TTL_HORIZON_S=30) instead of debugging a
         // value mismatch that is really scheduler latency.
         val ttl = java.time.Duration.ofSeconds(
-          sys.env.get("SPARK_GRAFT_TTL_HORIZON_S").map(_.toLong)
-            .getOrElse(10L))
+          sys.env.get("SPARK_GRAFT_TTL_HORIZON_S").map { v =>
+            // fail with the knob's name, not a bare NumberFormatException
+            // that kills a 250-query sweep opaquely (r15 review)
+            require(v.forall(_.isDigit) && v.nonEmpty,
+              s"SPARK_GRAFT_TTL_HORIZON_S must be a whole number of " +
+                s"seconds, got '$v'")
+            v.toLong
+          }.getOrElse(10L))
         Scratch.buildOnce(base) {
           dumpJsonl(ev.orderBy(col("ts"), col("event_id")).coalesce(1),
             s"$base/stage1", s"$base/src", "ev_", fmt)

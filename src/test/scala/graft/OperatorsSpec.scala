@@ -1918,6 +1918,19 @@ class OperatorsSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(tr(1L) == ((14L, 10L, "abij")), s"$tr")
     assert(tr(2L) == ((14L, 10L, "XXYY")), s"$tr")
+    // MID-CHAR cut (r15 review): 'ä'=C3A4 and 'ɤ'=C9A4 share only their
+    // TRAIL byte, so the duplicated run "A4 q r s t" starts inside a
+    // character and the survivors end in a dangling C3/C9 lead byte —
+    // Spark's builtin decode() throws MALFORMED_CHARACTER_CODING there
+    // and one such doc would abort a corpus trim; the lenient decoder
+    // must substitute U+FFFD and complete
+    val mid = Seq((1L, "xäqrst"), (2L, "yɤqrst")).toDF("doc_id", "text")
+    val mt = graft.operators.Dedup.exactSubstrTrim(
+        mid, col("doc_id"), col("text"), minLen = 4, grain = "byte")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(mt(1L) == ((7L, 5L, "x�")), s"$mt")
+    assert(mt(2L) == ((7L, 5L, "y�")), s"$mt")
   }
 
   test("exactSubstrCoverageSegmented: over-width docs dedup via overlap segments") {
@@ -2201,15 +2214,15 @@ class OperatorsSpec extends SparkSpec {
     val frozen = Seq(
       (1L, s"xx1yy $span zzq1"),
       (2L, s"qq2 $span ttv2")).toDF("doc_id", "text")
-    val (r0, p0) = graft.operators.Dedup.winnowPairState(
+    val (d0, r0, p0) = graft.operators.Dedup.winnowPairState(
       frozen, col("doc_id"), col("text"), k = 8, w = 4,
       maxDocsPerFp = 3L)
     val s0 = pmap(p0).getOrElse((1L, 2L), 0L)
     assert(s0 >= 3L, s"span pair not stored: ${pmap(p0)}")
     val delta = Seq((7L, s"aa7 $span bb7"), (8L, s"cc8 $span dd8"))
       .toDF("doc_id", "text")
-    val (r1, p1) = graft.operators.Dedup.winnowIncremental(
-      r0, p0, delta, col("doc_id"), col("text"), k = 8, w = 4,
+    val (_, r1, p1) = graft.operators.Dedup.winnowIncremental(
+      d0, r0, p0, delta, col("doc_id"), col("text"), k = 8, w = 4,
       maxDocsPerFp = 3L)
     val union = frozen.unionByName(delta)
     val batch = pmap(graft.operators.Dedup.winnowCandidatePairs(
@@ -2220,22 +2233,33 @@ class OperatorsSpec extends SparkSpec {
     assert(batch.getOrElse((1L, 2L), 0L) < s0,
       "cap crossing did not retract the stored pair support")
     // the merged registry equals a from-scratch state build
-    val (rFull, _) = graft.operators.Dedup.winnowPairState(
+    val (_, rFull, _) = graft.operators.Dedup.winnowPairState(
       union, col("doc_id"), col("text"), k = 8, w = 4,
       maxDocsPerFp = 3L)
     assert(r1.exceptAll(rFull).isEmpty && rFull.exceptAll(r1).isEmpty,
       "merged registry != from-scratch registry")
+    // a frozen doc_id reappearing in a delta fails loudly (the
+    // exactSubstrIncremental precondition, guarded in-plan here too)
+    val ex = intercept[Throwable] {
+      val (_, _, pBad) = graft.operators.Dedup.winnowIncremental(
+        d0, r0, p0, Seq((2L, "zz reused id zz")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), k = 8, w = 4, maxDocsPerFp = 3L)
+      pBad.collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(ex).contains("already in frozen docs"), chain(ex))
     // and on real docs with mixed adds (full clones + prefix clones)
     val docs = Tables.documents(spark, testDataDir)
       .select(col("doc_id"), col("text")).limit(150)
     val d2 = docs.filter(col("doc_id") % 6 === 0)
       .select((col("doc_id") + 700000L).as("doc_id"),
         expr("substring(text, 1, 100)").as("text"))
-    val (ra, pa) = graft.operators.Dedup.winnowPairState(
+    val (da, ra, pa) = graft.operators.Dedup.winnowPairState(
       docs, col("doc_id"), col("text"), k = 8, w = 4,
       maxDocsPerFp = 20L)
-    val (_, pb) = graft.operators.Dedup.winnowIncremental(
-      ra, pa, d2, col("doc_id"), col("text"), k = 8, w = 4,
+    val (_, _, pb) = graft.operators.Dedup.winnowIncremental(
+      da, ra, pa, d2, col("doc_id"), col("text"), k = 8, w = 4,
       maxDocsPerFp = 20L)
     val batch2 = pmap(graft.operators.Dedup.winnowCandidatePairs(
       docs.unionByName(d2), col("doc_id"), col("text"), k = 8, w = 4,
