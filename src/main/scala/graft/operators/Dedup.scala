@@ -362,7 +362,8 @@ object Dedup {
     * max-width doc already has on the plain trim path. */
   private def segmentedStarts(df: DataFrame, id: Column, text: Column,
                               minLen: Int, grain: String,
-                              foldCoverage: Boolean)
+                              foldCoverage: Boolean,
+                              keepFirst: Boolean = false)
       : (DataFrame, DataFrame) = {
     require(minLen >= 2)
     val S = (1L << 20) - minLen
@@ -386,15 +387,15 @@ object Dedup {
       .select((lit(1L << 42) + col("doc_id") * lit(1L << 10) + col("k"))
           .as("doc_id"),
         expr(s"slice(w, cast(k * $S + 1 AS int), $segLen)").as("w"))
-    val isSeg = col("doc_id") >= lit(1L << 42)
     val perDoc = rankPerDoc(direct.unionByName(segments), minLen,
-      keepFirst = false, foldCoverage = foldCoverage,
-      mapMarks = m => m.select(
-        when(isSeg, shiftright(col("doc_id") - lit(1L << 42), 10))
-          .otherwise(col("doc_id")).as("doc_id"),
-        (col("pos") + when(isSeg,
-          (col("doc_id") - lit(1L << 42)).bitwiseAND(lit(1023L)) * S)
-          .otherwise(lit(0L))).as("pos")))
+      keepFirst = keepFirst, foldCoverage = foldCoverage,
+      decode = (d, p) => {
+        val isSeg = d >= lit(1L << 42)
+        (when(isSeg, shiftright(d - lit(1L << 42), 10)).otherwise(d),
+          p + when(isSeg,
+            (d - lit(1L << 42)).bitwiseAND(lit(1023L)) * S)
+            .otherwise(lit(0L)))
+      })
     (toks, perDoc)
   }
 
@@ -449,10 +450,33 @@ object Dedup {
     * @return one row per doc: (doc_id, n_tokens, n_removed,
     *         trimmed_text, quarantined). */
   def exactSubstrTrimKeepFirst(df: DataFrame, id: Column, text: Column,
-                               minLen: Int = 25): DataFrame = {
+                               minLen: Int = 25,
+                               grain: String = "word"): DataFrame = {
     val (toks, perDoc) =
-      exactSubstrStarts(df, id, text, minLen, keepFirst = true)
-    quarantineAwareTrim(toks, perDoc, minLen)
+      exactSubstrStarts(df, id, text, minLen, keepFirst = true,
+        grain = grain)
+    quarantineAwareTrim(toks, perDoc, minLen, grain)
+  }
+
+  /** [[exactSubstrTrimKeepFirst]] with the [[exactSubstrCoverageSegmented]]
+    * over-width contract (r15 VERDICT #4): books participate in
+    * keep-first trimming too. The winner rule stays the UNSEGMENTED
+    * class argmin — each duplicated window class keeps its minimum
+    * (ORIGINAL doc_id, ORIGINAL pos) occurrence — because the class
+    * argmin is computed over DECODED positions, not synthetic segment
+    * ids (a segment id 2⁴² + doc·2¹⁰ + k sorts after every direct id,
+    * so an argmin over the packed representative would let any small
+    * doc beat any giant regardless of actual doc order; decoding
+    * before the min keeps the rule segment-invariant, and the window ↔
+    * (segment, local start) bijection guarantees each class sees each
+    * physical occurrence exactly once). */
+  def exactSubstrTrimKeepFirstSegmented(df: DataFrame, id: Column,
+                                        text: Column, minLen: Int = 25,
+                                        grain: String = "word"): DataFrame = {
+    val (toks, perDoc) =
+      segmentedStarts(df, id, text, minLen, grain,
+        foldCoverage = false, keepFirst = true)
+    quarantineAwareTrim(toks, perDoc, minLen, grain)
   }
 
   /** Shared trim tail for the suffix-rank trims: rejoin the marked
@@ -621,7 +645,8 @@ object Dedup {
     * the rank table's blocks release exactly once per build. */
   private def rankPerDoc(segs: DataFrame, minLen: Int,
                          keepFirst: Boolean, foldCoverage: Boolean,
-                         mapMarks: DataFrame => DataFrame = identity)
+                         decode: (Column, Column) => (Column, Column) =
+                           (d, p) => (d, p))
       : DataFrame = {
     val withN = segs.select(col("doc_id"), col("w"),
       size(col("w")).cast("long").as("n_tokens"))
@@ -644,15 +669,14 @@ object Dedup {
       .localCheckpoint()
     val m = 31 - Integer.numberOfLeadingZeros(minLen) // floor(log2 L)
     // positions are CONTIGUOUS 1..n per doc by construction, so
-    // rank[pos + k] is exactly lead(rank, k) over (doc_id ORDER BY pos)
+    // rank[pos + k] is exactly a window lead over ordered positions
     // — one window pass where the r12 formulation self-joined the rank
     // table on (doc_id, pos), saving a corpus-sized exchange + SMJ sort
     // pair PER ROUND (the round's only remaining exchanges are the
-    // window's doc_id hash and the shared (r1, r2) class exchange).
-    // Skew bound: a doc occupies one window task, capped by the 2^20
-    // per-doc token contract the repr packing already imposes.
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // window's hash and the shared (r1, r2) class exchange). Since r16
+    // the lead is SLICED ([[shiftedRank]]): one window task is ≤
+    // 2^16 + k rows regardless of unit width, so a max-width doc no
+    // longer serializes a ~1M-row sort per round.
     var k = 1L
     (1 to m).foreach { _ =>
       val next = doublingRound(r, k.toInt).localCheckpoint()
@@ -670,14 +694,22 @@ object Dedup {
         // a null lead = no position p + off in the doc; such a p cannot
         // start a full L-window, so dropping it mirrors the start
         // filter below (inner-join semantics of the r12 tail join)
-        r.select(col("doc_id"), col("pos"), col("rank").as("r1"),
-            lead(col("rank"), off).over(byDoc).as("r2"))
-          .filter(col("r2").isNotNull)
+        shiftedRank(r, off).filter(col("r2").isNotNull)
     val starts = keys
       .join(withN.select(col("doc_id"), col("n_tokens")), "doc_id")
       .filter(col("pos") <= col("n_tokens") - (minLen - 1))
+    // the winner/mark coordinates are the DECODED (original doc,
+    // original pos) — identity for plain docs; the segmented path's
+    // synthetic-id unpack otherwise. The keep-first argmin MUST use
+    // decoded coordinates (r15 VERDICT #4): synthetic segment ids sort
+    // after every direct id, so a packed-representative argmin would
+    // pick winners by segment-id order, not the contract's doc-major
+    // original order.
+    val (odoc, opos) = decode(col("doc_id"), col("pos"))
+    val drep = struct(odoc.as("d"), opos.as("p"))
     val dupClasses = starts.groupBy("r1", "r2")
-      .agg(count(lit(1)).as("n"), min(repr).as("mn"))
+      .agg(count(lit(1)).as("n"),
+        (if (keepFirst) min(drep) else min(repr)).as("mn"))
       .filter(col("n") >= 2)
     // keep-first: the class's min-representative occurrence survives —
     // a map-side filter above the same class join, no extra exchange
@@ -685,7 +717,7 @@ object Dedup {
       if (keepFirst)
         starts.join(dupClasses.select(col("r1"), col("r2"), col("mn")),
             Seq("r1", "r2"))
-          .filter(repr =!= col("mn"))
+          .filter(drep =!= col("mn"))
       else starts.join(dupClasses.select("r1", "r2"), Seq("r1", "r2"))
     // reduce to DOC-grain before releasing the rank table: the final
     // checkpoint pins one small row per doc, not corpus-token-sized
@@ -696,7 +728,7 @@ object Dedup {
     // HERE (r13 ADVICE): a boilerplate-heavy doc's start array is
     // near token-scale, and only the trims — which rebuild text —
     // ever need the positions themselves.
-    val perDocPs = mapMarks(marked.select(col("doc_id"), col("pos")))
+    val perDocPs = marked.select(odoc.as("doc_id"), opos.as("pos"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_starts"),
         sort_array(collect_list(col("pos"))).as("ps"))
@@ -735,18 +767,51 @@ object Dedup {
     * Package-private for the spec; [[exactSubstrStarts]] is the only
     * production caller. */
   private[graft] def doublingRound(r: DataFrame, k: Int): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
     val repr = col("doc_id") * (1L << 20) + col("pos")
     // rank of the suffix k ahead; missing (suffix ends) pads with -1
-    val paired = r.select(col("doc_id"), col("pos"),
-      col("rank").as("r1"),
-      coalesce(lead(col("rank"), k).over(byDoc), lit(-1L))
-        .as("r2"))
+    val paired = shiftedRank(r, k)
+      .withColumn("r2", coalesce(col("r2"), lit(-1L)))
       .repartition(col("r1"), col("r2"))
     val rmap = paired.groupBy("r1", "r2").agg(min(repr).as("rank"))
     paired.join(rmap, Seq("r1", "r2"))
       .select(col("doc_id"), col("pos"), col("rank"))
+  }
+
+  /** rank[pos + k] for every position, as a SLICED window lead (r15
+    * VERDICT #8): the whole-doc `lead(rank, k) OVER (PARTITION BY
+    * doc_id ORDER BY pos)` puts each rank-build unit in ONE window
+    * task — for a segmented giant that is two ~1M-row single-task
+    * sorts per doubling round, a ≈9 s/giant fixed cost at sf0.1 that
+    * no executor count can shrink. Instead the window partitions by
+    * (doc_id, slice) with slice = (pos−1) div B, and the first k rows
+    * of each following slice are UNIONED in as boundary-carry rows:
+    * positions inside every augmented partition remain contiguous
+    * (sliceStart+1 .. sliceEnd+k), so `lead(rank, k)` resolves to
+    * rank[pos+k] exactly as in the whole-doc window — the two-level
+    * carry discipline of `Layout.compactionPlan` — while a 2^20-row
+    * unit spreads over 2^20/B ≈ 16 tasks. Carry rows are dropped after
+    * the lead (their home slice computes their value); a doc's true
+    * suffix end still reads null (its last slice has no carry to
+    * borrow). Requires k < B — k ≤ 2^⌊log₂ minLen⌋ ≤ 2^19 by the
+    * packing width, and callers' minLen is ≤ a few hundred. Spec-pinned
+    * slice ≡ whole-window at B = 8 (dense carries on tiny docs).
+    * Skew bound: one window task is ≤ B + k rows, unit-independent.
+    * Exchange budget unchanged: the union feeds ONE (doc_id, s) hash
+    * exchange. `b` is overridable for the spec only. */
+  private[graft] def shiftedRank(r: DataFrame, k: Int,
+                                 b: Long = 1L << 16): DataFrame = {
+    require(k < b, s"carry width k=$k must stay under the slice size $b")
+    val main = r.withColumn("s", expr(s"(pos - 1) div $b"))
+    val carry = r.filter(expr(s"pos > $b AND (pos - 1) % $b < $k"))
+      .withColumn("s", expr(s"((pos - 1) div $b) - 1"))
+    val bySlice = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("s")).orderBy(col("pos"))
+    main.unionByName(carry)
+      .select(col("doc_id"), col("pos"), col("s"),
+        col("rank").as("r1"),
+        lead(col("rank"), k).over(bySlice).as("r2"))
+      .filter(col("s") === expr(s"(pos - 1) div $b"))
+      .select(col("doc_id"), col("pos"), col("r1"), col("r2"))
   }
 
   /** The common coverage-output tail: left-join the per-doc folded
@@ -798,11 +863,12 @@ object Dedup {
     * drop their output. */
   def exactSubstrTrimFromMarks(df: DataFrame, id: Column, text: Column,
                                marks: DataFrame,
-                               minLen: Int = 25): DataFrame = {
-    val toks = tokenized(df, id, text, "word")
+                               minLen: Int = 25,
+                               grain: String = "word"): DataFrame = {
+    val toks = tokenized(df, id, text, grain)
     val perDoc = marks.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
-    quarantineAwareTrim(toks, perDoc, minLen)
+    quarantineAwareTrim(toks, perDoc, minLen, grain)
   }
 
   /** Frozen-corpus state for INCREMENTAL ExactSubstr (r13 VERDICT #4 —
@@ -831,16 +897,16 @@ object Dedup {
     * Over-width docs follow the quarantine contract (excluded from
     * grams, flagged in `docs`). */
   def exactSubstrGramState(df: DataFrame, id: Column, text: Column,
-                           minLen: Int = 25)
+                           minLen: Int = 25, grain: String = "word")
       : (DataFrame, DataFrame, DataFrame) = {
     require(minLen >= 2)
-    val toks = df.select(id.as("doc_id"), split(text, " ").as("w"))
-      .select(col("doc_id"), col("w"),
-        size(col("w")).cast("long").as("n_tokens"))
-      .withColumn("quarantined", col("n_tokens") >= lit(1L << 20))
+    // same grain contract as the rank family (r15 VERDICT #3): "byte"
+    // addresses UTF-8 bytes via the hex-pair bijection — the daily-fold
+    // twin of the released deduplicate-text-datasets transform
+    val toks = tokenized(df, id, text, grain)
     val docs = toks.select(col("doc_id"), col("n_tokens"),
       col("quarantined"))
-    val occ = gramOcc(toks, minLen)
+    val occ = gramOcc(toks, minLen, grain)
     val registry = occ.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("pos"))).as("one"))
@@ -878,29 +944,37 @@ object Dedup {
   def exactSubstrIncremental(prevDocs: DataFrame, prevMarks: DataFrame,
                              prevRegistry: DataFrame, delta: DataFrame,
                              id: Column, text: Column,
-                             minLen: Int = 25)
+                             minLen: Int = 25, grain: String = "word")
       : (DataFrame, DataFrame, DataFrame) = {
     require(minLen >= 2)
-    val toks = delta.select(id.as("doc_id"), split(text, " ").as("w"))
-      .select(col("doc_id"), col("w"),
-        size(col("w")).cast("long").as("n_tokens"))
-      .withColumn("quarantined", col("n_tokens") >= lit(1L << 20))
+    val toks = tokenized(delta, id, text, grain)
       // disjointness guard: every downstream consumer (docs union,
       // gram explode, registry fold) reads doc_id through this branch,
       // so a frozen-id reuse fails the fold loudly instead of
       // double-counting
       .join(prevDocs.select(col("doc_id"), lit(true).as("__frozen")),
         Seq("doc_id"), "left")
-      .withColumn("doc_id", when(col("__frozen").isNull, col("doc_id"))
-        .otherwise(raise_error(concat(
+      // within-delta uniqueness (r15 ADVICE): a doc_id repeated INSIDE
+      // one delta batch passes the frozen probe (both copies are new)
+      // yet still double-counts grams and can emit degenerate
+      // self-pairs — one delta-sized window count closes the hole
+      .withColumn("__indelta", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("doc_id",
+        when(col("__frozen").isNotNull, raise_error(concat(
           lit("exactSubstrIncremental: delta doc_id "), col("doc_id"),
           lit(" already in frozen docs — fold would double-count")))
-          .cast("long")))
-      .drop("__frozen")
+          .cast("long"))
+        .when(col("__indelta") > 1, raise_error(concat(
+          lit("exactSubstrIncremental: doc_id "), col("doc_id"),
+          lit(" appears more than once within the delta batch")))
+          .cast("long"))
+        .otherwise(col("doc_id")))
+      .drop("__frozen", "__indelta")
     val dDocs = toks.select(col("doc_id"), col("n_tokens"),
       col("quarantined"))
     // read twice (per-gram agg + mark join): checkpoint the one explode
-    val dOcc = gramOcc(toks, minLen).localCheckpoint(false)
+    val dOcc = gramOcc(toks, minLen, grain).localCheckpoint(false)
     val dReg = dOcc.groupBy(col("h"))
       .agg(count(lit(1)).as("dcnt"),
         min(struct(col("doc_id"), col("pos"))).as("done"))
@@ -933,14 +1007,22 @@ object Dedup {
   /** Every-offset L-gram explode shared by the incremental state
     * builders: (doc_id, pos, h) for each window start of each eligible
     * (non-quarantined, ≥ minLen tokens) doc. */
-  private def gramOcc(toks: DataFrame, minLen: Int): DataFrame =
+  private def gramOcc(toks: DataFrame, minLen: Int,
+                      grain: String = "word"): DataFrame = {
+    // word grams rejoin with the space the split removed; char/byte
+    // grams concatenate bare (the tokens ARE the characters / hex byte
+    // pairs — the fixed 2-nibble width keeps the byte mapping a
+    // bijection without a separator, so the md5 classes equal the
+    // DuckDB oracle's hex-substring windows exactly)
+    val sep = if (grain == "word") " " else ""
     toks.filter(!col("quarantined") && col("n_tokens") >= minLen)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(w) - ${minLen - 1}),
            |  i -> struct(cast(i AS LONG) AS pos,
-           |              md5(concat_ws(' ', slice(w, i, $minLen))) AS h))"""
+           |              md5(concat_ws('$sep', slice(w, i, $minLen))) AS h))"""
           .stripMargin)).as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.h").as("h"))
+  }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
     * §3): hash every k-char shingle of the text, slide a w-hash window
@@ -1120,11 +1202,20 @@ object Dedup {
     val guarded = delta.select(id.as("doc_id"), text.as("__text"))
       .join(prevDocs.select(col("doc_id"), lit(true).as("__frozen")),
         Seq("doc_id"), "left")
-      .select(when(col("__frozen").isNull, col("doc_id"))
-        .otherwise(raise_error(concat(
+      // within-delta uniqueness (r15 ADVICE): same hole as the
+      // exactSubstr fold — a doc_id duplicated inside one delta batch
+      // slips the frozen probe but still double-counts fingerprints
+      .withColumn("__indelta", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .select(when(col("__frozen").isNotNull, raise_error(concat(
           lit("winnowIncremental: delta doc_id "), col("doc_id"),
           lit(" already in frozen docs — fold would double-count")))
-          .cast("long")).as("doc_id"),
+          .cast("long"))
+        .when(col("__indelta") > 1, raise_error(concat(
+          lit("winnowIncremental: doc_id "), col("doc_id"),
+          lit(" appears more than once within the delta batch")))
+          .cast("long"))
+        .otherwise(col("doc_id")).as("doc_id"),
         col("__text"))
     val docs = prevDocs.unionByName(guarded.select(col("doc_id")))
     val dAgg = winnowFingerprints(guarded, col("doc_id"), col("__text"),

@@ -338,6 +338,69 @@ object Multimodal {
           .cast("int").as("probe_byte"))
   }
 
+  /** Per-row image-dimension probe over a six-way header zoo (r15
+    * VERDICT #7: the rollup queries grade the happy path; this grades
+    * the decoder ROW-BY-ROW including junk inputs, which at 100 TB are
+    * the rows that would otherwise kill an executor or fabricate
+    * dimensions from garbage). Cases by doc_id % 6:
+    *  0. canonical PNG sig+IHDR           → dims decode
+    *  1. canonical JPEG SOI+SOF0          → dims decode
+    *  2. JPEG with an APP0 segment AND a 0xFF fill byte before a SOF2
+    *     marker — the segment walk + fill-byte + non-baseline-SOF path
+    *                                       → dims decode
+    *  3. PNG truncated mid-IHDR (20 bytes) → no decode
+    *  4. bare text, no container at all    → no decode
+    *  5. JPEG SOI immediately followed by EOI (no frame header) —
+    *     the walker must stop, not read entropy bytes as a header
+    *                                       → no decode
+    * Output one row per doc: (media_id, kind, width, height, decoded)
+    * with NULL dims on the junk rows. Map-only, zero shuffles. */
+  def imageDimsProbe(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = (col("doc_id") % 640 + 64).cast("int")
+    val h = (col("doc_id") % 480 + 48).cast("int")
+    def be(v: Column, hexDigits: Int) =
+      unhex(lpad(hex(v), hexDigits, "0"))
+    val pngSig = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 0x0d, 'I', 'H', 'D', 'R'))
+    val pngHeader = concat(pngSig, be(w, 8), be(h, 8),
+      lit(Array[Byte](8, 6, 0, 0, 0, 0, 0, 0, 0)))
+    val jpegHeader = concat(
+      lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc0.toByte,
+        0x00, 0x11, 0x08)),
+      be(h, 4), be(w, 4), lit(Array[Byte](0x03)))
+    // SOI + APP0(JFIF, 16-byte segment) + 0xFF fill + SOF2 + len 11 +
+    // precision + h + w + ncomp: exercises the length-skip, the fill
+    // tolerance, and a progressive (non-C0) frame marker
+    val jpegApp0 = concat(
+      lit(Array[Byte](0xff.toByte, 0xd8.toByte,
+        0xff.toByte, 0xe0.toByte, 0x00, 0x10,
+        'J', 'F', 'I', 'F', 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0xff.toByte,
+        0xff.toByte, 0xc2.toByte, 0x00, 0x0b, 0x08)),
+      be(h, 4), be(w, 4), lit(Array[Byte](0x01)))
+    val pngTrunc = concat(pngSig, be(w, 8)) // 20 bytes: dies mid-IHDR
+    val noSof = lit(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte))
+    val text = col("text").cast("binary")
+    val probe = docs.select(col("doc_id").as("media_id"),
+      (col("doc_id") % 6).cast("int").as("kind"),
+      when(col("doc_id") % 6 === 0, concat(pngHeader, text))
+        .when(col("doc_id") % 6 === 1, concat(jpegHeader, text))
+        .when(col("doc_id") % 6 === 2, concat(jpegApp0, text))
+        .when(col("doc_id") % 6 === 3, pngTrunc)
+        .when(col("doc_id") % 6 === 4, text)
+        .otherwise(noSof).as("bytes"))
+      .as[(Long, Int, Array[Byte])]
+    probe.mapPartitions { it =>
+      it.map { case (id, kind, bytes) =>
+        val b = if (bytes == null) Array.emptyByteArray else bytes
+        val d = decodeImageDims(b)
+        (id, kind, d.map(_._1), d.map(_._2), d.isDefined)
+      }
+    }.toDF("media_id", "kind", "width", "height", "decoded")
+  }
+
   /** Query entry (oracle-checked): features rolled up by mime type. The
     * decoded_w/h sums grade the header parse — the oracle recomputes them
     * from the generating formula, so a wrong byte offset or endianness in

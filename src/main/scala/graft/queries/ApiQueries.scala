@@ -328,6 +328,25 @@ object ApiQueries {
              |       least(32, h - py * 32)::INT AS ph
              |FROM p""".stripMargin)),
 
+    // Per-row image dimension decode over a six-way header zoo (r15
+    // VERDICT #7): canonical PNG, canonical JPEG, JPEG with APP0 +
+    // fill byte + progressive SOF2 (the segment-walk path), truncated
+    // PNG, bare text, and SOI-EOI-no-SOF — the junk rows MUST surface
+    // as NULL dims, not fabricated values or exceptions. The oracle
+    // recomputes decodability and the dimensions from the generating
+    // formulas per case, so a parse offset slip, a walker overrun into
+    // entropy bytes, or a junk row decoding at all hash-mismatches
+    // row-by-row.
+    GraftQuery("m_image_dims",
+      (s, dir) => Multimodal.imageDimsProbe(s, Tables.documents(s, dir)),
+      Some("""SELECT doc_id AS media_id, (doc_id % 6)::INT AS kind,
+             |       CASE WHEN doc_id % 6 <= 2
+             |            THEN doc_id % 640 + 64 END::INT AS width,
+             |       CASE WHEN doc_id % 6 <= 2
+             |            THEN doc_id % 480 + 48 END::INT AS height,
+             |       (doc_id % 6 <= 2) AS decoded
+             |FROM documents""".stripMargin)),
+
     // Video frame sampling: ≤ 8 uniformly-strided frame indices per clip
     // at a 40 ms frame interval, each with its timestamp and a probe byte
     // read at the frame's proportional payload offset. The oracle replays

@@ -597,6 +597,137 @@ object DedupQueries {
              |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
 
+    // KEEP-ONE-COPY at TRUE BYTE GRAIN (r15 VERDICT #4): the winner
+    // rule — each duplicated window class keeps its minimum
+    // (doc_id, pos) occurrence — must be grain-independent, and this
+    // grades it over byte hex pairs: grain="byte" tokenizes to 2-nibble
+    // hex tokens, the rank build addresses BYTES, and the oracle
+    // replays the argmin over every-BYTE-offset md5 windows of the hex
+    // encoding (hex-pair windows group byte windows exactly — the
+    // d_exact_substr_utf8 bijection). The corpus (documents ∪ char
+    // clones) is ASCII, so the oracle's kept-byte rebuild decodes
+    // losslessly; mid-char-cut lenient decode on multi-byte text is
+    // spec-pinned (OperatorsSpec), since no SQL oracle can replay
+    // U+FFFD substitution.
+    GraftQuery("d_exact_substr_keepfirst_bytes",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = charClones(docs)
+        Dedup.exactSubstrTrimKeepFirst(docs.unionByName(planted),
+          col("doc_id"), col("text"), minLen = 40, grain = "byte")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, text,
+             |         (1 + doc_id % 11)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 40 WHEN 1 THEN 90
+             |              ELSE 200 END AS len
+             |  FROM documents WHERE doc_id % 89 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000, substring(text, o, len)
+             |  FROM src WHERE length(text) >= o + len - 1),
+             |t AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |        octet_length(encode(text))::BIGINT AS n_tokens
+             |      FROM corpus),
+             |el AS (SELECT * FROM t WHERE n_tokens < 1048576),
+             |occ AS (SELECT doc_id, i::BIGINT AS pos,
+             |          md5(substring(hx, (2 * i - 1)::INT, 80)) AS h
+             |        FROM el, unnest(generate_series(1,
+             |          greatest(n_tokens - 39, 0)::INT)) AS u(i)),
+             |occ2 AS (SELECT doc_id, pos,
+             |           count(*) OVER (PARTITION BY h) AS n,
+             |           min(doc_id * 1048576 + pos) OVER (PARTITION BY h)
+             |             AS mn
+             |         FROM occ),
+             |marked AS (SELECT doc_id, pos FROM occ2
+             |           WHERE n >= 2 AND doc_id * 1048576 + pos <> mn),
+             |cov AS (SELECT DISTINCT m.doc_id, u.t::BIGINT AS t
+             |        FROM marked m,
+             |             unnest(generate_series(m.pos, m.pos + 39)) AS u(t)),
+             |tok AS (SELECT doc_id, i::BIGINT AS t,
+             |          substring(hx, (2 * i - 1)::INT, 2) AS tok
+             |        FROM el, unnest(generate_series(1,
+             |          n_tokens::INT)) AS u(i)),
+             |kept AS (SELECT k.doc_id, count(*) AS n_kept,
+             |           string_agg(k.tok, '' ORDER BY k.t) AS hxkept
+             |         FROM (SELECT tok.* FROM tok LEFT JOIN cov
+             |                 ON cov.doc_id = tok.doc_id AND cov.t = tok.t
+             |               WHERE cov.doc_id IS NULL) k
+             |         GROUP BY k.doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE t.n_tokens - coalesce(k.n_kept, 0) END::BIGINT
+             |         AS n_removed,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(decode(unhex(k.hxkept)), '') END
+             |         AS trimmed_text,
+             |       (t.n_tokens >= 1048576) AS quarantined
+             |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
+
+    // KEEP-ONE-COPY over the SEGMENTED giant (r15 VERDICT #4): the
+    // 2^20-token book participates in keep-first trimming, and the
+    // winner stays the UNSEGMENTED argmin — the engine computes the
+    // class min over DECODED (original doc, original pos), never the
+    // synthetic segment ids (which sort after every direct id and
+    // would otherwise hand every mixed class to the small doc). On
+    // this corpus doc 0 (id 0) beats the giant (id 2e9) for every
+    // shared span, so doc 0 survives INTACT while the giant trims to
+    // its junction-window residue — the oracle replays the same argmin
+    // over every-offset grams with a 2^21 position packing (giant
+    // positions exceed 2^20; the packing must stay order-isomorphic to
+    // (doc, pos) for ALL rows).
+    GraftQuery("d_exact_substr_keepfirst_segmented",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = plantedClones(docs)
+        val giant = giantOf(docs)
+        Dedup.exactSubstrTrimKeepFirstSegmented(
+          docs.unionByName(planted).unionByName(giant),
+          col("doc_id"), col("text"), minLen = 25)
+      },
+      Some(s"""WITH $GiantCorpusCte,
+             |d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |tok AS (SELECT doc_id, n_tokens,
+             |          unnest(generate_series(1, length(w)))::BIGINT AS pos,
+             |          unnest(w) AS tok
+             |        FROM t),
+             |occ AS (SELECT doc_id, pos,
+             |          md5(string_agg(tok, ' ') OVER (
+             |            PARTITION BY doc_id ORDER BY pos
+             |            ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING)) AS h
+             |        FROM tok
+             |        QUALIFY pos <= n_tokens - 24),
+             |occ2 AS (SELECT doc_id, pos,
+             |           count(*) OVER (PARTITION BY h) AS n,
+             |           min(doc_id * 2097152 + pos) OVER (PARTITION BY h)
+             |             AS mn
+             |         FROM occ),
+             |marked AS (SELECT doc_id, pos FROM occ2
+             |           WHERE n >= 2 AND doc_id * 2097152 + pos <> mn),
+             |cov AS (SELECT DISTINCT m.doc_id, u.t::BIGINT AS t
+             |        FROM marked m,
+             |             unnest(generate_series(m.pos, m.pos + 24)) AS u(t)),
+             |kept AS (SELECT k.doc_id, count(*) AS n_kept,
+             |           string_agg(k.tok, ' ' ORDER BY k.t) AS txt
+             |         FROM (SELECT tok.doc_id, tok.pos AS t, tok.tok
+             |               FROM tok LEFT JOIN cov
+             |                 ON cov.doc_id = tok.doc_id AND cov.t = tok.pos
+             |               WHERE cov.doc_id IS NULL) k
+             |         GROUP BY k.doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens > 1073716248 THEN NULL
+             |            ELSE t.n_tokens - coalesce(k.n_kept, 0) END::BIGINT
+             |         AS n_removed,
+             |       CASE WHEN t.n_tokens > 1073716248 THEN NULL
+             |            ELSE coalesce(k.txt, '') END AS trimmed_text,
+             |       (t.n_tokens > 1073716248) AS quarantined
+             |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
+
     // Over-width QUARANTINE (r13 VERDICT #2): the graded proof that one
     // pathological book-length doc can no longer kill a corpus
     // ExactSubstr run. The corpus is d_exact_substr's planted set PLUS
@@ -1108,6 +1239,106 @@ object DedupQueries {
              |            ELSE coalesce(k.txt, '') END AS trimmed_text,
              |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
+
+    // BYTE-GRAIN INCREMENTAL ExactSubstr (r15 VERDICT #3, the last
+    // ungraded grain × fold composition): the gram-registry daily fold
+    // at grain="byte" — the incremental twin of the released
+    // deduplicate-text-datasets transform's BYTE addressing. Frozen
+    // corpus: documents with 'a'/'e' → 'ä'/'é' (every doc multi-byte,
+    // so byte addressing provably diverges from char). Delta exercises
+    // both retro-mark directions: char-offset clones of the %89 frozen
+    // docs duplicate frozen BYTE spans (previously-unique frozen grams
+    // newly mark via their registry (d1,p1) slot), and two
+    // reversed-word copies of each %113 doc duplicate only each other.
+    // Oracle: the full-recompute every-BYTE-offset replay over frozen
+    // ∪ delta (hex-pair windows group byte windows exactly) —
+    // bit-equality with the fold IS the graded contract.
+    GraftQuery("d_exact_substr_utf8_incr",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            translate(col("text"), "ae", "äé").as("text"))
+        val planted = charClones(docs)
+        val rev = docs.filter(col("doc_id") % 113 === 0)
+          .select(col("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+        val delta = planted
+          .unionByName(rev.select((col("doc_id") + 1200000000L)
+            .as("doc_id"), col("text")))
+          .unionByName(rev.select((col("doc_id") + 1300000000L)
+            .as("doc_id"), col("text")))
+        val base = Scratch.dir("exact_substr_utf8_incr", dir)
+        Scratch.buildOnce(base) {
+          val (d0, m0, r0) = Dedup.exactSubstrGramState(
+            docs, col("doc_id"), col("text"), minLen = 40,
+            grain = "byte")
+          d0.write.mode("overwrite").parquet(s"$base/docs")
+          m0.write.mode("overwrite").parquet(s"$base/marks")
+          r0.write.mode("overwrite").parquet(s"$base/registry")
+        }
+        val (d1, m1, _) = Dedup.exactSubstrIncremental(
+          s.read.parquet(s"$base/docs"),
+          s.read.parquet(s"$base/marks"),
+          s.read.parquet(s"$base/registry"),
+          delta, col("doc_id"), col("text"), minLen = 40,
+          grain = "byte")
+        Dedup.exactSubstrCoverageFromMarks(d1, m1, minLen = 40)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, translate(text, 'ae', 'äé') AS text
+             |  FROM documents),
+             |src AS (
+             |  SELECT doc_id, text,
+             |         (1 + doc_id % 11)::INT AS o,
+             |         CASE (doc_id % 3)::INT WHEN 0 THEN 40 WHEN 1 THEN 90
+             |              ELSE 200 END AS len
+             |  FROM base WHERE doc_id % 89 = 0),
+             |corpus AS (
+             |  SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000, substring(text, o, len)
+             |  FROM src WHERE length(text) >= o + len - 1
+             |  UNION ALL
+             |  SELECT doc_id + 1200000000,
+             |         array_to_string(list_reverse(string_split(text, ' ')),
+             |                         ' ')
+             |  FROM base WHERE doc_id % 113 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1300000000,
+             |         array_to_string(list_reverse(string_split(text, ' ')),
+             |                         ' ')
+             |  FROM base WHERE doc_id % 113 = 0),
+             |t AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |        octet_length(encode(text))::BIGINT AS n_tokens
+             |      FROM corpus),
+             |el AS (SELECT * FROM t WHERE n_tokens < 1048576),
+             |occ AS (SELECT doc_id, n_tokens, i::BIGINT AS pos,
+             |          md5(substring(hx, (2 * i - 1)::INT, 80)) AS h
+             |        FROM el, unnest(generate_series(1,
+             |          greatest(n_tokens - 39, 0)::INT)) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |spans AS (
+             |  SELECT doc_id, pos,
+             |    greatest(0, pos + 40 - greatest(coalesce(
+             |      max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0), pos)) AS adds
+             |  FROM occ JOIN dup USING (h)),
+             |pd AS (SELECT doc_id, count(*) AS n_dup_starts,
+             |         sum(adds) AS covered
+             |       FROM spans GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.n_dup_starts, 0) END::BIGINT
+             |         AS n_dup_starts,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) END::BIGINT
+             |         AS covered_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) * 1000000 // t.n_tokens
+             |            END::BIGINT AS dup_frac_micro,
+             |       (t.n_tokens >= 1048576) AS quarantined
+             |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
     // Duplicated-span fraction (Lee et al. ACL'22 ExactSubstr at fixed
     // gram length): per doc, the exact fraction of tokens covered by a
@@ -1918,6 +2149,85 @@ object DedupQueries {
              |      WHERE s.start <= len(a.text)),
              |q AS (SELECT doc_id, chunk FROM g WHERE len(chunk) >= 16)
              |SELECT chunk, min(doc_id) AS rep FROM q GROUP BY 1""".stripMargin)),
+
+    // Streaming ExactSubstr registry gold (r15 VERDICT #5: the gram
+    // registry was the last mergeable incremental family without a
+    // streaming serve). The SAME frozen ∪ delta corpus as
+    // d_exact_substr_incremental — originals, %97 planted clones, two
+    // reversed-word copies of each %113 doc — split across THREE feed
+    // files by doc_id % 3 (a clone's +1e9/+1.2e9/+1.3e9 offset shifts
+    // its residue, so clone and original genuinely land in different
+    // micro-batches) and folded through streamFoldGold with the
+    // retro-mark merge: counts add per gram, and a side that held a
+    // gram's only occurrence marks it the moment the merged count
+    // reaches 2. Graded against the batch every-offset replay over the
+    // whole corpus — bit-equality with the one-batch build IS the
+    // contract, exactly like the other streaming golds.
+    GraftQuery("w_stream_exactsubstr_gold",
+      (s, dir) => {
+        val base = Scratch.dir("stream_exactsubstr_gold", dir)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = plantedClones(docs)
+        val rev = docs.filter(col("doc_id") % 113 === 0)
+          .select(col("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+        val corpus = docs.unionByName(planted)
+          .unionByName(rev.select((col("doc_id") + 1200000000L)
+            .as("doc_id"), col("text")))
+          .unionByName(rev.select((col("doc_id") + 1300000000L)
+            .as("doc_id"), col("text")))
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          for ((pfx, m) <- Seq(("aa_", 0), ("bb_", 1), ("cc_", 2)))
+            Scratch.dumpJsonl(corpus.filter(col("doc_id") % 3 === m),
+              s"$base/stage$m", s"$base/src", pfx, fmt)
+          val gold = graft.streaming.StreamDedup.streamExactSubstrGold(
+            s, s"$base/src", corpus, s"$base/gold", s"$base/cp",
+            minLen = 25)
+          s.read.parquet(gold)
+            .write.mode("overwrite").parquet(s"$base/final")
+        }
+        val g = s.read.parquet(s"$base/final")
+        Dedup.exactSubstrCoverageFromMarks(
+          g.filter(col("kind") === "doc")
+            .select(col("doc_id"), col("n_tokens"), col("quarantined")),
+          g.filter(col("kind") === "mark")
+            .select(col("doc_id"), col("pos")),
+          minLen = 25)
+      },
+      Some(s"""WITH $IncrCorpusCte,
+             |d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |el AS (SELECT * FROM t WHERE n_tokens < 1048576),
+             |occ AS (SELECT doc_id, n_tokens, i::BIGINT AS pos,
+             |          md5(array_to_string(w[i:i+24], ' ')) AS h
+             |        FROM el, unnest(generate_series(1,
+             |          greatest(length(w) - 24, 0))) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |spans AS (
+             |  SELECT doc_id, pos,
+             |    greatest(0, pos + 25 - greatest(coalesce(
+             |      max(pos + 25) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0), pos)) AS adds
+             |  FROM occ JOIN dup USING (h)),
+             |pd AS (SELECT doc_id, count(*) AS n_dup_starts,
+             |         sum(adds) AS covered
+             |       FROM spans GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.n_dup_starts, 0) END::BIGINT
+             |         AS n_dup_starts,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) END::BIGINT
+             |         AS covered_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(pd.covered, 0) * 1000000 // t.n_tokens
+             |            END::BIGINT AS dup_frac_micro,
+             |       (t.n_tokens >= 1048576) AS quarantined
+             |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
     // Streaming exact dedup (§2.9 × the dedup family): the events feed
     // replayed as JSONL with every event_id ≡ 0 (mod 7) row duplicated

@@ -475,10 +475,13 @@ object EventMetricsQueries {
           sys.env.get("SPARK_GRAFT_TTL_HORIZON_S").map { v =>
             // fail with the knob's name, not a bare NumberFormatException
             // that kills a 250-query sweep opaquely (r15 review)
-            require(v.forall(_.isDigit) && v.nonEmpty,
-              s"SPARK_GRAFT_TTL_HORIZON_S must be a whole number of " +
-                s"seconds, got '$v'")
-            v.toLong
+            // Try, not a digit pre-check: 20+ digit values pass the
+            // digit test yet still throw a bare NumberFormatException
+            // from toLong (r15 ADVICE) — the parse itself is the gate
+            scala.util.Try(v.toLong).filter(_ >= 0L).getOrElse(
+              throw new IllegalArgumentException(
+                s"SPARK_GRAFT_TTL_HORIZON_S must be a whole number of " +
+                  s"seconds in Long range, got '$v'"))
           }.getOrElse(10L))
         Scratch.buildOnce(base) {
           dumpJsonl(ev.orderBy(col("ts"), col("event_id")).coalesce(1),

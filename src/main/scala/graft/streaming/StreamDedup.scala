@@ -130,6 +130,90 @@ object StreamDedup {
     * chunk hash and each fold rewrites only touched partitions — the
     * same story as the other sketch folds.
     */
+  /** Streaming ExactSubstr gram-registry gold (r15 VERDICT #5: the gram
+    * registry was the last mergeable incremental state without a
+    * streaming serve). The state triple of
+    * [[graft.operators.Dedup.exactSubstrGramState]] — docs, marks,
+    * registry — rides ONE tagged gold table through
+    * [[StreamSketch.streamFoldGold]]'s copy-on-write version fold:
+    *
+    *  - `summarize` runs the BATCH-LOCAL state build (within-batch dup
+    *    grams mark immediately; each unique gram keeps its single
+    *    occurrence in the registry's (d1, p1) slot);
+    *  - `merge` is the retro-mark discipline REGISTRY-vs-REGISTRY: per
+    *    gram, counts add and the unique-occurrence slot takes the min;
+    *    any SIDE whose count was 1 — frozen or batch — whose gram's
+    *    merged count reaches ≥ 2 contributes its stored occurrence as
+    *    a new mark. The three mark sources stay disjoint by the same
+    *    induction as [[graft.operators.Dedup.exactSubstrIncremental]]
+    *    (a cnt ≥ 2 side's occurrences are already marked; a cnt = 1
+    *    side's occurrence never was), so the fold needs no dedup pass
+    *    and is bit-equal to the batch state over the whole feed no
+    *    matter how docs split across micro-batches.
+    *
+    * Doc ids must be unique across the WHOLE feed (the incremental
+    * fold's disjointness precondition; here batches are file-split of
+    * a unique-id corpus, so it holds by construction). Serve coverage
+    * from the returned gold with
+    * [[graft.operators.Dedup.exactSubstrCoverageFromMarks]] after
+    * splitting the tags. Exactly-once under foreachBatch replay via
+    * the version-adoption protocol. At 100 TB the gold partitions by
+    * kind then hash — registry by gram, marks by doc — and each fold
+    * rewrites only gram/doc partitions the batch touched. */
+  def streamExactSubstrGold(spark: SparkSession, srcDir: String,
+                            schemaSource: DataFrame, goldDir: String,
+                            checkpoint: String, minLen: Int = 25,
+                            grain: String = "word",
+                            readOptions: Map[String, String] = Map.empty): String = {
+    import org.apache.spark.sql.functions._
+    def pack(docs: DataFrame, marks: DataFrame, reg: DataFrame): DataFrame = {
+      val nl = lit(null).cast("long")
+      docs.select(lit("doc").as("kind"), col("doc_id"), nl.as("pos"),
+          col("n_tokens"), col("quarantined"),
+          lit(null).cast("string").as("h"), nl.as("cnt"),
+          nl.as("d1"), nl.as("p1"))
+        .unionByName(marks.select(lit("mark").as("kind"), col("doc_id"),
+          col("pos"), nl.as("n_tokens"),
+          lit(null).cast("boolean").as("quarantined"),
+          lit(null).cast("string").as("h"), nl.as("cnt"),
+          nl.as("d1"), nl.as("p1")))
+        .unionByName(reg.select(lit("reg").as("kind"), nl.as("doc_id"),
+          nl.as("pos"), nl.as("n_tokens"),
+          lit(null).cast("boolean").as("quarantined"),
+          col("h"), col("cnt"), col("d1"), col("p1")))
+    }
+    StreamSketch.streamFoldGold(spark, srcDir, schemaSource, goldDir,
+      checkpoint,
+      summarize = b => {
+        val (d, m, r) = graft.operators.Dedup.exactSubstrGramState(
+          b, col("doc_id"), col("text"), minLen, grain)
+        pack(d, m, r)
+      },
+      merge = mixed => {
+        val docs = mixed.filter(col("kind") === "doc")
+          .select(col("doc_id"), col("n_tokens"), col("quarantined"))
+        val marks0 = mixed.filter(col("kind") === "mark")
+          .select(col("doc_id"), col("pos"))
+        // one reg row per (side, gram): the prev gold contributes at
+        // most one, the batch summary at most one
+        val regs = mixed.filter(col("kind") === "reg")
+          .select(col("h"), col("cnt"), col("d1"), col("p1"))
+        val tot = regs.groupBy(col("h"))
+          .agg(sum(col("cnt")).as("cnt"),
+            min(struct(col("d1").as("doc_id"), col("p1").as("pos")))
+              .as("one"))
+        // retro-marks: a side that held its gram's ONLY occurrence
+        // (cnt = 1) marks it the moment the merged count reaches 2
+        val newMarks = regs.filter(col("cnt") === 1)
+          .join(tot.filter(col("cnt") >= 2).select(col("h")), Seq("h"))
+          .select(col("d1").as("doc_id"), col("p1").as("pos"))
+        val reg = tot.select(col("h"), col("cnt"),
+          col("one.doc_id").as("d1"), col("one.pos").as("p1"))
+        pack(docs, marks0.unionByName(newMarks), reg)
+      },
+      readOptions)
+  }
+
   def streamCdcRegistryGold(spark: SparkSession, srcDir: String,
                             schemaSource: DataFrame, goldDir: String,
                             checkpoint: String, divisor: Int,

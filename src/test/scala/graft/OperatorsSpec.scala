@@ -1993,6 +1993,96 @@ class OperatorsSpec extends SparkSpec {
     assert(trim(5L)._2 == 60L, s"giant n_removed ${trim(5L)._2}")
   }
 
+  test("shiftedRank: sliced window lead ≡ whole-doc lead, dense carries at B = 8") {
+    import spark.implicits._
+    // r15 VERDICT #8 pin: the sliced lead must equal the whole-doc
+    // window bit-for-bit — every boundary case forced by B = 8 on docs
+    // of lengths 1, 7, 8, 9, 16, 17, 30 (slice ends at, before, and
+    // after doc ends; carries shorter than k at the tail) across k
+    // values spanning the real doubling range.
+    val rows = for {
+      (id, n) <- Seq((1L, 1), (2L, 7), (3L, 8), (4L, 9), (5L, 16),
+        (6L, 17), (7L, 30))
+      p <- 1 to n
+    } yield (id, p.toLong, (id * 31 + p * 17) % 11) // arbitrary ranks
+    val r = rows.toDF("doc_id", "pos", "rank")
+    for (k <- Seq(1, 2, 4, 5, 7)) {
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val whole = r.select(col("doc_id"), col("pos"),
+          col("rank").as("r1"),
+          lead(col("rank"), k).over(byDoc).as("r2"))
+        .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+          ((x.getLong(2), if (x.isNullAt(3)) null else x.getLong(3)))).toMap
+      val sliced = graft.operators.Dedup.shiftedRank(r, k, b = 8L)
+        .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+          ((x.getLong(2), if (x.isNullAt(3)) null else x.getLong(3)))).toMap
+      assert(sliced == whole, s"k=$k: sliced lead diverges from whole-doc")
+    }
+  }
+
+  test("exactSubstrTrimKeepFirst byte grain: doc-major winner on multi-byte text, lenient mid-char decode") {
+    import spark.implicits._
+    // shared run "äöüéabc" = 11 BYTES at byte offset 3 in both docs;
+    // keep-first at grain="byte" must hand every window class to doc 1
+    // (doc-major argmin), so doc 1 survives INTACT and doc 2 trims the
+    // whole byte span — the winner rule is grain-independent
+    val docs = Seq((1L, "xxäöüéabc"), (2L, "yyäöüéabc"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactSubstrTrimKeepFirst(
+        docs, col("doc_id"), col("text"), minLen = 4, grain = "byte")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((13L, 0L, "xxäöüéabc")), s"$got")
+    assert(got(2L) == ((13L, 11L, "yy")), s"$got")
+    // MID-CHAR winner cut: 'ä'=C3A4 / 'ɤ'=C9A4 share only their trail
+    // byte, so the loser's surviving prefix ends in a dangling lead
+    // byte — keep-first's rebuild must decode leniently (U+FFFD), not
+    // abort the corpus
+    val mid = Seq((1L, "xäqrst"), (2L, "yɤqrst")).toDF("doc_id", "text")
+    val mt = graft.operators.Dedup.exactSubstrTrimKeepFirst(
+        mid, col("doc_id"), col("text"), minLen = 4, grain = "byte")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(mt(1L) == ((7L, 0L, "xäqrst")), s"$mt")
+    assert(mt(2L) == ((7L, 5L, "y�")), s"$mt")
+  }
+
+  test("exactSubstrTrimKeepFirstSegmented: winner is the DECODED argmin, giants can win") {
+    import spark.implicits._
+    // the r15 VERDICT #4 trap: synthetic segment ids (2^42 + doc·2^10
+    // + k) sort after every direct id, so an argmin over the packed
+    // representative would hand every giant-vs-small class to the
+    // small doc. Here the GIANT has the smaller doc_id (1 < 9): it
+    // must keep the shared span and doc 9 must trim to empty. The
+    // giant also self-repeats span Y across two segments — keep-first
+    // keeps the FIRST original occurrence (pos 10), trimming only the
+    // second, so decoded-order must hold WITHIN the giant too.
+    val minLen = 4
+    val S = (1 << 20) - minLen
+    val n = (1 << 20) + 60
+    val giant = Array.tabulate(n)(i => s"u${i + 1}")
+    def plant(span: Seq[String], pos1: Int): Unit =
+      span.zipWithIndex.foreach { case (t, i) => giant(pos1 - 1 + i) = t }
+    val spanX = (1 to 20).map(i => s"X$i")
+    val spanY = (1 to 20).map(i => s"Y$i")
+    plant(spanY, 10)      // first Y copy: segment 0
+    plant(spanY, n - 39)  // second Y copy: segment 1 -> must trim
+    plant(spanX, S - 9)   // X straddles the stride boundary
+    val docs = Seq(
+      (1L, giant.mkString(" ")),
+      (9L, spanX.mkString(" "))).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactSubstrTrimKeepFirstSegmented(
+        docs, col("doc_id"), col("text"), minLen = minLen)
+      .select("doc_id", "n_tokens", "n_removed", "quarantined")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((n.toLong, 20L, false)),
+      s"giant must keep span X and Y's first copy, trim Y's second: $got")
+    assert(got(9L) == ((20L, 20L, false)),
+      s"doc 9 must lose the whole shared span to the giant: $got")
+  }
+
   test("exactSubstrCoverageSegmented == exactSubstrCoverage on an all-direct corpus") {
     // no over-width docs -> the segmented path must be a bit-exact
     // superset-free rewrite of the plain operator (same rank build,

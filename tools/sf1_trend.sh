@@ -12,6 +12,16 @@ set -e
 ROUND=${1:?usage: sh tools/sf1_trend.sh <round-number> [sf1-dir]}
 SF1=${2:-/tmp/graft_sf1}
 cd "$(dirname "$0")/.."
+# r16 (VERDICT r15 #2): BENCH_sf1_r15 predated the round's final commit —
+# the trend evidence was one commit stale. Refuse a dirty tree so every
+# sf1 artifact provably measures a committed state (Bench stamps the
+# HEAD hash inside the artifact as the cross-check). Override for dev
+# iteration only with SPARK_GRAFT_ALLOW_DIRTY=1.
+if [ -z "$SPARK_GRAFT_ALLOW_DIRTY" ] && [ -n "$(git status --porcelain)" ]; then
+  echo "sf1_trend: working tree is dirty — commit first (or set" \
+       "SPARK_GRAFT_ALLOW_DIRTY=1 for a dev run)" >&2
+  exit 1
+fi
 if [ ! -f "$SF1/lineitem.parquet" ]; then
   python3 tools/gen_sf1.py /root/testdata/sf0.1 "$SF1"
 fi
