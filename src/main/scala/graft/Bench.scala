@@ -225,6 +225,8 @@ object Bench {
     "d_exact_substr_segmented", // giant SEGMENTED into the rank build (overlap cuts)
     "d_exact_substr_incremental", // delta gram probe (frozen state amortized once)
     "d_exact_substr_incr_trim", // trim serve from marks (no rank rounds, no gram explode)
+    "d_exact_substr_keepfirst_segmented", // decoded-argmin winner incl. the giant (r16)
+    "w_stream_exactsubstr_gold", // streaming gram-registry fold serve (r16)
     "j_ra_linkpred_sampled") // sampled candidate re-score (exact top-k amortized once)
 
   /** Plan-sibling families (r13 VERDICT #1b): members of a family share
@@ -238,11 +240,14 @@ object Bench {
   val planSiblings: Seq[Seq[String]] = Seq(
     Seq("d_exact_substr", "d_exact_substr_trim",
       "d_exact_substr_keepfirst", "d_exact_substr_l200"),
-    // the char-grain pair shares the 5-round byte build; trim_bytes is
-    // Verify-only since r15 (one char-grain representative in the
-    // sweep), so this family is inert in official runs but keeps the
-    // declaration honest for dev subset sweeps that include both
-    Seq("d_exact_substr_bytes", "d_exact_substr_trim_bytes"))
+    // the char-grain pair shares the 5-round byte build (both fenced
+    // since r16 — VERDICT r15 #6 reversed the r15 single-representative
+    // economy)
+    Seq("d_exact_substr_bytes", "d_exact_substr_trim_bytes"),
+    // the segmented trio shares the giant-including rank build; with
+    // three members the family-median fence is ACTIVE (≥ 3 values)
+    Seq("d_exact_substr_segmented", "d_exact_substr_trim_segmented",
+      "d_exact_substr_keepfirst_segmented"))
 
   /** Timed executions per query; the reported value is the MEDIAN, so a
     * single GC pause or compaction hiccup can't masquerade as a
@@ -325,10 +330,27 @@ object Bench {
           .foreach(l => System.err.println(s"[fresh-jvm] $l"))
       })
       errDrain.setDaemon(true); errDrain.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      // stdout drains on its OWN thread: a blocking readAllBytes here
+      // would never return for a hung child, and the waitFor timeout
+      // below — the whole point of forking — could then never fire
+      val outBuf = new java.lang.StringBuilder
+      val outDrain = new Thread(() => {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+        Iterator.continually(br.readLine()).takeWhile(_ != null)
+          .foreach { l => outBuf.synchronized {
+            outBuf.append(l).append('\n') } }
+      })
+      outDrain.setDaemon(true); outDrain.start()
       val done = proc.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) { proc.destroyForcibly(); Map.empty }
+      if (!done) {
+        System.err.println(s"[bench] fresh JVM exceeded ${timeoutMin} min — killed")
+        proc.destroyForcibly()
+        Map.empty
+      }
       else {
+        outDrain.join(10000)
+        val out = outBuf.synchronized { outBuf.toString }
         // findFirstMatchIn, not pattern-match: a Regex pattern anchors
         // to the WHOLE string, and metric lines carry a tail
         val line = """\{"metric":"([a-z0-9_]+)","value":(-?\d+(?:\.\d+)?)""".r

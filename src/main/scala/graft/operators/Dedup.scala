@@ -389,6 +389,7 @@ object Dedup {
         expr(s"slice(w, cast(k * $S + 1 AS int), $segLen)").as("w"))
     val perDoc = rankPerDoc(direct.unionByName(segments), minLen,
       keepFirst = keepFirst, foldCoverage = foldCoverage,
+      sliced = true, // units are near-max-width by construction
       decode = (d, p) => {
         val isSeg = d >= lit(1L << 42)
         (when(isSeg, shiftright(d - lit(1L << 42), 10)).otherwise(d),
@@ -646,7 +647,8 @@ object Dedup {
   private def rankPerDoc(segs: DataFrame, minLen: Int,
                          keepFirst: Boolean, foldCoverage: Boolean,
                          decode: (Column, Column) => (Column, Column) =
-                           (d, p) => (d, p))
+                           (d, p) => (d, p),
+                         sliced: Boolean = false)
       : DataFrame = {
     val withN = segs.select(col("doc_id"), col("w"),
       size(col("w")).cast("long").as("n_tokens"))
@@ -673,13 +675,19 @@ object Dedup {
     // — one window pass where the r12 formulation self-joined the rank
     // table on (doc_id, pos), saving a corpus-sized exchange + SMJ sort
     // pair PER ROUND (the round's only remaining exchanges are the
-    // window's hash and the shared (r1, r2) class exchange). Since r16
-    // the lead is SLICED ([[shiftedRank]]): one window task is ≤
-    // 2^16 + k rows regardless of unit width, so a max-width doc no
-    // longer serializes a ~1M-row sort per round.
+    // window's hash and the shared (r1, r2) class exchange). With
+    // `sliced` (the SEGMENTED path, whose units are near-max-width by
+    // construction) the lead is computed per 2^16-slice with a k-row
+    // boundary carry ([[shiftedRank]]): one window task ≤ 2^16 + k
+    // rows, so a giant no longer serializes a ~1M-row sort per round.
+    // The plain path keeps the whole-doc window — its docs are under
+    // the 2^20 width contract (the long-documented one-window-task
+    // skew bound), and the carry union measurably costs ~11% per round
+    // (r16: one extra scan of the checkpointed rank table per round),
+    // which a giant-free corpus should not pay.
     var k = 1L
     (1 to m).foreach { _ =>
-      val next = doublingRound(r, k.toInt).localCheckpoint()
+      val next = doublingRound(r, k.toInt, sliced).localCheckpoint()
       graft.operators.Joins.unpersistLocalCheckpoint(r)
       r = next
       k *= 2
@@ -694,7 +702,7 @@ object Dedup {
         // a null lead = no position p + off in the doc; such a p cannot
         // start a full L-window, so dropping it mirrors the start
         // filter below (inner-join semantics of the r12 tail join)
-        shiftedRank(r, off).filter(col("r2").isNotNull)
+        shiftedRank(r, off, sliced = sliced).filter(col("r2").isNotNull)
     val starts = keys
       .join(withN.select(col("doc_id"), col("n_tokens")), "doc_id")
       .filter(col("pos") <= col("n_tokens") - (minLen - 1))
@@ -766,10 +774,11 @@ object Dedup {
     * for shipping `paired` ONCE and computing the window ONCE.
     * Package-private for the spec; [[exactSubstrStarts]] is the only
     * production caller. */
-  private[graft] def doublingRound(r: DataFrame, k: Int): DataFrame = {
+  private[graft] def doublingRound(r: DataFrame, k: Int,
+                                   sliced: Boolean = false): DataFrame = {
     val repr = col("doc_id") * (1L << 20) + col("pos")
     // rank of the suffix k ahead; missing (suffix ends) pads with -1
-    val paired = shiftedRank(r, k)
+    val paired = shiftedRank(r, k, sliced = sliced)
       .withColumn("r2", coalesce(col("r2"), lit(-1L)))
       .repartition(col("r1"), col("r2"))
     val rmap = paired.groupBy("r1", "r2").agg(min(repr).as("rank"))
@@ -799,7 +808,14 @@ object Dedup {
     * Exchange budget unchanged: the union feeds ONE (doc_id, s) hash
     * exchange. `b` is overridable for the spec only. */
   private[graft] def shiftedRank(r: DataFrame, k: Int,
-                                 b: Long = 1L << 16): DataFrame = {
+                                 b: Long = 1L << 16,
+                                 sliced: Boolean = true): DataFrame = {
+    if (!sliced)
+      // plain path: whole-doc window — one task per doc, bounded by the
+      // 2^20 width contract; no carry union, no second rank-table scan
+      return r.select(col("doc_id"), col("pos"), col("rank").as("r1"),
+        lead(col("rank"), k).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))).as("r2"))
     require(k < b, s"carry width k=$k must stay under the slice size $b")
     val main = r.withColumn("s", expr(s"(pos - 1) div $b"))
     val carry = r.filter(expr(s"pos > $b AND (pos - 1) % $b < $k"))
