@@ -543,7 +543,10 @@ object Bench {
         }
       }
     }
-    val rerunCap = 16 // bound the extra sweep time
+    // bound the extra sweep time; 16 saturated in the r16 dev sweep
+    // (five first-round entries + flagged windows all legitimately
+    // queue) and a clipped re-measure is a lost adjudication
+    val rerunCap = 24
     val reruns = flaggedForRerun.take(rerunCap).map { name =>
       name -> timeQuery(name, 1, 3)
     }.toMap
