@@ -2229,6 +2229,76 @@ object DedupQueries {
              |       (t.n_tokens >= 1048576) AS quarantined
              |FROM t LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
+    // TRIM serve from the STREAMING gold (the fold symmetry: coverage
+    // AND trimmed text both servable from the streamed state, like the
+    // incremental pair). Shares the stream build with
+    // w_stream_exactsubstr_gold (same Scratch base — buildOnce
+    // amortizes the 3-batch fold once per JVM); serves
+    // exactSubstrTrimFromMarks over the gold's marks. Bit-equal to the
+    // batch trim over the whole corpus, the d_exact_substr_incr_trim
+    // oracle on the same corpus.
+    GraftQuery("w_stream_exactsubstr_trim",
+      (s, dir) => {
+        val base = Scratch.dir("stream_exactsubstr_gold", dir)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val planted = plantedClones(docs)
+        val rev = docs.filter(col("doc_id") % 113 === 0)
+          .select(col("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+        val corpus = docs.unionByName(planted)
+          .unionByName(rev.select((col("doc_id") + 1200000000L)
+            .as("doc_id"), col("text")))
+          .unionByName(rev.select((col("doc_id") + 1300000000L)
+            .as("doc_id"), col("text")))
+        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        Scratch.buildOnce(base) {
+          for ((pfx, m) <- Seq(("aa_", 0), ("bb_", 1), ("cc_", 2)))
+            Scratch.dumpJsonl(corpus.filter(col("doc_id") % 3 === m),
+              s"$base/stage$m", s"$base/src", pfx, fmt)
+          val gold = graft.streaming.StreamDedup.streamExactSubstrGold(
+            s, s"$base/src", corpus, s"$base/gold", s"$base/cp",
+            minLen = 25)
+          s.read.parquet(gold)
+            .write.mode("overwrite").parquet(s"$base/final")
+        }
+        val g = s.read.parquet(s"$base/final")
+        Dedup.exactSubstrTrimFromMarks(corpus, col("doc_id"),
+          col("text"),
+          g.filter(col("kind") === "mark")
+            .select(col("doc_id"), col("pos")),
+          minLen = 25)
+      },
+      Some(s"""WITH $IncrCorpusCte,
+             |d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |      FROM corpus),
+             |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d),
+             |el AS (SELECT * FROM t WHERE n_tokens < 1048576),
+             |occ AS (SELECT doc_id, i::BIGINT AS pos,
+             |          md5(array_to_string(w[i:i+24], ' ')) AS h
+             |        FROM el, unnest(generate_series(1,
+             |          greatest(length(w) - 24, 0))) AS u(i)),
+             |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+             |cov AS (SELECT DISTINCT o.doc_id, u.t::BIGINT AS t
+             |        FROM occ o JOIN dup USING (h),
+             |             unnest(generate_series(o.pos, o.pos + 24)) AS u(t)),
+             |tok AS (SELECT doc_id, i::BIGINT AS t, w[i] AS tok
+             |        FROM el, unnest(generate_series(1, length(w))) AS u(i)),
+             |kept AS (SELECT k.doc_id, count(*) AS n_kept,
+             |           string_agg(k.tok, ' ' ORDER BY k.t) AS txt
+             |         FROM (SELECT tok.* FROM tok LEFT JOIN cov
+             |                 ON cov.doc_id = tok.doc_id AND cov.t = tok.t
+             |               WHERE cov.doc_id IS NULL) k
+             |         GROUP BY k.doc_id)
+             |SELECT t.doc_id, t.n_tokens,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE t.n_tokens - coalesce(k.n_kept, 0) END::BIGINT
+             |         AS n_removed,
+             |       CASE WHEN t.n_tokens >= 1048576 THEN NULL
+             |            ELSE coalesce(k.txt, '') END AS trimmed_text,
+             |       (t.n_tokens >= 1048576) AS quarantined
+             |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin)),
+
     // Streaming exact dedup (§2.9 × the dedup family): the events feed
     // replayed as JSONL with every event_id ≡ 0 (mod 7) row duplicated
     // into a SECOND feed file, streamed through
