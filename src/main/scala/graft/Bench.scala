@@ -523,12 +523,21 @@ object Bench {
     //      sf1 isolated medians agree within ±4%) must read alike; one
     //      member >2x its family median is sweep-position churn, not a
     //      plan difference. Siblings are declared, not inferred.
+    // Two priority tiers (r16): regression CANDIDATES (delta-fence
+    // trips, declared-noisy entries, plan-sibling outliers, plus the
+    // out-of-band canary windows already collected above) re-measure
+    // before first-round entries. The driver artifact keeps only a
+    // bounded tail, so entries truncated out of the PRIOR artifact all
+    // count as "new" (~35 in the r16 dev sweep) and would otherwise
+    // consume the cap in headline order while a genuine late-position
+    // regression candidate gets clipped.
+    val newEntries = scala.collection.mutable.LinkedHashSet[String]()
     firstPass.foreach { case (name, v) =>
       prevMedians.get(name).foreach { p =>
         if (v > 1.5 * p && v - p > 0.3) flaggedForRerun += name
       }
       if (prevMedians.nonEmpty && !prevMedians.contains(name) && v >= 0)
-        flaggedForRerun += name
+        newEntries += name
       if (!freshMode && alwaysRemeasure.contains(name) && v >= 0)
         flaggedForRerun += name
     }
@@ -547,7 +556,10 @@ object Bench {
     // (five first-round entries + flagged windows all legitimately
     // queue) and a clipped re-measure is a lost adjudication
     val rerunCap = 24
-    val reruns = flaggedForRerun.take(rerunCap).map { name =>
+    val rerunSet =
+      (flaggedForRerun ++ newEntries.filterNot(flaggedForRerun))
+        .take(rerunCap)
+    val reruns = rerunSet.map { name =>
       name -> timeQuery(name, 1, 3)
     }.toMap
     val inSweep = firstPass.map { case (name, v) =>
@@ -571,7 +583,7 @@ object Bench {
     val recertifySet: Seq[String] =
       if (freshMode) Seq.empty
       else if (hotEnvironment)
-        (survivors ++ flaggedForRerun.filter(n =>
+        (survivors ++ (flaggedForRerun ++ newEntries).filter(n =>
           inSweep.getOrElse(n, -1.0) >= 0)).distinct.take(12)
       else survivors.take(12)
     val fresh: Map[String, Double] =

@@ -1599,6 +1599,52 @@ object Dedup {
       .withColumn("contaminated", col("n_shared_ngrams") > 0)
   }
 
+  /** SPAN-level decontamination (r16): where [[decontaminationFlags]]
+    * flags whole documents, this REMOVES the contaminated spans and
+    * keeps the rest — the hygiene variant modern pipelines prefer when
+    * a long document shares one boilerplate n-gram with an eval suite
+    * (dropping the whole doc would cost orders of magnitude more clean
+    * text than the contamination warrants). Every corpus position
+    * starting an n-gram present in the benchmark set marks; the
+    * interval-union over fixed-length-n spans trims exactly like
+    * [[dupSpanTrim]] (same [[trimCoveredSpans]] complement rebuild,
+    * O(tokens + spans) per doc).
+    *
+    * Plan shape at 100 TB: benchmark shingles broadcast (or swap in the
+    * Bloom build of [[bloomDecontaminationFlags]] for a giant suite);
+    * the positional gram explode is scan-local and the broadcast probe
+    * filters BEFORE any shuffle, so the only exchanges are the
+    * hits-only marks groupBy and the doc-grain trim join — corpus text
+    * never shuffles at gram grain.
+    *
+    * @return one row per corpus doc:
+    *         (doc_id, n_tokens, n_removed, trimmed_text). */
+  def decontaminationTrim(corpus: DataFrame, benchmark: DataFrame,
+                          id: Column, text: Column, n: Int): DataFrame = {
+    require(n >= 1)
+    val bench = shingleRows(benchmark, id, text, n)
+      .select(col("s")).distinct()
+    val toks = corpus.select(id.as("doc_id"), split(text, " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_tokens"))
+    val occ = toks.filter(col("n_tokens") >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${n - 1}),
+           |  i -> struct(cast(i AS LONG) AS pos,
+           |              concat_ws(' ', slice(w, i, $n)) AS s))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.s").as("s"))
+    val marks = occ.join(broadcast(bench), Seq("s"))
+      .select(col("doc_id"), col("pos"))
+    val perDoc = marks.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    trimCoveredSpans(
+      toks.join(perDoc, Seq("doc_id"), "left")
+        .withColumn("ps",
+          coalesce(col("ps"), array().cast("array<long>"))),
+      n)
+  }
+
   /** [[decontaminationFlags]] for the regime where the benchmark shingle
     * set is too big to broadcast EXACTLY — a deduplicated eval suite of
     * hundreds of millions of n-grams is gigabytes as strings, but its
