@@ -84,8 +84,15 @@ object Bench {
           // (trailing slash, /tmp vs a resolved symlink) with no
           // diagnostic; the fall-through below now logs instead
           def norm(p: String): String =
-            try java.nio.file.Paths.get(p).normalize().toString
-            catch { case _: Throwable => p }
+            // toRealPath resolves symlinks (normalize() alone is purely
+            // syntactic and leaves /var/tmp -> /tmp spellings unequal);
+            // fall back through the syntactic form for paths that no
+            // longer exist on disk
+            try java.nio.file.Paths.get(p).toRealPath().toString
+            catch { case _: Throwable =>
+              try java.nio.file.Paths.get(p).normalize().toString
+              catch { case _: Throwable => p }
+            }
           """\\?"sf\\?":\\?"([^"\\]+)\\?"""".r.findAllMatchIn(txt)
             .exists(m => norm(m.group(1)) == norm(sfDir))
         }
@@ -541,7 +548,11 @@ object Bench {
       if (!freshMode && alwaysRemeasure.contains(name) && v >= 0)
         flaggedForRerun += name
     }
-    planSiblings.foreach { fam =>
+    // sibling fence is a FENCE — gated off in the fresh child like the
+    // others (review r16: a cold-JIT first family member reads >2x its
+    // siblings and would burn re-measure passes inside the fork's kill
+    // budget, turning a cool machine into a spurious certified:false)
+    if (!freshMode) planSiblings.foreach { fam =>
       val vals = fam.flatMap(n => firstPass.toMap.get(n)).filter(_ >= 0)
       if (vals.size >= 3) {
         val med = vals.sorted.apply(vals.size / 2)
@@ -590,7 +601,17 @@ object Bench {
       if (recertifySet.nonEmpty) {
         System.err.println(s"[bench] fresh-JVM recertify: " +
           recertifySet.mkString(", "))
-        runFreshJvm(recertifySet, control, sfDir, cpus)
+        // size the kill budget from the work actually sent (review r16:
+        // a flat 20 min dies on a hot sf1 sweep recertifying 12 30 s
+        // entries, shipping certified:false on a machine the fork never
+        // got to read): 10 min fixed (startup, table warmup, JIT,
+        // Scratch rebuilds under the child's fresh run token) plus
+        // 4 runs x the in-sweep median per entry, capped at 50.
+        val workS = recertifySet
+          .map(n => math.max(inSweep.getOrElse(n, 0.0), 0.0) * 4).sum
+        val budgetMin = math.min(50L, 10L + math.ceil(workS / 60.0).toLong)
+        runFreshJvm(recertifySet, control, sfDir, cpus,
+          timeoutMin = budgetMin)
       } else Map.empty
     val freshControl = fresh.getOrElse(control, -1.0)
     // certified iff the fresh control is in band vs the cross-round

@@ -12,6 +12,41 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
+  /** Shared frozen ∪ delta corpus + 3-batch streaming gram-registry fold
+    * for the streaming ExactSubstr pair (coverage + trim serves) — ONE
+    * build keyed to ONE Scratch base so the two graded serves can never
+    * drift apart on corpus or fold parameters (the plantedClones lesson:
+    * r15 found nine entries carrying one corpus block verbatim).
+    * Returns (final gold parquet path, the corpus frame). */
+  private def streamExactSubstrBase(s: org.apache.spark.sql.SparkSession,
+                                    dir: String)
+      : (String, org.apache.spark.sql.DataFrame) = {
+    val base = Scratch.dir("stream_exactsubstr_gold", dir)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+    val planted = plantedClones(docs)
+    val rev = docs.filter(col("doc_id") % 113 === 0)
+      .select(col("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    val corpus = docs.unionByName(planted)
+      .unionByName(rev.select((col("doc_id") + 1200000000L)
+        .as("doc_id"), col("text")))
+      .unionByName(rev.select((col("doc_id") + 1300000000L)
+        .as("doc_id"), col("text")))
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    Scratch.buildOnce(base) {
+      for ((pfx, m) <- Seq(("aa_", 0), ("bb_", 1), ("cc_", 2)))
+        Scratch.dumpJsonl(corpus.filter(col("doc_id") % 3 === m),
+          s"$base/stage$m", s"$base/src", pfx, fmt)
+      val gold = graft.streaming.StreamDedup.streamExactSubstrGold(
+        s, s"$base/src", corpus, s"$base/gold", s"$base/cp",
+        minLen = 25)
+      s.read.parquet(gold)
+        .write.mode("overwrite").parquet(s"$base/final")
+    }
+    (s"$base/final", corpus)
+  }
+
   /** Default tokenized-docs source for the oracle CTE chain. */
   private[queries] val DefaultDocsSql =
     "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
@@ -2212,30 +2247,8 @@ object DedupQueries {
     // contract, exactly like the other streaming golds.
     GraftQuery("w_stream_exactsubstr_gold",
       (s, dir) => {
-        val base = Scratch.dir("stream_exactsubstr_gold", dir)
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"))
-        val planted = plantedClones(docs)
-        val rev = docs.filter(col("doc_id") % 113 === 0)
-          .select(col("doc_id"),
-            concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
-        val corpus = docs.unionByName(planted)
-          .unionByName(rev.select((col("doc_id") + 1200000000L)
-            .as("doc_id"), col("text")))
-          .unionByName(rev.select((col("doc_id") + 1300000000L)
-            .as("doc_id"), col("text")))
-        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-        Scratch.buildOnce(base) {
-          for ((pfx, m) <- Seq(("aa_", 0), ("bb_", 1), ("cc_", 2)))
-            Scratch.dumpJsonl(corpus.filter(col("doc_id") % 3 === m),
-              s"$base/stage$m", s"$base/src", pfx, fmt)
-          val gold = graft.streaming.StreamDedup.streamExactSubstrGold(
-            s, s"$base/src", corpus, s"$base/gold", s"$base/cp",
-            minLen = 25)
-          s.read.parquet(gold)
-            .write.mode("overwrite").parquet(s"$base/final")
-        }
-        val g = s.read.parquet(s"$base/final")
+        val (finalPath, _) = streamExactSubstrBase(s, dir)
+        val g = s.read.parquet(finalPath)
         Dedup.exactSubstrCoverageFromMarks(
           g.filter(col("kind") === "doc")
             .select(col("doc_id"), col("n_tokens"), col("quarantined")),
@@ -2286,30 +2299,8 @@ object DedupQueries {
     // oracle on the same corpus.
     GraftQuery("w_stream_exactsubstr_trim",
       (s, dir) => {
-        val base = Scratch.dir("stream_exactsubstr_gold", dir)
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"))
-        val planted = plantedClones(docs)
-        val rev = docs.filter(col("doc_id") % 113 === 0)
-          .select(col("doc_id"),
-            concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
-        val corpus = docs.unionByName(planted)
-          .unionByName(rev.select((col("doc_id") + 1200000000L)
-            .as("doc_id"), col("text")))
-          .unionByName(rev.select((col("doc_id") + 1300000000L)
-            .as("doc_id"), col("text")))
-        val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-        Scratch.buildOnce(base) {
-          for ((pfx, m) <- Seq(("aa_", 0), ("bb_", 1), ("cc_", 2)))
-            Scratch.dumpJsonl(corpus.filter(col("doc_id") % 3 === m),
-              s"$base/stage$m", s"$base/src", pfx, fmt)
-          val gold = graft.streaming.StreamDedup.streamExactSubstrGold(
-            s, s"$base/src", corpus, s"$base/gold", s"$base/cp",
-            minLen = 25)
-          s.read.parquet(gold)
-            .write.mode("overwrite").parquet(s"$base/final")
-        }
-        val g = s.read.parquet(s"$base/final")
+        val (finalPath, corpus) = streamExactSubstrBase(s, dir)
+        val g = s.read.parquet(finalPath)
         Dedup.exactSubstrTrimFromMarks(corpus, col("doc_id"),
           col("text"),
           g.filter(col("kind") === "mark")
