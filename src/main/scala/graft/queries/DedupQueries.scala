@@ -407,6 +407,53 @@ object DedupQueries {
            |WHERE d.doc_id % 53 <> 0""".stripMargin
       }),
 
+    // Bloom-prefiltered SPAN decontamination — the no-broadcast scale
+    // path of d_decontaminate_trim: sketch build + codegen'd
+    // might_contain probe on the positional gram stream before any
+    // shuffle + exact confirm semi-join. Output bit-identical to the
+    // exact path, so the oracle is the same replay (on the %53 split
+    // the bloom flags entry uses).
+    GraftQuery("d_bloom_decontaminate_trim",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.bloomDecontaminationTrim(
+          corpus = docs.filter(col("doc_id") % 53 =!= 0),
+          benchmark = docs.filter(col("doc_id") % 53 === 0),
+          col("doc_id"), col("text"), n = 8)
+      },
+      Some {
+        val gram8 = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           |           FROM documents),
+           |t AS (SELECT doc_id, length(w)::BIGINT AS n_tokens, w FROM d
+           |      WHERE doc_id % 53 <> 0),
+           |bench AS (SELECT DISTINCT
+           |            unnest(CASE WHEN length(w) >= 8
+           |              THEN list_transform(generate_series(1,
+           |                     length(w) - 7), i -> $gram8)
+           |              ELSE [] END) AS s
+           |          FROM d WHERE doc_id % 53 = 0),
+           |occ AS (SELECT doc_id, i::BIGINT AS pos, $gram8 AS s
+           |        FROM t, unnest(generate_series(1,
+           |          greatest(length(w) - 7, 0))) AS u(i)),
+           |marked AS (SELECT doc_id, pos FROM occ JOIN bench USING (s)),
+           |cov AS (SELECT DISTINCT m.doc_id, u.t::BIGINT AS t
+           |        FROM marked m,
+           |             unnest(generate_series(m.pos, m.pos + 7)) AS u(t)),
+           |tok AS (SELECT doc_id, i::BIGINT AS t, w[i] AS tok
+           |        FROM t, unnest(generate_series(1, length(w))) AS u(i)),
+           |kept AS (SELECT k.doc_id, count(*) AS n_kept,
+           |           string_agg(k.tok, ' ' ORDER BY k.t) AS txt
+           |         FROM (SELECT tok.* FROM tok LEFT JOIN cov
+           |                 ON cov.doc_id = tok.doc_id AND cov.t = tok.t
+           |               WHERE cov.doc_id IS NULL) k
+           |         GROUP BY k.doc_id)
+           |SELECT t.doc_id, t.n_tokens,
+           |       (t.n_tokens - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+           |       coalesce(k.txt, '') AS trimmed_text
+           |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin
+      }),
+
     // SimHash: one 60-bit signature per doc (no shuffle at all) — hamming
     // clustering then finds near-dups without any pairwise text compare.
     GraftQuery("d_simhash",
