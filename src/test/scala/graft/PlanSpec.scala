@@ -797,4 +797,34 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("decontamination trims: probe filters the gram stream before any shuffle") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, testDataDir)
+    val corpus = docs.filter(col("doc_id") % 61 =!= 0)
+    val bench = docs.filter(col("doc_id") % 61 === 0)
+    // exact path: the benchmark shingle set probes as a BROADCAST join —
+    // the corpus gram stream must never shuffle at gram grain (only the
+    // hits-only marks groupBy and the doc-grain trim join exchange)
+    val exact = Dedup.decontaminationTrim(corpus, bench,
+      col("doc_id"), col("text"), n = 8)
+    exact.collect()
+    val pe = exact.queryExecution.executedPlan.toString
+    assert(pe.contains("BroadcastHashJoin"), s"bench probe not broadcast:\n$pe")
+    assert(!pe.contains("CartesianProduct") &&
+      !pe.contains("BroadcastNestedLoopJoin"), s"product in trim plan:\n$pe")
+    // bloom path: the sketch probe is a codegen'd FILTER on the scan
+    // side (might_contain below any exchange), then the exact confirm
+    // semi-join on the surviving trickle
+    val bloom = Dedup.bloomDecontaminationTrim(corpus, bench,
+      col("doc_id"), col("text"), n = 8)
+    bloom.collect()
+    val pb = bloom.queryExecution.executedPlan.toString
+    assert(pb.contains("might_contain"), s"bloom probe missing:\n$pb")
+    assert(!pb.contains("CartesianProduct") &&
+      !pb.contains("BroadcastNestedLoopJoin"), s"product in bloom plan:\n$pb")
+    // and the two paths are bit-identical (FPs removed by the confirm)
+    assert(bloom.collect().toSet == exact.collect().toSet,
+      "bloom trim diverged from exact trim")
+  }
 }
