@@ -234,6 +234,7 @@ object Bench {
     "d_exact_substr_incr_trim", // trim serve from marks (no rank rounds, no gram explode)
     "d_exact_substr_keepfirst_segmented", // decoded-argmin winner incl. the giant (r16)
     "w_stream_exactsubstr_gold", // streaming gram-registry fold serve (r16)
+    "d_decontaminate_trim", // span-level decontamination (broadcast probe + trim tail, r16)
     "j_ra_linkpred_sampled") // sampled candidate re-score (exact top-k amortized once)
 
   /** Plan-sibling families (r13 VERDICT #1b): members of a family share
