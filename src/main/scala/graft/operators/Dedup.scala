@@ -390,6 +390,7 @@ object Dedup {
     val perDoc = rankPerDoc(direct.unionByName(segments), minLen,
       keepFirst = keepFirst, foldCoverage = foldCoverage,
       sliced = true, // units are near-max-width by construction
+      grain = grain,
       decode = (d, p) => {
         val isSeg = d >= lit(1L << 42)
         (when(isSeg, shiftright(d - lit(1L << 42), 10)).otherwise(d),
@@ -548,7 +549,7 @@ object Dedup {
     val toks = tokenized(df, id, text, grain)
     val perDoc = rankPerDoc(
       toks.filter(!col("quarantined")).select(col("doc_id"), col("w")),
-      minLen, keepFirst, foldCoverage)
+      minLen, keepFirst, foldCoverage, grain = grain)
     (toks, perDoc)
   }
 
@@ -648,7 +649,8 @@ object Dedup {
                          keepFirst: Boolean, foldCoverage: Boolean,
                          decode: (Column, Column) => (Column, Column) =
                            (d, p) => (d, p),
-                         sliced: Boolean = false)
+                         sliced: Boolean = false,
+                         grain: String = "word")
       : DataFrame = {
     val withN = segs.select(col("doc_id"), col("w"),
       size(col("w")).cast("long").as("n_tokens"))
@@ -657,52 +659,100 @@ object Dedup {
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         col("tok"))
     val repr = col("doc_id") * (1L << 20) + col("pos")
-    // rank_1: token-equality classes tagged by their smallest member.
-    // EAGER localCheckpoint per round (the resolveRoots/pageRank
-    // discipline, Joins.scala): each round reads the previous rank
-    // table THREE times (shift projection, pair build, class-map
-    // groupBy) and feeds the next — without the barrier the lineage
-    // re-computes every prior round multiply (measured 3^rounds plan
-    // blowup, 1.1 MB task binaries at 500 docs). A superseded round's
-    // blocks are released as soon as its successor materializes.
-    var r = positions.join(
-      positions.groupBy("tok").agg(min(repr).as("rank")), "tok")
-      .select(col("doc_id"), col("pos"), col("rank"))
-      .localCheckpoint()
-    val m = 31 - Integer.numberOfLeadingZeros(minLen) // floor(log2 L)
-    // positions are CONTIGUOUS 1..n per doc by construction, so
-    // rank[pos + k] is exactly a window lead over ordered positions
-    // — one window pass where the r12 formulation self-joined the rank
-    // table on (doc_id, pos), saving a corpus-sized exchange + SMJ sort
-    // pair PER ROUND (the round's only remaining exchanges are the
-    // window's hash and the shared (r1, r2) class exchange). With
-    // `sliced` (the SEGMENTED path, whose units are near-max-width by
-    // construction) the lead is computed per 2^16-slice with a k-row
-    // boundary carry ([[shiftedRank]]): one window task ≤ 2^16 + k
-    // rows, so a giant no longer serializes a ~1M-row sort per round.
-    // The plain path keeps the whole-doc window — its docs are under
-    // the 2^20 width contract (the long-documented one-window-task
-    // skew bound), and the carry union measurably costs ~11% per round
-    // (r16: one extra scan of the checkpointed rank table per round),
-    // which a giant-free corpus should not pay.
+    // Initial rank: any INJECTIVE non-negative class id works — the
+    // doubling/widening algebra and the final dup-class key only ever
+    // consult rank EQUALITY, never rank values (the keep-first argmin
+    // reads the starts' own decoded coordinates, not ranks). r16:
+    //  - word grain keeps the min-representative groupBy (unbounded
+    //    vocabulary — a collision-free id needs the class exchange);
+    //  - char/byte grains take the token's UTF-8 bytes AS the rank
+    //    (conv(hex(bytes)) < 2^32 — UTF-8 is an injective encoding),
+    //    a pure map that deletes the rank_1 exchange + join outright
+    //    (guide §2.4), and byte grain then PACKS 7 consecutive byte
+    //    ranks into one long (base-257 with pad 256 — a real byte is
+    //    ≤ 255, so short suffixes stay distinct) in the same window
+    //    pass: rank_7 with zero class exchanges.
+    // EAGER localCheckpoint per stage (the resolveRoots/pageRank
+    // discipline, Joins.scala): a stage reads its input once but the
+    // stage OUTPUT feeds the next stage's window + the final key build;
+    // the checkpoint bounds lineage so the 2-3 stages never recompute
+    // their predecessors (the r13 3^rounds plan-blowup lesson), and a
+    // superseded stage's blocks release as soon as its successor
+    // materializes.
     var k = 1L
-    (1 to m).foreach { _ =>
-      val next = doublingRound(r, k.toInt, sliced).localCheckpoint()
+    var r = grain match {
+      case "word" =>
+        positions.join(
+          positions.groupBy("tok").agg(min(repr).as("rank")), "tok")
+          .select(col("doc_id"), col("pos"), col("rank"))
+          .localCheckpoint()
+      case "char" | "byte" =>
+        // byte grain: the token IS a 2-nibble hex pair — its numeric
+        // value (0..255) is the byte. char grain: the token's UTF-8
+        // bytes as a number (≤ 4 bytes → < 2^32; UTF-8 is injective).
+        val byteRank = positions.select(col("doc_id"), col("pos"),
+          (if (grain == "byte") conv(col("tok"), 16, 10)
+           else conv(hex(encode(col("tok"), "UTF-8")), 16, 10))
+            .cast("long").as("rank"))
+        if (grain == "byte" && minLen >= 8) {
+          // pack 7 byte ranks (each ≤ 255, pad 256) into one long:
+          // 257^7 < 2^63 — one window pass, no class exchange
+          k = 7L
+          val packed = multiShiftedRank(byteRank, (1 to 6), sliced = sliced)
+            .select(col("doc_id"), col("pos"),
+              (2 to 7).map(i => coalesce(col(s"r$i"), lit(256L)))
+                .foldLeft(col("r1")) { (acc, b) =>
+                  acc * 257L + b
+                }.as("rank"))
+          packed.localCheckpoint()
+        } else byteRank.localCheckpoint()
+      case other => throw new IllegalArgumentException(
+        s"grain must be word|char|byte, got $other")
+    }
+    // WIDENING stages (r16, guide §1.2/§2.4 — fix the distributed
+    // algorithm first): where a doubling round extends rank width k to
+    // 2k with ONE window lead + ONE class exchange, a widening stage
+    // extends k to j·k with j−1 leads IN THE SAME window pass + the
+    // same single class exchange over the j-column key — equality of
+    // (rank_k[p], rank_k[p+k], …, rank_k[p+(j−1)k]) is equality of the
+    // j·k-prefix by the standard tiling argument, with the −1 pad
+    // keeping short suffixes distinct exactly as in the doubling form.
+    // ⌊log₂L⌋ barriered rounds collapse to ⌈log_j L⌉ ≈ 2 stages
+    // (L=25: one j=5 stage; L=200: j=8 then j=5), and the final
+    // L-prefix test needs no power-of-two k at all: the key is the
+    // ⌈L/k⌉-tuple of rank_k at stride-k offsets clamped to L−k (the
+    // same overlapping-window tiling, generalized from 2 windows to
+    // ⌈L/k⌉). Same collision-free classes, ~half the exchanges and
+    // checkpoint barriers; per-stage shuffle rows unchanged (the key
+    // widens to j longs — still far under the old per-round total).
+    // Positions are CONTIGUOUS 1..n per doc by construction, so every
+    // shifted rank is a window lead, never a self-join (r13); with
+    // `sliced` (the SEGMENTED path) the leads compute per 2^16-slice
+    // with a maxOffset-row boundary carry ([[multiShiftedRank]]).
+    while (math.ceil(minLen.toDouble / k) > 8) {
+      val j0 = math.ceil(math.sqrt(minLen.toDouble / k)).toInt
+      val j = math.max(2, math.min(8, math.min(j0, (minLen / k).toInt)))
+      val next = widenStage(r, k, j, sliced).localCheckpoint()
       graft.operators.Joins.unpersistLocalCheckpoint(r)
       r = next
-      k *= 2
+      k *= j
     }
-    // k = 2^m. L-prefix equality key at p: (rank[p], rank[p + L - 2^m])
-    val off = (minLen - k).toInt
+    // Final L-prefix equality key at p: rank_k at offsets 0, k, 2k, …
+    // clamped to L−k — consecutive offsets differ ≤ k so the k-windows
+    // tile [p, p+L) exactly (the classic 2-window overlap argument,
+    // generalized). k == L degenerates to the single-rank key.
+    val offs = ((k to (minLen - k) by k) ++ Seq(minLen - k))
+      .distinct.filter(_ > 0).map(_.toInt)
+    val keyCols = "r1" +: offs.indices.map(i => s"r${i + 2}")
     val keys =
-      if (off == 0)
-        r.select(col("doc_id"), col("pos"), col("rank").as("r1"),
-          col("rank").as("r2"))
+      if (offs.isEmpty)
+        r.select(col("doc_id"), col("pos"), col("rank").as("r1"))
       else
         // a null lead = no position p + off in the doc; such a p cannot
         // start a full L-window, so dropping it mirrors the start
         // filter below (inner-join semantics of the r12 tail join)
-        shiftedRank(r, off, sliced = sliced).filter(col("r2").isNotNull)
+        multiShiftedRank(r, offs, sliced = sliced)
+          .filter(keyCols.tail.map(col(_).isNotNull).reduce(_ && _))
     val starts = keys
       .join(withN.select(col("doc_id"), col("n_tokens")), "doc_id")
       .filter(col("pos") <= col("n_tokens") - (minLen - 1))
@@ -715,7 +765,7 @@ object Dedup {
     // original order.
     val (odoc, opos) = decode(col("doc_id"), col("pos"))
     val drep = struct(odoc.as("d"), opos.as("p"))
-    val dupClasses = starts.groupBy("r1", "r2")
+    val dupClasses = starts.groupBy(keyCols.head, keyCols.tail: _*)
       .agg(count(lit(1)).as("n"),
         (if (keepFirst) min(drep) else min(repr)).as("mn"))
       .filter(col("n") >= 2)
@@ -723,10 +773,10 @@ object Dedup {
     // a map-side filter above the same class join, no extra exchange
     val marked =
       if (keepFirst)
-        starts.join(dupClasses.select(col("r1"), col("r2"), col("mn")),
-            Seq("r1", "r2"))
+        starts.join(dupClasses.select((keyCols :+ "mn").map(col): _*),
+            keyCols)
           .filter(drep =!= col("mn"))
-      else starts.join(dupClasses.select("r1", "r2"), Seq("r1", "r2"))
+      else starts.join(dupClasses.select(keyCols.map(col): _*), keyCols)
     // reduce to DOC-grain before releasing the rank table: the final
     // checkpoint pins one small row per doc, not corpus-token-sized
     // rank blocks — 7 bench reps of the sf1 corpus would otherwise
@@ -775,14 +825,37 @@ object Dedup {
     * Package-private for the spec; [[exactSubstrStarts]] is the only
     * production caller. */
   private[graft] def doublingRound(r: DataFrame, k: Int,
-                                   sliced: Boolean = false): DataFrame = {
+                                   sliced: Boolean = false): DataFrame =
+    widenStage(r, k, 2, sliced)
+
+  /** ONE widening stage (r16 generalization of [[doublingRound]]):
+    * extend rank width k to j·k with the j−1 leads k, 2k, …, (j−1)k
+    * computed in a single window pass, then re-tag each j-tuple class
+    * with its min representative. j = 2 IS the classic doubling round;
+    * larger j trades a wider (j-long) class key for ⌈log_j⌉ instead of
+    * ⌈log₂⌉ stages — at corpus scale the per-stage barrier + two
+    * exchanges dominate the extra key bytes, so fewer stages win
+    * (measured in OPTIMIZATION_r16.md). Exchange budget per stage is
+    * UNCHANGED from the doubling round: the window's hash + ONE
+    * explicit j-column repartition that ReuseExchange shares between
+    * the class-map groupBy and the join probe. */
+  private[graft] def widenStage(r: DataFrame, k: Long, j: Int,
+                                sliced: Boolean = false): DataFrame = {
+    require(j >= 2)
     val repr = col("doc_id") * (1L << 20) + col("pos")
-    // rank of the suffix k ahead; missing (suffix ends) pads with -1
-    val paired = shiftedRank(r, k, sliced = sliced)
-      .withColumn("r2", coalesce(col("r2"), lit(-1L)))
-      .repartition(col("r1"), col("r2"))
-    val rmap = paired.groupBy("r1", "r2").agg(min(repr).as("rank"))
-    paired.join(rmap, Seq("r1", "r2"))
+    val offs = (1 until j).map(i => (i * k).toInt)
+    val keyCols = (1 to j).map(i => s"r$i")
+    // ranks of the suffixes k, 2k, … ahead; missing (suffix ends) pad
+    // with -1 — a real representative is ≥ 0, so short suffixes stay
+    // distinct from every full window
+    val shifted = multiShiftedRank(r, offs, sliced = sliced)
+    val paired = keyCols.tail
+      .foldLeft(shifted)((df, c) =>
+        df.withColumn(c, coalesce(col(c), lit(-1L))))
+      .repartition(keyCols.map(col): _*)
+    val rmap = paired.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(min(repr).as("rank"))
+    paired.join(rmap, keyCols)
       .select(col("doc_id"), col("pos"), col("rank"))
   }
 
@@ -809,25 +882,46 @@ object Dedup {
     * exchange. `b` is overridable for the spec only. */
   private[graft] def shiftedRank(r: DataFrame, k: Int,
                                  b: Long = 1L << 16,
-                                 sliced: Boolean = true): DataFrame = {
-    if (!sliced)
+                                 sliced: Boolean = true): DataFrame =
+    multiShiftedRank(r, Seq(k), b, sliced)
+
+  /** Multi-offset generalization of [[shiftedRank]] (r16): rank[pos+o]
+    * for EVERY offset o in `offsets`, all as leads over ONE window pass
+    * (same window spec → Spark plans a single Window operator + one
+    * exchange/sort, however many offsets). Output columns r1 (the rank
+    * at pos) then r2…r{n+1} in `offsets` order. The sliced variant
+    * carries max(offsets) boundary rows per slice — the single-offset
+    * carry discipline, widened to the largest lead. */
+  private[graft] def multiShiftedRank(r: DataFrame, offsets: Seq[Int],
+                                      b: Long = 1L << 16,
+                                      sliced: Boolean = true): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ >= 1))
+    def leads(w: org.apache.spark.sql.expressions.WindowSpec) =
+      offsets.zipWithIndex.map { case (o, i) =>
+        lead(col("rank"), o).over(w).as(s"r${i + 2}")
+      }
+    if (!sliced) {
       // plain path: whole-doc window — one task per doc, bounded by the
       // 2^20 width contract; no carry union, no second rank-table scan
-      return r.select(col("doc_id"), col("pos"), col("rank").as("r1"),
-        lead(col("rank"), k).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("pos"))).as("r2"))
-    require(k < b, s"carry width k=$k must stay under the slice size $b")
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      return r.select(
+        Seq(col("doc_id"), col("pos"), col("rank").as("r1")) ++
+          leads(byDoc): _*)
+    }
+    val maxOff = offsets.max
+    require(maxOff < b,
+      s"carry width maxOff=$maxOff must stay under the slice size $b")
     val main = r.withColumn("s", expr(s"(pos - 1) div $b"))
-    val carry = r.filter(expr(s"pos > $b AND (pos - 1) % $b < $k"))
+    val carry = r.filter(expr(s"pos > $b AND (pos - 1) % $b < $maxOff"))
       .withColumn("s", expr(s"((pos - 1) div $b) - 1"))
     val bySlice = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("s")).orderBy(col("pos"))
     main.unionByName(carry)
-      .select(col("doc_id"), col("pos"), col("s"),
-        col("rank").as("r1"),
-        lead(col("rank"), k).over(bySlice).as("r2"))
+      .select(Seq(col("doc_id"), col("pos"), col("s"),
+        col("rank").as("r1")) ++ leads(bySlice): _*)
       .filter(col("s") === expr(s"(pos - 1) div $b"))
-      .select(col("doc_id"), col("pos"), col("r1"), col("r2"))
+      .drop("s")
   }
 
   /** The common coverage-output tail: left-join the per-doc folded

@@ -2021,6 +2021,120 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multiShiftedRank: sliced multi-offset leads ≡ whole-doc leads at B = 8") {
+    import spark.implicits._
+    // r16: the widening stages ask ONE window pass for several leads;
+    // the sliced variant must equal the whole-doc window bit-for-bit
+    // with the carry sized to max(offsets) — same boundary battery as
+    // the single-offset pin.
+    val rows = for {
+      (id, n) <- Seq((1L, 1), (2L, 7), (3L, 8), (4L, 9), (5L, 16),
+        (6L, 17), (7L, 30))
+      p <- 1 to n
+    } yield (id, p.toLong, (id * 31 + p * 17) % 11)
+    val r = rows.toDF("doc_id", "pos", "rank")
+    for (offs <- Seq(Seq(1, 2, 3), Seq(2, 4, 6), Seq(1, 5, 7), Seq(3))) {
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      def key(row: org.apache.spark.sql.Row): ((Long, Long), Seq[Any]) =
+        (row.getLong(0), row.getLong(1)) ->
+          (2 until row.length).map(i =>
+            if (row.isNullAt(i)) null else row.getLong(i))
+      val whole = r.select(
+          Seq(col("doc_id"), col("pos"), col("rank").as("r1")) ++
+            offs.zipWithIndex.map { case (o, i) =>
+              lead(col("rank"), o).over(byDoc).as(s"r${i + 2}") }: _*)
+        .collect().map(key).toMap
+      val sliced = graft.operators.Dedup
+        .multiShiftedRank(r, offs, b = 8L)
+        .collect().map(key).toMap
+      assert(sliced == whole, s"offs=$offs: sliced leads diverge")
+    }
+  }
+
+  test("widenStage(j) rank classes ≡ composed doubling rounds") {
+    import spark.implicits._
+    // r16: one j-ary widening stage must produce EXACTLY the rank
+    // partition that the doubling composition produces at the same
+    // width — classes are compared as partitions of the position set
+    // (representative values may differ between formulations; only
+    // equality structure is contractual).
+    val docs = Seq(
+      (1L, "a b c a b c a b x y a b c"),
+      (2L, "b c a b c z a b c a b"),
+      (3L, "x y a b"),
+      (4L, "a"))
+    val positions = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val repr = col("doc_id") * (1L << 20) + col("pos")
+    val r1 = positions.join(
+        positions.groupBy("tok").agg(min(repr).as("rank")), "tok")
+      .select(col("doc_id"), col("pos"), col("rank")).localCheckpoint()
+    def classesOf(r: org.apache.spark.sql.DataFrame): Set[Set[(Long, Long)]] =
+      r.collect().map(x => (x.getLong(2), (x.getLong(0), x.getLong(1))))
+        .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    // width 4: doubling twice vs one j=4 stage
+    val doubled4 = graft.operators.Dedup.doublingRound(
+      graft.operators.Dedup.doublingRound(r1, 1).localCheckpoint(), 2)
+    val widened4 = graft.operators.Dedup.widenStage(r1, 1L, 4)
+    assert(classesOf(widened4) == classesOf(doubled4),
+      "j=4 widening diverges from two doubling rounds")
+    // width 8 from width 4: one more doubling vs j=2 on the widened
+    val doubled8 = graft.operators.Dedup.doublingRound(
+      doubled4.localCheckpoint(), 4)
+    val widened8 = graft.operators.Dedup.widenStage(
+      widened4.localCheckpoint(), 4L, 2)
+    assert(classesOf(widened8) == classesOf(doubled8),
+      "width-8 classes diverge between formulations")
+  }
+
+  test("exactSubstr grain inits: char/byte numeric rank ≡ word-style groupBy rank classes") {
+    import spark.implicits._
+    // r16: char/byte grains replace the rank_1 min-representative
+    // groupBy with an injective numeric map (UTF-8 bytes as a number /
+    // hex-pair value). Coverage must be unchanged on a corpus with
+    // multi-byte chars and planted duplicate spans crossing char
+    // widths.
+    val base = "el niño bebé compró 【quarantine】 piñata música " * 3
+    val docs = Seq(
+      (10L, base + " tail uno"),
+      (11L, base + " tail dos"),
+      (12L, "unrelated short doc sin duplicados aquí")).toDF("doc_id", "text")
+    for (grain <- Seq("char", "byte")) {
+      val got = graft.operators.Dedup.exactSubstrCoverage(
+          docs, col("doc_id"), col("text"), minLen = 40, grain = grain)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(3))).toMap
+      // independent every-offset check at the same grain: duplicated
+      // 40-window starts via a brute-force substring multiset
+      val toksOf: String => Vector[String] = grain match {
+        case "char" => s => s.map(_.toString).toVector
+        case _ => s => s.getBytes("UTF-8").toVector
+          .map(b => f"${b & 0xff}%02X")
+      }
+      val all = docs.collect().map(r => r.getLong(0) -> toksOf(r.getString(1)))
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      for ((_, w) <- all; i <- 0 to w.length - 40)
+        counts(w.slice(i, i + 40).mkString(" ")) =
+          counts.getOrElse(w.slice(i, i + 40).mkString(" "), 0) + 1
+      val expect = all.map { case (id, w) =>
+        val marks = (0 to w.length - 40).filter(i =>
+          counts(w.slice(i, i + 40).mkString(" ")) >= 2)
+        var reach = 0L; var cov = 0L
+        marks.foreach { i =>
+          val p = i + 1L
+          cov += math.max(0L, p + 40 - math.max(reach, p))
+          reach = math.max(reach, p + 40)
+        }
+        id -> ((w.length.toLong, cov))
+      }.toMap
+      assert(got == expect, s"grain=$grain coverage diverges from brute force")
+    }
+  }
+
   test("exactSubstrTrimKeepFirst byte grain: doc-major winner on multi-byte text, lenient mid-char decode") {
     import spark.implicits._
     // shared run "äöüéabc" = 11 BYTES at byte offset 3 in both docs;

@@ -798,6 +798,61 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("suffix-rank widening stage: two executed exchanges, one window, class exchange reused") {
+    import spark.implicits._
+    // r16: the widening stage keeps the doubling round's exchange
+    // budget — the window's doc_id hash plus ONE j-column class hash
+    // that ReuseExchange shares between the class-map groupBy and the
+    // join probe — while extending rank width k → j·k in one stage.
+    // Pinned at j = 5 (the L=25 production stage) under the at-scale
+    // join regime (broadcast off), like the doubling-round pin.
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBcast =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (1L to 40L)
+        .map(i => (i, (1 to 30).map(t => s"w${(i * 7 + t) % 13}")
+          .mkString(" ")))
+        .toDF("doc_id", "text")
+      val positions = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          col("tok"))
+      val r1 = positions.join(
+          positions.groupBy("tok")
+            .agg(min(expr("doc_id * 1048576 + pos")).as("rank")), "tok")
+        .select("doc_id", "pos", "rank").localCheckpoint()
+      val stage = graft.operators.Dedup.widenStage(r1, 1L, 5)
+      stage.collect()
+      val fin = stage.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(fin.contains("isFinalPlan=true"), fin)
+      val real = "\\+- Exchange hashpartitioning.*?plan_id=(\\d+)".r
+        .findAllMatchIn(fin).map(_.group(1)).toSet
+      assert(real.size <= 2,
+        s"widening stage grew a third exchange (${real.size}):\n$fin")
+      assert("ReusedExchange".r.findAllIn(fin).size >= 1,
+        s"j-column class exchange not reused:\n$fin")
+      // the four leads come from ONE window pass, and nothing
+      // range-partitions
+      assert("(?m)^[\\s:+\\-|*]*Window".r.findAllIn(fin).size == 1,
+        s"window count drifted:\n$fin")
+      assert(!fin.contains("Exchange rangepartitioning"),
+        s"global sort inside a widening stage:\n$fin")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      aqeBcast match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("decontamination trims: probe filters the gram stream before any shuffle") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, testDataDir)
