@@ -68,6 +68,60 @@ object ProfileSubstrSeg {
     time("E exactSubstrCoverage (giant quarantined)")(
       noop(graft.operators.Dedup.exactSubstrCoverage(
         corpus, col("doc_id"), col("text"), minLen = 25)))
+
+    // ---- fine-grained decomposition of the segmented rank build ----
+    val minLen = 25
+    val S = (1L << 20) - minLen
+    val segLen = (1L << 20) - 1
+    val toks = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_tokens"))
+    val direct = toks.filter(col("n_tokens") < lit(1L << 20))
+      .select(col("doc_id"), col("w"))
+    val segments = toks.filter(col("n_tokens") >= lit(1L << 20))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0L, (n_tokens - $minLen) div $S)")).as("k"))
+      .select((lit(1L << 42) + col("doc_id") * lit(1L << 10) + col("k"))
+          .as("doc_id"),
+        expr(s"slice(w, cast(k * $S + 1 AS int), $segLen)").as("w"))
+    val segs = direct.unionByName(segments)
+    val positions = segs
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    time("T1 toks (split+size)")(noop(toks.select(col("doc_id"), col("n_tokens"))))
+    time("T2 segments (slice)")(noop(segs.select(col("doc_id"), size(col("w")))))
+    time("T3 positions (posexplode)")(noop(positions))
+    val repr = col("doc_id") * (1L << 20) + col("pos")
+    def rank1() = positions.join(
+      positions.groupBy("tok").agg(min(repr).as("rank")), "tok")
+      .select(col("doc_id"), col("pos"), col("rank"))
+    time("T4 rank_1 (groupBy+join)")(noop(rank1()))
+    time("T5 rank_1 cp + widen j=5 sliced") {
+      val r1 = rank1().localCheckpoint()
+      noop(graft.operators.Dedup.widenStage(r1, 1L, 5, sliced = true))
+      graft.operators.Joins.unpersistLocalCheckpoint(r1)
+    }
+    time("T5b rank_1 cp + widen j=5 UNsliced") {
+      val r1 = rank1().localCheckpoint()
+      noop(graft.operators.Dedup.widenStage(r1, 1L, 5, sliced = false))
+      graft.operators.Joins.unpersistLocalCheckpoint(r1)
+    }
+    time("T6 widen cp + final multiShift+classes") {
+      val r1 = rank1().localCheckpoint()
+      val r5 = graft.operators.Dedup.widenStage(r1, 1L, 5, sliced = true)
+        .localCheckpoint()
+      graft.operators.Joins.unpersistLocalCheckpoint(r1)
+      val keys = graft.operators.Dedup
+        .multiShiftedRank(r5, Seq(5, 10, 15, 20), sliced = true)
+      val keyCols = Seq("r1", "r2", "r3", "r4", "r5")
+      val dup = keys.groupBy(keyCols.head, keyCols.tail: _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      noop(keys.join(dup.select(keyCols.map(col): _*), keyCols)
+        .select(col("doc_id"), col("pos")))
+      graft.operators.Joins.unpersistLocalCheckpoint(r5)
+    }
     spark.stop()
   }
 }

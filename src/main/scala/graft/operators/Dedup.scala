@@ -672,20 +672,37 @@ object Dedup {
     //    ranks into one long (base-257 with pad 256 — a real byte is
     //    ≤ 255, so short suffixes stay distinct) in the same window
     //    pass: rank_7 with zero class exchanges.
-    // EAGER localCheckpoint per stage (the resolveRoots/pageRank
-    // discipline, Joins.scala): a stage reads its input once but the
-    // stage OUTPUT feeds the next stage's window + the final key build;
-    // the checkpoint bounds lineage so the 2-3 stages never recompute
-    // their predecessors (the r13 3^rounds plan-blowup lesson), and a
-    // superseded stage's blocks release as soon as its successor
-    // materializes.
+    // Checkpoint discipline (r16): ONLY where a frame is read twice.
+    // The SLICED path's carry union reads its rank input twice per
+    // window pass, so every sliced stage checkpoints eagerly (the
+    // resolveRoots/pageRank discipline — also bounds the r13 3^rounds
+    // lineage blowup). The PLAIN path reads each stage's output exactly
+    // once (the widen stage's two internal consumers share the explicit
+    // repartition via ReuseExchange), so the whole build runs as ONE
+    // un-barriered DAG: no per-stage materialization job, no stranded
+    // blocks — only the word-grain rank_1 keeps its checkpoint (its
+    // self-join scans `positions` twice, and re-running tokenize+explode
+    // per scan is the greater cost). Consecutive plain windows over the
+    // same (doc_id)-partitioning also collapse to one exchange + sort
+    // (the byte-grain pack window feeds the final-key window directly).
     var k = 1L
+    var lastCp: Option[DataFrame] = None
+    def staged(df: DataFrame): DataFrame =
+      if (!sliced) df
+      else {
+        val c = df.localCheckpoint()
+        lastCp.foreach(graft.operators.Joins.unpersistLocalCheckpoint)
+        lastCp = Some(c)
+        c
+      }
     var r = grain match {
       case "word" =>
-        positions.join(
+        val r1 = positions.join(
           positions.groupBy("tok").agg(min(repr).as("rank")), "tok")
           .select(col("doc_id"), col("pos"), col("rank"))
           .localCheckpoint()
+        lastCp = Some(r1)
+        r1
       case "char" | "byte" =>
         // byte grain: the token IS a 2-nibble hex pair — its numeric
         // value (0..255) is the byte. char grain: the token's UTF-8
@@ -698,14 +715,13 @@ object Dedup {
           // pack 7 byte ranks (each ≤ 255, pad 256) into one long:
           // 257^7 < 2^63 — one window pass, no class exchange
           k = 7L
-          val packed = multiShiftedRank(byteRank, (1 to 6), sliced = sliced)
+          staged(multiShiftedRank(byteRank, (1 to 6), sliced = sliced)
             .select(col("doc_id"), col("pos"),
               (2 to 7).map(i => coalesce(col(s"r$i"), lit(256L)))
                 .foldLeft(col("r1")) { (acc, b) =>
                   acc * 257L + b
-                }.as("rank"))
-          packed.localCheckpoint()
-        } else byteRank.localCheckpoint()
+                }.as("rank")))
+        } else staged(byteRank)
       case other => throw new IllegalArgumentException(
         s"grain must be word|char|byte, got $other")
     }
@@ -732,9 +748,7 @@ object Dedup {
     while (math.ceil(minLen.toDouble / k) > 8) {
       val j0 = math.ceil(math.sqrt(minLen.toDouble / k)).toInt
       val j = math.max(2, math.min(8, math.min(j0, (minLen / k).toInt)))
-      val next = widenStage(r, k, j, sliced).localCheckpoint()
-      graft.operators.Joins.unpersistLocalCheckpoint(r)
-      r = next
+      r = staged(widenStage(r, k, j, sliced))
       k *= j
     }
     // Final L-prefix equality key at p: rank_k at offsets 0, k, 2k, …
@@ -744,18 +758,21 @@ object Dedup {
     val offs = ((k to (minLen - k) by k) ++ Seq(minLen - k))
       .distinct.filter(_ > 0).map(_.toInt)
     val keyCols = "r1" +: offs.indices.map(i => s"r${i + 2}")
-    val keys =
-      if (offs.isEmpty)
-        r.select(col("doc_id"), col("pos"), col("rank").as("r1"))
-      else
-        // a null lead = no position p + off in the doc; such a p cannot
-        // start a full L-window, so dropping it mirrors the start
-        // filter below (inner-join semantics of the r12 tail join)
-        multiShiftedRank(r, offs, sliced = sliced)
-          .filter(keyCols.tail.map(col(_).isNotNull).reduce(_ && _))
-    val starts = keys
-      .join(withN.select(col("doc_id"), col("n_tokens")), "doc_id")
-      .filter(col("pos") <= col("n_tokens") - (minLen - 1))
+    // GUARD lead (r16): p starts a full L-window iff position p+L−1
+    // exists, i.e. iff the lead at offset L−1 is non-null — computed in
+    // the SAME window pass as the key leads, which deletes the old
+    // (keys ⋈ n_tokens)-dimension join and with it one full
+    // re-tokenize pass over the corpus (the n_tokens projection could
+    // not avoid re-running split/slice — §2.3 "project before the
+    // exchange" applied to the scan itself). The guard's rank value
+    // never joins the key: its k-window would poke past [p, p+L).
+    // Guard non-null ⟹ every smaller key offset is non-null too.
+    val guardOff = minLen - 1
+    val allOffs = if (offs.nonEmpty && offs.last == guardOff) offs
+                  else offs :+ guardOff
+    val guardCol = s"r${allOffs.length + 1}"
+    val starts = multiShiftedRank(r, allOffs, sliced = sliced)
+      .filter(col(guardCol).isNotNull)
     // the winner/mark coordinates are the DECODED (original doc,
     // original pos) — identity for plain docs; the segmented path's
     // synthetic-id unpack otherwise. The keep-first argmin MUST use
@@ -781,25 +798,37 @@ object Dedup {
     // checkpoint pins one small row per doc, not corpus-token-sized
     // rank blocks — 7 bench reps of the sf1 corpus would otherwise
     // strand ~1.7 GB of executor storage and inflate every later
-    // in-set entry (the stage-cache lesson, PipelineQueries). The
-    // coverage path additionally folds `ps` down to its two scalars
-    // HERE (r13 ADVICE): a boilerplate-heavy doc's start array is
-    // near token-scale, and only the trims — which rebuild text —
-    // ever need the positions themselves.
-    val perDocPs = marked.select(odoc.as("doc_id"), opos.as("pos"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_starts"),
-        sort_array(collect_list(col("pos"))).as("ps"))
-    val perDoc = (if (foldCoverage)
-      perDocPs.withColumn("covered", expr(
-          s"""aggregate(ps, struct(0L AS cov, 0L AS reach),
-             |  (a, p) -> struct(
-             |    a.cov + greatest(0L, p + $minLen - greatest(a.reach, p)),
-             |    greatest(a.reach, p + $minLen)),
-             |  a -> a.cov)""".stripMargin))
-        .select(col("doc_id"), col("n_dup_starts"), col("covered"))
-    else perDocPs).localCheckpoint()
-    graft.operators.Joins.unpersistLocalCheckpoint(r)
+    // in-set entry (the stage-cache lesson, PipelineQueries).
+    val markedPos = marked.select(odoc.as("doc_id"), opos.as("pos"))
+    val perDoc = (if (foldCoverage) {
+      // coverage interval-union as a RUNNING-MAX WINDOW + sum (r16):
+      // adds(p) = max(0, p+L − max(reach, p)) with reach = max(p'+L)
+      // over the doc's earlier marks — the same recurrence the old
+      // collect_list → sort_array → aggregate() fold computed, but
+      // fully codegen'd (§4/§1.2: the interpreted higher-order fold
+      // allocated a struct per element — for the segmented giant a
+      // ~1M-element array built, sorted and folded inside ONE row).
+      // The window's doc_id hash doubles as the groupBy distribution,
+      // so the exchange count is unchanged; only the trims — which
+      // rebuild text within-row — still collect the positions array.
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      markedPos
+        .withColumn("adds", greatest(lit(0L),
+          col("pos") + minLen - greatest(
+            coalesce(max(col("pos") + minLen).over(byDoc), lit(0L)),
+            col("pos"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_starts"),
+          sum(col("adds")).as("covered"))
+    } else
+      markedPos.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_starts"),
+          sort_array(collect_list(col("pos"))).as("ps"))
+    ).localCheckpoint()
+    lastCp.foreach(graft.operators.Joins.unpersistLocalCheckpoint)
     perDoc
   }
 
