@@ -122,6 +122,48 @@ object ProfileSubstrSeg {
         .select(col("doc_id"), col("pos")))
       graft.operators.Joins.unpersistLocalCheckpoint(r5)
     }
+    // T7/T8: the serve tail — guard filter + classes + decode + fold,
+    // replicating rankPerDoc's final stage including the decode
+    def finalMarks(): org.apache.spark.sql.DataFrame = {
+      val r1 = rank1().localCheckpoint()
+      val r5 = graft.operators.Dedup.widenStage(r1, 1L, 5, sliced = true)
+        .localCheckpoint()
+      graft.operators.Joins.unpersistLocalCheckpoint(r1)
+      val keys = graft.operators.Dedup
+        .multiShiftedRank(r5, Seq(5, 10, 15, 20, 24), sliced = true)
+        .filter(col("r6").isNotNull)
+      val keyCols = Seq("r1", "r2", "r3", "r4", "r5")
+      val repr2 = col("doc_id") * (1L << 20) + col("pos")
+      val dup = keys.groupBy(keyCols.head, keyCols.tail: _*)
+        .agg(count(lit(1)).as("n"), min(repr2).as("mn"))
+        .filter(col("n") >= 2)
+      val isSeg = col("doc_id") >= lit(1L << 42)
+      val odoc = when(isSeg, shiftright(col("doc_id") - lit(1L << 42), 10))
+        .otherwise(col("doc_id"))
+      val opos = col("pos") + when(isSeg,
+        (col("doc_id") - lit(1L << 42)).bitwiseAND(lit(1023L)) * S)
+        .otherwise(lit(0L))
+      keys.join(dup.select(keyCols.map(col): _*), keyCols)
+        .select(odoc.as("doc_id"), opos.as("pos"))
+    }
+    time("T7 T6+guard+decode marks")(noop(finalMarks()))
+    time("T8 T7+window fold perDoc") {
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      noop(finalMarks()
+        .withColumn("adds", greatest(lit(0L),
+          col("pos") + minLen - greatest(
+            coalesce(max(col("pos") + minLen).over(byDoc), lit(0L)),
+            col("pos"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_starts"), sum(col("adds")).as("covered")))
+    }
+    println("=== final-stage executed plan (marks) ===")
+    val fm = finalMarks()
+    fm.write.format("noop").mode("overwrite").save()
+    println(fm.queryExecution.executedPlan.toString.take(8000))
     spark.stop()
   }
 }

@@ -376,18 +376,37 @@ object Dedup {
       // the quarantine contract rather than aliasing segment ids
       .withColumn("quarantined", col("quarantined") ||
         (col("n_tokens") >= lit(1L << 20) && col("doc_id") >= lit(1L << 32)))
-    val direct = toks
-      .filter(!col("quarantined") && col("n_tokens") < lit(1L << 20))
-      .select(col("doc_id"), col("w"))
-    val segments = toks
-      .filter(!col("quarantined") && col("n_tokens") >= lit(1L << 20))
-      .select(col("doc_id"), col("w"),
-        explode(expr(s"sequence(0L, (n_tokens - $minLen) div $S)"))
-          .as("k"))
+    // POSITION-MAPPED segmentation (r16): the old form sliced each
+    // over-width doc's token array per segment (up-to-2^20-element
+    // array COPIES, then a second posexplode) — §2.3's "move heavy
+    // bytes once" applied to array cells. Now every non-quarantined
+    // doc explodes ONCE at original coordinates and each position maps
+    // to its segment(s) arithmetically: direct docs keep (doc, pos);
+    // an over-width doc's position p joins segment k for every k with
+    // kS < p ≤ kS + segLen and k ≤ (n−L) div S — at most TWO rows (the
+    // minLen−1 overlap), bijective with the old slice's (segment,
+    // local start) cells, local pos = p − kS. No giant array is ever
+    // copied, and the explode parallelizes over the doc's positions
+    // instead of serializing per segment row.
+    val exploded = toks.filter(!col("quarantined"))
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val direct = exploded.filter(col("n_tokens") < lit(1L << 20))
+      .select(col("doc_id"), col("pos"), col("tok"))
+    val segPos = exploded.filter(col("n_tokens") >= lit(1L << 20))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        explode(expr(
+          s"""sequence(
+             |  CASE WHEN pos <= $segLen THEN 0L
+             |       ELSE (pos - $segLen + $S - 1) div $S END,
+             |  least((pos - 1) div $S, (n_tokens - $minLen) div $S))"""
+            .stripMargin)).as("k"))
       .select((lit(1L << 42) + col("doc_id") * lit(1L << 10) + col("k"))
           .as("doc_id"),
-        expr(s"slice(w, cast(k * $S + 1 AS int), $segLen)").as("w"))
-    val perDoc = rankPerDoc(direct.unionByName(segments), minLen,
+        (col("pos") - col("k") * S).as("pos"), col("tok"))
+    val perDoc = rankPerDoc(direct.unionByName(segPos), minLen,
       keepFirst = keepFirst, foldCoverage = foldCoverage,
       sliced = true, // units are near-max-width by construction
       grain = grain,
@@ -547,9 +566,12 @@ object Dedup {
                                 foldCoverage: Boolean = false): (DataFrame, DataFrame) = {
     require(minLen >= 2)
     val toks = tokenized(df, id, text, grain)
-    val perDoc = rankPerDoc(
-      toks.filter(!col("quarantined")).select(col("doc_id"), col("w")),
-      minLen, keepFirst, foldCoverage, grain = grain)
+    val positions = toks.filter(!col("quarantined"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val perDoc = rankPerDoc(positions, minLen, keepFirst, foldCoverage,
+      grain = grain)
     (toks, perDoc)
   }
 
@@ -634,30 +656,26 @@ object Dedup {
   }
 
   /** Rank-build core shared by [[exactSubstrStarts]] and
-    * [[exactSubstrCoverageSegmented]]: input is one row per rank-build
-    * UNIT (a doc, or a segment of an over-width doc) — (doc_id, w) with
-    * every unit under the 2²⁰-position packing width and doc_id already
-    * guarded. Runs the ⌊log₂ L⌋ doubling rounds, marks duplicated
-    * window starts, applies `mapMarks` (the segmented path's
-    * synthetic-id → (orig doc, orig pos) decode — identity for plain
-    * docs) BEFORE the per-doc fold, and returns the checkpointed
-    * per-doc frame: (doc_id, n_dup_starts, ps) or — with `foldCoverage`
-    * — (doc_id, n_dup_starts, covered). The checkpoint discipline
-    * (notes at the call sites in the coverage scaladoc) lives here so
-    * the rank table's blocks release exactly once per build. */
-  private def rankPerDoc(segs: DataFrame, minLen: Int,
+    * [[exactSubstrCoverageSegmented]]: input is one row per POSITION of
+    * a rank-build unit (a doc, or a segment of an over-width doc) —
+    * (doc_id, pos, tok) with positions contiguous 1..n per unit, every
+    * unit under the 2²⁰-position packing width and doc_id already
+    * guarded (r16: callers explode; the old per-unit (doc_id, w) input
+    * forced the core to re-tokenize per consumer). Runs the widening
+    * stages, marks duplicated window starts, applies `decode` (the
+    * segmented path's synthetic-id → (orig doc, orig pos) unpack —
+    * identity for plain docs) BEFORE the per-doc fold, and returns the
+    * checkpointed per-doc frame: (doc_id, n_dup_starts, ps) or — with
+    * `foldCoverage` — (doc_id, n_dup_starts, covered). The checkpoint
+    * discipline (notes in the body) lives here so the rank table's
+    * blocks release exactly once per build. */
+  private def rankPerDoc(positions: DataFrame, minLen: Int,
                          keepFirst: Boolean, foldCoverage: Boolean,
                          decode: (Column, Column) => (Column, Column) =
                            (d, p) => (d, p),
                          sliced: Boolean = false,
                          grain: String = "word")
       : DataFrame = {
-    val withN = segs.select(col("doc_id"), col("w"),
-      size(col("w")).cast("long").as("n_tokens"))
-    val positions = withN
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        col("tok"))
     val repr = col("doc_id") * (1L << 20) + col("pos")
     // Initial rank: any INJECTIVE non-negative class id works — the
     // doubling/widening algebra and the final dup-class key only ever
@@ -697,8 +715,15 @@ object Dedup {
       }
     var r = grain match {
       case "word" =>
-        val r1 = positions.join(
-          positions.groupBy("tok").agg(min(repr).as("rank")), "tok")
+        // explicit tok repartition (r16, the widenStage discipline):
+        // without it the class-map groupBy and the join probe each
+        // scan `positions` separately — tokenize + slice + posexplode
+        // run TWICE per build (measured ~0.8 s of the segmented
+        // entry's rank_1). One exchange, shared by both consumers via
+        // ReuseExchange; skew behavior of the tok join is unchanged.
+        val posP = positions.repartition(col("tok"))
+        val r1 = posP.join(
+          posP.groupBy("tok").agg(min(repr).as("rank")), "tok")
           .select(col("doc_id"), col("pos"), col("rank"))
           .localCheckpoint()
         lastCp = Some(r1)
