@@ -498,8 +498,13 @@ object Joins {
                            hugeGraph: Boolean = false): DataFrame = {
     require(iterations >= 1 && dampingMilli >= 0 && dampingMilli <= 1000)
     def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
-    val e = edges.select(col("src"), col("dst"))
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outd")), "src")
+    // lazy-checkpoint the projected edges BEFORE the out-degree join
+    // (r16): the join probe and the groupBy side otherwise each
+    // re-compute the caller's edge derivation — j_pagerank's lineitem
+    // lead-window ran twice per build
+    val eBase = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val e = eBase
+      .join(eBase.groupBy(col("src")).agg(count(lit(1)).as("outd")), "src")
       .localCheckpoint(false) // materialized by round 1, reused by all
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -548,8 +553,13 @@ object Joins {
                            hugeGraph: Boolean): DataFrame = {
     require(iterations >= 1 && dampingMilli >= 0 && dampingMilli <= 1000)
     def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
-    val e = edges.select(col("src"), col("dst"))
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outd")), "src")
+    // lazy-checkpoint the projected edges BEFORE the out-degree join
+    // (r16): the join probe and the groupBy side otherwise each
+    // re-compute the caller's edge derivation — j_pagerank's lineitem
+    // lead-window ran twice per build
+    val eBase = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val e = eBase
+      .join(eBase.groupBy(col("src")).agg(count(lit(1)).as("outd")), "src")
       .localCheckpoint(false) // materialized by round 1, reused by all
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -703,15 +713,20 @@ object Joins {
                        hugeGraph: Boolean = false): DataFrame = {
     require(rounds >= 1)
     def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
+    // lazy-checkpoint the canonical edge set (r16): the adjacency union
+    // reads `und` twice, so without the cache the distinct's exchange +
+    // agg computed once per union branch
     val und = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(false)
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
       .localCheckpoint() // eager: every round and the seed read it
+    unpersistLocalCheckpoint(und) // adj materialized; und blocks done
     var labels = adj.select(col("node")).distinct()
       .withColumn("lbl", col("node"))
     for (k <- 1 to rounds) {
