@@ -710,6 +710,31 @@ object Bench {
       }
     }.mkString("{", ",", "}")
     println(s"""{"metric":"bench_delta","prev_round":$prevRound,"flagged":$delta}""")
+    // Raw in-sweep re-measure medians (r16 VERDICT #6): the reported
+    // value is min(first pass, re-measure) — an anti-churn rule, but
+    // the artifact must keep BOTH readings so the choice is auditable.
+    if (!freshMode && reruns.nonEmpty) {
+      val firstMap = firstPass.toMap
+      val entries = reruns.toSeq.sortBy(_._1).map { case (k, r) =>
+        s"\"" + k + "\":[" + fmt(firstMap.getOrElse(k, -1.0)) + "," +
+          fmt(r) + "]"
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"rerun_raw","entries":$entries}""")
+    }
+    // Driver-parseable per-entry TAIL (r16 VERDICT #1 / next-round #2):
+    // the driver archives only a bounded stdout tail (~2000 chars), in
+    // which neither the ~2.4 KB 88-entry contract map nor 88 verbose
+    // per-entry lines can fit — PERF_r16.per_query came back EMPTY and
+    // the per-query/scaling comparison silently dropped. Re-emit every
+    // entry as a MINIMAL metric line sorted ASCENDING by value,
+    // immediately before the closing total line: whatever prefix the
+    // tail window cuts, it cuts the cheapest entries, so every
+    // expensive entry — the ones per-query comparison exists for —
+    // lands inside the window. Values duplicate the verbose lines
+    // above bit-for-bit; the short total stays the FINAL line.
+    results.toSeq.sortBy { case (k, v) => (v, k) }.foreach { case (k, v) =>
+      println(s"""{"metric":"$k","value":${fmt(v)}}""")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","tree":"$tree"}""")
   }
 }

@@ -191,12 +191,16 @@ object Dedup {
   private def trimCoveredSpans(withPs: DataFrame, g: Int,
                                passThrough: Seq[String] = Nil,
                                sep: String = " "): DataFrame =
+    rebuildFromIntervals(intervalsFromPs(withPs, g), passThrough, sep)
+
+  /** Maximal merged intervals [ss_j, es_j) from a SORTED array `ps` of
+    * 1-based fixed-length-`g` span starts: a start opens a new chain
+    * iff its gap to the previous start exceeds g; a chain ends at its
+    * last start + g. `sequence(1, 0)` counts DOWN — the no-duplicates
+    * rows (the common case) are guarded before indexing ps; CASE
+    * defers the ELSE per row. */
+  private def intervalsFromPs(withPs: DataFrame, g: Int): DataFrame =
     withPs
-      // maximal merged intervals [ss_j, es_j): a sorted fixed-length-g
-      // interval starts a new chain iff its gap to the previous start
-      // exceeds g; a chain ends at its last start + g
-      // sequence(1, 0) counts DOWN — guard the no-duplicates rows (the
-      // common case) before indexing ps; CASE defers the ELSE per row
       .withColumn("ss", expr(
         s"""CASE WHEN size(ps) = 0 THEN cast(array() AS array<long>)
            |ELSE filter(transform(sequence(1, size(ps)), i ->
@@ -210,6 +214,16 @@ object Dedup {
            |         OR element_at(ps, i+1) - element_at(ps, i) > $g
            |       THEN element_at(ps, i) + $g END), x -> x IS NOT NULL) END"""
           .stripMargin))
+
+  /** Complement-interval rebuild from precomputed maximal merged chain
+    * intervals `ss`/`es` (strictly separated: es_i < ss_{i+1}) — the
+    * back half of [[trimCoveredSpans]], callable directly by the
+    * suffix-rank path whose per-doc frame now carries interval arrays
+    * instead of raw mark positions (r17). */
+  private def rebuildFromIntervals(withIv: DataFrame,
+                                   passThrough: Seq[String] = Nil,
+                                   sep: String = " "): DataFrame =
+    withIv
       .select(Seq(col("doc_id"), col("n_tokens"),
         expr("aggregate(zip_with(es, ss, (e, s) -> e - s), 0L, (a, x) -> a + x)")
           .as("n_removed"),
@@ -509,13 +523,14 @@ object Dedup {
   private def quarantineAwareTrim(toks: DataFrame, perDoc: DataFrame,
                                   minLen: Int,
                                   grain: String = "word"): DataFrame = {
-    val trimmed = trimCoveredSpans(
-      toks.join(perDoc.select(col("doc_id"), col("ps")),
+    val trimmed = rebuildFromIntervals(
+      toks.join(perDoc.select(col("doc_id"), col("ss"), col("es")),
           Seq("doc_id"), "left")
-        .withColumn("ps", coalesce(col("ps"), array().cast("array<long>")))
+        .withColumn("ss", coalesce(col("ss"), array().cast("array<long>")))
+        .withColumn("es", coalesce(col("es"), array().cast("array<long>")))
         .withColumn("w", when(col("quarantined"), array(lit("")))
           .otherwise(col("w"))),
-      minLen, passThrough = Seq("quarantined"),
+      passThrough = Seq("quarantined"),
       // char/byte-grain docs rejoin WITHOUT a separator (the tokens ARE
       // the characters / hex byte pairs); word grain keeps the
       // single-space rejoin
@@ -549,8 +564,10 @@ object Dedup {
     * trims (the algorithm notes live on the coverage scaladoc): returns
     * `(toks, perDoc)` — `toks` one row per doc (doc_id, w, n_tokens,
     * quarantined); `perDoc` one row per NON-quarantined doc that HAS
-    * trim-marked spans: (doc_id, n_dup_starts, ps) with `ps` the SORTED
-    * marked window start positions (1-based), or — with `foldCoverage`
+    * trim-marked spans: (doc_id, ss, es) with `ss`/`es` the SORTED
+    * maximal merged chain intervals (r17 — the chain merge runs before
+    * the checkpoint, so the checkpoint pins ≤ n/L interval cells, never
+    * a near-token-scale position array), or — with `foldCoverage`
     * (the coverage path, which never rebuilds text) —
     * (doc_id, n_dup_starts, covered): the interval-union fold runs
     * BEFORE the final localCheckpoint so the checkpoint pins two
@@ -566,10 +583,24 @@ object Dedup {
                                 foldCoverage: Boolean = false): (DataFrame, DataFrame) = {
     require(minLen >= 2)
     val toks = tokenized(df, id, text, grain)
-    val positions = toks.filter(!col("quarantined"))
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        col("tok"))
+    val positions =
+      if (grain == "byte")
+        // byte positions come straight off the UTF-8 binary (r17):
+        // explode a position sequence and read the byte at pos — the
+        // hex-pair token ARRAY (a regexp over the doubled hex string +
+        // one string cell per byte) never materializes on the rank
+        // path (guide §4 expressions / §2.3 move heavy bytes once);
+        // the trims still read `w` for the within-row rebuild.
+        toks.filter(!col("quarantined") && col("n_tokens") >= 1)
+          .select(col("doc_id"), col("b"),
+            explode(expr("sequence(1L, n_tokens)")).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            expr("substring(b, cast(pos AS int), 1)").as("tok"))
+      else
+        toks.filter(!col("quarantined"))
+          .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+            col("tok"))
     val perDoc = rankPerDoc(positions, minLen, keepFirst, foldCoverage,
       grain = grain)
     (toks, perDoc)
@@ -639,20 +670,27 @@ object Dedup {
         // one element per UTF-8 byte as its hex pair: hex the whole
         // binary once, then one linear regexp pass inserts a separator
         // after every pair (',' never occurs in the hex alphabet); the
-        // slice drops the trailing empty element the final ',' leaves
+        // slice drops the trailing empty element the final ',' leaves.
+        // The raw binary rides along as `b` (r17): the rank build reads
+        // bytes off it directly and never consumes `w`, whose
+        // regexp_replace + split + per-byte string cells then PRUNE out
+        // of coverage plans entirely (only the trim rebuild pays them).
         df.select(guarded, encode(text.cast("string"), "UTF-8").as("__b"))
           .select(col("doc_id"),
             expr("""slice(split(regexp_replace(hex(__b), '(..)', '$1,'),
                   |  ','), 1, length(__b))""".stripMargin).as("__w"),
-            length(col("__b")).cast("long").as("n_tokens"))
+            length(col("__b")).cast("long").as("n_tokens"),
+            col("__b"))
       case other => throw new IllegalArgumentException(
         s"grain must be word|char|byte, got $other")
     }
+    val outCols = Seq(col("doc_id"),
+      when(col("quarantined"), array(lit(""))).otherwise(col("__w"))
+        .as("w"),
+      col("n_tokens"), col("quarantined")) ++
+      (if (grain == "byte") Seq(col("__b").as("b")) else Nil)
     pre.withColumn("quarantined", col("n_tokens") >= lit(widthLimit))
-      .select(col("doc_id"),
-        when(col("quarantined"), array(lit(""))).otherwise(col("__w"))
-          .as("w"),
-        col("n_tokens"), col("quarantined"))
+      .select(outCols: _*)
   }
 
   /** Rank-build core shared by [[exactSubstrStarts]] and
@@ -665,7 +703,7 @@ object Dedup {
     * stages, marks duplicated window starts, applies `decode` (the
     * segmented path's synthetic-id → (orig doc, orig pos) unpack —
     * identity for plain docs) BEFORE the per-doc fold, and returns the
-    * checkpointed per-doc frame: (doc_id, n_dup_starts, ps) or — with
+    * checkpointed per-doc frame: (doc_id, ss, es) or — with
     * `foldCoverage` — (doc_id, n_dup_starts, covered). The checkpoint
     * discipline (notes in the body) lives here so the rank table's
     * blocks release exactly once per build. */
@@ -729,11 +767,16 @@ object Dedup {
         lastCp = Some(r1)
         r1
       case "char" | "byte" =>
-        // byte grain: the token IS a 2-nibble hex pair — its numeric
-        // value (0..255) is the byte. char grain: the token's UTF-8
+        // byte grain: the token is the raw 1-byte BINARY on the plain
+        // path (r17 — read off the UTF-8 buffer, no hex-pair array) or
+        // a 2-nibble hex pair on the segmented path; both hex-decode
+        // to the byte value 0..255. char grain: the token's UTF-8
         // bytes as a number (≤ 4 bytes → < 2^32; UTF-8 is injective).
+        val tokIsBinary = positions.schema("tok").dataType ==
+          org.apache.spark.sql.types.BinaryType
         val byteRank = positions.select(col("doc_id"), col("pos"),
-          (if (grain == "byte") conv(col("tok"), 16, 10)
+          (if (grain == "byte" && tokIsBinary) conv(hex(col("tok")), 16, 10)
+           else if (grain == "byte") conv(col("tok"), 16, 10)
            else conv(hex(encode(col("tok"), "UTF-8")), 16, 10))
             .cast("long").as("rank"))
         if (grain == "byte" && minLen >= 8) {
@@ -796,6 +839,14 @@ object Dedup {
     val allOffs = if (offs.nonEmpty && offs.last == guardOff) offs
                   else offs :+ guardOff
     val guardCol = s"r${allOffs.length + 1}"
+    // The two consumers of `starts` (class-count groupBy + join probe)
+    // each re-run the final window's sort+window above a REUSED
+    // (doc_id, s) exchange. An explicit class-key repartition shared
+    // via ReuseExchange (the widenStage discipline) was TRIED in r17
+    // and measured 1.12-1.31x WORSE across the family (isolated
+    // controlled runs, plans/r17/ISOLATED_family_*): the extra
+    // full-row exchange costs more than the duplicated partition-local
+    // sort+window it saves. Kept as the two-branch shape deliberately.
     val starts = multiShiftedRank(r, allOffs, sliced = sliced)
       .filter(col(guardCol).isNotNull)
     // the winner/mark coordinates are the DECODED (original doc,
@@ -825,36 +876,136 @@ object Dedup {
     // strand ~1.7 GB of executor storage and inflate every later
     // in-set entry (the stage-cache lesson, PipelineQueries).
     val markedPos = marked.select(odoc.as("doc_id"), opos.as("pos"))
-    val perDoc = (if (foldCoverage) {
-      // coverage interval-union as a RUNNING-MAX WINDOW + sum (r16):
-      // adds(p) = max(0, p+L − max(reach, p)) with reach = max(p'+L)
-      // over the doc's earlier marks — the same recurrence the old
-      // collect_list → sort_array → aggregate() fold computed, but
-      // fully codegen'd (§4/§1.2: the interpreted higher-order fold
-      // allocated a struct per element — for the segmented giant a
-      // ~1M-element array built, sorted and folded inside ONE row).
-      // The window's doc_id hash doubles as the groupBy distribution,
-      // so the exchange count is unchanged; only the trims — which
-      // rebuild text within-row — still collect the positions array.
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, -1)
-      markedPos
-        .withColumn("adds", greatest(lit(0L),
-          col("pos") + minLen - greatest(
-            coalesce(max(col("pos") + minLen).over(byDoc), lit(0L)),
-            col("pos"))))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_dup_starts"),
-          sum(col("adds")).as("covered"))
-    } else
-      markedPos.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_dup_starts"),
-          sort_array(collect_list(col("pos"))).as("ps"))
-    ).localCheckpoint()
+    val perDoc =
+      (if (foldCoverage) coverageFold(markedPos, minLen, sliced)
+       else chainFold(markedPos, minLen, sliced)).localCheckpoint()
     lastCp.foreach(graft.operators.Joins.unpersistLocalCheckpoint)
     perDoc
+  }
+
+  /** Per-doc coverage fold over marked window starts (doc_id, pos):
+    * (doc_id, n_dup_starts, covered) with covered = |union of
+    * [p, p+L)|. Package-private for the equivalence spec; `b` (the
+    * slice width of the sliced form) is overridable for tests only. */
+  private[graft] def coverageFold(markedPos: DataFrame, minLen: Int,
+                                  sliced: Boolean,
+                                  b: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = b
+    if (!sliced) {
+        // coverage interval-union as a RUNNING-MAX WINDOW + sum (r16):
+        // adds(p) = max(0, p+L − max(reach, p)) with reach = max(p'+L)
+        // over the doc's earlier marks — the same recurrence the old
+        // collect_list → sort_array → aggregate() fold computed, but
+        // fully codegen'd (§4/§1.2: the interpreted higher-order fold
+        // allocated a struct per element). The window's doc_id hash
+        // doubles as the groupBy distribution — one exchange.
+        val byDoc = Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        markedPos
+          .withColumn("adds", greatest(lit(0L),
+            col("pos") + minLen - greatest(
+              coalesce(max(col("pos") + minLen).over(byDoc), lit(0L)),
+              col("pos"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_starts"),
+            sum(col("adds")).as("covered"))
+      } else {
+        // SLICED two-level coverage fold (r17, guide §2.1/§2.5): the
+        // whole-doc window put a segmented giant's ~1M marks in ONE
+        // window task (single-task sort no core count can shrink).
+        // Level 1 runs the same running-max recurrence per
+        // (doc_id, slice) — parallel, ≤ B rows per task — and reduces
+        // each slice to 4 scalars; level 2 stitches slices with the
+        // EXACT incoming-reach correction: earlier slices' reach is
+        // R = max(pos)+L over all earlier marks, R < minp + L (earlier
+        // positions < this slice's min), and the slice's own union
+        // contains [minp, minp+L) in full, so the double-counted
+        // overlap is exactly max(0, R − minp). Integer-exact, same
+        // values as the one-window fold (OperatorsSpec pins the
+        // equivalence); the doc-grain exchange now carries slice rows,
+        // not mark rows.
+        val wSlicePrev = Window
+          .partitionBy(col("doc_id"), col("s")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wDocPrev = Window
+          .partitionBy(col("doc_id")).orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        markedPos
+          .withColumn("s", expr(s"(pos - 1) div $B"))
+          .withColumn("adds", greatest(lit(0L),
+            col("pos") + minLen - greatest(
+              coalesce(max(col("pos") + minLen).over(wSlicePrev), lit(0L)),
+              col("pos"))))
+          .groupBy(col("doc_id"), col("s"))
+          .agg(count(lit(1)).as("cnt"), sum(col("adds")).as("cov0"),
+            min(col("pos")).as("minp"), max(col("pos")).as("maxp"))
+          .withColumn("pm", max(col("maxp")).over(wDocPrev))
+          .withColumn("cov", when(col("pm").isNull, col("cov0"))
+            .otherwise(col("cov0") - greatest(lit(0L),
+              col("pm") + minLen - col("minp"))))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_dup_starts"),
+            sum(col("cov")).as("covered"))
+      }
+  }
+
+  /** Per-doc maximal merged chain intervals from marked starts:
+    * (doc_id, ss, es) — the trim contract. Package-private for the
+    * equivalence spec; `b` is the sliced form's slice width,
+    * overridable for tests only. */
+  private[graft] def chainFold(markedPos: DataFrame, minLen: Int,
+                               sliced: Boolean,
+                               b: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = b
+    if (!sliced) {
+      // plain trim marks: per-doc sorted position array, then the
+      // within-row chain merge (r17: the merge moved BEFORE the
+      // checkpoint — the checkpoint pins interval arrays, ≤ n/L
+      // elements, never a near-token-scale ps array).
+      intervalsFromPs(
+        markedPos.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("pos"))).as("ps")), minLen)
+        .select(col("doc_id"), col("ss"), col("es"))
+    } else {
+      // SLICED distributed chain compression (r17, VERDICT r16 #1):
+      // the old fold collected a segmented giant's ~1M mark positions
+      // into ONE row's array and merged chains interpretively inside
+      // it. Chains (runs of starts with gap ≤ L — trimCoveredSpans'
+      // merge rule) are detected per (doc_id, slice) window task,
+      // reduced to (first start, last start) scalars, then re-merged
+      // across slice boundaries at chain grain with the SAME gap rule
+      // (a boundary cut only ever splits a chain; re-merging on
+      // cs − lag(lp) ≤ L restores the maximal chains exactly — the
+      // condition is consecutive-start gap, which slicing preserves).
+      // The giant's marks collapse to ~1 interval; no ~1M-element
+      // single-row array exists anywhere in the plan.
+      val wSlice = Window
+        .partitionBy(col("doc_id"), col("s")).orderBy(col("pos"))
+      val prevPos = lag(col("pos"), 1).over(wSlice)
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("cs"))
+      val prevLp = lag(col("lp"), 1).over(wDoc)
+      markedPos
+        .withColumn("s", expr(s"(pos - 1) div $B"))
+        .withColumn("h", when(prevPos.isNull ||
+          col("pos") - prevPos > minLen, 1L).otherwise(0L))
+        .withColumn("cid", sum(col("h")).over(wSlice))
+        .groupBy(col("doc_id"), col("s"), col("cid"))
+        .agg(min(col("pos")).as("cs"), max(col("pos")).as("lp"))
+        .withColumn("h", when(prevLp.isNull ||
+          col("cs") - prevLp > minLen, 1L).otherwise(0L))
+        .withColumn("mid", sum(col("h")).over(wDoc))
+        .groupBy(col("doc_id"), col("mid"))
+        .agg(min(col("cs")).as("cs"), max(col("lp")).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("cs"), col("lp"))))
+          .as("cv"))
+        .select(col("doc_id"),
+          expr("transform(cv, x -> x.cs)").as("ss"),
+          expr(s"transform(cv, x -> x.lp + $minLen)").as("es"))
+    }
   }
 
   /** ONE prefix-doubling round over a rank table (doc_id, pos, rank):
@@ -1030,8 +1181,10 @@ object Dedup {
                                minLen: Int = 25,
                                grain: String = "word"): DataFrame = {
     val toks = tokenized(df, id, text, grain)
-    val perDoc = marks.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    val perDoc = intervalsFromPs(
+      marks.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("ps")), minLen)
+      .select(col("doc_id"), col("ss"), col("es"))
     quarantineAwareTrim(toks, perDoc, minLen, grain)
   }
 

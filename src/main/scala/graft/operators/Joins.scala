@@ -497,19 +497,34 @@ object Joins {
                            iterations: Int = 6, dampingMilli: Long = 850L,
                            hugeGraph: Boolean = false): DataFrame = {
     require(iterations >= 1 && dampingMilli >= 0 && dampingMilli <= 1000)
-    def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
     // lazy-checkpoint the projected edges BEFORE the out-degree join
     // (r16): the join probe and the groupBy side otherwise each
     // re-compute the caller's edge derivation — j_pagerank's lineitem
     // lead-window ran twice per build
     val eBase = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    val e = eBase
+    val e0 = eBase
       .join(eBase.groupBy(col("src")).agg(count(lit(1)).as("outd")), "src")
-      .localCheckpoint(false) // materialized by round 1, reused by all
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    // size-based broadcast-vs-SMJ regime + eBase release, as in
+    // [[pageRankFrom]] (r17): the node count — which the teleport split
+    // needs anyway — is the carry's actual size and decides the regime.
+    // Seed-sized frames (seedTp, seedNoIn) stay broadcast in EVERY
+    // regime — seeds are small by contract; only the node-count-sized
+    // rank carry switches.
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
       .localCheckpoint() // eager: counted NOW for the teleport split
     val n = nodes.count()
+    unpersistLocalCheckpoint(eBase)
+    val huge = hugeGraph || n > graphBroadcastMaxRows
+    def hint(df: DataFrame): DataFrame = if (huge) df else broadcast(df)
+    val e =
+      if (!huge) e0
+      else {
+        val ep = prePartitioned(e0, "src")
+        unpersistLocalCheckpoint(e0)
+        ep
+      }
     val seedNodes = seeds.select(col("node")).distinct()
       .join(nodes, Seq("node"), "left_semi")
       .localCheckpoint() // tiny; counted + broadcast every round
@@ -536,7 +551,7 @@ object Joins {
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           expr(s"($dampingMilli * s) div 1000").as("flow"))
-      val next = flow.join(hint(seedTp), Seq("node"), "left")
+      val next = flow.join(broadcast(seedTp), Seq("node"), "left")
         .select(col("node"),
           (coalesce(col("tp"), lit(0L)) + col("flow")).as("pr"))
         .unionAll(seedNoIn.select(col("node"), col("pr")))
@@ -548,23 +563,66 @@ object Joins {
       .select(col("node"), coalesce(col("pr"), lit(0L)).as("pr"))
   }
 
+  /** Broadcast ceiling for the per-round rank/label carry (r17,
+    * VERDICT r16 #3): graphs whose NODE COUNT exceeds this switch the
+    * iterative joins from a per-round driver-held broadcast (a scale
+    * cliff — the carry is node-count-sized at 100 TB) to a
+    * co-partitioned sort-merge join against a pre-partitioned,
+    * PRE-SORTED edge checkpoint: the edge side then never re-shuffles
+    * or re-sorts across rounds, and the carry side pays one
+    * partition-local sort per round. The ceiling is on NODES — the
+    * carry's actual size — not edges: an sf1-shaped graph with ~6M
+    * edges over ~200k nodes broadcasts a few MB per round, and an
+    * edge-count proxy mis-switched it to SMJ at +26-37% (measured,
+    * OPTIMIZATION_r17.md). Env-parameterised with a local default far
+    * above every sf0.1/sf1 graph (guide §3.1: a few hundred MB of
+    * broadcast is fine; 4M carry rows ≈ 200 MB hashed). */
+  private[graft] def graphBroadcastMaxRows: Long =
+    sys.env.get("SPARK_GRAFT_GRAPH_BCAST_MAX").map(_.toLong)
+      .getOrElse(4000000L)
+
+  /** Hash-partition by `k`, sort within partitions and EAGERLY local-
+    * checkpoint, preserving (partitioning, ordering) in the checkpoint's
+    * LogicalRDD so every later round's SMJ reads this side with no
+    * exchange and no sort. Plain `localCheckpoint` loses both under AQE
+    * — see [[org.apache.spark.sql.GraftShims.localCheckpointPartitioned]]
+    * (plan evidence: plans/r17/pagerank_round_huge.txt). */
+  private def prePartitioned(df: DataFrame, k: String): DataFrame =
+    org.apache.spark.sql.GraftShims.localCheckpointPartitioned(df, k)
+
   private def pageRankFrom(edges: DataFrame, init: Option[DataFrame],
                            iterations: Int, dampingMilli: Long,
                            hugeGraph: Boolean): DataFrame = {
     require(iterations >= 1 && dampingMilli >= 0 && dampingMilli <= 1000)
-    def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
     // lazy-checkpoint the projected edges BEFORE the out-degree join
     // (r16): the join probe and the groupBy side otherwise each
     // re-compute the caller's edge derivation — j_pagerank's lineitem
     // lead-window ran twice per build
     val eBase = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    val e = eBase
+    val e0 = eBase
       .join(eBase.groupBy(col("src")).agg(count(lit(1)).as("outd")), "src")
-      .localCheckpoint(false) // materialized by round 1, reused by all
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false) // only the final join reads it — no
-    // dedicated upfront job; reads the e checkpoint, not the raw scan
+      .localCheckpoint(false)
+    // ONE node count materializes the edge checkpoint + the node frame
+    // (jobs round 1 / the final join would otherwise run) and decides
+    // the broadcast-vs-SMJ regime from the CARRY's actual size instead
+    // of a caller flag (r16 VERDICT #3 — the per-round broadcast is
+    // node-count-sized, so nodes, not edges, are the honest proxy);
+    // eBase's blocks release as soon as e0 is materialized (r16 ADVICE:
+    // the stranded eBase copy outlived every read).
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val nNodes = nodes.count()
+    unpersistLocalCheckpoint(eBase)
+    val huge = hugeGraph || nNodes > graphBroadcastMaxRows
+    def hint(df: DataFrame): DataFrame = if (huge) df else broadcast(df)
+    val e =
+      if (!huge) e0
+      else {
+        val ep = prePartitioned(e0, "src")
+        unpersistLocalCheckpoint(e0)
+        ep
+      }
     val teleportMicro = (1000L - dampingMilli) * 1000L
     // Ranks are carried SPARSELY: only nodes with in-edges have a stored
     // value; every other node's rank is a per-iteration constant
@@ -712,7 +770,6 @@ object Joins {
   def labelPropagation(edges: DataFrame, rounds: Int = 4,
                        hugeGraph: Boolean = false): DataFrame = {
     require(rounds >= 1)
-    def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
     // lazy-checkpoint the canonical edge set (r16): the adjacency union
     // reads `und` twice, so without the cache the distinct's exchange +
     // agg computed once per union branch
@@ -723,10 +780,29 @@ object Joins {
         col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(false)
-    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+    val adj0 = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
       .localCheckpoint() // eager: every round and the seed read it
     unpersistLocalCheckpoint(und) // adj materialized; und blocks done
+    // size-based broadcast-vs-SMJ regime (r17, as in [[pageRankFrom]]):
+    // the per-round label carry is node-count-sized — a broadcast cliff
+    // at scale — so the ceiling is on the DISTINCT NODE count (edge
+    // counts over-trigger: a dense sf1-shaped graph has ~6M adjacency
+    // rows over ~200k nodes and must stay broadcast). One distinct
+    // count over adj's cached blocks; in the huge regime adj
+    // re-checkpoints pre-partitioned + pre-sorted on the join key
+    // `nbr`, and rounds pay one carry-side sort, never an adjacency
+    // exchange.
+    val huge = hugeGraph ||
+      adj0.select(col("node")).distinct().count() > graphBroadcastMaxRows
+    def hint(df: DataFrame): DataFrame = if (huge) df else broadcast(df)
+    val adj =
+      if (!huge) adj0
+      else {
+        val ap = prePartitioned(adj0, "nbr")
+        unpersistLocalCheckpoint(adj0)
+        ap
+      }
     var labels = adj.select(col("node")).distinct()
       .withColumn("lbl", col("node"))
     for (k <- 1 to rounds) {

@@ -3205,4 +3205,52 @@ class OperatorsSpec extends SparkSpec {
     // spender) is (1,1,1); users 7,8 share it → n_users 2, value 32+24.5
     assert(parity.contains((1, 1, 1, 2L, 56.5)))
   }
+
+  // adversarial random mark sets for the r17 sliced fold equivalences:
+  // clustered runs, isolated marks, slice-boundary straddlers — with a
+  // tiny slice width (b = 8) so every boundary case fires on small data
+  private def randomMarks(seed: Long): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    import spark.implicits._
+    (0 until 40).flatMap { d =>
+      var pos = 1L + rnd.nextInt(3)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (pos < 120) {
+        buf += ((d.toLong, pos))
+        // gaps cluster around the chain threshold (L = 5): 1..9 hits
+        // both "same chain" and "new chain" across slice cuts at 8
+        pos += 1 + rnd.nextInt(9)
+      }
+      buf
+    }.toDF("doc_id", "pos")
+  }
+
+  test("sliced two-level coverage fold == whole-doc fold (r17)") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val marks = randomMarks(seed).localCheckpoint()
+      val plain = graft.operators.Dedup
+        .coverageFold(marks, minLen = 5, sliced = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sliced = graft.operators.Dedup
+        .coverageFold(marks, minLen = 5, sliced = true, b = 8L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(plain == sliced,
+        s"seed=$seed\nplain=$plain\nsliced=$sliced")
+    }
+  }
+
+  test("sliced distributed chain merge == within-row chain merge (r17)") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val marks = randomMarks(seed).localCheckpoint()
+      def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) ->
+          (r.getSeq[Long](1).toList, r.getSeq[Long](2).toList)).toMap
+      val plain = asMap(graft.operators.Dedup
+        .chainFold(marks, minLen = 5, sliced = false))
+      val sliced = asMap(graft.operators.Dedup
+        .chainFold(marks, minLen = 5, sliced = true, b = 8L))
+      assert(plain == sliced,
+        s"seed=$seed\nplain=$plain\nsliced=$sliced")
+    }
+  }
 }
