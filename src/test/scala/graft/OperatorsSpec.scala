@@ -114,6 +114,24 @@ class OperatorsSpec extends SparkSpec {
     assert(gotSelf.toMap == got + (42L -> 42L))
   }
 
+  test("connectedComponents regimes agree: fused rounds == deduped rounds") {
+    import spark.implicits._
+    // scrambled multi-round graph (same family the layout-independence
+    // test pins): both the small-graph regime (large-star dedup skipped,
+    // smallGraphEdges = MaxValue) and the large-graph regime (dedup kept
+    // every round, smallGraphEdges = 0) must land identical labels in
+    // the same round budget — the dedup is volume control, not algebra
+    val edges = (0L until 600L).map(i => (i, (i * 101 + 13) % 600))
+      .filter { case (a, b) => a != b }
+    val fused = Dedup.connectedComponentsImpl(edges.toDF("i", "j"),
+      maxRounds = 16, smallGraphEdges = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deduped = Dedup.connectedComponentsImpl(edges.toDF("i", "j"),
+      maxRounds = 16, smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == deduped)
+  }
+
   test("incrementalComponents equals full recompute on every merge class") {
     import spark.implicits._
     // yesterday: {1,2,3} (path), {5,6}, {8,9} — labels by min id
