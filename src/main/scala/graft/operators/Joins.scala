@@ -1100,12 +1100,37 @@ object Joins {
   def hitsScores(edges: DataFrame, rounds: Int = 2,
                  hugeGraph: Boolean = false): DataFrame = {
     require(rounds >= 1)
-    def hint(df: DataFrame): DataFrame = if (hugeGraph) df else broadcast(df)
-    val e = edges.select(col("src"), col("dst"))
+    val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint() // every half-round and the node spine read it
+    // size-based broadcast-vs-SMJ regime (r17, the pageRankFrom
+    // discipline): the per-half-round score broadcast is node-count-
+    // sized — a 100 TB cliff the caller flag alone cannot see. The node
+    // spine is needed for the zero-filled output anyway; counting it
+    // here decides the regime from the carry's actual size. Lazy + the
+    // count = one full-materialization job (the connectedComponents
+    // rule).
+    val nodes = e0.select(col("src").as("node"))
+      .unionAll(e0.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val huge = hugeGraph || nodes.count() > graphBroadcastMaxRows
+    def hint(df: DataFrame): DataFrame = if (huge) df else broadcast(df)
+    // huge regime: the a-round joins on src and the h-round on dst —
+    // keep ONE pre-partitioned, pre-sorted edge checkpoint PER SIDE so
+    // neither half-round ever re-exchanges or re-sorts the edge side
+    // (each is the prePartitioned LogicalRDD wrap; plain localCheckpoint
+    // loses partitioning under AQE). Below the ceiling the single
+    // checkpoint serves both sides as the broadcast probe.
+    val (eSrc, eDst) =
+      if (!huge) (e0, e0)
+      else {
+        val s = prePartitioned(e0, "src")
+        val d = prePartitioned(e0, "dst")
+        unpersistLocalCheckpoint(e0)
+        (s, d)
+      }
     def renorm(scores: DataFrame, c: String): DataFrame = {
       val m = scores.agg(max(col(c)).as("m"))
       // the maxima are ONE-ROW aggregates: broadcast them
@@ -1120,23 +1145,23 @@ object Joins {
     }
     // hubs start uniform; only nodes with out-edges ever hold hub mass,
     // and only nodes with in-edges authority mass (zero-filled at output)
-    var hubs = e.select(col("src").as("node")).distinct()
+    var hubs = eSrc.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1000000L))
     var auths: DataFrame = null
     // alternate-round checkpoints are EAGER so the superseded pair's
     // executor-storage blocks can be released as soon as the next pair
     // materializes (the kCenterGreedy discipline) — otherwise rounds >= 4
     // would pin O(rounds) node-sized frames for the plan's lifetime. The
-    // returned plan still reads `e` and the LAST checkpoint pair; those
+    // returned plan still reads the edge side(s) and the LAST checkpoint pair; those
     // stay persisted for the plan's lifetime by construction.
     var prevCp: Seq[DataFrame] = Nil
     for (k <- 1 to rounds) {
-      val aRaw = e.join(hint(hubs.select(col("node").as("src"), col("h"))),
+      val aRaw = eSrc.join(hint(hubs.select(col("node").as("src"), col("h"))),
           "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("h")).as("a"))
       auths = renorm(aRaw, "a")
-      val hRaw = e.join(hint(auths.select(col("node").as("dst"), col("a"))),
+      val hRaw = eDst.join(hint(auths.select(col("node").as("dst"), col("a"))),
           "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("a")).as("h"))
@@ -1148,8 +1173,6 @@ object Joins {
         prevCp = Seq(auths, hubs)
       }
     }
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
     nodes.join(auths, Seq("node"), "left")
       .join(hubs, Seq("node"), "left")
       .select(col("node"), coalesce(col("a"), lit(0L)).as("auth_micro"),
