@@ -125,6 +125,35 @@ object DumpBuildPlansR17 {
       .select(col("dst").as("node"),
         (lit(150000L) + expr("(850 * s) div 1000")).as("pr"))
     dump("pagerank_round_huge", round)
+
+    // ONE star-contraction round (connectedComponents loop body) under
+    // both regimes: the fused (small-graph) round must LOSE the
+    // intermediate large-star distinct's exchange+agg — dup (v, m) rows
+    // ride through to the round's final distinct — while the deduped
+    // (at-scale) round keeps it.
+    val ccE = spark.range(2000L)
+      .select((col("id") % 700L).as("a"), ((col("id") * 13L) % 700L).as("b"))
+      .filter(col("a") < col("b")).distinct().localCheckpoint()
+    def ccRound(dedupLargeStar: Boolean) = {
+      val both = ccE.select(col("a").as("u"), col("b").as("v"))
+        .union(ccE.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = both.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      val lsRaw = both.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b"))
+      val ls = if (dedupLargeStar) lsRaw.distinct() else lsRaw
+      val smaller = ls.select(col("b").as("u"), col("a").as("v"))
+      val ssMin = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+      smaller.join(ssMin, "u")
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .union(ssMin.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    dump("cc_round_deduped", ccRound(dedupLargeStar = true))
+    dump("cc_round_fused", ccRound(dedupLargeStar = false))
     spark.stop()
   }
 }
